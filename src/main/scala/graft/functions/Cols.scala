@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core column-expression helpers re-expressing the reference's scalar
+  * semantics (see SURVEY.md §2.2/§2.7) as pure Catalyst expressions —
+  * zero UDFs, so every helper stays inside whole-stage codegen and is
+  * eligible for pushdown/pruning at 100 TB scale.
+  *
+  * Reference citations are into /root/reference (read-only).
+  */
+object Cols {
+
+  /** Filename standardization key chain — `assess_changes.qmd:87-94`:
+    * strip `^filtered_` prefix, strip `_V\d{6,7}[a-z]*` version suffix,
+    * strip the trailing extension, map non-alphanumerics to `_`, lowercase.
+    * Composable on any string column; deterministic, codegen'd.
+    */
+  def stdKey(c: Column): Column =
+    lower(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "^filtered_", ""),
+            "_V\\d{6,7}[a-z]*", ""),
+          "\\.[a-zA-Z0-9]+$", ""),
+        "[^a-zA-Z0-9]", "_"))
+
+  /** Strip parenthetical synonym suffix from scientific names —
+    * `assess_changes.qmd:318-321`: `gsub(" \\(\\=.*", "", SciName)`.
+    */
+  def cleanSci(c: Column): Column =
+    regexp_replace(c, " \\(=.*", "")
+
+  /** `tolower(as.character(x))` — `assess_changes.qmd:294-295`. */
+  def lowerCast(c: Column): Column = lower(c.cast("string"))
+
+  /** R-faithful `!x %in% set`: R keeps NA rows (NA %in% s is FALSE, so
+    * !FALSE = TRUE); Spark's `!isin` yields null which a filter drops.
+    * See SURVEY.md §2.2 `filt_notin`. SQL form: `c IS NULL OR c NOT IN (…)`.
+    */
+  def notInRSemantics(c: Column, values: Seq[Any]): Column =
+    c.isNull || !c.isin(values: _*)
+
+  /** `basename(path)` — `scrape_newest_baci_data.R:58`. */
+  def basename(c: Column): Column =
+    element_at(split(c, "/"), -1)
+
+  /** Byte→MB scaling used for size deltas — `assess_changes.qmd:107-113`. */
+  def sizeMb(bytes: Column): Column = bytes / 1e6
+
+  /** URL absolutization — `scrape_newest_baci_data.R:38`:
+    * `ifelse(grepl("^http", u), u, paste0(prefix, u))`.
+    */
+  def absolutize(url: Column, prefix: String): Column =
+    when(url.rlike("^http"), url).otherwise(concat(lit(prefix), url))
+
+  /** Truncate a timestamp column to millisecond precision. The driver test
+    * data carries nanosecond timestamps which Spark reads at microsecond
+    * precision while DuckDB keeps nanoseconds — any cross-engine comparison
+    * or emission of raw timestamps must go through this (or coarser).
+    */
+  def toMillis(ts: Column): Column = date_trunc("MILLISECOND", ts)
+
+  /** `mutate_all(str_trim)` — `assess_changes.qmd:297`: trim every column,
+    * schema-generically (non-string columns are cast to string first, which
+    * is what R's str_trim does via as.character coercion).
+    */
+  def trimAll(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => trim(col(c).cast("string")).as(c)): _*)
+
+  /** Projection tolerant of absent columns — `select(any_of(cols))`,
+    * `assess_changes.qmd:281-287`.
+    */
+  def selectAnyOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = df.columns.toSet
+    df.select(cols.filter(present.contains).map(col): _*)
+  }
+}

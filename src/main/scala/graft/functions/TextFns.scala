@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for large-scale training-data pipelines (the
+  * north-star [EXT] operators in SURVEY.md §2 / BASELINE.json): token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  * All pure built-in expressions — codegen'd, shuffle-free per row, and
+  * therefore safe to run over 100 TB of `documents`-shaped data.
+  */
+object TextFns {
+
+  /** BPE-ish token pattern: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space symbols — a cheap deterministic proxy for
+    * subword tokenizers' pre-tokenization split.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count via regexp_extract_all. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Punctuation character ratio (0 when empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean whitespace-token length. */
+  def avgWordLen(text: Column): Column =
+    when(wsTokenCount(text) > 0,
+      length(regexp_replace(text, "\\s+", "")).cast("double") /
+        wsTokenCount(text))
+      .otherwise(lit(0.0))
+
+  // Minimal per-language stopword regexes for the n-gram/stopword
+  // language-ID heuristic. Word-boundary anchored, case-insensitive.
+  val StopwordPatterns: Seq[(String, String)] = Seq(
+    "en" -> "(?i)\\b(the|and|of|to|in|is|that|it|for|was)\\b",
+    "es" -> "(?i)\\b(el|la|de|que|y|los|del|las|por|una)\\b",
+    "de" -> "(?i)\\b(der|die|und|das|ist|von|mit|den|nicht|ein)\\b",
+    "fr" -> "(?i)\\b(le|la|et|les|des|en|un|du|une|est)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]",
+  )
+
+  /** Per-language stopword hit count. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val pat = StopwordPatterns.toMap.apply(lang)
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** Stopword ratio against English stopwords (quality signal). */
+  def stopwordRatio(text: Column): Column =
+    when(wsTokenCount(text) > 0,
+      stopwordHits(text, "en").cast("double") / wsTokenCount(text))
+      .otherwise(lit(0.0))
+
+  /** Heuristic language ID: argmax of stopword hits with a fixed
+    * alphabetical tie-break, `und` when all scores are zero. Expressed as
+    * a deterministic greatest/when chain so an oracle can mirror it.
+    */
+  def langId(text: Column): Column = {
+    val langs = StopwordPatterns.map(_._1).sorted // deterministic tie-break
+    val scores = langs.map(l => l -> stopwordHits(text, l))
+    val best = greatest(scores.map(_._2): _*)
+    val chain = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+    chain
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, prose-like
+    * punctuation levels, and some stopword presence. Deterministic
+    * arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.5)
+    val stopOk = when(stopwordRatio(text) > 0.0, 1.0).otherwise(0.7)
+    round(lenScore * punctOk * stopOk, 4)
+  }
+
+  /** Normalized-content fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. Two documents with the same fingerprint are
+    * exact dups modulo casing/punctuation/whitespace — the cheap first
+    * pass of a dedup pipeline (before MinHash).
+    */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(
+      trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), lit("utf-8")))
+}

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+import graft.ingest.{CleanProd, FileManifest, SchemaDiff}
+
+/** The reference's ingest/changelog surface (SURVEY.md §2.1/2.7/2.8, EP2/EP3)
+  * expressed over the driver tables so every operator gets a DuckDB oracle:
+  * version-pair manifests are derived deterministically from `documents`
+  * (old = doc_id%10<8, new = doc_id%10>1 with a +10-byte size drift).
+  */
+object IngestQ {
+
+  /** Emulated "old" manifest: (std_name, full_path, size_bytes). */
+  private def oldManifest(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") % 10 < 8).select(
+      concat(lit("doc_"), col("doc_id").cast("string")).as("std_name"),
+      concat(col("source"), lit("/doc_"), col("doc_id").cast("string")).as("full_path"),
+      col("n_chars").as("size_bytes"))
+
+  private def newManifest(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") % 10 > 1).select(
+      concat(lit("doc_"), col("doc_id").cast("string")).as("std_name"),
+      concat(col("source"), lit("/doc_"), col("doc_id").cast("string")).as("full_path"),
+      (col("n_chars") + 10).as("size_bytes"))
+
+  private val OldSql =
+    """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS std_name,
+      source || '/doc_' || CAST(doc_id AS VARCHAR) AS full_path,
+      n_chars AS size_bytes FROM documents WHERE doc_id % 10 < 8"""
+
+  private val NewSql =
+    """SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS std_name,
+      source || '/doc_' || CAST(doc_id AS VARCHAR) AS full_path,
+      n_chars + 10 AS size_bytes FROM documents WHERE doc_id % 10 > 1"""
+
+  val all: Seq[Q] = Seq(
+
+    // join_versions (`assess_changes.qmd:97-114`): full-outer self-match
+    // on the standardized key.
+    Q("join_versions",
+      (s, d) => {
+        val o = oldManifest(s, d).select(col("std_name"),
+          col("full_path").as("old_path"))
+        val n = newManifest(s, d).select(col("std_name"),
+          col("full_path").as("new_path"))
+        o.join(n, Seq("std_name"), "full_outer")
+      },
+      Some(s"""SELECT std_name, o.full_path AS old_path, n.full_path AS new_path
+              FROM ($OldSql) o FULL OUTER JOIN ($NewSql) n USING (std_name)""")),
+
+    // file_diff (`assess_changes.qmd:104-114`): exists flags + MB delta.
+    Q("file_diff",
+      (s, d) => FileManifest
+        .joinVersions(oldManifest(s, d), newManifest(s, d))
+        .select(col("std_name"),
+          col("old_path").isNotNull.as("exists_in_old"),
+          col("new_path").isNotNull.as("exists_in_new"),
+          round(Cols.sizeMb(col("new_bytes")) - Cols.sizeMb(col("old_bytes")), 6)
+            .as("size_change_mb")),
+      Some(s"""SELECT std_name,
+              o.full_path IS NOT NULL AS exists_in_old,
+              n.full_path IS NOT NULL AS exists_in_new,
+              round(n.size_bytes/1000000.0 - o.size_bytes/1000000.0, 6)
+                AS size_change_mb
+              FROM ($OldSql) o FULL OUTER JOIN ($NewSql) n USING (std_name)""")),
+
+    // pivot_dir (`assess_changes.qmd:97-103`): long→wide with the
+    // documented deterministic min() tie-break.
+    Q("pivot_dir",
+      (s, d) => {
+        val tagged = oldManifest(s, d).withColumn("version_tag", lit("old"))
+          .unionByName(newManifest(s, d).withColumn("version_tag", lit("new")))
+        FileManifest.pivotDir(tagged)
+          .withColumnRenamed("new", "new_path")
+          .withColumnRenamed("old", "old_path")
+      },
+      Some(s"""SELECT std_name,
+              min(CASE WHEN version_tag = 'new' THEN full_path END) AS new_path,
+              min(CASE WHEN version_tag = 'old' THEN full_path END) AS old_path
+              FROM (SELECT *, 'old' AS version_tag FROM ($OldSql)
+                    UNION ALL
+                    SELECT *, 'new' AS version_tag FROM ($NewSql))
+              GROUP BY std_name""")),
+
+    // row_diff (`assess_changes.qmd:145-147`).
+    Q("row_diff",
+      (s, d) => oldManifest(s, d).agg(count(lit(1)).as("old_rows"))
+        .crossJoin(newManifest(s, d).agg(count(lit(1)).as("new_rows")))
+        .select(col("old_rows"), col("new_rows"),
+          (col("new_rows") - col("old_rows")).as("row_change")),
+      Some(s"""SELECT old_rows, new_rows, new_rows - old_rows AS row_change
+              FROM (SELECT count(*) AS old_rows FROM ($OldSql))
+              CROSS JOIN (SELECT count(*) AS new_rows FROM ($NewSql))""")),
+
+    // str_std_key (`assess_changes.qmd:87-94`): the 4-step regex chain.
+    Q("str_std_key",
+      (s, d) => t(s, d, "documents").select(
+        concat(lit("filtered_"), col("source"), lit("-"), col("lang"),
+          lit("_V202411a.csv")).as("fname")).distinct()
+        .select(col("fname"), Cols.stdKey(col("fname")).as("std_name")),
+      Some("""SELECT fname,
+             lower(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(fname, '^filtered_', '', 'g'),
+               '_V[0-9]{6,7}[a-z]*', '', 'g'),
+               '\.[a-zA-Z0-9]+$', '', 'g'),
+               '[^a-zA-Z0-9]', '_', 'g')) AS std_name
+             FROM (SELECT DISTINCT 'filtered_' || source || '-' || lang
+               || '_V202411a.csv' AS fname FROM documents)""")),
+
+    // str_clean_sci (`assess_changes.qmd:318-321`).
+    Q("str_clean_sci",
+      (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Cols.cleanSci(concat(col("p_name"),
+          when(col("p_partkey") % 3 === 0,
+            concat(lit(" (=Alias "), col("p_brand"), lit(")")))
+            .otherwise(lit("")))).as("sci")),
+      Some("""SELECT p_partkey, regexp_replace(p_name ||
+             CASE WHEN p_partkey % 3 = 0 THEN ' (=Alias ' || p_brand || ')'
+             ELSE '' END, ' \(=.*', '', 'g') AS sci FROM part""")),
+
+    // str_lower_cast + str_trim_all (`assess_changes.qmd:294-297`).
+    Q("str_trim_lower",
+      (s, d) => t(s, d, "customer").select(col("c_custkey"),
+        trim(Cols.lowerCast(concat(lit("  "), col("c_name"), lit("  "))))
+          .as("clean_name")),
+      Some("""SELECT c_custkey, trim(lower('  ' || c_name || '  '))
+             AS clean_name FROM customer""")),
+
+    // str_basename (`scrape_newest_baci_data.R:58`).
+    Q("str_basename",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        Cols.basename(concat(lit("data/"), col("source"), lit("/doc_"),
+          col("doc_id").cast("string"), lit(".txt"))).as("fname")),
+      Some("""SELECT doc_id, (string_split('data/' || source || '/doc_'
+             || CAST(doc_id AS VARCHAR) || '.txt', '/'))[-1] AS fname
+             FROM documents""")),
+
+    // str_concat / cond_expr: URL absolutization
+    // (`scrape_newest_baci_data.R:38`).
+    Q("str_absolutize",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        Cols.absolutize(
+          when(col("doc_id") % 2 === 0,
+            concat(lit("http://x/"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("f_"), col("doc_id").cast("string"))),
+          "http://www.cepii.fr/").as("url")),
+      Some("""SELECT doc_id, CASE WHEN regexp_matches(u, '^http') THEN u
+             ELSE 'http://www.cepii.fr/' || u END AS url
+             FROM (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+               THEN 'http://x/' || CAST(doc_id AS VARCHAR)
+               ELSE 'f_' || CAST(doc_id AS VARCHAR) END AS u
+               FROM documents)""")),
+
+    // math_size_mb (`assess_changes.qmd:107-113`).
+    Q("math_size_mb",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        round(Cols.sizeMb(col("n_chars")), 6).as("size_mb")),
+      Some("SELECT doc_id, round(n_chars/1000000.0, 6) AS size_mb FROM documents")),
+
+    // arr_ops (`assess_changes.qmd:150-158` array semantics): slice,
+    // distinct, sort, join — emitted as a string for engine-portable
+    // comparison.
+    Q("arr_ops",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        array_join(array_sort(array_distinct(
+          slice(split(col("text"), " "), 1, 10))), ",").as("first_tokens")),
+      Some("""SELECT doc_id, array_to_string(list_sort(list_distinct(
+             list_slice(string_split(text, ' '), 1, 10))), ',')
+             AS first_tokens FROM documents""")),
+
+    // schema_cols (`assess_changes.qmd:148-149`): schema reified as data;
+    // golden-VALUES oracle.
+    Q("schema_cols",
+      (s, d) => SchemaDiff.reify(s, t(s, d, "lineitem").schema)
+        .withColumnRenamed("column", "col_name"),
+      Some("""SELECT * FROM (VALUES
+             ('l_orderkey','bigint'), ('l_partkey','bigint'),
+             ('l_suppkey','bigint'), ('l_linenumber','int'),
+             ('l_quantity','double'), ('l_extendedprice','double'),
+             ('l_discount','double'), ('l_tax','double'),
+             ('l_returnflag','string'), ('l_linestatus','string'),
+             ('l_shipdate','timestamp_ntz')) AS t(col_name, dtype)""")),
+
+    // schema_diff (`assess_changes.qmd:151-174`): drift between the real
+    // customer schema and a mutated twin (drop c_mktsegment, retype
+    // c_acctbal, add c_vip); golden-VALUES oracle.
+    Q("schema_diff",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val newDf = cust.drop("c_mktsegment")
+          .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+          .withColumn("c_vip", lit(true))
+        SchemaDiff.schemaDiff(s, cust.schema, newDf.schema)
+          .withColumnRenamed("column", "col_name")
+      },
+      Some("""SELECT * FROM (VALUES
+             ('c_custkey','bigint','bigint',false,false,false),
+             ('c_name','string','string',false,false,false),
+             ('c_nationkey','int','int',false,false,false),
+             ('c_acctbal','double','string',false,false,true),
+             ('c_mktsegment','string',NULL,false,true,NULL),
+             ('c_vip',NULL,'boolean',true,false,NULL))
+             AS t(col_name, old_type, new_type, added, removed, type_changed)""")),
+
+    // clean_prod (`assess_changes.qmd:279-325`): the full EP3 cleaning
+    // chain over an FAO-shaped frame derived from `part`, including the
+    // R-null `!%in%` fidelity case (species_major_group NULL rows kept).
+    Q("clean_prod",
+      (s, d) => {
+        val k = col("p_partkey")
+        val fao = t(s, d, "part").select(
+          (k % 200).cast("string").as("country"),
+          col("p_brand").as("country_iso3_code"),
+          col("p_type").as("prod_method"),
+          concat(lit("  "), col("p_name"), lit(" ")).as("species_name_en"),
+          concat(upper(col("p_name")),
+            when(k % 5 === 0, lit(" (=Alias)")).otherwise(lit("")))
+            .as("species_scientific_name"),
+          when(k % 7 === 0, lit("MAMMALIA"))
+            .when(k % 7 === 1, lit(null).cast("string"))
+            .otherwise(lit("PISCES")).as("species_major_group"),
+          when(k % 11 === 0, lit("Other aq. animals & products"))
+            .otherwise(lit("Fish")).as("yearbook_group_en"),
+          col("p_size").as("dropped_by_any_of"))
+        CleanProd.clean(fao)
+      },
+      Some(s"""WITH fao AS (
+              SELECT CAST(p_partkey % 200 AS VARCHAR) AS country,
+                p_brand AS country_iso3_code, p_type AS prod_method,
+                '  ' || p_name || ' ' AS species_name_en,
+                upper(p_name) || CASE WHEN p_partkey % 5 = 0
+                  THEN ' (=Alias)' ELSE '' END AS species_scientific_name,
+                CASE WHEN p_partkey % 7 = 0 THEN 'MAMMALIA'
+                  WHEN p_partkey % 7 = 1 THEN NULL
+                  ELSE 'PISCES' END AS species_major_group,
+                CASE WHEN p_partkey % 11 = 0
+                  THEN 'Other aq. animals & products'
+                  ELSE 'Fish' END AS yearbook_group_en
+              FROM part),
+              cleaned AS (
+              SELECT trim(country) AS "country_iso3_numeric",
+                trim(country_iso3_code) AS "country_iso3_alpha",
+                trim(prod_method) AS "prod_method",
+                trim(lower(species_name_en)) AS "CommonName",
+                trim(lower(species_scientific_name)) AS "SciName",
+                trim(species_major_group) AS "species_major_group",
+                trim(yearbook_group_en) AS "yearbook_group_en"
+              FROM fao)
+              SELECT "country_iso3_numeric", "country_iso3_alpha",
+                "prod_method", "CommonName",
+                regexp_replace("SciName", ' \\(=.*', '', 'g') AS "SciName",
+                "species_major_group", "yearbook_group_en"
+              FROM cleaned
+              WHERE ("species_major_group" IS NULL OR "species_major_group"
+                NOT IN (${CleanProd.ExcludedGroups.map(g => s"'$g'").mkString(", ")}))
+              AND "yearbook_group_en" != '${CleanProd.ExcludedYearbook}'""")),
+
+    // src_listing (`assess_changes.qmd:50-51,72-75`): manifest of the
+    // scale-factor directory itself; golden-VALUES oracle (file set is
+    // the TESTDATA contract).
+    Q("src_listing",
+      (s, d) => FileManifest.list(s, d, "cur")
+        .filter(col("file_name").endsWith(".parquet"))
+        .select("file_name", "std_name"),
+      Some("""SELECT * FROM (VALUES
+             ('customer.parquet','customer'), ('documents.parquet','documents'),
+             ('embeddings.parquet','embeddings'), ('events.parquet','events'),
+             ('lineitem.parquet','lineitem'), ('nation.parquet','nation'),
+             ('orders.parquet','orders'), ('part.parquet','part'),
+             ('region.parquet','region'), ('supplier.parquet','supplier'))
+             AS t(file_name, std_name)""")),
+
+    // src_csv (`assess_changes.qmd:129,135`): header + inferSchema CSV
+    // read of a deterministic fixture; golden-VALUES oracle.
+    Q("src_csv",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+        val f = dir.resolve("fixture.csv")
+        java.nio.file.Files.writeString(f,
+          "id,name,v\n1,aa,1.5\n2,bb,2.5\n3,cc,\n4,dd,4.0\n")
+        s.read.option("header", "true").option("inferSchema", "true")
+          .csv(f.toString)
+          .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"),
+            count(col("v")).as("n_notnull"))
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
+             CAST(3 AS BIGINT) AS n_notnull""")),
+
+    // src_html + xpath_extract + the full scrape chain
+    // (`scrape_newest_baci_data.R:20-41`): XPath anchor extraction →
+    // NA filter → regex filter → absolutize → dedup; golden oracle.
+    Q("xpath_extract",
+      (s, d) => {
+        import s.implicits._
+        val html =
+          """<html><body><div class="content_box">
+            |<div class="moreOLD" id="telechargement">
+            |<a href="http://cepii.fr/data/baci_hs92.zip">HS92</a>
+            |<a href="/data/baci_hs17.zip">HS17</a>
+            |<a href="/docs/guide.pdf">Guide</a>
+            |<a href="index.html">Home</a>
+            |<a>broken</a>
+            |<a href="http://cepii.fr/data/baci_hs92.zip">HS92 dup</a>
+            |</div></div></body></html>""".stripMargin.replace("\n", "")
+        Seq(html).toDF("html")
+          .select(explode(expr(
+            "xpath(html, \"//div[@class='content_box']//a/@href\")")).as("href"))
+          .filter(col("href").isNotNull && col("href") =!= "")
+          .filter(col("href").rlike("(?i)\\.(zip|pdf)$"))
+          .select(Cols.absolutize(col("href"), "http://www.cepii.fr").as("url"))
+          .distinct()
+      },
+      Some("""SELECT * FROM (VALUES
+             ('http://cepii.fr/data/baci_hs92.zip'),
+             ('http://www.cepii.fr/data/baci_hs17.zip'),
+             ('http://www.cepii.fr/docs/guide.pdf')) AS t(url)""")),
+  )
+}

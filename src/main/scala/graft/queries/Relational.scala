@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+
+/** Relational operator surface (SURVEY.md §2.2–2.6 + [EXT] rows) over the
+  * driver's TPC-H-ish tables. Scale notes per query are in the Scaladoc:
+  * the dimension side of every join is explicitly broadcast, aggregates
+  * rely on partial (map-side) aggregation, and no query collects data to
+  * the driver.
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- aggregations -------------------------------------------------
+
+    // agg_group [EXT]: hash aggregate, multiple measures; TPC-H Q1 shape.
+    // Map-side partial agg → 6-group final agg: shuffle carries only
+    // per-partition partials regardless of input size.
+    Q("q1_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             count(*) AS n
+             FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // agg_count: total row count (`assess_changes.qmd:145-147`).
+    Q("agg_count",
+      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n_lineitem")),
+      Some("SELECT count(*) AS n_lineitem FROM lineitem")),
+
+    // agg_ndistinct: exact distinct cardinalities
+    // (`assess_changes.qmd:332-333,345-346`).
+    Q("agg_ndistinct",
+      (s, d) => t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_orderkey")).as("nd_order")),
+      Some("""SELECT count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_suppkey) AS nd_supp,
+             count(DISTINCT l_orderkey) AS nd_order FROM lineitem""")),
+
+    // agg_approx_distinct: HLL sketch — the 100 TB-scale variant of
+    // agg_ndistinct (single pass, constant memory, no exact-distinct
+    // shuffle explosion). Different algorithm than DuckDB → rows-only.
+    Q("agg_approx_distinct",
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("and_part"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("and_order")),
+      None),
+
+    // agg_bool_any: boolean aggregate gates (`assess_changes.qmd:215,226`).
+    Q("agg_bool_any",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        bool_or(col("l_discount") > 0.05).as("any_disc"),
+        bool_and(col("l_quantity") > 0).as("all_pos")),
+      Some("""SELECT l_returnflag, bool_or(l_discount > 0.05) AS any_disc,
+             bool_and(l_quantity > 0) AS all_pos
+             FROM lineitem GROUP BY l_returnflag""")),
+
+    // agg_rollup [EXT]: hierarchical totals (region → nation → grand).
+    Q("agg_rollup",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("v_customer")
+        t(s, d, "nation").createOrReplaceTempView("v_nation")
+        t(s, d, "region").createOrReplaceTempView("v_region")
+        s.sql("""SELECT /*+ BROADCAST(v_nation, v_region) */
+                r_name, n_name, count(*) AS n_cust,
+                round(sum(c_acctbal), 2) AS sum_bal
+                FROM v_customer
+                JOIN v_nation ON c_nationkey = n_nationkey
+                JOIN v_region ON n_regionkey = r_regionkey
+                GROUP BY ROLLUP(r_name, n_name)""")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+             round(sum(c_acctbal), 2) AS sum_bal
+             FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY ROLLUP(r_name, n_name)""")),
+
+    // agg_distinct_col: distinct projection (`assess_changes.qmd:335-338`).
+    Q("agg_distinct_col",
+      (s, d) => t(s, d, "customer").select(col("c_mktsegment").as("segment"))
+        .distinct(),
+      Some("SELECT DISTINCT c_mktsegment AS segment FROM customer")),
+
+    // ---- joins --------------------------------------------------------
+
+    // join_equi [EXT]: star join; both dims broadcast (no shuffle of the
+    // fact side beyond the final 25-group aggregate).
+    Q("join_equi",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders")),
+      Some("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+             count(*) AS n_orders
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name""")),
+
+    // join_semi [EXT]: existence filter (`assess_changes.qmd:118` row form).
+    Q("join_semi",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_active")),
+      Some("""SELECT c_mktsegment, count(*) AS n_active FROM customer
+             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             GROUP BY c_mktsegment""")),
+
+    // join_anti: set-difference formulation (`assess_changes.qmd:335-338`).
+    Q("join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive")),
+      Some("""SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             GROUP BY c_mktsegment""")),
+
+    // join_range [EXT]: interval join. Timestamps pass through
+    // millisecond truncation (events.ts is ns; Spark reads µs) so both
+    // engines compare identical instants.
+    Q("join_range",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), Cols.toMillis(col("ts")).as("ts_ms"),
+            col("value"))
+        val ord = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+        ev.join(ord,
+          col("user_id") === col("o_custkey") &&
+            col("ts_ms") >= col("o_orderdate") &&
+            col("ts_ms") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             round(sum(value), 2) AS sum_v
+             FROM (SELECT user_id, date_trunc('millisecond', ts) AS ts_ms,
+                   value FROM events) e
+             JOIN orders ON user_id = o_custkey
+               AND ts_ms >= o_orderdate
+               AND ts_ms <= o_orderdate + INTERVAL 7 DAY
+             GROUP BY o_orderpriority""")),
+
+    // ---- windows / sort / top-k ----------------------------------------
+
+    // win_rank [EXT]: top-3 orders per customer, deterministic tie-break.
+    Q("win_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("o_custkey")
+              .orderBy(col("price").desc, col("o_orderkey").asc)))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT * FROM (
+             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn <= 3""")),
+
+    // win_analytic [EXT]: lag + running sum per user over event order.
+    Q("win_analytic",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(s, d, "events").select(
+          col("user_id"), col("event_id"),
+          round(lag("value", 1).over(w), 2).as("prev_v"),
+          round(sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_v"))
+      },
+      Some("""SELECT user_id, event_id,
+             round(lag(value, 1) OVER w, 2) AS prev_v,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_v
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""")),
+
+    // topk_limit [EXT]: global top-k → TakeOrderedAndProject (no total
+    // sort; per-partition heaps + driver merge of k rows).
+    Q("topk_limit",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+             ORDER BY price DESC, o_orderkey LIMIT 10""")),
+
+    // sort_names: total sort (`assess_changes.qmd:366,375`).
+    Q("sort_names",
+      (s, d) => t(s, d, "part").select(col("p_brand").as("brand"))
+        .distinct().orderBy("brand"),
+      Some("SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand")),
+
+    // ---- set operations -------------------------------------------------
+
+    // set_union_tag: tagged UNION ALL (`assess_changes.qmd:82-86`).
+    Q("set_union_tag",
+      (s, d) => t(s, d, "supplier")
+        .select(col("s_name").as("name"), lit("supplier").as("src"))
+        .unionByName(t(s, d, "customer")
+          .select(col("c_name").as("name"), lit("customer").as("src"))),
+      Some("""SELECT s_name AS name, 'supplier' AS src FROM supplier
+             UNION ALL
+             SELECT c_name AS name, 'customer' AS src FROM customer""")),
+
+    // set_except: EXCEPT DISTINCT (`assess_changes.qmd:335-338`).
+    Q("set_except",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .distinct()
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+          .distinct()),
+      Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+             EXCEPT
+             SELECT DISTINCT s_nationkey AS nationkey FROM supplier""")),
+
+    // set_intersect [EXT].
+    Q("set_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT
+             SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    // set_union_distinct (`assess_changes.qmd:161-163`).
+    Q("set_union_distinct",
+      (s, d) => t(s, d, "part").filter(col("p_size") < 15)
+        .select(col("p_brand").as("brand"))
+        .union(t(s, d, "part").filter(col("p_size") >= 40)
+          .select(col("p_brand").as("brand")))
+        .distinct(),
+      Some("""SELECT p_brand AS brand FROM part WHERE p_size < 15
+             UNION
+             SELECT p_brand AS brand FROM part WHERE p_size >= 40""")),
+
+    // dedup_exact (`scrape_newest_baci_data.R:41`): min-id per key group.
+    Q("dedup_exact",
+      (s, d) => t(s, d, "documents").groupBy("lang", "source")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n")),
+      Some("""SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n
+             FROM documents GROUP BY lang, source""")),
+
+    // ---- projections / filters ------------------------------------------
+
+    Q("proj_select",
+      (s, d) => t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer")),
+
+    // proj_any_of: schema-tolerant projection (`assess_changes.qmd:281-287`)
+    // — "no_such_col" is requested but absent, silently skipped.
+    Q("proj_any_of",
+      (s, d) => Cols.selectAnyOf(t(s, d, "customer"),
+        Seq("c_custkey", "c_acctbal", "no_such_col")),
+      Some("SELECT c_custkey, c_acctbal FROM customer")),
+
+    Q("proj_rename",
+      (s, d) => t(s, d, "nation")
+        .withColumnRenamed("n_nationkey", "nation_id")
+        .withColumnRenamed("n_name", "nation_name")
+        .select("nation_id", "nation_name"),
+      Some("SELECT n_nationkey AS nation_id, n_name AS nation_name FROM nation")),
+
+    // filt_notnull (`scrape_newest_baci_data.R:32`) over a derived
+    // nullable column.
+    Q("filt_notnull",
+      (s, d) => t(s, d, "lineitem")
+        .filter(expr("nullif(l_returnflag, 'N')").isNotNull)
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT count(*) AS n FROM lineitem
+             WHERE nullif(l_returnflag, 'N') IS NOT NULL""")),
+
+    // filt_regex (`scrape_newest_baci_data.R:35`), case-insensitive.
+    Q("filt_regex",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_type").rlike("(?i)^(promo|econ).*"))
+        .groupBy(col("p_type").as("ptype"))
+        .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("tot")),
+      Some("""SELECT p_type AS ptype, count(*) AS n,
+             round(sum(p_retailprice), 2) AS tot
+             FROM part WHERE regexp_matches(p_type, '(?i)^(promo|econ).*')
+             GROUP BY p_type""")),
+
+    // filt_conj (`assess_changes.qmd:118`).
+    Q("filt_conj",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_discount") > 0.03 && col("l_quantity") < 25)
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("tot")),
+      Some("""SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS tot
+             FROM lineitem WHERE l_discount > 0.03 AND l_quantity < 25""")),
+
+    // filt_notin: R `!x %in% set` fidelity — NULL rows are KEPT
+    // (SURVEY.md §2.2 nulls note). The nullable column is derived via
+    // nullif so the semantics actually fire.
+    Q("filt_notin",
+      (s, d) => t(s, d, "customer")
+        .withColumn("seg_n", expr("nullif(c_mktsegment, 'BUILDING')"))
+        .filter(Cols.notInRSemantics(col("seg_n"),
+          Seq("MACHINERY", "FURNITURE")))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n")),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM (
+             SELECT c_mktsegment, nullif(c_mktsegment, 'BUILDING') AS seg_n
+             FROM customer)
+             WHERE seg_n IS NULL OR seg_n NOT IN ('MACHINERY', 'FURNITURE')
+             GROUP BY c_mktsegment""")),
+
+    // cond_expr (`scrape_newest_baci_data.R:38` shape).
+    Q("cond_expr",
+      (s, d) => t(s, d, "orders")
+        .select(when(col("o_orderpriority").rlike("^[12]"), lit("high"))
+          .otherwise(lit("normal")).as("urgency"))
+        .groupBy("urgency").agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN regexp_matches(o_orderpriority, '^[12]')
+             THEN 'high' ELSE 'normal' END AS urgency, count(*) AS n
+             FROM orders GROUP BY 1""")),
+
+    // struct_unnest (`assess_changes.qmd:183`): pack → flatten.
+    Q("struct_unnest",
+      (s, d) => t(s, d, "nation")
+        .select(struct(col("n_name"), col("n_regionkey")).as("comparison"))
+        .select(col("comparison.*")),
+      Some("SELECT n_name, n_regionkey FROM nation")),
+
+    // json_props [EXT]: JSON field extraction + aggregate.
+    Q("json_props",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k")),
+      Some("""SELECT event_type, count(*) AS n,
+             sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT))
+               AS sum_k
+             FROM events GROUP BY event_type""")),
+
+    // date_fns [EXT]: calendar bucketing.
+    Q("date_fns",
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot")),
+      Some("""SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+             count(*) AS n, round(sum(o_totalprice), 2) AS tot
+             FROM orders GROUP BY 1, 2""")),
+
+    // src_parquet (SURVEY.md §2.1).
+    Q("src_parquet",
+      (s, d) => t(s, d, "region").select("r_regionkey", "r_name"),
+      Some("SELECT r_regionkey, r_name FROM region")),
+  )
+}

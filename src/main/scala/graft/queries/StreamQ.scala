@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY.md §2.9 [EXT]) validated in batch mode — the
+  * windowing API is identical under Structured Streaming (the true
+  * streaming path, watermarks and stateful ops included, lives in
+  * graft.streaming and is exercised by ScalaTest with MemoryStream).
+  *
+  * Timestamps: window starts are emitted as epoch seconds (BIGINT) — the
+  * test data's nanosecond timestamps read at different precisions in
+  * Spark (µs) and DuckDB (ns), so raw instants never cross the oracle.
+  */
+object StreamQ {
+
+  val all: Seq[Q] = Seq(
+
+    // stream_tumble: 1h tumbling window counts/sums per event_type.
+    Q("stream_tumble",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .select(col("w.start").cast("long").as("window_s"),
+          col("event_type"), col("n"), col("sum_v")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+               AS window_s, event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_v
+             FROM events GROUP BY 1, 2""")),
+
+    // stream_slide: 1h windows sliding every 30min (each event lands in
+    // exactly two windows on the 30-minute grid).
+    Q("stream_slide",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .select(col("w.start").cast("long").as("window_s"), col("n"),
+          col("sum_v")),
+      Some("""SELECT CAST(floor(epoch(ts)/1800)*1800 - u AS BIGINT)
+               AS window_s, count(*) AS n, round(sum(value), 2) AS sum_v
+             FROM events CROSS JOIN UNNEST([0, 1800]) AS t(u)
+             GROUP BY 1""")),
+
+    // stream_dedup: late-duplicate-tolerant dedup (batch form of
+    // withWatermark().dropDuplicates("event_id")) over a corpus with
+    // replayed events.
+    Q("stream_dedup",
+      (s, d) => {
+        val ev = t(s, d, "events").select("event_id", "event_type")
+        val replayed = ev.unionByName(ev.filter(col("event_id") % 7 === 0))
+        replayed.dropDuplicates("event_id")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type, count(*) AS n FROM (
+             SELECT DISTINCT event_id, event_type FROM (
+               SELECT event_id, event_type FROM events
+               UNION ALL
+               SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
+             GROUP BY event_type""")),
+
+    // stream_session: session windows (30 min gap) per user — no ANSI-SQL
+    // oracle (session semantics); deterministic batch output, ScalaTest
+    // covers the streaming path.
+    Q("stream_session",
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .select(col("w.start").cast("long").as("session_start_s"),
+          col("user_id"), col("n"), col("sum_v")),
+      None),
+  )
+}

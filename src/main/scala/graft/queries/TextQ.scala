@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VecFns}
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-training-data pipeline operators (BASELINE.json north-star):
+  * text analysis, dedup family, similarity search, multimodal plumbing.
+  * Near-dup queries plant deterministic perturbed copies (id + 1,000,000)
+  * so the operators demonstrably fire on the synthetic corpus.
+  */
+object TextQ {
+
+  /** documents ∪ one-token-perturbed copies of every 50th doc. */
+  private def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // text_tokens: whitespace + BPE-ish token counting.
+    Q("text_tokens",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFns.wsTokenCount(col("text")).as("n_ws"),
+        TextFns.bpeTokenCount(col("text")).as("n_bpe")),
+      Some("""SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe
+             FROM documents""")),
+
+    // text_quality: length/punct/stopword quality signals.
+    Q("text_quality",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFns.wsTokenCount(col("text")).as("n_words"),
+        round(TextFns.avgWordLen(col("text")), 4).as("avg_wlen"),
+        round(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFns.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        TextFns.qualityScore(col("text")).as("quality")),
+      Some("""WITH r AS (SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+               len(regexp_extract_all(text,
+                 '(?i)\b(the|and|of|to|in|is|that|it|for|was)\b')) AS n_stop
+             FROM documents)
+             SELECT doc_id, n_words,
+               round(CASE WHEN n_words > 0
+                 THEN CAST(n_nonws AS DOUBLE)/n_words ELSE 0 END, 4) AS avg_wlen,
+               round(CASE WHEN n_chars > 0
+                 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END, 4) AS punct_ratio,
+               round(CASE WHEN n_words > 0
+                 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0 END, 4) AS stop_ratio,
+               round(least(n_chars/500.0, 1.0)
+                 * (CASE WHEN (CASE WHEN n_chars > 0
+                     THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END) < 0.2
+                    THEN 1.0 ELSE 0.5 END)
+                 * (CASE WHEN (CASE WHEN n_words > 0
+                     THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0 END) > 0.0
+                    THEN 1.0 ELSE 0.7 END), 4) AS quality
+             FROM r""")),
+
+    // text_langid: stopword-hit argmax heuristic with deterministic
+    // alphabetical tie-break.
+    Q("text_langid",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFns.langId(col("text")).as("lang_pred")),
+      Some("""WITH h AS (SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '(?i)\b(der|die|und|das|ist|von|mit|den|nicht|ein)\b')) AS de,
+               len(regexp_extract_all(text,
+                 '(?i)\b(the|and|of|to|in|is|that|it|for|was)\b')) AS en,
+               len(regexp_extract_all(text,
+                 '(?i)\b(el|la|de|que|y|los|del|las|por|una)\b')) AS es,
+               len(regexp_extract_all(text,
+                 '(?i)\b(le|la|et|les|des|en|un|du|une|est)\b')) AS fr,
+               len(regexp_extract_all(text, '[一-鿿]')) AS zh
+             FROM documents)
+             SELECT doc_id, CASE
+               WHEN greatest(de,en,es,fr,zh) > 0 AND de = greatest(de,en,es,fr,zh) THEN 'de'
+               WHEN greatest(de,en,es,fr,zh) > 0 AND en = greatest(de,en,es,fr,zh) THEN 'en'
+               WHEN greatest(de,en,es,fr,zh) > 0 AND es = greatest(de,en,es,fr,zh) THEN 'es'
+               WHEN greatest(de,en,es,fr,zh) > 0 AND fr = greatest(de,en,es,fr,zh) THEN 'fr'
+               WHEN greatest(de,en,es,fr,zh) > 0 AND zh = greatest(de,en,es,fr,zh) THEN 'zh'
+               ELSE 'und' END AS lang_pred
+             FROM h""")),
+
+    // text_fingerprint: normalized md5 fingerprint.
+    Q("text_fingerprint",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents""")),
+
+    // dedup_fingerprint: exact dedup on the normalized fingerprint —
+    // min-id winner per group, group size.
+    Q("dedup_fingerprint",
+      (s, d) => Dedup.exactByKey(t(s, d, "documents"), "doc_id",
+        TextFns.fingerprint(col("text"))),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+             'g'))) AS dedup_key, min(doc_id) AS keep_id, count(*) AS n_dups
+             FROM documents GROUP BY 1""")),
+
+    // dedup_minhash [EXT]: MinHash+LSH near-dup candidate pairs over the
+    // planted corpus. Estimate is k-of-64 signature agreement.
+    Q("dedup_minhash",
+      (s, d) => Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text",
+        threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4)
+          .as("est_jaccard")),
+      None),
+
+    // dedup_simhash [EXT]: 64-bit SimHash pairs, Hamming <= 7 (guaranteed
+    // recall via 8x8-bit blocking).
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text"),
+      None),
+
+    // dedup_jaccard [EXT]: exact n-gram Jaccard verification of the
+    // MinHash candidates.
+    Q("dedup_jaccard",
+      (s, d) => {
+        val docs = plantedDocs(s, d)
+        Dedup.jaccardVerify(
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.35),
+          docs, "doc_id", "text")
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
+            .as("jaccard"))
+      },
+      None),
+
+    // sim_topk [EXT]: exact brute-force cosine top-5 (ANN baseline).
+    Q("sim_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          roundTo = 3)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+               AS qe FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings),
+             sc AS (SELECT qid, vec_id,
+               list_cosine_similarity(qe, ce) AS sim_raw
+               FROM q CROSS JOIN c WHERE vec_id != qid),
+             r AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+               PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk FROM sc)
+             SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
+             FROM r WHERE rk <= 5""")),
+
+    // sim_ann_lsh [EXT]: hyperplane-LSH bucketed ANN (the scale path;
+    // recall vs. brute force asserted in ScalaTest).
+    Q("sim_ann_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          dim = 64, roundTo = 3)
+      },
+      None),
+
+    // sim_neardup_cos [EXT]: embedding-cosine near-dup pairs over a
+    // corpus with planted perturbed copies.
+    Q("sim_neardup_cos",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = emb.filter(col("vec_id") % 50 === 0).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+            .as("embedding"))
+        Similarity.cosineNearDupPairs(emb.unionByName(planted), dim = 64,
+          threshold = 0.99)
+      },
+      None),
+
+    // multimodal_meta [EXT]: opaque-binary column plumbing — bytes are
+    // first-class (byte length + header hex of the payload); the
+    // decode/feature-extract stage lives in graft.multimodal (stubbed,
+    // Spark plumbing real).
+    Q("multimodal_meta",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        length(to_binary(col("text"), lit("utf-8"))).as("byte_len"),
+        lower(hex(to_binary(substring(col("text"), 1, 4), lit("utf-8"))))
+          .as("header_hex")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             lower(hex(encode(substring(text, 1, 4)))) AS header_hex
+             FROM documents""")),
+  )
+}

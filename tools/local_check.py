@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run graft.Verify
+first (sbt "runMain graft.Verify <sfDir> <outDir>"), then this script
+compares each dumped parquet against its DuckDB oracle on the same
+tables. Mirrors the driver: sort columns by name, sort rows, compare."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        results[name] = "NO_OUTPUT"
+        continue
+    spark_df = con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    if name not in oracle:
+        results[name] = f"rows_only({len(spark_df)})" + (
+            " EMPTY!" if len(spark_df) == 0 else "")
+        continue
+    try:
+        oracle_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = f"ORACLE_SQL_ERROR: {e}"
+        continue
+    def norm(df):
+        df = df[sorted(df.columns)]
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        return df
+    a, b = norm(spark_df), norm(oracle_df)
+    if list(a.columns) != list(b.columns):
+        results[name] = f"SCHEMA_MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+        continue
+    if len(a) != len(b):
+        results[name] = f"ROWCOUNT_MISMATCH spark={len(a)} oracle={len(b)}"
+        continue
+    mismatched = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            eq = (av == bv) | (av.isna() & bv.isna())
+        except Exception:
+            eq = av.astype(str) == bv.astype(str)
+        if not eq.all():
+            idx = (~eq).idxmax()
+            mismatched.append(f"{c}[row{idx}]: spark={av[idx]!r} oracle={bv[idx]!r} dtypes {av.dtype}/{bv.dtype}")
+    results[name] = "OK" if not mismatched else "VALUE_MISMATCH " + "; ".join(mismatched[:3])
+
+ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows_only("))
+bad = {k: v for k, v in results.items() if not (v == "OK" or (v.startswith("rows_only") and "EMPTY" not in v))}
+for k, v in sorted(results.items()):
+    print(f"{'PASS' if k not in bad else 'FAIL':4} {k:24} {v}")
+print(f"\n{len(results)-len(bad)}/{len(results)} pass")
+sys.exit(1 if bad else 0)
