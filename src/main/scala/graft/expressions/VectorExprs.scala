@@ -1,0 +1,170 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math (SURVEY.md §2 [EXT]
+  * similarity search). Same design as HashExprs: one primitive JVM loop
+  * per row, fused into whole-stage codegen via a referenced-object call —
+  * replacing interpreted `zip_with`/`aggregate` chains that cost a boxed
+  * lambda call per vector element.
+  *
+  * Inputs accept both array<float> and array<double>; accumulation is in
+  * double so results are stable against a double-precision oracle.
+  */
+private object VecUtil {
+  /** Read element i of a numeric ArrayData as double. */
+  def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** Cosine similarity of two numeric arrays; 0.0 when either norm is 0. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  @transient private lazy val lFloat = VecUtil.isFloatArray(left.dataType)
+  @transient private lazy val rFloat = VecUtil.isFloatArray(right.dataType)
+
+  def compute(l: ArrayData, r: ArrayData): Double = {
+    val n = math.min(l.numElements(), r.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VecUtil.get(l, i, lFloat)
+      val y = VecUtil.get(r, i, rFloat)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den > 0) dot / den else 0.0
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosine", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket ids for `tables` independent tables of
+  * `planes` hyperplanes each, in one pass: output array<int> of length
+  * `tables`, entry t = sign-bit pattern of the `planes` projections of
+  * table t. Hyperplane weights are derived deterministically from the
+  * seed (splitmix64 → [-1,1)) and cached per operator instance, so the
+  * weight matrix ships once per task via the referenced object, not per
+  * row.
+  */
+case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
+    tables: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  @transient private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  // weights[t][p * dim + i]
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(tables) { t =>
+      val w = new Array[Double](planes * dim)
+      var p = 0
+      while (p < planes) {
+        var i = 0
+        while (i < dim) {
+          val x = HashUtil.mix64(seed + t * 7919L + p.toLong * 1000003L + i)
+          w(p * dim + i) = (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+          i += 1
+        }
+        p += 1
+      }
+      w
+    }
+
+  def compute(in: ArrayData): ArrayData = {
+    val n = math.min(in.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = VecUtil.get(in, i, isFloat); i += 1 }
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      val w = weights(t)
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var j = 0
+        val off = p * dim
+        while (j < n) { proj += v(j) * w(off + j); j += 1 }
+        if (proj >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hp", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+/** Dot product of two numeric arrays (double accumulation). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  @transient private lazy val lFloat = VecUtil.isFloatArray(left.dataType)
+  @transient private lazy val rFloat = VecUtil.isFloatArray(right.dataType)
+
+  def compute(l: ArrayData, r: ArrayData): Double = {
+    val n = math.min(l.numElements(), r.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += VecUtil.get(l, i, lFloat) * VecUtil.get(r, i, rFloat)
+      i += 1
+    }
+    dot
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dot", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}

@@ -11,22 +11,23 @@ import graft.functions.VecFns
   * Two paths:
   *  - `bruteTopK`: exact cosine top-k via broadcast of the (small) query
   *    set against the full corpus — the correctness baseline. The corpus
-  *    side never shuffles its vectors; ranking is a per-query-key window
-  *    over (query_id) which partitions by the tiny query cardinality, so
-  *    we rank via groupBy-free window only after projecting (qid, vec_id,
-  *    sim) — 3 narrow columns, cheap at any corpus size.
+  *    never shuffles its vectors; only (qid, vec_id, sim) scalars reach
+  *    the ranking shuffle.
   *  - `lshTopK`: random-hyperplane LSH bucketing; queries only compare
   *    against corpus vectors sharing a bucket in any of `tables` hash
-  *    tables. Shuffle key is the bucket id (an int), not the vector.
+  *    tables. The query side is broadcast, so candidate generation is a
+  *    narrow map over the corpus; cosine is computed in-pipeline and only
+  *    (qid, vec_id, sim) scalars are shuffled for dedup + ranking.
   *
-  * Cosine is computed in double precision by higher-order functions
-  * (`VecFns.cosine`) — pure codegen'd Catalyst expressions.
+  * Cosine/bucket math is native codegen'd Catalyst expressions
+  * (graft.expressions.VectorExprs) — one primitive loop per row.
   */
 object Similarity {
 
   /** Exact top-k by cosine: every query vector against every corpus
     * vector. `queries` must be small enough to broadcast.
-    * Deterministic: rank on (rounded sim desc, vec_id asc).
+    * Deterministic: rank on (raw sim desc, vec_id asc); round only the
+    * emitted value.
     * @return (qid, vec_id, sim, rank), rank <= k.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -38,8 +39,6 @@ object Similarity {
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
-    // rank on the raw double (rounding before ranking could flip ties);
-    // round only the emitted value
     val w = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -51,29 +50,28 @@ object Similarity {
     * `planes` hyperplanes each; a corpus vector is a candidate iff it
     * shares a bucket with the query in at least one table. Recall grows
     * with `tables`, cost with `tables * corpus/2^planes`.
+    *
+    * A (query, candidate) pair colliding in several tables is scored in
+    * each colliding partition pipeline (cheap native cosine) and
+    * deduplicated on (qid, vec_id, sim) scalars — vectors never shuffle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, planes: Int = 8, tables: Int = 8,
               seed: Long = 42L, roundTo: Int = 6): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val buckets = (0 until tables).map { t =>
-        struct(lit(t).as("table"),
-          VecFns.hyperplaneBuckets(col("embedding"), dim, planes,
-            seed + t * 7919L).as("bucket"))
-      }
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
-        explode(array(buckets: _*)).as("tb"))
-        .select(col(idAs), col(vecAs),
-          col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    }
+        posexplode(VecFns.hyperplaneBucketsAll(col("embedding"), dim,
+          planes, tables, seed)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+
     val qb = broadcast(bucketed(queries, "qid", "qvec"))
     val cb = bucketed(corpus, "vec_id", "cvec")
-    val cand = cb.join(qb, Seq("table", "bucket"))
+    val scored = cb.join(qb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"))
-      .dropDuplicates("qid", "vec_id")
-    val scored = cand.select(col("qid"), col("vec_id"),
-      VecFns.cosine(col("qvec"), col("cvec")).as("sim_raw"))
+      .select(col("qid"), col("vec_id"),
+        VecFns.cosine(col("qvec"), col("cvec")).as("sim_raw"))
+      .groupBy("qid", "vec_id").agg(first("sim_raw").as("sim_raw"))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -84,20 +82,20 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
     * within-bucket pairs → exact cosine filter. The dedup-by-embedding
     * path of the training-data pipeline.
+    *
+    * The bucket self-join shuffles each vector `tables` times (the
+    * unavoidable LSH cost); pair scoring happens in-pipeline and only
+    * (id_a, id_b, cos) scalars reach the dedup shuffle.
     */
   def cosineNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
                          planes: Int = 10, tables: Int = 6,
                          seed: Long = 42L,
                          maxBucketSize: Int = 2000): DataFrame = {
-    val buckets = (0 until tables).map { t =>
-      struct(lit(t).as("table"),
-        VecFns.hyperplaneBuckets(col("embedding"), dim, planes,
-          seed + t * 7919L).as("bucket"))
-    }
     val b = corpus.select(col("vec_id"), col("embedding"),
-      explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      posexplode(VecFns.hyperplaneBucketsAll(col("embedding"), dim,
+        planes, tables, seed)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
     val capped = b.withColumn("n",
       count(lit(1)).over(Window.partitionBy("table", "bucket")))
       .filter(col("n") <= maxBucketSize).drop("n")
@@ -107,9 +105,9 @@ object Similarity {
       col("vec_id").as("id_b"), col("embedding").as("vb"))
     l.join(r, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         round(VecFns.cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(first("cos").as("cos"))
   }
 }

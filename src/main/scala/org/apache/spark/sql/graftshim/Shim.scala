@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 made `Column` a ColumnNode wrapper and scoped the
+  * Expression⇄Column converters `private[sql]`; this shim re-exports the
+  * two converters from inside the `org.apache.spark.sql` package scope —
+  * the standard extension-library technique when not going through
+  * SparkSessionExtensions function registration.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
