@@ -68,5 +68,15 @@ object StreamQ {
         .select(col("w.start").cast("long").as("session_start_s"),
           col("user_id"), col("n"), col("sum_v")),
       None),
+
+    // stream_stateful: custom per-user state via flatMapGroupsWithState
+    // (graft.streaming.EventStreams.runningUserState). In batch mode the
+    // running state degenerates to final per-user totals, which the
+    // oracle checks; StreamingSpec drives the incremental path.
+    Q("stream_stateful",
+      (s, d) => graft.streaming.EventStreams
+        .runningUserState(s, t(s, d, "events")).toDF(),
+      Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v
+             FROM events GROUP BY user_id""")),
   )
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9 [EXT]) — the true
+  * streaming path. Every transform here is written against an unbounded
+  * `events`-shaped DataFrame (ts timestamp, event_id, user_id,
+  * event_type, value) and works identically on batch frames (StreamQ
+  * validates the batch twins against DuckDB; StreamingSpec drives these
+  * through MemoryStream).
+  *
+  * Scale notes: all aggregations are keyed on (window, type) or
+  * session/user keys, so state is partitioned across executors by the
+  * shuffle; watermarks bound state size — without them, windowed state
+  * grows forever at 100 TB/day ingest. `dropDuplicates` state is likewise
+  * watermark-bounded.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type, watermark-bounded. */
+  def tumble(events: DataFrame, watermark: String = "10 minutes",
+             width: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+
+  /** Sliding-window counts/sums. */
+  def slide(events: DataFrame, watermark: String = "10 minutes",
+            width: String = "1 hour", step: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, step).as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+
+  /** Session windows (gap-based) per user. */
+  def session(events: DataFrame, watermark: String = "10 minutes",
+              gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+
+  /** Late-data-tolerant exact dedup on event_id: duplicates arriving
+    * within the watermark horizon are dropped; state for event ids older
+    * than the watermark is reclaimed.
+    */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Per-user running aggregate state. */
+  final case class UserState(n: Long, sum: Double)
+  /** One emitted update per user per trigger. */
+  final case class UserUpdate(user_id: Long, n: Long, sum_v: Double)
+
+  /** Custom per-key state via flatMapGroupsWithState: maintains a running
+    * (count, sum) per user and emits the updated totals each trigger. In
+    * batch mode the state store is empty and this degenerates to a plain
+    * per-user aggregate — which is exactly what the DuckDB oracle checks.
+    */
+  def runningUserState(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var sum = prev.sum
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          val next = UserState(n, sum)
+          state.update(next)
+          Iterator(UserUpdate(uid, n, math.rint(sum * 100) / 100))
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family (SURVEY.md §2 [EXT]): planted near-duplicates must be
+  * found; disjoint documents must not pair; estimates must track exact
+  * Jaccard.
+  */
+class DedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "while the sun sets slowly behind the tall green hills tonight"
+
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base + " extra"), // near-dup of 1
+    (3L, "completely different text about spark query engines and " +
+      "distributed columnar execution at terabyte scale with shuffles"),
+    (4L, "unrelated short note"),
+    (5L, base.replace("fox", "cat")) // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingleHashes: distinct, 31-bit, deterministic") {
+    val hs = corpus.select(Dedup.shingleHashes($"text").as("h"))
+      .as[Seq[Long]].collect()
+    hs.foreach { arr =>
+      assert(arr.nonEmpty)
+      assert(arr.forall(h => h >= 0 && h <= 0x7fffffffL))
+      assert(arr.distinct.length === arr.length)
+    }
+    val again = corpus.select(Dedup.shingleHashes($"text").as("h"))
+      .as[Seq[Long]].collect()
+    assert(hs.toSeq === again.toSeq)
+  }
+
+  test("minhash signature has k entries; identical docs agree fully") {
+    val df = Seq((1L, base), (2L, base)).toDF("id", "text")
+    val sigs = df.select(Dedup.minhashSignature($"text", k = 64).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.length === 64))
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("minhashPairs finds planted near-dups and not disjoint docs") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("est_jaccard tracks exact jaccard within MinHash error") {
+    val cand = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.3)
+    val verified = Dedup.jaccardVerify(cand, corpus, "doc_id", "text")
+      .join(cand, Seq("id_a", "id_b"))
+      .select($"jaccard", $"est_jaccard").as[(Double, Double)].collect()
+    verified.foreach { case (exact, est) =>
+      assert(math.abs(exact - est) < 0.25) // k=64 → σ≈0.06, 4σ margin
+    }
+  }
+
+  test("simhashPairs finds planted near-dups with small hamming") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    pairs.filter(p => (p._1, p._2) == ((1L, 2L))).foreach(p => assert(p._3 <= 7))
+  }
+
+  test("exactByKey keeps min id and counts dups") {
+    val df = Seq((10L, "x"), (7L, "x"), (3L, "y")).toDF("id", "t")
+    val r = Dedup.exactByKey(df, "id", col("t")).orderBy("dedup_key")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r === Seq(("x", 7L, 2L), ("y", 3L, 1L)))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+import graft.operators.Similarity
+
+/** Similarity search (SURVEY.md §2 [EXT]): cosine math correctness and
+  * LSH recall against the brute-force baseline on the driver embeddings
+  * table.
+  */
+class SimilaritySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("cosine: hand-checked values, zero-norm guard") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(1f, 0f), 1.0 / math.sqrt(2)),
+      (Array(0f, 0f), Array(1f, 0f), 0.0) // zero-norm → 0, not NaN
+    ).toDF("a", "b", "want")
+    df.select(VecFns.cosine($"a", $"b").as("got"), $"want")
+      .as[(Double, Double)].collect()
+      .foreach { case (got, want) => assert(math.abs(got - want) < 1e-9) }
+  }
+
+  test("dot: double accumulation over float arrays") {
+    val r = Seq((Array(1.5f, 2f), Array(2f, 3f)))
+      .toDF("a", "b").select(VecFns.dot($"a", $"b")).as[Double].head()
+    assert(math.abs(r - 9.0) < 1e-9)
+  }
+
+  test("hyperplane buckets: deterministic, one per table, in range") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(10)
+    val b1 = emb.select(VecFns.hyperplaneBucketsAll($"embedding", 64, 8, 4, 42L))
+      .as[Seq[Int]].collect()
+    val b2 = emb.select(VecFns.hyperplaneBucketsAll($"embedding", 64, 8, 4, 42L))
+      .as[Seq[Int]].collect()
+    assert(b1.toSeq === b2.toSeq)
+    b1.foreach { bs =>
+      assert(bs.length === 4)
+      assert(bs.forall(b => b >= 0 && b < 256))
+    }
+  }
+
+  test("bruteTopK: self-similarity excluded, ranks contiguous, sims sorted") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val r = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 3), k = 5)
+      .orderBy("qid", "rk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(r.length === 15)
+    r.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).toSeq === Seq(1, 2, 3, 4, 5))
+      assert(rows.forall(_._2 != qid))
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK recall@5 >= 0.6 vs brute force") {
+    // The synthetic embeddings are near-uniform, so neighbor margins are
+    // thin — 4 planes / 8 tables (the sim_ann_lsh query's params) probes
+    // ~half the corpus per query and lands ~0.76 recall here; real
+    // clustered embeddings separate far better at deeper planes.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(emb, q, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, k = 5, dim = 64, planes = 4, tables = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("cosineNearDupPairs finds a planted perturbed copy") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" === 7).select(
+      lit(999999L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(
+      emb.unionByName(planted), dim = 64, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 999999L)))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** True Structured Streaming path (SURVEY.md §2.9): MemoryStream-driven
+  * incremental execution of the EventStreams transforms — windows,
+  * watermarked dedup, and custom flatMapGroupsWithState state.
+  */
+class StreamingSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  final case class Ev(ts: Timestamp, event_id: Long, user_id: Long,
+                      event_type: String, value: Double)
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private var tableN = 0
+  private def nextTable(): String = { tableN += 1; s"stream_out_$tableN" }
+
+  test("tumbling window aggregates incrementally over a stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.tumble(in.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      in.addData(Ev(ts(0), 1, 1, "click", 1.0), Ev(ts(10), 2, 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(20), 3, 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select($"event_type", $"n", $"sum_v")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup drops replayed event ids") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.dedup(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(ts(0), 1, 1, "click", 1.0), Ev(ts(1), 2, 1, "click", 2.0))
+      q.processAllAvailable()
+      // replay id=1 (late duplicate) + one new event
+      in.addData(Ev(ts(0), 1, 1, "click", 1.0), Ev(ts(2), 3, 2, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across triggers") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.runningUserState(spark, in.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      in.addData(Ev(ts(0), 1, 7, "click", 1.5))
+      q.processAllAvailable()
+      in.addData(Ev(ts(1), 2, 7, "click", 2.5))
+      q.processAllAvailable()
+      // last update for user 7 must reflect state carried across triggers
+      val updates = spark.table(name)
+        .as[(Long, Long, Double)].collect()
+      assert(updates.toSet === Set((7L, 1L, 1.5), (7L, 2L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("session windows group events within the gap") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.session(in.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      // two events 5 min apart (one session), one 30 min later (new session)
+      in.addData(Ev(ts(0), 1, 1, "a", 1.0), Ev(ts(5), 2, 1, "a", 1.0),
+        Ev(ts(35), 3, 1, "a", 1.0))
+      q.processAllAvailable()
+      val n = spark.table(name).select($"n").as[Long].collect().sorted
+      assert(n.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
