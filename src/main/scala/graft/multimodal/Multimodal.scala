@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (BASELINE.json north-star): image/audio/
+  * video payloads ride as opaque `binary` columns with typed metadata;
+  * decode / feature-extraction runs batched per partition.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic FAKE standing in for a real decoder —
+  * everything around it (schema, batch shape, partition-parallel
+  * execution, feature-vector typing) is the real Spark plumbing a
+  * production decoder would plug into: swap `decodeStub`'s body for
+  * JPEG/PNG/ffmpeg bindings and nothing else changes.
+  *
+  * Scale notes: payload bytes stay in the partition where they were read
+  * (`mapPartitions` is narrow — no shuffle of blobs); only the fixed-size
+  * feature vectors and scalar metadata flow onward. Control batch memory
+  * with `spark.sql.files.maxPartitionBytes` at read time, not here.
+  */
+object Multimodal {
+
+  /** Magic-number content sniffing on the leading bytes — pure built-in
+    * expressions (hex of a binary prefix), codegen'd.
+    */
+  def sniffKind(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h8 = upper(hex(substring(bin, 1, 4)))
+    when(h8.startsWith("FFD8FF"), "jpeg")
+      .when(h8 === "89504E47", "png")
+      .when(h8 === "52494646", "riff") // wav/avi container
+      .when(h8 === "47494638", "gif")
+      .otherwise("unknown")
+  }
+
+  /** Typed metadata projection over a binary column: byte length, header
+    * hex, sniffed kind.
+    */
+  def withMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("byte_len", length(col(binCol)))
+      .withColumn("header_hex", lower(hex(substring(col(binCol), 1, 8))))
+      .withColumn("kind", sniffKind(col(binCol)))
+
+  final case class Feature(id: Long, kind: String, n_bytes: Long,
+                           feature: Array[Float])
+
+  /** STUB decoder — deterministic fake features (a 16-bin byte histogram,
+    * L1-normalized). A real implementation decodes pixels/samples here;
+    * signature and batch shape are what production code would use.
+    */
+  def decodeStub(id: Long, kind: String, bytes: Array[Byte]): Feature = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xf0) >>> 4) += 1f
+      i += 1
+    }
+    val total = math.max(1f, bytes.length.toFloat)
+    var j = 0
+    while (j < 16) { hist(j) /= total; j += 1 }
+    Feature(id, kind, bytes.length.toLong, hist)
+  }
+
+  /** Partition-parallel feature extraction over (id, kind, payload) rows.
+    * Batched per partition (the decoder amortizes any model/codec init
+    * across the partition's rows — same shape as mapInPandas batches).
+    */
+  def extractFeatures(spark: SparkSession, df: DataFrame,
+                      idCol: String = "id", binCol: String = "payload"): Dataset[Feature] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), sniffKind(col(binCol)), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would happen here (once, not per row)
+        it.map { case (id, kind, bytes) => decodeStub(id, kind, bytes) }
+      }
+  }
+}

@@ -288,6 +288,69 @@ object IngestQ {
       Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
              CAST(3 AS BIGINT) AS n_notnull""")),
 
+    // src_zip (`assess_changes.qmd:267-275`): zipped-CSV bundles via
+    // binaryFile + ZipInputStream flatMap; deterministic fixture zip with
+    // two entries sharing a header; golden-VALUES oracle.
+    Q("src_zip",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_zip")
+        val zf = dir.resolve("bundle.zip")
+        val zos = new java.util.zip.ZipOutputStream(
+          java.nio.file.Files.newOutputStream(zf))
+        def entry(name: String, body: String): Unit = {
+          zos.putNextEntry(new java.util.zip.ZipEntry(name))
+          zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+        }
+        entry("a.csv", "grp,v\nx,1\ny,2\n")
+        entry("b.csv", "grp,v\nx,3\nz,4\n")
+        entry("notes.txt", "ignore me")
+        zos.close()
+        graft.sources.ZipCsv.read(s, dir.toString)
+          .groupBy("grp").agg(sum("v").as("sum_v"))
+      },
+      Some("""SELECT * FROM (VALUES ('x', 4), ('y', 2), ('z', 4))
+             AS t(grp, sum_v)""")),
+
+    // src_xlsx (`assess_changes.qmd:132,138`): pluggable spreadsheet
+    // reader with read_xlsx(skip=1) semantics — POI-backed when the jar
+    // exists, CSV twin in this zero-egress build; golden-VALUES oracle.
+    Q("src_xlsx",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_xlsx")
+        val f = dir.resolve("prod_twin.csv")
+        java.nio.file.Files.writeString(f,
+          "FAO export 2024 -- machine generated\nspecies,qty\ncod,10\ntuna,20\n")
+        graft.sources.Spreadsheet.read(s, f.toString, skip = 1)
+          .select(col("species"), col("qty").cast("int").as("qty"))
+      },
+      Some("SELECT * FROM (VALUES ('cod', 10), ('tuna', 20)) AS t(species, qty)")),
+
+    // sink_files (`scrape_newest_baci_data.R:56-80`): executor-parallel
+    // retrying downloader. file:// fixtures drive the full retry/
+    // overwrite path (one URL is intentionally missing → retries
+    // exhausted); golden-VALUES oracle over the status frame.
+    Q("sink_files",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_dl")
+        val src = dir.resolve("src"); val out = dir.resolve("out")
+        java.nio.file.Files.createDirectories(src)
+        java.nio.file.Files.writeString(src.resolve("ok1.zip"), "PAYLOAD-A")
+        java.nio.file.Files.writeString(src.resolve("ok2.zip"), "PAYLOAD-BB")
+        val urls = Seq(
+          (src.resolve("ok1.zip").toUri.toString, s"$out/ok1.zip"),
+          (src.resolve("ok2.zip").toUri.toString, s"$out/ok2.zip"),
+          (src.resolve("missing.zip").toUri.toString, s"$out/missing.zip"))
+        graft.sources.HttpSink.download(s, urls, workers = 4,
+          retries = 3, backoffMs = 10)
+          .select(element_at(split(col("url"), "/"), -1).as("file"),
+            col("ok"), col("attempts"), col("bytes"))
+      },
+      Some("""SELECT * FROM (VALUES
+             ('ok1.zip', true, 1, CAST(9 AS BIGINT)),
+             ('ok2.zip', true, 1, CAST(10 AS BIGINT)),
+             ('missing.zip', false, 3, CAST(0 AS BIGINT)))
+             AS t(file, ok, attempts, bytes)""")),
+
     // src_html + xpath_extract + the full scrape chain
     // (`scrape_newest_baci_data.R:20-41`): XPath anchor extraction →
     // NA filter → regex filter → absolutize → dedup; golden oracle.

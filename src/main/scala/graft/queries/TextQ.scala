@@ -191,5 +191,21 @@ object TextQ {
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
              lower(hex(encode(substring(text, 1, 4)))) AS header_hex
              FROM documents""")),
+
+    // multimodal_features [EXT]: partition-parallel decode/feature-extract
+    // over opaque binary payloads (graft.multimodal — decode stage is a
+    // documented deterministic stub, plumbing is real). Emits the feature
+    // vector's first bin + payload stats; deterministic rows, no SQL
+    // oracle (mapPartitions op).
+    Q("multimodal_features",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id").as("id"),
+          to_binary(col("text"), lit("utf-8")).as("payload"))
+        graft.multimodal.Multimodal.extractFeatures(s, docs)
+          .toDF()
+          .select(col("id"), col("kind"), col("n_bytes"),
+            round(element_at(col("feature"), 1), 4).as("f0"))
+      },
+      None),
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal binary-column plumbing: metadata, sniffing, and the
+  * partition-parallel feature-extraction stage (stub decode, real
+  * Spark shape).
+  */
+class MultimodalSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2)
+  private val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 3, 4)
+  private val txt = "hello world".getBytes("UTF-8")
+
+  test("sniffKind detects jpeg/png magic, unknown otherwise") {
+    val df = Seq((1L, jpeg), (2L, png), (3L, txt)).toDF("id", "payload")
+    val kinds = Multimodal.withMeta(df, "payload")
+      .select($"id", $"kind").as[(Long, String)].collect().toMap
+    assert(kinds === Map(1L -> "jpeg", 2L -> "png", 3L -> "unknown"))
+  }
+
+  test("withMeta exposes byte length and header hex") {
+    val df = Seq((1L, txt)).toDF("id", "payload")
+    val r = Multimodal.withMeta(df, "payload")
+      .select($"byte_len", $"header_hex").as[(Int, String)].head()
+    assert(r._1 === 11)
+    assert(r._2 === "68656c6c6f20776f") // "hello wo"
+  }
+
+  test("extractFeatures: fixed-size normalized features, deterministic") {
+    val df = Seq((1L, jpeg), (2L, txt)).toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(spark, df).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).kind === "jpeg" && feats(2L).kind === "unknown")
+    feats.values.foreach { f =>
+      assert(f.feature.length === 16)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-5)
+    }
+    val again = Multimodal.extractFeatures(spark, df).collect()
+      .map(f => f.id -> f.feature.toSeq).toMap
+    assert(again === feats.view.mapValues(_.feature.toSeq).toMap)
+  }
+}
