@@ -63,9 +63,15 @@ object Dedup {
                    threshold: Double = 0.5, seed: Long = 42L,
                    maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
+    // The signature frame feeds three plan branches (banding + two
+    // score join-backs); without materialization each branch re-reads
+    // and re-hashes the full corpus. persist() collapses that to one
+    // pass (ContextCleaner reclaims the blocks); at 100 TB checkpoint
+    // the signatures to parquet instead and join against that.
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(col(textCol), k, n, seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (band, bucket, id) — the only thing that shuffles in candidate gen
     val banded = sigs.select(
@@ -107,6 +113,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 7, maxBucketSize: Int = 1000): DataFrame = {
     val sk = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sk.select(
       col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(7)),
@@ -138,6 +145,7 @@ object Dedup {
                     textCol: String, n: Int = 3): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

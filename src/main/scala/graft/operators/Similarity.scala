@@ -99,6 +99,9 @@ object Similarity {
     val capped = b.withColumn("n",
       count(lit(1)).over(Window.partitionBy("table", "bucket")))
       .filter(col("n") <= maxBucketSize).drop("n")
+      // both self-join sides read this; persist avoids re-bucketing the
+      // corpus (checkpoint at 100 TB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = capped.select(col("table"), col("bucket"),
       col("vec_id").as("id_a"), col("embedding").as("va"))
     val r = capped.select(col("table"), col("bucket"),

@@ -94,6 +94,53 @@ object IngestQ {
               FROM (SELECT count(*) AS old_rows FROM ($OldSql))
               CROSS JOIN (SELECT count(*) AS new_rows FROM ($NewSql))""")),
 
+    // filt_ext_pair (`assess_changes.qmd:120-122`): boolean algebra over
+    // regex — keep pairs where both sides are .csv OR both are .xlsx.
+    Q("filt_ext_pair",
+      (s, d) => {
+        val k = col("doc_id")
+        val paired = t(s, d, "documents").select(k.as("doc_id"),
+          concat(lit("f"), k,
+            when(k % 2 === 0, ".csv").otherwise(".xlsx")).as("old_file"),
+          concat(lit("f"), k,
+            when(k % 4 < 2, ".csv").otherwise(".xlsx")).as("new_file"))
+        paired.filter(
+          (col("old_file").rlike("(?i)\\.csv$") &&
+            col("new_file").rlike("(?i)\\.csv$")) ||
+            (col("old_file").rlike("(?i)\\.xlsx$") &&
+              col("new_file").rlike("(?i)\\.xlsx$")))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT count(*) AS n_pairs FROM (
+             SELECT doc_id,
+               'f' || doc_id || CASE WHEN doc_id % 2 = 0
+                 THEN '.csv' ELSE '.xlsx' END AS old_file,
+               'f' || doc_id || CASE WHEN doc_id % 4 < 2
+                 THEN '.csv' ELSE '.xlsx' END AS new_file
+             FROM documents)
+             WHERE (regexp_matches(old_file, '(?i)\.csv$')
+                    AND regexp_matches(new_file, '(?i)\.csv$'))
+                OR (regexp_matches(old_file, '(?i)\.xlsx$')
+                    AND regexp_matches(new_file, '(?i)\.xlsx$'))""")),
+
+    // filt_na_any (`assess_changes.qmd:243-245`): keep rows where any of
+    // two nullable array columns is non-null (NA-when-empty convention).
+    Q("filt_na_any",
+      (s, d) => {
+        val k = col("doc_id")
+        t(s, d, "documents").select(k.as("doc_id"),
+          when(k % 3 === 0, array(lit("a"))).as("added"),
+          when(k % 5 === 0, array(lit("r"))).as("removed"))
+          .filter(col("added").isNotNull || col("removed").isNotNull)
+          .agg(count(lit(1)).as("n_changed"))
+      },
+      Some("""SELECT count(*) AS n_changed FROM (
+             SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN ['a'] END AS added,
+               CASE WHEN doc_id % 5 = 0 THEN ['r'] END AS removed
+             FROM documents)
+             WHERE added IS NOT NULL OR removed IS NOT NULL""")),
+
     // str_std_key (`assess_changes.qmd:87-94`): the 4-step regex chain.
     Q("str_std_key",
       (s, d) => t(s, d, "documents").select(
