@@ -223,6 +223,43 @@ case class SigAgreement(left: Expression, right: Expression)
       newRight: Expression): SigAgreement = copy(left = newLeft, right = newRight)
 }
 
+/** Exact Jaccard similarity |A∩B| / |A∪B| of two SORTED distinct long
+  * arrays (ShingleHashes emits sorted-distinct) via a linear merge —
+  * no hash sets, no boxing, no intermediate arrays. Output double.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sorted_jaccard"
+
+  def compute(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jac", this, classOf[SortedJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedJaccard = copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash over a token array: per-token FNV-1a hash votes on 64
   * sign counters, packed to a long. Single pass, no intermediate arrays.
   */

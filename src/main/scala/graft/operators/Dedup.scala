@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
-import graft.expressions.{BandHashes, MinHashSig, ShingleHashes, SigAgreement, SimHash64}
+import graft.expressions.{BandHashes, MinHashSig, ShingleHashes, SigAgreement, SimHash64, SortedJaccard}
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2 [EXT],
   * BASELINE.json north-star): exact, MinHash+LSH, SimHash, and exact n-gram
@@ -150,8 +150,8 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        Shim.column(SortedJaccard(Shim.expression(col("sh_a")),
+          Shim.expression(col("sh_b")))).as("jaccard"))
   }
 
   /** Exact dedup: keep the minimum id per distinct key expression. */

@@ -161,6 +161,22 @@ object Relational {
                AND ts_ms <= o_orderdate + INTERVAL 7 DAY
              GROUP BY o_orderpriority""")),
 
+    // join_salted [EXT]: skew-mitigated equi-join (hot-key scatter +
+    // dim replication, SkewJoin.saltedJoin) — result must equal the
+    // plain join, which is exactly what the oracle checks.
+    Q("join_salted",
+      (s, d) => graft.operators.SkewJoin.saltedJoin(
+        t(s, d, "lineitem").select("l_partkey", "l_quantity"),
+        t(s, d, "part").select(col("p_partkey").as("l_partkey"),
+          col("p_brand")),
+        "l_partkey", salt = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty")),
+      Some("""SELECT p_brand, count(*) AS n,
+             round(sum(l_quantity), 2) AS qty
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY p_brand""")),
+
     // ---- windows / sort / top-k ----------------------------------------
 
     // win_rank [EXT]: top-3 orders per customer, deterministic tie-break.
