@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions._
+
+/** SQL surface for graft's native expressions: registers `graft_*`
+  * functions so pure-SQL users (spark.sql, JDBC, notebooks) get the same
+  * codegen'd kernels the DataFrame API uses.
+  *
+  * Two registration paths:
+  *  - config-driven: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  *    at session build (the standard extension-jar deployment);
+  *  - runtime: `GraftExtensions.register(spark)` on an existing session
+  *    (what Verify/Bench and the tests use — the driver owns session
+  *    construction there).
+  *
+  * Static arguments (k, seed, bands, …) must be literals; they are folded
+  * into the expression at resolution time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue
+  private def longLit(e: Expression): Long =
+    e.eval(null).asInstanceOf[Number].longValue
+
+  /** name → (args => Expression) for every SQL-exposed kernel. */
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (a => CosineSim(a(0), a(1))),
+    "graft_dot" -> (a => DotProduct(a(0), a(1))),
+    "graft_shingle_hashes" -> (a => ShingleHashes(a(0), intLit(a(1)))),
+    "graft_minhash_sig" -> (a =>
+      MinHashSig(a(0), intLit(a(1)), longLit(a(2)))),
+    "graft_band_hashes" -> (a =>
+      BandHashes(a(0), intLit(a(1)), intLit(a(2)))),
+    "graft_sig_agreement" -> (a => SigAgreement(a(0), a(1))),
+    "graft_sorted_jaccard" -> (a => SortedJaccard(a(0), a(1))),
+    "graft_simhash64" -> (a => SimHash64(a(0))),
+    "graft_hyperplane_buckets" -> (a => HyperplaneBuckets(
+      a(0), intLit(a(1)), intLit(a(2)), intLit(a(3)), longLit(a(4)))),
+  )
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftshim.Shim.registerFunction(spark, name, builder)
+    }
+}

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on an EXISTING session (the
+    * config-driven `spark.sql.extensions` path only applies at session
+    * construction; `sessionState` is likewise `private[sql]`).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
