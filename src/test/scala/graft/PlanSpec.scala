@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * (pruning, pushdown, broadcast, partial aggregation, top-k operator,
+  * window group limits) must not silently degrade as queries evolve.
+  */
+class PlanSpec extends SparkFunSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg: partial+final aggregation on a pruned scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "map-side partial agg missing")
+    assert(!p.contains("l_shipdate"), "column pruning lost (full-row scan)")
+  }
+
+  test("join_equi: dimension joins are broadcast (fact never shuffles)") {
+    val p = plan("join_equi")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filt_conj: predicates pushed into the parquet scan") {
+    val p = plan("filt_conj")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("no PushedFilters line"))
+    assert(p.contains("GreaterThan(l_discount") || p.contains("LessThan(l_quantity"),
+      "comparison predicates not pushed")
+  }
+
+  test("topk_limit plans TakeOrderedAndProject, not a total sort") {
+    val p = plan("topk_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("win_rank plans WindowGroupLimit (partial top-k before shuffle)") {
+    val p = plan("win_rank")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("dedup_minhash: sketch frame materialized once (InMemoryTableScan)") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("InMemoryTableScan"),
+      "signature persist() lost — corpus would be re-hashed per branch")
+  }
+
+  test("proj_select reads only the projected columns") {
+    val p = plan("proj_select")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"))
+  }
+}
