@@ -16,6 +16,10 @@ object VecFns {
   def dot(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
 
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dot(a, a))
+
   /** Cosine similarity; 0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
