@@ -223,6 +223,87 @@ case class SigAgreement(left: Expression, right: Expression)
       newRight: Expression): SigAgreement = copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's local
+  * algorithm, the MOSS scheme): Rabin-Karp rolling hashes of character
+  * k-grams over the normalized text, then the minimum hash of every
+  * window of `w` consecutive k-grams (rightmost-min tie-break). Output:
+  * sorted distinct selected hashes — a compact, position-robust
+  * fingerprint set; two documents sharing any sufficiently long run of
+  * text share fingerprints, regardless of offset.
+  * Input string, output array<bigint>. Single pass, O(n) amortized.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fingerprint"
+
+  private final val Base = 1000003L
+  @transient private lazy val basePowK1: Long = {
+    var p = 1L
+    var i = 0
+    while (i < k - 1) { p = (p * Base) % HashUtil.P31; i += 1 }
+    p
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * Base + (bytes(i) & 0xff)) % HashUtil.P31; i += 1 }
+      out.add(HashUtil.mix64(h) & 0x7fffffffL)
+    } else {
+      val nGrams = n - k + 1
+      val grams = new Array[Long](nGrams)
+      var h = 0L
+      var i = 0
+      while (i < k) { h = (h * Base + (bytes(i) & 0xff)) % HashUtil.P31; i += 1 }
+      grams(0) = HashUtil.mix64(h) & 0x7fffffffL
+      var g = 1
+      while (g < nGrams) {
+        // roll: remove leading byte, add trailing byte
+        h = (h - (bytes(g - 1) & 0xff) * basePowK1 % HashUtil.P31 +
+          HashUtil.P31 * 256L) % HashUtil.P31
+        h = (h * Base + (bytes(g + k - 1) & 0xff)) % HashUtil.P31
+        grams(g) = HashUtil.mix64(h) & 0x7fffffffL
+        g += 1
+      }
+      // winnow: min of each window of w grams, rightmost on ties
+      val win = math.min(w, nGrams)
+      var start = 0
+      while (start + win <= nGrams) {
+        var minIdx = start
+        var j = start + 1
+        while (j < start + win) {
+          if (grams(j) <= grams(minIdx)) minIdx = j
+          j += 1
+        }
+        out.add(grams(minIdx))
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i2 = 0
+    while (it.hasNext) { arr(i2) = it.next(); i2 += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard similarity |A∩B| / |A∪B| of two SORTED distinct long
   * arrays (ShingleHashes emits sorted-distinct) via a linear merge —
   * no hash sets, no boxing, no intermediate arrays. Output double.

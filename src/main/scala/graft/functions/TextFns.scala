@@ -94,4 +94,16 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(to_binary(
       trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), lit("utf-8")))
+
+  /** Winnowing (rolling-hash) fingerprint set over the normalized text —
+    * position-robust partial-overlap detection (the MOSS scheme): any
+    * shared run of ≳ k+w characters yields shared fingerprints at any
+    * offset. Native expression (graft.expressions.WinnowFingerprint).
+    */
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.expressions.WinnowFingerprint(
+        org.apache.spark.sql.graftshim.Shim.expression(norm), k, w))
+  }
 }

@@ -79,6 +79,56 @@ object Similarity {
         col("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path beside LSH: k-means coarse quantizer over the corpus
+    * (MLlib KMeans, seeded → deterministic), corpus vectors inverted by
+    * nearest-centroid cell, queries probe their `nprobe` nearest cells
+    * only. Cost ≈ corpus · nprobe / nlist per query vs. brute force.
+    *
+    * Scale shape: training samples the corpus (KMeans holds nlist
+    * centroids, not data); assignment is one narrow pass; the cell join
+    * shuffles candidates by cell id. Centroids are metadata-scale and
+    * broadcast to the query side.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(featured)
+    val cells = model.transform(featured)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // nprobe nearest cells per query: centroids are tiny → literal table
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centersDf = broadcast(centers.toDF("cell", "centroid"))
+    val qcells = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+      .crossJoin(centersDf)
+      .select(col("qid"), col("qvec"), col("cell"),
+        VecFns.cosine(col("qvec"), col("centroid")).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crk") <= nprobe)
+      .select("qid", "qvec", "cell")
+    val scored = cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
+      .groupBy("qid", "vec_id").agg(first("sim_raw").as("sim_raw"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("sim_raw"), roundTo).as("sim"),
+        col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
     * within-bucket pairs → exact cosine filter. The dedup-by-embedding
     * path of the training-data pipeline.

@@ -164,6 +164,26 @@ object TextQ {
       },
       None),
 
+    // sim_ann_ivf [EXT]: inverted-file ANN (k-means cells + nprobe
+    // probing) — the second scale path; recall vs. brute force asserted
+    // in SimilaritySpec. Deterministic (seeded KMeans), rows-only check.
+    Q("sim_ann_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          nlist = 8, nprobe = 4, roundTo = 3)
+      },
+      None),
+
+    // text_winnow [EXT]: winnowing rolling-hash fingerprint set size per
+    // document (the fingerprints themselves are array-valued; the count
+    // is the stable scalar projection). Rows-only check.
+    Q("text_winnow",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        size(graft.functions.TextFns.winnowFingerprint(col("text")))
+          .as("n_fingerprints")),
+      None),
+
     // sim_neardup_cos [EXT]: embedding-cosine near-dup pairs over a
     // corpus with planted perturbed copies.
     Q("sim_neardup_cos",

@@ -71,6 +71,19 @@ class SimilaritySpec extends SparkFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("ivfTopK recall@5 >= 0.6 vs brute force, deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(emb, q, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = run()
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+    assert(run() === ivf) // seeded k-means → reproducible
+  }
+
   test("cosineNearDupPairs finds a planted perturbed copy") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding")

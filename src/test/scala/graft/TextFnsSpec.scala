@@ -41,6 +41,30 @@ class TextFnsSpec extends SparkFunSuite {
     assert(r(0) > r(1))
   }
 
+  test("winnow fingerprints: offset-robust overlap, disjoint docs disjoint") {
+    val shared = "the common stretch of text that both documents contain verbatim"
+    val r = Seq(
+      ("PREFIX AAA " + shared + " suffix one"),
+      ("totally different lead-in words before " + shared),
+      ("nothing in common here at all with anything else whatsoever okay"))
+      .toDF("t").select(TextFns.winnowFingerprint($"t").as("fp"))
+      .as[Seq[Long]].collect()
+    val overlap01 = r(0).toSet.intersect(r(1).toSet).size
+    val overlap02 = r(0).toSet.intersect(r(2).toSet).size
+    assert(overlap01 >= 3, s"shared run must share fingerprints, got $overlap01")
+    assert(overlap02 <= 1, s"disjoint docs should share ~none, got $overlap02")
+  }
+
+  test("winnow fingerprints are deterministic and sorted-distinct") {
+    val df = Seq("some document body with enough characters to fingerprint")
+      .toDF("t")
+    val a = df.select(TextFns.winnowFingerprint($"t")).as[Seq[Long]].head()
+    val b = df.select(TextFns.winnowFingerprint($"t")).as[Seq[Long]].head()
+    assert(a === b)
+    assert(a === a.distinct.sorted)
+    assert(a.nonEmpty)
+  }
+
   test("punct ratio and avg word len guards on empty text") {
     val r = Seq("").toDF("t")
       .select(TextFns.punctRatio($"t"), TextFns.avgWordLen($"t"))
