@@ -276,6 +276,21 @@ object Relational {
              UNION
              SELECT p_brand AS brand FROM part WHERE p_size >= 40""")),
 
+    // unpivot: wide→long melt (inverse of pivot_dir's pivot_wider) via
+    // the stack generator — stays a narrow generate, no shuffle.
+    Q("unpivot",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), expr(
+          "stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice) AS (metric, value)"))
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v")),
+      Some("""SELECT metric, count(*) AS n, round(sum(value), 2) AS sum_v
+             FROM (
+               SELECT 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+               UNION ALL
+               SELECT 'retail' AS metric, p_retailprice AS value FROM part)
+             GROUP BY metric""")),
+
     // dedup_exact (`scrape_newest_baci_data.R:41`): min-id per key group.
     Q("dedup_exact",
       (s, d) => t(s, d, "documents").groupBy("lang", "source")
