@@ -77,6 +77,30 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: new csv files are picked up incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("fstream")
+    val schema = "ts TIMESTAMP, event_id LONG, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    val in = spark.readStream.schema(schema)
+      .option("header", "false").csv(dir.toString)
+    val name = nextTable()
+    val q = EventStreams.tumble(in, watermark = "5 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      java.nio.file.Files.writeString(dir.resolve("batch1.csv"),
+        "2024-01-01 10:00:00,1,1,click,1.0\n2024-01-01 10:10:00,2,1,click,2.0\n")
+      q.processAllAvailable()
+      assert(spark.table(name).select(sum($"n")).as[Long].head() === 2L)
+      java.nio.file.Files.writeString(dir.resolve("batch2.csv"),
+        "2024-01-01 10:20:00,3,2,view,5.0\n")
+      q.processAllAvailable()
+      val rows = spark.table(name).select($"event_type", $"n", $"sum_v")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("session windows group events within the gap") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Ev]
