@@ -3,14 +3,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line.
-  * One untimed warmup action first so the session/codegen startup cost
-  * (~5 s) doesn't land on whichever query happens to run first; queries
-  * then run in sorted name order for run-to-run comparability.
+  *
+  * Measurement discipline (round-2): each query runs
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the MEDIAN, so
+  * a single GC pause or JIT warm-up can't masquerade as a regression;
+  * per-query spread (max-min) is emitted alongside. One untimed global
+  * warmup action first so session/codegen startup (~5 s) doesn't land
+  * on whichever query runs first; queries run in sorted name order for
+  * run-to-run comparability; the cache is cleared after each query so
+  * persisted frames (LSH bucket frames etc.) can't squat on executor
+  * memory and distort later queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,15 +28,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
     try { qs("q1_agg")(spark, sfDir).count() } catch { case _: Throwable => }
+    spark.catalog.clearCache()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      val median = times(times.size / 2)
+      (name, median, times.last - times.head)
     }
-    val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def m(f: ((String, Double, Double)) => (String, Double)) =
+      results.map(f).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qJson = m { case (k, v, _) => (k, v) }
+    val sJson = m { case (k, _, s) => (k, s) }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"spread":$sJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,13 +92,23 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-              roundTo: Int = 6): DataFrame = {
+              roundTo: Int = 6, maxTrainRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
+    // Train the coarse quantizer on a bounded sample: k-means needs only
+    // enough vectors to place `nlist` centroids, and 10 iterations over
+    // the full corpus would be the scale-killer at 100 TB. count() on a
+    // parquet source resolves from row-group metadata (no data scan);
+    // the seeded sample keeps the model deterministic.
+    val n = featured.count()
+    val train =
+      if (n <= maxTrainRows) featured
+      else featured.sample(withReplacement = false,
+        fraction = maxTrainRows.toDouble / n, seed = seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(featured)
+      .fit(train)
     val cells = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     // nprobe nearest cells per query: centroids are tiny → literal table
@@ -130,37 +140,44 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
-    * within-bucket pairs → exact cosine filter. The dedup-by-embedding
-    * path of the training-data pipeline.
+    * within-bucket candidate pairs → distinct → exact cosine filter. The
+    * dedup-by-embedding path of the training-data pipeline.
     *
-    * The bucket self-join shuffles each vector `tables` times (the
-    * unavoidable LSH cost); pair scoring happens in-pipeline and only
-    * (id_a, id_b, cos) scalars reach the dedup shuffle.
+    * Shuffle shape (same discipline as Dedup.minhashPairs): buckets are
+    * computed in one narrow pass and the embeddings dropped immediately,
+    * so the self-join and the pair-dedup move only (table, bucket, id)
+    * scalars — vectors never ride the LSH shuffle. Each surviving pair
+    * is scored exactly once (dedup BEFORE cosine, not after), with the
+    * two embeddings joined back by id at the end.
     */
   def cosineNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
                          planes: Int = 10, tables: Int = 6,
                          seed: Long = 42L,
                          maxBucketSize: Int = 2000): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
+    val b = corpus.select(col("vec_id"),
       posexplode(VecFns.hyperplaneBucketsAll(col("embedding"), dim,
         planes, tables, seed)))
-      .withColumnRenamed("pos", "table")
-      .withColumnRenamed("col", "bucket")
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
     val capped = b.withColumn("n",
       count(lit(1)).over(Window.partitionBy("table", "bucket")))
       .filter(col("n") <= maxBucketSize).drop("n")
-      // both self-join sides read this; persist avoids re-bucketing the
-      // corpus (checkpoint at 100 TB)
+      // both self-join sides read this scalar-only frame; persist avoids
+      // re-bucketing the corpus (checkpoint at 100 TB)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = capped.select(col("table"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("va"))
-    val r = capped.select(col("table"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("vb"))
-    l.join(r, Seq("table", "bucket"))
+    val pairs = capped.select(col("table"), col("bucket"),
+        col("vec_id").as("id_a"))
+      .join(capped.select(col("table"), col("bucket"),
+        col("vec_id").as("id_b")), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+        Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VecFns.cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .groupBy("id_a", "id_b").agg(first("cos").as("cos"))
   }
 }

@@ -126,40 +126,58 @@ object Relational {
              GROUP BY c_mktsegment""")),
 
     // join_anti: set-difference formulation (`assess_changes.qmd:335-338`).
+    // Anti-joins against URGENT orders only — every customer has *some*
+    // order in this data, so the unfiltered anti-join would be a trivially
+    // empty vector; this one returns ~200 customers per sf0.01.
     Q("join_anti",
       (s, d) => t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderpriority").startsWith("1")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive")),
       Some("""SELECT c_mktsegment, count(*) AS n_inactive FROM customer
-             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderpriority LIKE '1%')
              GROUP BY c_mktsegment""")),
 
-    // join_range [EXT]: interval join. Timestamps pass through
-    // millisecond truncation (events.ts is ns; Spark reads µs) so both
-    // engines compare identical instants.
+    // join_range [EXT]: interval self-join — per user, pair each event
+    // with follow-up events inside a 5-minute window. Equi on user_id
+    // (shuffle key), the range predicate is a cheap post-join filter, so
+    // the plan is a plain shuffled hash join that scales with the key
+    // cardinality. Timestamps pass through millisecond truncation
+    // (events.ts is ns; Spark reads µs) so both engines compare
+    // identical instants. Returns ~80 rows per sf0.01 (previously a
+    // trivially-empty vector: events are 2024, orders 1995-2001).
     Q("join_range",
       (s, d) => {
         val ev = t(s, d, "events")
-          .select(col("user_id"), Cols.toMillis(col("ts")).as("ts_ms"),
-            col("value"))
-        val ord = t(s, d, "orders")
-          .select(col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
-        ev.join(ord,
-          col("user_id") === col("o_custkey") &&
-            col("ts_ms") >= col("o_orderdate") &&
-            col("ts_ms") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+          .select(col("user_id"), col("event_id"),
+            Cols.toMillis(col("ts")).as("ts_ms"), col("value"),
+            col("event_type"))
+        val a = ev.select(col("user_id"), col("event_id").as("a_id"),
+          col("ts_ms").as("a_ts"), col("event_type"))
+        val b = ev.select(col("user_id").as("b_user"),
+          col("event_id").as("b_id"), col("ts_ms").as("b_ts"),
+          col("value").as("b_value"))
+        a.join(b,
+          col("user_id") === col("b_user") &&
+            col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("b_value"), 2).as("sum_v"))
       },
-      Some("""SELECT o_orderpriority, count(*) AS n,
-             round(sum(value), 2) AS sum_v
-             FROM (SELECT user_id, date_trunc('millisecond', ts) AS ts_ms,
-                   value FROM events) e
-             JOIN orders ON user_id = o_custkey
-               AND ts_ms >= o_orderdate
-               AND ts_ms <= o_orderdate + INTERVAL 7 DAY
-             GROUP BY o_orderpriority""")),
+      Some("""SELECT a.event_type, count(*) AS n,
+             round(sum(b.value), 2) AS sum_v
+             FROM (SELECT user_id, event_id,
+                   date_trunc('millisecond', ts) AS ts, event_type
+                   FROM events) a
+             JOIN (SELECT user_id, event_id,
+                   date_trunc('millisecond', ts) AS ts, value
+                   FROM events) b
+               ON a.user_id = b.user_id
+               AND b.ts > a.ts
+               AND b.ts <= a.ts + INTERVAL 5 MINUTE
+             GROUP BY a.event_type""")),
 
     // join_salted [EXT]: skew-mitigated equi-join (hot-key scatter +
     // dim replication, SkewJoin.saltedJoin) — result must equal the
@@ -248,14 +266,20 @@ object Relational {
              SELECT c_name AS name, 'customer' AS src FROM customer""")),
 
     // set_except: EXCEPT DISTINCT (`assess_changes.qmd:335-338`).
+    // Parts ordered in bulk (qty > 45) but never in small lots (qty < 5):
+    // ~170 of ~1900 keys per sf0.01 — a discriminating, non-empty vector
+    // (customer-vs-supplier nationkeys was trivially empty: both cover
+    // all 25 nations).
     Q("set_except",
-      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
-        .distinct()
-        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
-          .distinct()),
-      Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      (s, d) => t(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("partkey"))
+        .except(t(s, d, "lineitem").filter(col("l_quantity") < 5)
+          .select(col("l_partkey").as("partkey"))),
+      Some("""SELECT DISTINCT l_partkey AS partkey FROM lineitem
+             WHERE l_quantity > 45
              EXCEPT
-             SELECT DISTINCT s_nationkey AS nationkey FROM supplier""")),
+             SELECT DISTINCT l_partkey AS partkey FROM lineitem
+             WHERE l_quantity < 5""")),
 
     // set_intersect [EXT].
     Q("set_intersect",
@@ -386,8 +410,8 @@ object Relational {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k")),
       Some("""SELECT event_type, count(*) AS n,
-             sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT))
-               AS sum_k
+             CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT))
+               AS BIGINT) AS sum_k
              FROM events GROUP BY event_type""")),
 
     // date_fns [EXT]: calendar bucketing.

@@ -57,9 +57,13 @@ object StreamQ {
                SELECT event_id, event_type FROM events WHERE event_id % 7 = 0))
              GROUP BY event_type""")),
 
-    // stream_session: session windows (30 min gap) per user — no ANSI-SQL
-    // oracle (session semantics); deterministic batch output, ScalaTest
-    // covers the streaming path.
+    // stream_session: session windows (30 min gap) per user. The oracle
+    // re-derives session semantics as gaps-and-islands SQL: a new session
+    // starts when the gap to the previous event is >= the 30 min timeout
+    // (Spark's session window is [first_ts, last_ts + gap), so an event
+    // landing exactly at the window end opens a new session — hence >=).
+    // Session start is emitted as floor-epoch-seconds so ns (DuckDB) vs
+    // µs (Spark) precision never crosses the compare.
     Q("stream_session",
       (s, d) => t(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"),
@@ -67,7 +71,19 @@ object StreamQ {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
         .select(col("w.start").cast("long").as("session_start_s"),
           col("user_id"), col("n"), col("sum_v")),
-      None),
+      Some("""WITH g AS (SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             s AS (SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess
+             FROM g)
+             SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+               user_id, count(*) AS n, round(sum(value), 2) AS sum_v
+             FROM s GROUP BY user_id, sess""")),
 
     // stream_stateful: custom per-user state via flatMapGroupsWithState
     // (graft.streaming.EventStreams.runningUserState). In batch mode the
