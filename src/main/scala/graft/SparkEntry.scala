@@ -24,8 +24,11 @@ object SparkEntry {
     registry.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * the same parquet tables. Semantically-equivalent SQL where the op is
+    * SQL-expressible; generated golden VALUES oracles (graft.queries.
+    * Golden) for the deterministic sketch/ANN/stub ops that aren't.
     */
   def oracleSql: Map[String, String] =
-    registry.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+    Golden.sql ++
+      registry.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
 }
