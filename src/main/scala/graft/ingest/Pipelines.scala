@@ -11,6 +11,37 @@ import graft.sources.HttpSink
   */
 object Pipelines {
 
+  /** Driver-side page fetch — the first line of EP1
+    * (`read_html(url)`, `scrape_newest_baci_data.R:20`), with the
+    * reference's HTTP discipline (`scrape_newest_baci_data.R:63-67`):
+    * 60 s timeout and a custom User-Agent. One page, driver-side by
+    * design; the Spark chain starts at the returned text.
+    */
+  def fetch(url: String, timeoutMs: Long = 60000,
+            userAgent: String = "graft-ingest/1.0"): String = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+    val req = HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("User-Agent", userAgent)
+      .GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 400)
+      throw new java.io.IOException(
+        s"fetch $url failed: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** EP1 from the URL itself: fetch the page, then run `scrape`. */
+  def scrapeUrl(spark: SparkSession, url: String, baseUrl: String,
+                outDir: String, workers: Int = 4, retries: Int = 3,
+                backoffMs: Long = 2000): DataFrame =
+    scrape(spark, fetch(url), baseUrl, outDir, workers = workers,
+      retries = retries, backoffMs = backoffMs)
+
   /** EP1 — the scrape pipeline (`scrape_newest_baci_data.R` top-to-bottom):
     * XPath link extraction from a fetched page → NA filter → regex keep →
     * absolutize → dedup → parallel retrying download. Returns the per-url

@@ -358,15 +358,18 @@ object IngestQ {
       Some("""SELECT * FROM (VALUES ('x', 4), ('y', 2), ('z', 4))
              AS t(grp, sum_v)""")),
 
-    // src_xlsx (`assess_changes.qmd:132,138`): pluggable spreadsheet
-    // reader with read_xlsx(skip=1) semantics — POI-backed when the jar
-    // exists, CSV twin in this zero-egress build; golden-VALUES oracle.
+    // src_xlsx (`assess_changes.qmd:132,138`): real OOXML workbook read
+    // with read_xlsx(skip=1) semantics via the dependency-free parser
+    // (graft.sources.Xlsx — no POI); golden-VALUES oracle.
     Q("src_xlsx",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_xlsx")
-        val f = dir.resolve("prod_twin.csv")
-        java.nio.file.Files.writeString(f,
-          "FAO export 2024 -- machine generated\nspecies,qty\ncod,10\ntuna,20\n")
+        val f = dir.resolve("prod.xlsx")
+        graft.sources.Xlsx.write(f, Seq(
+          Seq("FAO export 2024 -- machine generated"),
+          Seq("species", "qty"),
+          Seq("cod", "10"),
+          Seq("tuna", "20")))
         graft.sources.Spreadsheet.read(s, f.toString, skip = 1)
           .select(col("species"), col("qty").cast("int").as("qty"))
       },

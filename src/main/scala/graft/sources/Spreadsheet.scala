@@ -5,12 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Excel source (SURVEY.md §2.1 `src_xlsx`; the reference reads
   * `read_xlsx(skip = 1)`, `assess_changes.qmd:132,138`).
   *
-  * The build is zero-egress (no POI / spark-excel jar available), so the
-  * source is a pluggable interface: `XlsxPoiReader` binds lazily to
-  * Apache POI via reflection when the jar is on the classpath at a real
-  * deployment; `CsvTwinReader` implements the identical contract
-  * (including the skip-N-leading-rows semantics) over CSV twins and
-  * carries the tests.
+  * Two implementations of one contract: `XlsxNativeReader` parses real
+  * .xlsx workbooks with the dependency-free OOXML reader (graft.sources.
+  * Xlsx — executor-parallel via binaryFile, no POI); `CsvTwinReader`
+  * implements the identical contract (including the skip-N-leading-rows
+  * semantics) over CSV twins, kept because the reference's sibling
+  * inputs are CSV and the two paths must agree.
   */
 trait SpreadsheetReader {
   /** Read one spreadsheet; `skip` leading rows are discarded BEFORE the
@@ -34,54 +34,16 @@ object CsvTwinReader extends SpreadsheetReader {
   }
 }
 
-/** POI-backed reader, bound by reflection so the class loads (and the
-  * interface is exercised) without the jar; `available` reports whether
-  * the runtime actually has POI.
-  */
-object XlsxPoiReader extends SpreadsheetReader {
-  lazy val available: Boolean =
-    try { Class.forName("org.apache.poi.ss.usermodel.WorkbookFactory"); true }
-    catch { case _: Throwable => false }
-
-  def read(spark: SparkSession, path: String, skip: Int): DataFrame = {
-    if (!available)
-      throw new UnsupportedOperationException(
-        "Apache POI not on classpath; use CsvTwinReader or deploy with poi-ooxml")
-    // Driver-side parse (spreadsheets are metadata-scale in the reference
-    // pipeline): WorkbookFactory.create(file) → rows → createDataFrame.
-    // Bound via reflection only at call time.
-    val wbf = Class.forName("org.apache.poi.ss.usermodel.WorkbookFactory")
-    val create = wbf.getMethod("create", classOf[java.io.File])
-    val wb = create.invoke(null, new java.io.File(path))
-    try {
-      val sheet = wb.getClass.getMethod("getSheetAt", classOf[Int])
-        .invoke(wb, Integer.valueOf(0))
-      val it = sheet.getClass.getMethod("iterator").invoke(sheet)
-        .asInstanceOf[java.util.Iterator[AnyRef]]
-      val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-      while (it.hasNext) {
-        val row = it.next()
-        val cells = row.getClass.getMethod("iterator").invoke(row)
-          .asInstanceOf[java.util.Iterator[AnyRef]]
-        val vals = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (cells.hasNext) vals += String.valueOf(cells.next())
-        rows += vals.toSeq
-      }
-      val data = rows.drop(skip)
-      val header = data.head
-      import spark.implicits._
-      val width = header.length
-      data.tail.map(r => r.padTo(width, "").take(width)).toSeq
-        .toDF("row")
-        .selectExpr(header.indices.map(i => s"row[$i] AS `${header(i)}`"): _*)
-    } finally wb.getClass.getMethod("close").invoke(wb)
-  }
+/** Real .xlsx parse via the dependency-free OOXML reader. */
+object XlsxNativeReader extends SpreadsheetReader {
+  def read(spark: SparkSession, path: String, skip: Int): DataFrame =
+    Xlsx.read(spark, path, skip)
 }
 
 object Spreadsheet {
-  /** Entry point: POI when present, CSV twin otherwise. */
+  /** Entry point: native OOXML parse for .xlsx, CSV twin otherwise. */
   def read(spark: SparkSession, path: String, skip: Int = 0): DataFrame =
-    if (path.toLowerCase.endsWith(".xlsx") && XlsxPoiReader.available)
-      XlsxPoiReader.read(spark, path, skip)
+    if (path.toLowerCase.endsWith(".xlsx"))
+      XlsxNativeReader.read(spark, path, skip)
     else CsvTwinReader.read(spark, path, skip)
 }

@@ -31,6 +31,44 @@ class PipelinesSpec extends SparkFunSuite {
     assert(Files.exists(java.nio.file.Path.of(s"$out/guide.pdf")))
   }
 
+  test("EP1 scrapeUrl: fetch over real HTTP → full scrape chain") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: Array[Byte], status: Int = 200): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          assert(ex.getRequestHeaders.getFirst("User-Agent")
+            .startsWith("graft-ingest"))
+          ex.sendResponseHeaders(status, body.length)
+          ex.getResponseBody.write(body); ex.close()
+        }
+      })
+    val port = { server.start(); server.getAddress.getPort }
+    val base = s"http://127.0.0.1:$port"
+    val html =
+      s"""<html><body><div class="content_box"><div id="dl">
+         |<a href="$base/data/baci_hs92.zip">HS92</a>
+         |<a href="/data/guide.pdf">Guide</a>
+         |<a href="index.html">Home</a>
+         |</div></div></body></html>""".stripMargin.replace("\n", "")
+    serve("/page.html", html.getBytes("UTF-8"))
+    serve("/data/baci_hs92.zip", "ZIPDATA".getBytes("UTF-8"))
+    serve("/data/guide.pdf", "PDF".getBytes("UTF-8"))
+    try {
+      val out = Files.createTempDirectory("ep1url").toString
+      val status = Pipelines.scrapeUrl(spark, s"$base/page.html", base,
+        out, backoffMs = 1)
+        .select("url", "ok").as[(String, Boolean)].collect().toMap
+      assert(status.size === 2 && status.values.forall(identity))
+      assert(Files.readString(
+        java.nio.file.Path.of(s"$out/baci_hs92.zip")) === "ZIPDATA")
+      intercept[java.io.IOException] {
+        Pipelines.fetch(s"$base/nope.html")
+      }
+    } finally server.stop(0)
+  }
+
   test("EP2 assessChanges: file diff + per-pair schema/row drift") {
     val root = Files.createTempDirectory("ep2")
     val oldD = root.resolve("old"); val newD = root.resolve("new")
