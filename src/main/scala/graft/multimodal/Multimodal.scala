@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Real file-format signatures (fixture building, tests): the exact
+    * leading bytes a genuine file of each kind starts with.
+    */
+  val PngHeader: Array[Byte] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+    0x1a, 0x0a).map(_.toByte)
+  val JpegHeader: Array[Byte] = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10,
+    0x4a, 0x46, 0x49, 0x46, 0x00).map(_.toByte) // SOI + APP0 "JFIF"
+  val RiffWaveHeader: Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII")
+  val GifHeader: Array[Byte] = "GIF89a".getBytes("US-ASCII")
+
   /** Magic-number content sniffing on the leading bytes — pure built-in
     * expressions (hex of a binary prefix), codegen'd.
     */

@@ -214,13 +214,19 @@ object TextQ {
 
     // multimodal_features [EXT]: partition-parallel decode/feature-extract
     // over opaque binary payloads (graft.multimodal — decode stage is a
-    // documented deterministic stub, plumbing is real). Emits the feature
-    // vector's first bin + payload stats; deterministic rows, no SQL
-    // oracle (mapPartitions op).
+    // documented deterministic stub, plumbing is real). Real magic-number
+    // headers (PNG/JPEG/RIFF-WAVE/GIF) are planted by doc_id so every
+    // sniffKind branch fires; golden VALUES oracle.
     Q("multimodal_features",
       (s, d) => {
+        import graft.multimodal.Multimodal.{GifHeader, JpegHeader, PngHeader, RiffWaveHeader}
+        val hdr = when(col("doc_id") % 5 === 0, lit(PngHeader))
+          .when(col("doc_id") % 5 === 1, lit(JpegHeader))
+          .when(col("doc_id") % 5 === 2, lit(RiffWaveHeader))
+          .when(col("doc_id") % 5 === 3, lit(GifHeader))
+          .otherwise(lit(Array.empty[Byte]))
         val docs = t(s, d, "documents").select(col("doc_id").as("id"),
-          to_binary(col("text"), lit("utf-8")).as("payload"))
+          concat(hdr, to_binary(col("text"), lit("utf-8"))).as("payload"))
         graft.multimodal.Multimodal.extractFeatures(s, docs)
           .toDF()
           .select(col("id"), col("kind"), col("n_bytes"),

@@ -29,6 +29,19 @@ class MultimodalSpec extends SparkFunSuite {
     assert(r._2 === "68656c6c6f20776f") // "hello wo"
   }
 
+  test("sniffKind + extractFeatures: real headers per kind, per-kind rows") {
+    import graft.multimodal.Multimodal.{GifHeader, JpegHeader, PngHeader, RiffWaveHeader}
+    val body = "payload-bytes".getBytes("UTF-8")
+    val df = Seq(
+      (1L, PngHeader ++ body), (2L, JpegHeader ++ body),
+      (3L, RiffWaveHeader ++ body), (4L, GifHeader ++ body),
+      (5L, body)).toDF("id", "payload")
+    val byKind = Multimodal.extractFeatures(spark, df).toDF()
+      .groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(byKind === Map("png" -> 1L, "jpeg" -> 1L, "riff" -> 1L,
+      "gif" -> 1L, "unknown" -> 1L))
+  }
+
   test("extractFeatures: fixed-size normalized features, deterministic") {
     val df = Seq((1L, jpeg), (2L, txt)).toDF("id", "payload")
     val feats = Multimodal.extractFeatures(spark, df).collect()

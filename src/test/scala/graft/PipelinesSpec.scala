@@ -89,6 +89,68 @@ class PipelinesSpec extends SparkFunSuite {
     assert(pair._5 === Some(Seq("c")) && pair._6 === Some(Seq("b")))
   }
 
+  test("sink_report: markdown changelog over the EP2+EP3 frames") {
+    val root = Files.createTempDirectory("rep")
+    val oldD = root.resolve("old"); val newD = root.resolve("new")
+    Files.createDirectories(oldD); Files.createDirectories(newD)
+    Files.writeString(oldD.resolve("Trade_V202301.csv"), "a,b\n1,2\n")
+    Files.writeString(newD.resolve("Trade_V202401.csv"), "a,c\n1,x\n2,y\n")
+    Files.writeString(oldD.resolve("Gone_V202301.csv"), "z\n0\n")
+    Files.writeString(newD.resolve("Born_V202401.csv"), "q\n9\n")
+    def read(p: String) = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(p)
+    val (fd, pc) = Pipelines.assessChanges(spark, oldD.toString,
+      newD.toString, read)
+    val cs = Seq(("country", "added", "CHL"), ("species", "removed", "x"))
+      .toDF("entity", "direction", "value")
+    val md = ingest.Report.changelog(fd, pc, cs)
+    val expected =
+      """# Data changelog
+        |
+        |## New files
+        |
+        || std_name |
+        || --- |
+        || born |
+        |
+        |## Removed files
+        |
+        || std_name |
+        || --- |
+        || gone |
+        |
+        |## Size changes
+        |
+        || std_name | size_change_mb |
+        || --- | --- |
+        || trade | 4.0E-6 |
+        |
+        |## Column changes
+        |
+        |Only matching .csv and .xlsx files were compared.
+        |
+        || std_name | added_cols | removed_cols |
+        || --- | --- | --- |
+        || trade | c | b |
+        |
+        |## Row-count changes
+        |
+        || std_name | old_rows | new_rows | row_change |
+        || --- | --- | --- | --- |
+        || trade | 1 | 2 | 1 |
+        |
+        |## Country and species changes
+        |
+        || entity | direction | value |
+        || --- | --- | --- |
+        || country | added | CHL |
+        || species | removed | x |
+        |""".stripMargin
+    assert(md === expected)
+    val dest = ingest.Report.write(root.resolve("rpt/changelog.md"), fd, pc, cs)
+    assert(Files.readString(dest) === md)
+  }
+
   test("EP3 countrySpeciesDiff: both-direction set diffs, sorted") {
     def prod(rows: Seq[(String, String)]) = rows.map { case (c, s) =>
       ("1", c, "m", s, s.toUpperCase, "PISCES", "Fish")
