@@ -401,6 +401,39 @@ object IngestQ {
              ('missing.zip', false, 3, CAST(0 AS BIGINT)))
              AS t(file, ok, attempts, bytes)""")),
 
+    // sink_report (`assess_changes.qmd:249-258`): the changelog rendered
+    // as markdown over the EP2+EP3 frames — emitted as (line_no, line)
+    // rows so the report itself is oracle-checkable (golden VALUES; the
+    // fixture is deterministic and the report carries no temp paths).
+    Q("sink_report",
+      (s, d) => {
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("graft_rep")
+        val oldD = root.resolve("old"); val newD = root.resolve("new")
+        java.nio.file.Files.createDirectories(oldD)
+        java.nio.file.Files.createDirectories(newD)
+        java.nio.file.Files.writeString(oldD.resolve("Trade_V202301.csv"),
+          "a,b\n1,2\n")
+        java.nio.file.Files.writeString(newD.resolve("Trade_V202401.csv"),
+          "a,c\n1,x\n2,y\n")
+        java.nio.file.Files.writeString(oldD.resolve("Gone_V202301.csv"),
+          "z\n0\n")
+        java.nio.file.Files.writeString(newD.resolve("Born_V202401.csv"),
+          "q\n9\n")
+        def read(p: String) = s.read.option("header", "true")
+          .option("inferSchema", "true").csv(p)
+        val (fd, pc) = graft.ingest.Pipelines.assessChanges(s,
+          oldD.toString, newD.toString, read)
+        val cs = Seq(("country", "added", "CHL"),
+          ("species", "removed", "herring"))
+          .toDF("entity", "direction", "value")
+        graft.ingest.Report.changelog(fd, pc, cs)
+          .split("\n", -1).toSeq.zipWithIndex
+          .map { case (l, i) => (i.toLong, l) }
+          .toDF("line_no", "line")
+      },
+      None), // oracle comes from the generated Golden map
+
     // src_html + xpath_extract + the full scrape chain
     // (`scrape_newest_baci_data.R:20-41`): XPath anchor extraction →
     // NA filter → regex filter → absolutize → dedup; golden oracle.

@@ -46,6 +46,26 @@ class PlanSpec extends SparkFunSuite {
       "signature persist() lost — corpus would be re-hashed per branch")
   }
 
+  test("join_range: equi-shuffle on user_id, range as join condition") {
+    val p = plan("join_range")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "interval join degraded to nested-loop/cartesian:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sim_neardup_cos: vectors never ride the LSH self-join shuffle") {
+    val p = plan("sim_neardup_cos")
+    assert(p.contains("InMemoryTableScan"),
+      "scalar bucket frame persist() lost")
+    // the persisted/self-joined frame must be (vec_id, table, bucket)
+    // scalars only — an embedding column there means full vectors shuffle
+    val cached = p.linesIterator.filter(_.contains("InMemoryTableScan"))
+    assert(cached.forall(!_.contains("embedding")),
+      "embedding column leaked into the bucket self-join frame")
+  }
+
   test("proj_select reads only the projected columns") {
     val p = plan("proj_select")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"))
