@@ -136,6 +136,40 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
     copy(child = newChild)
 }
 
+/** 0-based index of the first position where two int arrays agree; -1 if
+  * none. The LSH pair-dedup primitive: a candidate pair colliding in
+  * several hash tables is emitted only from the FIRST agreeing table
+  * (`firstAgree(a.buckets, b.buckets) = table`), so pairs are born
+  * unique and no distinct-shuffle over the candidate volume is needed.
+  */
+case class FirstAgreeIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_first_agree"
+
+  def compute(l: ArrayData, r: ArrayData): Int = {
+    val n = math.min(l.numElements(), r.numElements())
+    var i = 0
+    while (i < n) {
+      if (l.getInt(i) == r.getInt(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fa", this, classOf[FirstAgreeIndex].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FirstAgreeIndex = copy(left = newLeft, right = newRight)
+}
+
 /** Dot product of two numeric arrays (double accumulation). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

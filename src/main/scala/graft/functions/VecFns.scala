@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.Shim
-import graft.expressions.{CosineSim, DotProduct, HyperplaneBuckets}
+import graft.expressions.{CosineSim, DotProduct, FirstAgreeIndex, HyperplaneBuckets}
 
 /** Vector math over `ArrayType` embedding columns, backed by native
   * Catalyst expressions (graft.expressions.VectorExprs): one primitive
@@ -31,4 +31,10 @@ object VecFns {
   def hyperplaneBucketsAll(v: Column, dim: Int, planes: Int, tables: Int,
                            seed: Long): Column =
     Shim.column(HyperplaneBuckets(Shim.expression(v), dim, planes, tables, seed))
+
+  /** 0-based first index where two int arrays agree; -1 if none
+    * (LSH first-collision pair dedup).
+    */
+  def firstAgree(a: Column, b: Column): Column =
+    Shim.column(FirstAgreeIndex(Shim.expression(a), Shim.expression(b)))
 }

@@ -140,8 +140,9 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
-    * within-bucket candidate pairs → distinct → exact cosine filter. The
-    * dedup-by-embedding path of the training-data pipeline.
+    * within-bucket candidate pairs (first-collision emission) → exact
+    * cosine filter. The dedup-by-embedding path of the training-data
+    * pipeline.
     *
     * Shuffle shape (same discipline as Dedup.minhashPairs): buckets are
     * computed in one narrow pass and the embeddings dropped immediately,
@@ -149,26 +150,68 @@ object Similarity {
     * scalars — vectors never ride the LSH shuffle. Each surviving pair
     * is scored exactly once (dedup BEFORE cosine, not after), with the
     * two embeddings joined back by id at the end.
+    *
+    * Skew guard: a bucket larger than `maxBucketSize` would do an n²
+    * self-join in one task (the classic LSH mega-bucket pathology —
+    * thousands of near-identical embeddings sharing every bucket).
+    * Instead of dropping such buckets, members are split into
+    * ceil(n/maxBucketSize) deterministic sub-buckets (hash of vec_id)
+    * and pairs generate only within a sub-bucket: per-task work is
+    * bounded by maxBucketSize² regardless of corpus skew, and
+    * cross-sub-bucket pairs usually resurface via one of the other
+    * `tables` hash tables (documented recall trade inside mega-buckets).
+    *
+    * Parameterization: candidate volume is Σ bucket_size² per table, so
+    * `planes` must grow with corpus size/clusteredness — for a ≥0.99
+    * cosine threshold the per-plane miss probability of a true pair is
+    * ~θ/π ≈ 0.3%, so even 16 planes × 6 tables keeps recall ≈ 1 while
+    * cutting false candidates ~64× vs 10 planes. Rule of thumb:
+    * planes ≈ log2(corpus / desired_mean_bucket).
+    *
+    * Precision guard: clustered corpora put many same-cluster (but
+    * below-threshold) vectors in shared buckets — bucket planes can't
+    * separate a 10° neighbor from a 2° near-dup. Each row therefore
+    * carries an independent 64-plane sign sketch (8 bytes), and a
+    * candidate pair must pass a Hamming prefilter derived from the
+    * threshold angle (E[flipped bits] = 64·θ/π; the cutoff is
+    * ~mean + 3σ, so true-pair recall stays ≈ 1) BEFORE the distinct and
+    * the embedding joins — false candidates die while still scalar.
     */
   def cosineNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
-                         planes: Int = 10, tables: Int = 6,
+                         planes: Int = 16, tables: Int = 6,
                          seed: Long = 42L,
                          maxBucketSize: Int = 2000): DataFrame = {
-    val b = corpus.select(col("vec_id"),
+    // Hamming cutoff from the threshold angle over 64 sketch planes:
+    // E[flips] = 64·acos(t)/π, σ ≈ sqrt(E) → cut at ~2E+2 ≈ mean+3σ.
+    val expFlips = 64.0 * math.acos(math.min(1.0, threshold)) / math.Pi
+    val hammingCut = math.ceil(expFlips).toInt * 2 + 2
+    val sig = VecFns.hyperplaneBucketsAll(col("embedding"), dim,
+      planes = 32, tables = 2, seed = seed * 6364136223846793005L + 1442695040888963407L)
+    val b = corpus.select(col("vec_id"), sig.as("sig"),
       posexplode(VecFns.hyperplaneBucketsAll(col("embedding"), dim,
         planes, tables, seed)))
-      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
+      .select(col("vec_id"), col("sig"),
+        col("pos").as("table"), col("col").as("bucket"))
     val capped = b.withColumn("n",
       count(lit(1)).over(Window.partitionBy("table", "bucket")))
-      .filter(col("n") <= maxBucketSize).drop("n")
+      .withColumn("sub",
+        when(col("n") <= maxBucketSize, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")),
+            ceil(col("n") / maxBucketSize).cast("long"))))
+      .drop("n")
       // both self-join sides read this scalar-only frame; persist avoids
       // re-bucketing the corpus (checkpoint at 100 TB)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = capped.select(col("table"), col("bucket"),
-        col("vec_id").as("id_a"))
-      .join(capped.select(col("table"), col("bucket"),
-        col("vec_id").as("id_b")), Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    def hamming(a: org.apache.spark.sql.Column, b2: org.apache.spark.sql.Column) =
+      bit_count(element_at(a, 1).bitwiseXOR(element_at(b2, 1))) +
+        bit_count(element_at(a, 2).bitwiseXOR(element_at(b2, 2)))
+    val pairs = capped.select(col("table"), col("bucket"), col("sub"),
+        col("vec_id").as("id_a"), col("sig").as("sa"))
+      .join(capped.select(col("table"), col("bucket"), col("sub"),
+        col("vec_id").as("id_b"), col("sig").as("sb")),
+        Seq("table", "bucket", "sub"))
+      .filter(col("id_a") < col("id_b") &&
+        hamming(col("sa"), col("sb")) <= hammingCut)
       .select("id_a", "id_b").distinct()
     val emb = corpus.select(col("vec_id"), col("embedding"))
     pairs

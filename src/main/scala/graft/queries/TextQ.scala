@@ -199,6 +199,62 @@ object TextQ {
       },
       None),
 
+    // corpus_clean [EXT]: the end-to-end training-corpus cleaning
+    // pipeline a data-pipeline user actually runs — language filter →
+    // quality gate → exact dedup (min-id per normalized fingerprint).
+    // One narrow pass computes all three signals (codegen'd expressions),
+    // then a single groupBy(fingerprint) shuffle dedups; at 100 TB this
+    // is one scan + one shuffle of (fp, doc_id) scalars.
+    Q("corpus_clean",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFns.langId(col("text")).as("lang_pred"),
+          TextFns.qualityScore(col("text")).as("quality"),
+          TextFns.fingerprint(col("text")).as("fp"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""WITH sig AS (
+             SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS fp,
+               len(regexp_extract_all(text,
+                 '(?i)\b(der|die|und|das|ist|von|mit|den|nicht|ein)\b')) AS de,
+               len(regexp_extract_all(text,
+                 '(?i)\b(the|and|of|to|in|is|that|it|for|was)\b')) AS en,
+               len(regexp_extract_all(text,
+                 '(?i)\b(el|la|de|que|y|los|del|las|por|una)\b')) AS es,
+               len(regexp_extract_all(text,
+                 '(?i)\b(le|la|et|les|des|en|un|du|une|est)\b')) AS fr,
+               len(regexp_extract_all(text, '[一-鿿]')) AS zh,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+               len(regexp_extract_all(text,
+                 '(?i)\b(the|and|of|to|in|is|that|it|for|was)\b')) AS n_stop
+             FROM documents),
+             scored AS (
+             SELECT doc_id, fp,
+               CASE
+                 WHEN greatest(de,en,es,fr,zh) > 0 AND de = greatest(de,en,es,fr,zh) THEN 'de'
+                 WHEN greatest(de,en,es,fr,zh) > 0 AND en = greatest(de,en,es,fr,zh) THEN 'en'
+                 WHEN greatest(de,en,es,fr,zh) > 0 AND es = greatest(de,en,es,fr,zh) THEN 'es'
+                 WHEN greatest(de,en,es,fr,zh) > 0 AND fr = greatest(de,en,es,fr,zh) THEN 'fr'
+                 WHEN greatest(de,en,es,fr,zh) > 0 AND zh = greatest(de,en,es,fr,zh) THEN 'zh'
+                 ELSE 'und' END AS lang_pred,
+               round(least(n_chars/500.0, 1.0)
+                 * (CASE WHEN (CASE WHEN n_chars > 0
+                     THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END) < 0.2
+                    THEN 1.0 ELSE 0.5 END)
+                 * (CASE WHEN (CASE WHEN n_words > 0
+                     THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0 END) > 0.0
+                    THEN 1.0 ELSE 0.7 END), 4) AS quality
+             FROM sig)
+             SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+             FROM scored
+             WHERE lang_pred = 'en' AND quality >= 0.5
+             GROUP BY fp""")),
+
     // multimodal_meta [EXT]: opaque-binary column plumbing — bytes are
     // first-class (byte length + header hex of the payload); the
     // decode/feature-extract stage lives in graft.multimodal (stubbed,

@@ -21,6 +21,34 @@ object ScaleProbe {
       val n = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SCALE mult=$mult%2d docs=${5000 * mult}%7d pairs=$n%9d time=$dt%7.1fs")
+      spark.catalog.clearCache()
+    }
+    // cosine near-dup: replicate embeddings with per-replica first-component
+    // nudges — replica groups are mutual near-dups, so pair output grows
+    // quadratically in mult while the corpus grows linearly (same stress
+    // shape as the MinHash probe above).
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val embN = emb.count()
+    for (mult <- Seq(1, 5, 20)) {
+      val corpus = (0 until mult).map { m =>
+        emb.select(($"vec_id" + lit(m * 10000000L)).as("vec_id"),
+          transform($"embedding",
+            (x, i) => when(i === 0, x + lit(0.001f * m)).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+        // materialize: the operator reads its corpus 3× (bucket pass +
+        // two id joins); in production that's a parquet re-scan, here it
+        // would re-run the interpreted perturbation lambda — cache it so
+        // the probe times the operator, not fixture reconstruction
+        .persist()
+      corpus.count()
+      val t0 = System.nanoTime()
+      val n = graft.operators.Similarity
+        .cosineNearDupPairs(corpus, dim = 64, threshold = 0.999).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"COSINE mult=$mult%2d vecs=${embN * mult}%7d pairs=$n%9d time=$dt%7.1fs")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
