@@ -80,18 +80,27 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // Guardrail: drop degenerate mega-buckets before the quadratic join.
-    // The count window clusters by the join key, so the subsequent
-    // self-join reuses the same exchange.
+    // Guardrail: a band-bucket larger than maxBucketSize would self-join
+    // n² in one task. Members are split into ceil(n/maxBucketSize)
+    // deterministic hash sub-buckets and pairs generate only within a
+    // sub-bucket — per-task work bounded by maxBucketSize² with no
+    // whole-bucket recall cliff (cross-sub-bucket pairs usually
+    // resurface via one of the other `bands`). The count window
+    // clusters by the join key, so the self-join reuses the exchange.
     val capped = banded
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= maxBucketSize)
+      .withColumn("sub",
+        when(col("bucket_n") <= maxBucketSize, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")),
+            ceil(col("bucket_n") / maxBucketSize).cast("long"))))
       .drop("bucket_n")
 
-    val pairs = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
+    val pairs = capped.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("id_b")),
+        Seq("band", "bucket", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct() // score each pair once, not once per colliding band
@@ -120,14 +129,20 @@ object Dedup {
         i => call_function("shiftrightunsigned", col("sh"), i * 8)
           .bitwiseAND(lit(0xffL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    // same sub-bucket guardrail as minhashPairs: bounded per-task n²
+    // instead of a whole-bucket recall cliff
     val capped = chunked
       .withColumn("n", count(lit(1)).over(Window.partitionBy("chunk", "key")))
-      .filter(col("n") <= maxBucketSize).drop("n")
-    val a = capped.select(col("chunk"), col("key"),
+      .withColumn("sub",
+        when(col("n") <= maxBucketSize, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")),
+            ceil(col("n") / maxBucketSize).cast("long"))))
+      .drop("n")
+    val a = capped.select(col("chunk"), col("key"), col("sub"),
       col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("chunk"), col("key"),
+    val b = capped.select(col("chunk"), col("key"), col("sub"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "key"))
+    a.join(b, Seq("chunk", "key", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
