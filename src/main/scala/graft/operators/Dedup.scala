@@ -169,6 +169,51 @@ object Dedup {
           Shim.expression(col("sh_b")))).as("jaccard"))
   }
 
+  /** Cross-corpus MinHash contamination check — the train/test-overlap
+    * detector of an LLM data pipeline: which `right` documents (e.g. an
+    * eval benchmark) near-duplicate a `left` document (the training
+    * corpus)? Same banding discipline as `minhashPairs`, but the band
+    * join runs BETWEEN the two corpora, so cost is governed by shared
+    * buckets, not |left|·|right|. Only (band, bucket, id) scalars
+    * shuffle; each surviving (left_id, right_id) pair is signature-
+    * scored once.
+    *
+    * At 100 TB: the benchmark side is typically tiny — its banded frame
+    * broadcast-joins against the training side's, making candidate
+    * generation a narrow pass over the big corpus.
+    */
+  def crossMinhashPairs(left: DataFrame, right: DataFrame,
+                        idCol: String, textCol: String,
+                        bands: Int = 16, rowsPerBand: Int = 4, n: Int = 3,
+                        threshold: Double = 0.5, seed: Long = 42L,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    def banded(df: DataFrame, side: String) = {
+      val sigs = df.select(col(idCol).as(s"${side}_id"),
+        minhashSignature(col(textCol), k, n, seed).as(s"${side}_sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bd = sigs.select(col(s"${side}_id"),
+        posexplode(Shim.column(BandHashes(
+          Shim.expression(col(s"${side}_sig")), bands, rowsPerBand))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        .filter(col("bn") <= maxBucketSize).drop("bn")
+      (sigs, bd)
+    }
+    val (lSigs, lBand) = banded(left, "left")
+    val (rSigs, rBand) = banded(right, "right")
+    val pairs = lBand.join(rBand, Seq("band", "bucket"))
+      .select("left_id", "right_id").distinct()
+    pairs
+      .join(lSigs, "left_id")
+      .join(rSigs, "right_id")
+      .select(col("left_id"), col("right_id"),
+        sigSimilarity(col("left_sig"), col("right_sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Exact dedup: keep the minimum id per distinct key expression. */
   def exactByKey(df: DataFrame, idCol: String, key: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus balancing (SURVEY.md §2 [EXT]
+  * training-data pipeline).
+  *
+  * `df.sample`/`sampleBy` draw from `rand()`, which is evaluated per
+  * task attempt — a retried or re-partitioned stage yields a DIFFERENT
+  * sample, so a 100 TB job that loses one executor produces a corpus
+  * nobody can reproduce. These operators decide membership by hashing
+  * row CONTENT (the id column) with the seed: the same row lands in the
+  * same sample on every run, every cluster size, every retry — the same
+  * reasoning as SkewJoin's deterministic salt.
+  */
+object Sampling {
+
+  /** Keep a row iff hash(id, seed) mod 1e6 < fraction·1e6 — a
+    * content-addressed Bernoulli sample at `fraction`.
+    */
+  def deterministicSample(df: DataFrame, idCol: Column, fraction: Double,
+                          seed: Long = 42L): DataFrame =
+    df.filter(bucket1M(idCol, seed) < (fraction * 1e6).toLong)
+
+  /** Per-stratum fractions (corpus balancing: e.g. downsample the
+    * dominant language). Strata absent from `fractions` are dropped,
+    * matching `DataFrameStatFunctions.sampleBy` semantics.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: Column, idCol: Column,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame = {
+    val frac = fractions.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, f)) => when(strataCol === k, lit(f)).otherwise(acc)
+    }
+    df.filter(frac.isNotNull &&
+      bucket1M(idCol, seed) < (frac * 1e6).cast("long"))
+  }
+
+  private def bucket1M(idCol: Column, seed: Long): Column =
+    pmod(xxhash64(idCol, lit(seed)), lit(1000000L))
+}

@@ -199,6 +199,53 @@ object TextQ {
       },
       None),
 
+    // dedup_contain [EXT]: train/test contamination — which "benchmark"
+    // docs (perturbed copies of every 25th doc, simulating leaked eval
+    // items) near-duplicate a training doc. Cross-corpus MinHash join;
+    // golden VALUES oracle (deterministic seeded sketches).
+    Q("dedup_contain",
+      (s, d) => {
+        val train = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val bench = train.filter(col("doc_id") % 25 === 0).select(
+          (col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("Q: "), col("text")).as("text"))
+        Dedup.crossMinhashPairs(train, bench, "doc_id", "text",
+          threshold = 0.35)
+          .select(col("left_id"), col("right_id"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+      },
+      None),
+
+    // corpus_sample [EXT]: deterministic content-hash stratified sampling
+    // for corpus balancing — unlike rand()-based sampleBy, the same rows
+    // are kept on every run/retry/cluster size. Golden VALUES oracle
+    // (DuckDB has no xxhash64; membership is pinned instead).
+    Q("corpus_sample",
+      (s, d) => graft.operators.Sampling.stratifiedSample(
+        t(s, d, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25))
+        .select("doc_id", "lang"),
+      None),
+
+    // text_stats [EXT]: corpus token-count distribution — count, mean,
+    // exact interpolated percentiles (identical interpolation rule in
+    // Spark `percentile` and DuckDB `quantile_cont`).
+    Q("text_stats",
+      (s, d) => t(s, d, "documents")
+        .select(TextFns.wsTokenCount(col("text")).as("n_ws"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_ws"), 4).as("mean_tokens"),
+          round(expr("percentile(n_ws, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_ws, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_ws, 0.99)"), 4).as("p99")),
+      Some("""SELECT count(*) AS n_docs,
+             round(avg(n_ws), 4) AS mean_tokens,
+             round(quantile_cont(n_ws, 0.5), 4) AS p50,
+             round(quantile_cont(n_ws, 0.9), 4) AS p90,
+             round(quantile_cont(n_ws, 0.99), 4) AS p99
+             FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS n_ws
+                   FROM documents)""")),
+
     // corpus_clean [EXT]: the end-to-end training-corpus cleaning
     // pipeline a data-pipeline user actually runs — language filter →
     // quality gate → exact dedup (min-id per normalized fingerprint).

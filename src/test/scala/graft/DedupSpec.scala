@@ -53,6 +53,20 @@ class DedupSpec extends SparkFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("crossMinhashPairs: contaminated bench docs pair with train only") {
+    val train = corpus
+    val bench = Seq(
+      (100L, "Q: " + base),            // leaked copy of train doc 1
+      (101L, "entirely novel benchmark question about astronomy and " +
+        "the formation of spiral galaxies in the early universe epochs")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossMinhashPairs(train, bench, "doc_id", "text",
+      threshold = 0.3)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((1L, 100L)))
+    assert(!hits.exists(_._2 == 101L))
+  }
+
   test("est_jaccard tracks exact jaccard within MinHash error") {
     val cand = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.3)
     val verified = Dedup.jaccardVerify(cand, corpus, "doc_id", "text")
