@@ -179,6 +179,58 @@ object Relational {
                AND b.ts <= a.ts + INTERVAL 5 MINUTE
              GROUP BY a.event_type""")),
 
+    // join_bucketed [EXT]: the write-once-shuffle-never pattern for a
+    // fact table joined on the same key every run — both sides bucketed
+    // by custkey at write time (paying the shuffle once), the join then
+    // plans SortMergeJoin straight over bucket files with zero Exchange
+    // (asserted in PlanSpec/BucketingSpec). Result must equal the plain
+    // join, which is what the oracle checks.
+    Q("join_bucketed",
+      (s, d) => {
+        graft.operators.Bucketing.writeBucketed(
+          t(s, d, "orders").select("o_custkey", "o_totalprice"),
+          "g_bkt_orders", "o_custkey", buckets = 8)
+        graft.operators.Bucketing.writeBucketed(
+          t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")),
+          "g_bkt_customer", "o_custkey", buckets = 8)
+        graft.operators.Bucketing.colocatedJoin(s, "g_bkt_orders",
+          "g_bkt_customer", "o_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             round(sum(o_totalprice), 2) AS revenue
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment""")),
+
+    // join_asof [EXT]: as-of join — each event picks up the most recent
+    // checkpoint (every-97th event, acting as a per-user rate table) with
+    // checkpoint.ts <= event.ts. Implemented union+window (ONE shuffle of
+    // the merged per-user timeline, no range-join blowup); the oracle is
+    // DuckDB's native ASOF LEFT JOIN, so the semantics are pinned against
+    // an independent implementation.
+    Q("join_asof",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          Cols.toMillis(col("ts")).as("ts"), col("value"))
+        val cp = ev.filter(col("event_id") % 97 === 0)
+          .select(col("user_id"), col("ts"), col("value").as("rate"))
+        graft.operators.AsofJoin.asofJoin(
+          ev.select("event_id", "user_id", "ts"), cp,
+          keyCols = Seq("user_id"), timeCol = "ts", payload = Seq("rate"))
+          .select(col("event_id"), col("user_id"),
+            round(col("rate"), 2).as("rate"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+               date_trunc('millisecond', ts) AS ts, value FROM events),
+             cp AS (SELECT user_id, ts, value AS rate FROM e
+               WHERE event_id % 97 = 0)
+             SELECT e.event_id, e.user_id, round(cp.rate, 2) AS rate
+             FROM e ASOF LEFT JOIN cp
+               ON e.user_id = cp.user_id AND e.ts >= cp.ts""")),
+
     // join_salted [EXT]: skew-mitigated equi-join (hot-key scatter +
     // dim replication, SkewJoin.saltedJoin) — result must equal the
     // plain join, which is exactly what the oracle checks.

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics: latest right row with rt <= lt per key, ties
+  * match, no prior row → NULL, keys never cross.
+  */
+class AsofJoinSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("asofJoin: hand-checked timeline") {
+    val quotes = Seq( // (sym, t, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)
+    ).toDF("sym", "t", "px")
+    val trades = Seq( // (sym, t, qty)
+      ("A", 5L, 100L),  // before any quote -> null
+      ("A", 10L, 101L), // tie -> 1.0
+      ("A", 25L, 102L), // -> 2.0
+      ("A", 99L, 103L), // -> 3.0
+      ("B", 20L, 104L), // -> 9.0 (A quotes invisible)
+      ("C", 50L, 105L)  // no quotes for key -> null
+    ).toDF("sym", "t", "qty")
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", Seq("px"))
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      100L -> None, 101L -> Some(1.0), 102L -> Some(2.0),
+      103L -> Some(3.0), 104L -> Some(9.0), 105L -> None))
+  }
+
+  test("asofJoin plans one shuffle (union+window, no range join)") {
+    val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "t", "px")
+    val trades = Seq(("A", 25L, 102L)).toDF("sym", "t", "qty")
+    val plan = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not plan a join:\n" + plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly one key shuffle, got $exchanges")
+  }
+}

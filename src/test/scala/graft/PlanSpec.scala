@@ -66,6 +66,17 @@ class PlanSpec extends SparkFunSuite {
       "embedding column leaked into the bucket self-join frame")
   }
 
+  test("join_bucketed: scans use buckets (shuffle paid at write time)") {
+    val p = plan("join_bucketed")
+    assert(p.contains("Bucketed: true"), "join not reading bucket files")
+  }
+
+  test("join_asof: union+window, never a join operator") {
+    val p = plan("join_asof")
+    assert(!p.contains("Join"), "as-of degraded to a join:\n" + p.take(1500))
+    assert(p.contains("Window"))
+  }
+
   test("proj_select reads only the projected columns") {
     val p = plan("proj_select")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"))
