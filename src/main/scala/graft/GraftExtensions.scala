@@ -48,6 +48,7 @@ object GraftExtensions {
     "graft_simhash64" -> (a => SimHash64(a(0))),
     "graft_hyperplane_buckets" -> (a => HyperplaneBuckets(
       a(0), intLit(a(1)), intLit(a(2)), intLit(a(3)), longLit(a(4)))),
+    "graft_first_agree" -> (a => FirstAgreeIndex(a(0), a(1))),
   )
 
   /** Runtime registration on an existing session. */

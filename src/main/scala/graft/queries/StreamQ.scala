@@ -85,6 +85,31 @@ object StreamQ {
                user_id, count(*) AS n, round(sum(value), 2) AS sum_v
              FROM s GROUP BY user_id, sess""")),
 
+    // stream_join: stream-stream interval join (batch twin; the true
+    // two-watermark streaming path is EventStreams.intervalJoin driven
+    // by MemoryStream in StreamingSpec). Aggregated per event_type so
+    // the oracle stays compact.
+    Q("stream_join",
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("ts",
+          graft.functions.Cols.toMillis(col("ts")))
+        graft.streaming.EventStreams.intervalJoin(ev)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("b_value"), 2).as("sum_v"))
+      },
+      Some("""SELECT a.event_type, count(*) AS n,
+             round(sum(b.value), 2) AS sum_v
+             FROM (SELECT user_id, event_id,
+                   date_trunc('millisecond', ts) AS ts, event_type
+                   FROM events) a
+             JOIN (SELECT user_id, event_id,
+                   date_trunc('millisecond', ts) AS ts, value
+                   FROM events) b
+               ON a.user_id = b.user_id
+               AND b.ts > a.ts
+               AND b.ts <= a.ts + INTERVAL 5 MINUTE
+             GROUP BY a.event_type""")),
+
     // stream_stateful: custom per-user state via flatMapGroupsWithState
     // (graft.streaming.EventStreams.runningUserState). In batch mode the
     // running state degenerates to final per-user totals, which the

@@ -47,6 +47,29 @@ object EventStreams {
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each event pairs with follow-up
+    * events of the same user inside `horizon` (the streaming twin of
+    * Relational's `join_range`). Both sides carry watermarks and the
+    * join condition bounds the time range in BOTH directions — the two
+    * constraints Structured Streaming needs to reclaim buffered rows;
+    * without them, stream-stream join state grows without bound.
+    */
+  def intervalJoin(events: DataFrame, watermark: String = "10 minutes",
+                   horizon: String = "5 minutes"): DataFrame = {
+    val a = events.select(col("user_id"), col("event_id").as("a_id"),
+      col("ts").as("a_ts"), col("event_type"))
+      .withWatermark("a_ts", watermark)
+    val b = events.select(col("user_id").as("b_user"),
+      col("event_id").as("b_id"), col("ts").as("b_ts"),
+      col("value").as("b_value"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("event_type"), col("a_id"), col("b_id"), col("b_value"))
+  }
+
   /** Per-user running aggregate state. */
   final case class UserState(n: Long, sum: Double)
   /** One emitted update per user per trigger. */

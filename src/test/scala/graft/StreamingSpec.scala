@@ -58,6 +58,29 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events incrementally") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.intervalJoin(in.toDF(), watermark = "30 minutes",
+      horizon = "5 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(ts(0), 1, 1, "click", 1.0),
+        Ev(ts(3), 2, 1, "view", 2.0),   // within 5 min of id 1
+        Ev(ts(10), 3, 1, "view", 4.0),  // outside id 1+2's horizon
+        Ev(ts(2), 4, 2, "click", 8.0))  // other user — never pairs
+      q.processAllAvailable()
+      in.addData(Ev(ts(12), 5, 1, "click", 16.0)) // within 5 min of id 3
+      q.processAllAvailable()
+      val pairs = spark.table(name).select("a_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 2L), (3L, 5L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across triggers") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Ev]
