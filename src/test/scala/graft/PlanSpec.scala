@@ -66,6 +66,14 @@ class PlanSpec extends SparkFunSuite {
       "embedding column leaked into the bucket self-join frame")
   }
 
+  test("corpus_clean: one scan, one shuffle, map-side partial agg") {
+    val p = plan("corpus_clean")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single documents scan, got $scans")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "fingerprint dedup lost its map-side partial aggregation")
+  }
+
   test("join_bucketed: scans use buckets (shuffle paid at write time)") {
     val p = plan("join_bucketed")
     assert(p.contains("Bucketed: true"), "join not reading bucket files")
