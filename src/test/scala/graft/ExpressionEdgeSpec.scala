@@ -47,6 +47,25 @@ class ExpressionEdgeSpec extends SparkFunSuite {
     assert(r.toSeq === Seq(0.0, 1.0, 0.0))
   }
 
+  test("FirstAgreeIndex: first match, no match → -1, empty/mismatched → -1") {
+    val r = Seq(
+      (Seq(1, 2, 3), Seq(9, 2, 3)),   // first agree at 1
+      (Seq(1, 2, 3), Seq(1, 2, 3)),   // 0
+      (Seq(1, 2, 3), Seq(4, 5, 6)),   // none → -1
+      (Seq.empty[Int], Seq(1, 2)),    // empty → -1
+      (Seq(7), Seq(9, 7)))            // min-length compare → -1
+      .toDF("a", "b")
+      .select(graft.functions.VecFns.firstAgree(col("a"), col("b")))
+      .as[Int].collect()
+    assert(r.toSeq === Seq(1, 0, -1, -1, -1))
+    // null propagates
+    val n = Seq((Option.empty[Seq[Int]], Some(Seq(1))))
+      .toDF("a", "b")
+      .select(graft.functions.VecFns.firstAgree(col("a"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("SigAgreement tolerates length mismatch via min-length compare") {
     val r = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)))
       .toDF("a", "b")
