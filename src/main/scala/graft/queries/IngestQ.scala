@@ -401,6 +401,48 @@ object IngestQ {
              ('missing.zip', false, 3, CAST(0 AS BIGINT)))
              AS t(file, ok, attempts, bytes)""")),
 
+    // sink_parquet [EXT]: partitioned parquet write with small-file
+    // discipline — repartition by the partition column BEFORE the write
+    // so each partition directory gets ONE file instead of one per task
+    // (the classic small-file explosion at 100 TB: tasks × partitions
+    // files). Read back and re-aggregate; oracle = the same aggregate
+    // straight from the source table.
+    Q("sink_parquet",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_pq")
+          .resolve("docs_by_lang").toString
+        t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          .repartition(col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        val files = s.read.parquet(out)
+        files.groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+             FROM documents GROUP BY lang""")),
+
+    // src_evolve [EXT]: schema-evolution read — two parquet "versions"
+    // with drifted schemas (v2 adds a column) union under mergeSchema,
+    // old rows null-filled; the everyday shape of reading a years-deep
+    // versioned lake. Golden VALUES oracle.
+    Q("src_evolve",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "name", "score")
+          .write.mode("overwrite").parquet(s"$dir/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/v1", s"$dir/v2")
+          .select("id", "name", "score")
+      },
+      Some("""SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), 'a', CAST(NULL AS INT)),
+             (2, 'b', CAST(NULL AS INT)),
+             (3, 'c', 30), (4, 'd', 40)) AS t(id, name, score)""")),
+
     // sink_report (`assess_changes.qmd:249-258`): the changelog rendered
     // as markdown over the EP2+EP3 frames — emitted as (line_no, line)
     // rows so the report itself is oracle-checkable (golden VALUES; the
