@@ -246,6 +246,22 @@ object TextQ {
              FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS n_ws
                    FROM documents)""")),
 
+    // text_stats_approx [EXT]: the 100 TB variant of text_stats —
+    // approx_percentile is partially aggregatable (a fixed-size sketch
+    // merges map-side, so per-group memory is constant), unlike exact
+    // percentile which buffers each group. Per-language distribution;
+    // sketch internals differ from DuckDB → golden VALUES oracle.
+    Q("text_stats_approx",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), TextFns.wsTokenCount(col("text")).as("n_ws"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("approx_percentile(n_ws, array(0.5, 0.9), 1000)").as("p"))
+        .select(col("lang"), col("n_docs"),
+          element_at(col("p"), 1).as("p50"),
+          element_at(col("p"), 2).as("p90")),
+      None), // oracle comes from the generated Golden map
+
     // corpus_clean [EXT]: the end-to-end training-corpus cleaning
     // pipeline a data-pipeline user actually runs — language filter →
     // quality gate → exact dedup (min-id per normalized fingerprint).
