@@ -95,6 +95,28 @@ object TextFns {
     md5(to_binary(
       trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), lit("utf-8")))
 
+  /** Strip HTML/XML tags and entities, collapse the leftover whitespace —
+    * the boilerplate-removal first pass over scraped corpora. Pure
+    * codegen'd regexp_replace chain (RE2-compatible patterns).
+    */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "<[^>]*>", " "),
+        "&[a-zA-Z]{2,6};|&#[0-9]{1,5};", " "),
+      "\\s+", " "))
+
+  /** Redact common PII (emails, international-ish phone numbers) with
+    * typed placeholders — the privacy-scrub stage of a training-data
+    * pipeline. Deliberately conservative patterns; a production deploy
+    * layers NER on top, but the regex tier catches the structured 90%.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{2,4}[-. ][0-9]{2,6}", "<PHONE>")
+
   /** Winnowing (rolling-hash) fingerprint set over the normalized text —
     * position-robust partial-overlap detection (the MOSS scheme): any
     * shared run of ≳ k+w characters yields shared fingerprints at any

@@ -246,6 +246,56 @@ object TextQ {
              FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS n_ws
                    FROM documents)""")),
 
+    // text_scrub [EXT]: boilerplate strip + PII redaction over a corpus
+    // with planted HTML/emails/phones (synthetic docs are clean text, so
+    // the fixtures are injected deterministically per doc_id). Oracle
+    // replays the same RE2-compatible regex chain in DuckDB.
+    Q("text_scrub",
+      (s, d) => {
+        val dirty = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0,
+              lit("<div class=\"x\"><p>Contact: bob.smith+a@example.org</p></div> "))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit(" call +1 555 0100 9999 &amp; write&#33;"))
+              .otherwise(lit(""))).as("text"))
+        dirty.select(col("doc_id"),
+          TextFns.redactPii(TextFns.stripHtml(col("text"))).as("clean"))
+          .filter(col("clean").contains("<EMAIL>") ||
+            col("clean").contains("<PHONE>"))
+          .select(col("doc_id"),
+            length(col("clean")).as("n_chars"),
+            substring(col("clean"), 1, 40).as("head"))
+      },
+      Some("""WITH dirty AS (SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0
+                 THEN '<div class="x"><p>Contact: bob.smith+a@example.org</p></div> '
+                 ELSE '' END)
+               || text ||
+               (CASE WHEN doc_id % 4 = 0
+                 THEN ' call +1 555 0100 9999 &amp; write&#33;'
+                 ELSE '' END) AS text
+             FROM documents),
+             cleaned AS (SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                       '&[a-zA-Z]{2,6};|&#[0-9]{1,5};', ' ', 'g'),
+                     '\s+', ' ', 'g')),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{2,4}[-. ][0-9]{2,6}',
+                 '<PHONE>', 'g') AS clean
+             FROM dirty)
+             SELECT doc_id, length(clean) AS n_chars,
+               substring(clean, 1, 40) AS head
+             FROM cleaned
+             WHERE clean LIKE '%<EMAIL>%' OR clean LIKE '%<PHONE>%'""")),
+
     // text_stats_approx [EXT]: the 100 TB variant of text_stats —
     // approx_percentile is partially aggregatable (a fixed-size sketch
     // merges map-side, so per-group memory is constant), unlike exact

@@ -71,4 +71,20 @@ class TextFnsSpec extends SparkFunSuite {
       .as[(Double, Double)].head()
     assert(r === ((0.0, 0.0)))
   }
+
+  test("stripHtml removes tags and entities, collapses whitespace") {
+    val r = Seq("<div class=\"a\"><p>Hello &amp; welcome!</p></div>  <br/>bye")
+      .toDF("t").select(TextFns.stripHtml($"t")).as[String].head()
+    assert(r === "Hello welcome! bye")
+  }
+
+  test("redactPii replaces emails and phones with typed placeholders") {
+    val r = Seq("mail a.b+c@x-corp.io or call +44 20 7946 0958 today")
+      .toDF("t").select(TextFns.redactPii($"t")).as[String].head()
+    assert(r === "mail <EMAIL> or call <PHONE> today")
+    // clean text untouched
+    val clean = Seq("no pii here at all").toDF("t")
+      .select(TextFns.redactPii($"t")).as[String].head()
+    assert(clean === "no pii here at all")
+  }
 }
