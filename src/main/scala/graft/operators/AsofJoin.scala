@@ -34,6 +34,12 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                timeCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collisions = payload.intersect(leftCols)
+    require(collisions.isEmpty,
+      s"payload columns ${collisions.mkString(", ")} already exist on the " +
+        "left side — alias them on the right frame first")
+    require(!leftCols.contains("_side") && !right.columns.contains("_side"),
+      "_side is reserved by asofJoin")
     // side: right=0 sorts before left=1 at the same (key, time) → a left
     // row at time t sees a right row at exactly t (<= semantics)
     val l = left.withColumn("_side", lit(1))
