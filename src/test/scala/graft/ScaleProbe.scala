@@ -50,6 +50,29 @@ object ScaleProbe {
       println(f"COSINE mult=$mult%2d vecs=${embN * mult}%7d pairs=$n%9d time=$dt%7.1fs")
       spark.catalog.clearCache()
     }
+    // cross-corpus contamination: growing train corpus vs a fixed small
+    // "benchmark" (100 perturbed train docs + 100 novel ones). The cost
+    // driver is the big side's banding pass; the hit count stays pinned
+    // at the planted overlap regardless of train size.
+    val bench = base.limit(200).select($"doc_id", $"text").collect()
+    import spark.implicits._
+    val benchDf = bench.zipWithIndex.map { case (r, i) =>
+      if (i < 100) (900000L + i, "Q: " + r.getString(1))        // leaked
+      else (900000L + i, s"novel benchmark item $i about topic ${i * 7}")
+    }.toSeq.toDF("doc_id", "text")
+    for (mult <- Seq(1, 20)) {
+      val train = (0 until mult).map { m =>
+        base.select(($"doc_id" + lit(m * 10000000L)).as("doc_id"),
+          concat($"text", lit(" v" + m)).as("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val hits = graft.operators.Dedup.crossMinhashPairs(train, benchDf,
+        "doc_id", "text", threshold = 0.5)
+        .select("right_id").distinct().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"CONTAM mult=$mult%2d train=${5000 * mult}%7d contaminated=$hits%4d time=$dt%7.1fs")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
