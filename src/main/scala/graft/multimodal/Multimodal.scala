@@ -87,4 +87,45 @@ object Multimodal {
         it.map { case (id, kind, bytes) => decodeStub(id, kind, bytes) }
       }
   }
+
+  /** STUB resize — a real implementation decodes pixels and rescales;
+    * the fake is deterministic (strided byte sample of the payload to
+    * exactly w·h bytes), so the plumbing is testable. Output payloads
+    * are fixed-size regardless of input size — the property downstream
+    * batch-inference relies on.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  final case class Frames(id: Long, kind: String, n_frames: Int,
+                          frames: Array[Array[Byte]])
+
+  /** STUB frame sampling — a real implementation seeks keyframes via a
+    * video codec; the fake slices the payload into `everyN`-byte strides
+    * capped at `maxFrames`. Plumbing shape is the production one: blobs
+    * stay in their partition, each emitted frame is itself an opaque
+    * binary ready for resize → feature-extract.
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, everyN: Int,
+                   maxFrames: Int = 16, idCol: String = "id",
+                   binCol: String = "payload"): Dataset[Frames] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), sniffKind(col(binCol)), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          val frames = bytes.grouped(everyN).take(maxFrames).toArray
+          Frames(id, kind, frames.length, frames)
+        }
+      }
+  }
 }

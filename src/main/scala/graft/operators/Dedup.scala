@@ -21,7 +21,9 @@ import graft.expressions.{BandHashes, MinHashSig, ShingleHashes, SigAgreement, S
   *  - signatures are joined back by id for scoring — at k=64 that is 512 B
   *    per matched document, broadcast/AQE-eligible;
   *  - mega-buckets (degenerate keys that would explode quadratically) are
-  *    capped via `maxBucketSize`, the standard LSH guardrail.
+  *    split into deterministic hash sub-buckets of at most `maxBucketSize`
+  *    members, bounding per-task self-join work by cap² without the
+  *    recall cliff of dropping whole buckets.
   */
 object Dedup {
 

@@ -368,6 +368,29 @@ object TextQ {
              WHERE lang_pred = 'en' AND quality >= 0.5
              GROUP BY fp""")),
 
+    // multimodal_frames [EXT]: frame-sample → resize chain over opaque
+    // binary payloads (stub decode, real partition-parallel plumbing —
+    // blobs never shuffle; emitted frames are fixed-size binaries ready
+    // for batch inference). Golden VALUES oracle.
+    Q("multimodal_frames",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val docs = t(s, d, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id").as("id"),
+            to_binary(col("text"), lit("utf-8")).as("payload"))
+        import s.implicits._
+        Multimodal.sampleFrames(s, docs, everyN = 64, maxFrames = 4)
+          .flatMap(f => f.frames.zipWithIndex.map { case (fr, i) =>
+            (f.id, i, Multimodal.resizeStub(fr, 8, 8))
+          })
+          .toDF("id", "frame", "thumb")
+          .select(col("id"), col("frame"),
+            lower(hex(substring(col("thumb"), 1, 8))).as("thumb_head"),
+            length(col("thumb")).as("thumb_len"))
+      },
+      None), // oracle comes from the generated Golden map
+
     // multimodal_meta [EXT]: opaque-binary column plumbing — bytes are
     // first-class (byte length + header hex of the payload); the
     // decode/feature-extract stage lives in graft.multimodal (stubbed,

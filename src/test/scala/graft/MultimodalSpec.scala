@@ -42,6 +42,20 @@ class MultimodalSpec extends SparkFunSuite {
       "gif" -> 1L, "unknown" -> 1L))
   }
 
+  test("sampleFrames + resizeStub: bounded frame count, fixed-size thumbs") {
+    val payload = (0 until 1000).map(_.toByte).toArray
+    val df = Seq((1L, payload), (2L, Array.empty[Byte])).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(spark, df, everyN = 100,
+      maxFrames = 3).collect().map(f => f.id -> f).toMap
+    assert(frames(1L).n_frames === 3) // capped, not 10
+    assert(frames(1L).frames.forall(_.length <= 100))
+    assert(frames(2L).n_frames === 0)
+    val thumb = Multimodal.resizeStub(payload, 8, 8)
+    assert(thumb.length === 64)
+    assert(Multimodal.resizeStub(payload, 8, 8).toSeq === thumb.toSeq)
+    assert(Multimodal.resizeStub(Array.empty[Byte], 8, 8).length === 64)
+  }
+
   test("extractFeatures: fixed-size normalized features, deterministic") {
     val df = Seq((1L, jpeg), (2L, txt)).toDF("id", "payload")
     val feats = Multimodal.extractFeatures(spark, df).collect()
