@@ -29,10 +29,12 @@ object Bench {
     val qs = SparkEntry.queries
     try { qs("q1_agg")(spark, sfDir).count() } catch { case _: Throwable => }
     spark.catalog.clearCache()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
@@ -46,7 +48,10 @@ object Bench {
     val qJson = m { case (k, v, _) => (k, v) }
     val sJson = m { case (k, _, s) => (k, s) }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"spread":$sJson,"sf":"$sfDir"}""")
+    // a failing query must not hide inside a fast-looking timing
+    val errJson = failed.distinct.sorted
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$errJson,"queries":$qJson,"spread":$sJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

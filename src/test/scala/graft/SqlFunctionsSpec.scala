@@ -14,13 +14,15 @@ class SqlFunctionsSpec extends SparkFunSuite {
         graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
         graft_simhash64(array('hello', 'world')) AS sh,
         graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
-        size(graft_minhash_sig(array(5L, 9L), 64, 42L)) AS klen
-      """).as[(Double, Double, Long, Double, Int)].head()
+        size(graft_minhash_sig(array(5L, 9L), 64, 42L)) AS klen,
+        graft_first_agree(array(1, 2, 3), array(9, 2, 3)) AS fa
+      """).as[(Double, Double, Long, Double, Int, Int)].head()
     assert(math.abs(r._1 - 1.0) < 1e-9)
     assert(math.abs(r._2 - 11.0) < 1e-9)
     assert(r._3 !== 0L)
     assert(math.abs(r._4 - 0.5) < 1e-9) // |{2,3}| / |{1,2,3,4}|
     assert(r._5 === 64)
+    assert(r._6 === 1)
   }
 
   test("SQL and DataFrame paths produce identical minhash signatures") {
