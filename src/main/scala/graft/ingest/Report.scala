@@ -16,9 +16,20 @@ import org.apache.spark.sql.{DataFrame, Row}
 object Report {
 
   /** One frame → one markdown table (header from the schema). */
-  def mdTable(df: DataFrame, maxRows: Int = 1000): String = {
-    val cols = df.columns.toSeq
+  def mdTable(df: DataFrame, maxRows: Int = 1000): String =
+    render(df.columns.toSeq, df.limit(maxRows + 1).collect(), maxRows)
+
+  /** One collected frame → one markdown table, or "None." when empty —
+    * ONE Spark action per section (round 2 ran isEmpty + a second
+    * collect per section, doubling the job count of the whole report).
+    */
+  private def mdTableOrNone(df: DataFrame, maxRows: Int = 1000): String = {
     val rows = df.limit(maxRows + 1).collect()
+    if (rows.isEmpty) "None.\n" else render(df.columns.toSeq, rows, maxRows)
+  }
+
+  private def render(cols: Seq[String], rows: Array[Row],
+                     maxRows: Int): String = {
     def cell(v: Any): String = v match {
       case null => ""
       case s: scala.collection.Seq[_] => s.mkString(", ")
@@ -48,36 +59,33 @@ object Report {
     sb.append(s"# $title\n\n")
 
     sb.append("## New files\n\n")
-    val added = fileDiff.filter(!col("exists_in_old") && col("exists_in_new"))
-      .select("std_name").orderBy("std_name")
-    sb.append(if (added.isEmpty) "None.\n" else mdTable(added))
+    sb.append(mdTableOrNone(
+      fileDiff.filter(!col("exists_in_old") && col("exists_in_new"))
+        .select("std_name").orderBy("std_name")))
 
     sb.append("\n## Removed files\n\n")
-    val removed = fileDiff.filter(col("exists_in_old") && !col("exists_in_new"))
-      .select("std_name").orderBy("std_name")
-    sb.append(if (removed.isEmpty) "None.\n" else mdTable(removed))
+    sb.append(mdTableOrNone(
+      fileDiff.filter(col("exists_in_old") && !col("exists_in_new"))
+        .select("std_name").orderBy("std_name")))
 
     sb.append("\n## Size changes\n\n")
-    val sized = fileDiff.filter(col("exists_in_old") && col("exists_in_new"))
-      .select("std_name", "size_change_mb").orderBy("std_name")
-    sb.append(if (sized.isEmpty) "None.\n" else mdTable(sized))
+    sb.append(mdTableOrNone(
+      fileDiff.filter(col("exists_in_old") && col("exists_in_new"))
+        .select("std_name", "size_change_mb").orderBy("std_name")))
 
     sb.append("\n## Column changes\n\n")
     sb.append("Only matching .csv and .xlsx files were compared.\n\n")
-    val colChanges = pairReport
+    sb.append(mdTableOrNone(pairReport
       .filter(col("added_cols").isNotNull || col("removed_cols").isNotNull)
-      .select("std_name", "added_cols", "removed_cols").orderBy("std_name")
-    sb.append(if (colChanges.isEmpty) "None.\n" else mdTable(colChanges))
+      .select("std_name", "added_cols", "removed_cols").orderBy("std_name")))
 
     sb.append("\n## Row-count changes\n\n")
-    val rowChanges = pairReport.filter(col("row_change") =!= 0)
+    sb.append(mdTableOrNone(pairReport.filter(col("row_change") =!= 0)
       .select("std_name", "old_rows", "new_rows", "row_change")
-      .orderBy("std_name")
-    sb.append(if (rowChanges.isEmpty) "None.\n" else mdTable(rowChanges))
+      .orderBy("std_name")))
 
     sb.append("\n## Country and species changes\n\n")
-    sb.append(if (countrySpecies.isEmpty) "None.\n"
-    else mdTable(countrySpecies))
+    sb.append(mdTableOrNone(countrySpecies))
     sb.toString
   }
 

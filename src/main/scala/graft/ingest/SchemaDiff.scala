@@ -58,6 +58,11 @@ object SchemaDiff {
     * path pairs — metadata-scale by design (the loop iterates file pairs,
     * each iteration launches distributed reads; no data is collected).
     * `readFn` opens a path as a DataFrame (csv/parquet/...).
+    *
+    * Schema drift is computed directly on the driver-side StructTypes —
+    * schemas are metadata already resident on the driver, so round 2's
+    * three filter+collect Spark jobs per pair were pure overhead. The
+    * only cluster work per pair is the two row counts.
     */
   def pairCompare(spark: SparkSession, pairs: Seq[(String, String, String)],
                   readFn: String => DataFrame): DataFrame = {
@@ -65,13 +70,13 @@ object SchemaDiff {
     val rows = pairs.map { case (stdName, oldPath, newPath) =>
       val (oldDf, newDf) = (readFn(oldPath), readFn(newPath))
       val (oc, nc, delta) = rowDiff(oldDf, newDf)
-      val d = schemaDiff(spark, oldDf.schema, newDf.schema)
-      val added = d.filter(col("added")).select("column")
-        .as[String].collect().sorted
-      val removed = d.filter(col("removed")).select("column")
-        .as[String].collect().sorted
-      val typeChanged = d.filter(col("type_changed") === true)
-        .select("column").as[String].collect().sorted
+      def types(s: StructType) =
+        s.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val (o, n) = (types(oldDf.schema), types(newDf.schema))
+      val added = (n.keySet -- o.keySet).toArray.sorted
+      val removed = (o.keySet -- n.keySet).toArray.sorted
+      val typeChanged = o.keySet.intersect(n.keySet)
+        .filter(c => o(c) != n(c)).toArray.sorted
       (stdName, oc, nc, delta,
         if (added.isEmpty) null else added,
         if (removed.isEmpty) null else removed,

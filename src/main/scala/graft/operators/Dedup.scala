@@ -67,13 +67,13 @@ object Dedup {
     val k = bands * rowsPerBand
     // The signature frame feeds three plan branches (banding + two
     // score join-backs); without materialization each branch re-reads
-    // and re-hashes the full corpus. persist() collapses that to one
-    // pass (ContextCleaner reclaims the blocks); at 100 TB checkpoint
-    // the signatures to parquet instead and join against that.
-    val sigs = df.select(
+    // and re-hashes the full corpus. A parquet stage checkpoint
+    // (Stage.materialize) collapses that to one pass without leaking
+    // cached blocks into the caller's session — the production shape
+    // at 100 TB (checkpoint signatures, not text).
+    val sigs = Stage.materialize(df.select(
       col(idCol).as("id"),
-      minhashSignature(col(textCol), k, n, seed).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minhashSignature(col(textCol), k, n, seed).as("sig")), "minhash_sigs")
 
     // (band, bucket, id) — the only thing that shuffles in candidate gen
     val banded = sigs.select(
@@ -123,8 +123,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 7, maxBucketSize: Int = 1000): DataFrame = {
-    val sk = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = Stage.materialize(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      "simhash_sk")
     val chunked = sk.select(
       col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(7)),
@@ -160,9 +161,8 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = Stage.materialize(docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("sh")), "jaccard_sets")
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -180,6 +180,17 @@ object Dedup {
     * shuffle; each surviving (left_id, right_id) pair is signature-
     * scored once.
     *
+    * Mega-bucket guardrail: a training-side band-bucket larger than
+    * `maxBucketSize` (boilerplate-heavy corpora share every band) is
+    * split into ceil(n/maxBucketSize) deterministic hash sub-buckets,
+    * and the (tiny) benchmark side is REPLICATED across all sub-buckets
+    * of that bucket — so unlike the self-join variant, the cross path
+    * loses NO recall to salting: every co-bucketed (train, bench) pair
+    * still meets in exactly the train row's sub-bucket, while per-task
+    * join work stays bounded by maxBucketSize · |bench ∩ bucket|.
+    * (Round 2 dropped oversized buckets entirely — a silent recall
+    * cliff exactly where contamination is densest.)
+    *
     * At 100 TB: the benchmark side is typically tiny — its banded frame
     * broadcast-joins against the training side's, making candidate
     * generation a narrow pass over the big corpus.
@@ -191,22 +202,33 @@ object Dedup {
                         maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
     def banded(df: DataFrame, side: String) = {
-      val sigs = df.select(col(idCol).as(s"${side}_id"),
-        minhashSignature(col(textCol), k, n, seed).as(s"${side}_sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = Stage.materialize(df.select(col(idCol).as(s"${side}_id"),
+        minhashSignature(col(textCol), k, n, seed).as(s"${side}_sig")),
+        s"cross_${side}_sigs")
       val bd = sigs.select(col(s"${side}_id"),
         posexplode(Shim.column(BandHashes(
           Shim.expression(col(s"${side}_sig")), bands, rowsPerBand))))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
-        .withColumn("bn",
-          count(lit(1)).over(Window.partitionBy("band", "bucket")))
-        .filter(col("bn") <= maxBucketSize).drop("bn")
       (sigs, bd)
     }
     val (lSigs, lBand) = banded(left, "left")
     val (rSigs, rBand) = banded(right, "right")
-    val pairs = lBand.join(rBand, Seq("band", "bucket"))
+    // sub-bucket plan per (band, bucket), from the big side's counts —
+    // a scalar aggregate, broadcast to both sides
+    val subPlan = lBand.groupBy("band", "bucket")
+      .agg(ceil(count(lit(1)) / maxBucketSize).cast("long").as("nsub"))
+    val lSalted = lBand.join(broadcast(subPlan), Seq("band", "bucket"))
+      .withColumn("sub",
+        when(col("nsub") <= 1L, lit(0L))
+          .otherwise(pmod(xxhash64(col("left_id")), col("nsub"))))
+      .select("band", "bucket", "sub", "left_id")
+    // inner join doubles as a filter: bench buckets with no train
+    // counterpart generate no candidates anyway
+    val rSalted = rBand.join(broadcast(subPlan), Seq("band", "bucket"))
+      .withColumn("sub", explode(sequence(lit(0L), col("nsub") - 1L)))
+      .select("band", "bucket", "sub", "right_id")
+    val pairs = lSalted.join(rSalted, Seq("band", "bucket", "sub"))
       .select("left_id", "right_id").distinct()
     pairs
       .join(lSigs, "left_id")

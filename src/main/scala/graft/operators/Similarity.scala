@@ -89,19 +89,29 @@ object Similarity {
     * centroids, not data); assignment is one narrow pass; the cell join
     * shuffles candidates by cell id. Centroids are metadata-scale and
     * broadcast to the query side.
+    *
+    * A fitted IVF index: the inverted file (vec_id, embedding, cell),
+    * staged to parquet so probes scan the index rather than re-assigning
+    * the corpus, plus the (metadata-scale) centroid table. Fit ONCE per
+    * corpus, probe many times — per-query k-means training was round 2's
+    * scale defect.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-              roundTo: Int = 6, maxTrainRows: Long = 100000L): DataFrame = {
+  final case class IvfModel(cells: DataFrame,
+                            centers: Seq[(Int, Array[Float])])
+
+  /** Build the IVF index: train the coarse quantizer on a bounded seeded
+    * sample (k-means needs only enough vectors to place `nlist`
+    * centroids; 10 iterations over the full corpus would be the
+    * scale-killer at 100 TB), assign every corpus vector to its nearest
+    * centroid, and stage the inverted file to parquet. count() on a
+    * parquet source resolves from row-group metadata (no data scan).
+    */
+  def fitIvf(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+             maxTrainRows: Long = 100000L): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
-    // Train the coarse quantizer on a bounded sample: k-means needs only
-    // enough vectors to place `nlist` centroids, and 10 iterations over
-    // the full corpus would be the scale-killer at 100 TB. count() on a
-    // parquet source resolves from row-group metadata (no data scan);
-    // the seeded sample keeps the model deterministic.
     val n = featured.count()
     val train =
       if (n <= maxTrainRows) featured
@@ -109,15 +119,24 @@ object Similarity {
         fraction = maxTrainRows.toDouble / n, seed = seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
-    val cells = model.transform(featured)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // nprobe nearest cells per query: centroids are tiny → literal table
+    val cells = Stage.materialize(model.transform(featured)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")),
+      "ivf_cells")
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
-    val spark = corpus.sparkSession
+    IvfModel(cells, centers)
+  }
+
+  /** Probe a fitted IVF index: rank centroids per query, search only the
+    * `nprobe` nearest cells. Centroids are metadata-scale and broadcast;
+    * the cell join shuffles candidate scalars only.
+    */
+  def probeIvf(model: IvfModel, queries: DataFrame, k: Int,
+               nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val centersDf = broadcast(centers.toDF("cell", "centroid"))
+    val centersDf = broadcast(model.centers.toDF("cell", "centroid"))
     val qcells = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"))
       .crossJoin(centersDf)
@@ -127,7 +146,7 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crk") <= nprobe)
       .select("qid", "qvec", "cell")
-    val scored = cells.join(broadcast(qcells), Seq("cell"))
+    val scored = model.cells.join(broadcast(qcells), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
@@ -138,6 +157,16 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(col("sim_raw"), roundTo).as("sim"),
         col("rk"))
   }
+
+  /** One-shot fit + probe, for callers that genuinely search a corpus
+    * once. Anything issuing repeated queries should `fitIvf` once and
+    * `probeIvf` per batch.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              roundTo: Int = 6, maxTrainRows: Long = 100000L): DataFrame =
+    probeIvf(fitIvf(corpus, nlist, seed, maxTrainRows), queries, k,
+      nprobe, roundTo)
 
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
     * within-bucket candidate pairs (first-collision emission) → exact
@@ -199,15 +228,16 @@ object Similarity {
           .otherwise(pmod(xxhash64(col("vec_id")),
             ceil(col("n") / maxBucketSize).cast("long"))))
       .drop("n")
-      // both self-join sides read this scalar-only frame; persist avoids
-      // re-bucketing the corpus (checkpoint at 100 TB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides read this scalar-only frame; a parquet stage
+    // checkpoint (Stage.materialize) avoids re-bucketing the corpus
+    // without leaking cached blocks into the caller's session
+    val staged = Stage.materialize(capped, "neardup_buckets")
     def hamming(a: org.apache.spark.sql.Column, b2: org.apache.spark.sql.Column) =
       bit_count(element_at(a, 1).bitwiseXOR(element_at(b2, 1))) +
         bit_count(element_at(a, 2).bitwiseXOR(element_at(b2, 2)))
-    val pairs = capped.select(col("table"), col("bucket"), col("sub"),
+    val pairs = staged.select(col("table"), col("bucket"), col("sub"),
         col("vec_id").as("id_a"), col("sig").as("sa"))
-      .join(capped.select(col("table"), col("bucket"), col("sub"),
+      .join(staged.select(col("table"), col("bucket"), col("sub"),
         col("vec_id").as("id_b"), col("sig").as("sb")),
         Seq("table", "bucket", "sub"))
       .filter(col("id_a") < col("id_b") &&

@@ -402,18 +402,24 @@ object IngestQ {
              AS t(file, ok, attempts, bytes)""")),
 
     // sink_parquet [EXT]: partitioned parquet write with small-file
-    // discipline — repartition by the partition column BEFORE the write
-    // so each partition directory gets ONE file instead of one per task
-    // (the classic small-file explosion at 100 TB: tasks × partitions
-    // files). Read back and re-aggregate; oracle = the same aggregate
-    // straight from the source table.
+    // discipline that doesn't trade it for a parallelism cliff. Naive
+    // one-file-per-partition-value (`repartition(col("lang"))`, round 2)
+    // serializes each language into a single task — a skew magnet at
+    // 100 TB (one task writes all of "en"). Instead repartition on
+    // (lang, hash(id) % filesPerLang): every language writes through up
+    // to `filesPerLang` parallel tasks and each partition directory gets
+    // a BOUNDED file count (asserted in SourcesSpec) instead of
+    // tasks × partitions files. At scale, size filesPerLang to
+    // bytes_per_lang / target_file_size. Read back and re-aggregate;
+    // oracle = the same aggregate straight from the source table.
     Q("sink_parquet",
       (s, d) => {
         val out = java.nio.file.Files.createTempDirectory("graft_pq")
           .resolve("docs_by_lang").toString
-        t(s, d, "documents").select("doc_id", "lang", "n_chars")
-          .repartition(col("lang"))
-          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        graft.sources.ParquetSink.writePartitioned(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          out, partitionCol = "lang", fileKey = col("doc_id"),
+          filesPerValue = 4)
         val files = s.read.parquet(out)
         files.groupBy("lang").agg(count(lit(1)).as("n"),
           sum("n_chars").as("chars"))

@@ -40,10 +40,12 @@ class PlanSpec extends SparkFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
-  test("dedup_minhash: sketch frame materialized once (InMemoryTableScan)") {
+  test("dedup_minhash: sketch frame staged once (parquet stage scan)") {
     val p = plan("dedup_minhash")
-    assert(p.contains("InMemoryTableScan"),
-      "signature persist() lost — corpus would be re-hashed per branch")
+    assert(p.contains("graft_stage_minhash_sigs"),
+      "signature stage checkpoint lost — corpus would be re-hashed per branch")
+    assert(!p.contains("InMemoryTableScan"),
+      "operator leaked a persist() into the session (stage checkpoint expected)")
   }
 
   test("join_range: equi-shuffle on user_id, range as join condition") {
@@ -57,12 +59,13 @@ class PlanSpec extends SparkFunSuite {
 
   test("sim_neardup_cos: vectors never ride the LSH self-join shuffle") {
     val p = plan("sim_neardup_cos")
-    assert(p.contains("InMemoryTableScan"),
-      "scalar bucket frame persist() lost")
-    // the persisted/self-joined frame must be (vec_id, table, bucket)
-    // scalars only — an embedding column there means full vectors shuffle
-    val cached = p.linesIterator.filter(_.contains("InMemoryTableScan"))
-    assert(cached.forall(!_.contains("embedding")),
+    assert(p.contains("graft_stage_neardup_buckets"),
+      "scalar bucket frame stage checkpoint lost")
+    // the staged/self-joined frame must be (vec_id, table, bucket, sub,
+    // sig) scalars only — an embedding column there means full vectors
+    // ride the LSH shuffle
+    val staged = p.linesIterator.filter(_.contains("graft_stage_neardup_buckets"))
+    assert(staged.nonEmpty && staged.forall(!_.contains("embedding")),
       "embedding column leaked into the bucket self-join frame")
   }
 
