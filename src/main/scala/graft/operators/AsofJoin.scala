@@ -12,13 +12,21 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape: union the two sides tagged, sort each key's
   * timeline once (`Window.partitionBy(keys).orderBy(time, side)`), and
-  * carry the right side's payload forward with
-  * `last(col, ignoreNulls = true)` — then keep only left rows. ONE
-  * shuffle of (keys, time, payload), no range join, no per-key blowup:
-  * cost is the sort of each key's merged timeline, exactly what a
-  * 1000-executor cluster distributes well. Ties (equal timestamps)
+  * carry the right side's payload forward — then keep only left rows.
+  * ONE shuffle of (keys, time, payload), no range join, no per-key
+  * blowup: cost is the sort of each key's merged timeline, exactly what
+  * a 1000-executor cluster distributes well. Ties (equal timestamps)
   * match the right row (right sorts first at the same instant), the
   * same rule as DuckDB/QuestDB ASOF JOIN.
+  *
+  * The carried value is ONE struct per right row (a constant marker
+  * field ++ the payload columns), filled with
+  * `last(_, ignoreNulls = true)`: the struct itself is never null for a
+  * right row, so a matched row whose payload VALUE is NULL yields NULL
+  * (true ASOF semantics) instead of leaking an older non-null value —
+  * per-column fill would skip it. Multiple right rows at the same
+  * (key, time) are tie-broken deterministically by the payload struct
+  * itself (greatest wins), so output doesn't depend on partition order.
   *
   * Left rows with no prior right row keep NULL payloads (ASOF LEFT
   * JOIN semantics); filter them for inner behavior.
@@ -44,16 +52,17 @@ object AsofJoin {
     // row at time t sees a right row at exactly t (<= semantics)
     val l = left.withColumn("_side", lit(1))
     val r = right.select(
-      (keyCols :+ timeCol).map(col) ++ payload.map(col): _*)
+      (keyCols :+ timeCol).map(col) :+
+        struct(lit(1).as("_m") +: payload.map(col): _*).as("_pay"): _*)
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc)
+      .orderBy(col(timeCol).asc, col("_side").asc, col("_pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("_pay",
+      last(col("_pay"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("_pay").getField(c).as(c)): _*)
   }
 }

@@ -52,6 +52,8 @@ object Stage {
         p.resolve("data").toString
     }
     df.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
+    // the schema is already known — passing it skips the footer-sniffing
+    // schema-inference job a bare spark.read.parquet would run
+    spark.read.schema(df.schema).parquet(dir)
   }
 }

@@ -28,6 +28,28 @@ class AsofJoinSpec extends SparkFunSuite {
       103L -> Some(3.0), 104L -> Some(9.0), 105L -> None))
   }
 
+  test("asofJoin: a matched right row's NULL payload survives (no stale fill)") {
+    val quotes = Seq( // (sym, t, px) — the t=20 quote has a NULL price
+      ("A", 10L, Some(1.0)), ("A", 20L, None), ("A", 30L, Some(3.0))
+    ).toDF("sym", "t", "px")
+    val trades = Seq(("A", 25L, 102L)).toDF("sym", "t", "qty")
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", Seq("px"))
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+    // matched row is the t=20 quote; its NULL must NOT be replaced by t=10's 1.0
+    assert(out === Map(102L -> None))
+  }
+
+  test("asofJoin: same-(key,time) right rows tie-break deterministically") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 10L, 7.0), ("A", 10L, 4.0))
+      .toDF("sym", "t", "px").repartition(3)
+    val trades = Seq(("A", 15L, 100L)).toDF("sym", "t", "qty")
+    val got = (1 to 5).map { _ =>
+      AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", Seq("px"))
+        .select("px").as[Double].collect().head
+    }
+    assert(got.distinct === Seq(7.0), s"non-deterministic tie-break: $got")
+  }
+
   test("asofJoin plans one shuffle (union+window, no range join)") {
     val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "t", "px")
     val trades = Seq(("A", 25L, 102L)).toDF("sym", "t", "qty")
