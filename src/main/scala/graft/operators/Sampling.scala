@@ -20,8 +20,8 @@ object Sampling {
     * content-addressed Bernoulli sample at `fraction`.
     */
   def deterministicSample(df: DataFrame, idCol: Column, fraction: Double,
-                          seed: Long = 42L): DataFrame =
-    df.filter(bucket1M(idCol, seed) < (fraction * 1e6).toLong)
+                          seed: Long = 42L, portable: Boolean = false): DataFrame =
+    df.filter(bucket1M(idCol, seed, portable) < (fraction * 1e6).toLong)
 
   /** Per-stratum fractions (corpus balancing: e.g. downsample the
     * dominant language). Strata absent from `fractions` are dropped,
@@ -29,14 +29,24 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, strataCol: Column, idCol: Column,
                        fractions: Map[String, Double],
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L, portable: Boolean = false): DataFrame = {
     val frac = fractions.foldLeft(lit(null).cast("double")) {
       case (acc, (k, f)) => when(strataCol === k, lit(f)).otherwise(acc)
     }
     df.filter(frac.isNotNull &&
-      bucket1M(idCol, seed) < (frac * 1e6).cast("long"))
+      bucket1M(idCol, seed, portable) < (frac * 1e6).cast("long"))
   }
 
-  private def bucket1M(idCol: Column, seed: Long): Column =
-    pmod(xxhash64(idCol, lit(seed)), lit(1000000L))
+  /** `portable = false`: xxhash64 — the fast path (one multiply-rotate
+    * per row; use at 100 TB). `portable = true`: the low 60 bits of
+    * md5(id || ':' || seed) — byte-identical in any engine with md5
+    * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`), so a sample
+    * drawn by one engine can be reproduced/audited by another. Both are
+    * content-addressed and retry/repartition-stable.
+    */
+  private def bucket1M(idCol: Column, seed: Long, portable: Boolean): Column =
+    if (portable)
+      pmod(conv(substring(md5(concat(idCol.cast("string"), lit(":" + seed))),
+        1, 15), 16, 10).cast("long"), lit(1000000L))
+    else pmod(xxhash64(idCol, lit(seed)), lit(1000000L))
 }

@@ -131,17 +131,52 @@ object TextQ {
       None),
 
     // dedup_jaccard [EXT]: exact n-gram Jaccard verification of the
-    // MinHash candidates.
+    // MinHash candidates, keeping pairs at or above the final 0.5
+    // threshold — the standard candidate→verify→threshold dedup shape.
+    // Independently oracle-checked: the DuckDB oracle computes ALL-pairs
+    // word-3-shingle Jaccard from raw text (list_intersect over distinct
+    // shingle strings; no Spark-derived goldens), so the gate verifies
+    // both the exact Jaccard math AND that LSH candidate generation
+    // loses no qualifying pair (recall at j >= 0.5 under 16x4 banding is
+    // 1 - (1 - 0.5^4)^16 ≈ 0.65 in the worst case, but every qualifying
+    // pair in this corpus sits at j >= 0.9 where recall ≈ 1 - 4e-8).
+    // Spark computes Jaccard over 31-bit hashed shingles — exact modulo
+    // collisions (P ≈ 4e-5 per pair at these set sizes).
     Q("dedup_jaccard",
       (s, d) => {
         val docs = plantedDocs(s, d)
         Dedup.jaccardVerify(
           Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.35),
           docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
             .as("jaccard"))
       },
-      None),
+      Some("""WITH planted AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' zz'
+               FROM documents WHERE doc_id % 50 = 0
+             ),
+             toks AS (
+               SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+               FROM planted
+             ),
+             sh AS (
+               SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   FOR i IN generate_series(1, greatest(len(tk) - 2, 0))]) AS s
+               FROM toks
+             )
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                 AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""")),
 
     // sim_topk [EXT]: exact brute-force cosine top-5 (ANN baseline).
     Q("sim_topk",
@@ -231,14 +266,23 @@ object TextQ {
 
     // corpus_sample [EXT]: deterministic content-hash stratified sampling
     // for corpus balancing — unlike rand()-based sampleBy, the same rows
-    // are kept on every run/retry/cluster size. Golden VALUES oracle
-    // (DuckDB has no xxhash64; membership is pinned instead).
+    // are kept on every run/retry/cluster size. Uses the PORTABLE md5
+    // bucket so DuckDB recomputes membership independently from the raw
+    // table (the xxhash64 fast path stays available for 100 TB runs).
     Q("corpus_sample",
       (s, d) => graft.operators.Sampling.stratifiedSample(
         t(s, d, "documents"), col("lang"), col("doc_id"),
-        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25))
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25),
+        portable = true)
         .select("doc_id", "lang"),
-      None),
+      Some("""WITH f AS (SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                 WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25 END AS frac
+             FROM documents)
+             SELECT doc_id, lang FROM f
+             WHERE frac IS NOT NULL
+               AND ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT
+                   % 1000000 < CAST(frac * 1000000 AS BIGINT)""")),
 
     // text_stats [EXT]: corpus token-count distribution — count, mean,
     // exact interpolated percentiles (identical interpolation rule in
