@@ -224,15 +224,26 @@ case class SigAgreement(left: Expression, right: Expression)
 }
 
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's local
-  * algorithm, the MOSS scheme): Rabin-Karp rolling hashes of character
-  * k-grams over the normalized text, then the minimum hash of every
-  * window of `w` consecutive k-grams (rightmost-min tie-break). Output:
-  * sorted distinct selected hashes — a compact, position-robust
-  * fingerprint set; two documents sharing any sufficiently long run of
-  * text share fingerprints, regardless of offset.
-  * Input string, output array<bigint>. Single pass, O(n) amortized.
+  * algorithm, the MOSS scheme): hashes of character k-grams over the
+  * normalized text, then the minimum hash of every window of `w`
+  * consecutive k-grams (rightmost-min tie-break). Output: sorted
+  * distinct selected hashes — a compact, position-robust fingerprint
+  * set; two documents sharing any sufficiently long run of text share
+  * fingerprints, regardless of offset.
+  * Input string, output array<bigint>.
+  *
+  * Gram hash modes:
+  *  - `portable = false` (default): Rabin-Karp rolling polynomial mod
+  *    P31 + splitmix finalizer — O(n) amortized, the 100 TB fast path.
+  *  - `portable = true`: low 60 bits of md5(gram) — O(n·k) digesting,
+  *    but byte-identical in any engine with md5 (DuckDB:
+  *    `('0x' || substr(md5(g), 1, 15))::BIGINT`), so the winnow
+  *    selection is independently recomputable for cross-engine
+  *    verification. The SELECTION logic (windows, rightmost-min,
+  *    distinct) is shared between modes.
   */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+case class WinnowFingerprint(child: Expression, k: Int, w: Int,
+    portable: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -245,32 +256,64 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     while (i < k - 1) { p = (p * Base) % HashUtil.P31; i += 1 }
     p
   }
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  /** Low 60 bits of md5 over bytes[off, off+len) — the value of the
+    * digest's first 15 hex chars, `('0x'||substr(md5(g),1,15))::BIGINT`
+    * in DuckDB.
+    */
+  private def md5Low60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    md5.reset()
+    md5.update(bytes, off, len)
+    val d = md5.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private def rkGrams(bytes: Array[Byte], nGrams: Int): Array[Long] = {
+    val grams = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * Base + (bytes(i) & 0xff)) % HashUtil.P31; i += 1 }
+    grams(0) = HashUtil.mix64(h) & 0x7fffffffL
+    var g = 1
+    while (g < nGrams) {
+      // roll: remove leading byte, add trailing byte
+      h = (h - (bytes(g - 1) & 0xff) * basePowK1 % HashUtil.P31 +
+        HashUtil.P31 * 256L) % HashUtil.P31
+      h = (h * Base + (bytes(g + k - 1) & 0xff)) % HashUtil.P31
+      grams(g) = HashUtil.mix64(h) & 0x7fffffffL
+      g += 1
+    }
+    grams
+  }
+
+  private def md5Grams(bytes: Array[Byte], nGrams: Int): Array[Long] = {
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) { grams(g) = md5Low60(bytes, g, k); g += 1 }
+    grams
+  }
 
   def compute(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     val out = new java.util.TreeSet[java.lang.Long]()
     if (n < k) {
-      var h = 0L
-      var i = 0
-      while (i < n) { h = (h * Base + (bytes(i) & 0xff)) % HashUtil.P31; i += 1 }
-      out.add(HashUtil.mix64(h) & 0x7fffffffL)
+      if (portable) out.add(md5Low60(bytes, 0, n))
+      else {
+        var h = 0L
+        var i = 0
+        while (i < n) { h = (h * Base + (bytes(i) & 0xff)) % HashUtil.P31; i += 1 }
+        out.add(HashUtil.mix64(h) & 0x7fffffffL)
+      }
     } else {
       val nGrams = n - k + 1
-      val grams = new Array[Long](nGrams)
-      var h = 0L
-      var i = 0
-      while (i < k) { h = (h * Base + (bytes(i) & 0xff)) % HashUtil.P31; i += 1 }
-      grams(0) = HashUtil.mix64(h) & 0x7fffffffL
-      var g = 1
-      while (g < nGrams) {
-        // roll: remove leading byte, add trailing byte
-        h = (h - (bytes(g - 1) & 0xff) * basePowK1 % HashUtil.P31 +
-          HashUtil.P31 * 256L) % HashUtil.P31
-        h = (h * Base + (bytes(g + k - 1) & 0xff)) % HashUtil.P31
-        grams(g) = HashUtil.mix64(h) & 0x7fffffffL
-        g += 1
-      }
+      val grams =
+        if (portable) md5Grams(bytes, nGrams) else rkGrams(bytes, nGrams)
       // winnow: min of each window of w grams, rightmost on ties
       val win = math.min(w, nGrams)
       var start = 0

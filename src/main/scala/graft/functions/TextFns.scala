@@ -122,10 +122,11 @@ object TextFns {
     * shared run of ≳ k+w characters yields shared fingerprints at any
     * offset. Native expression (graft.expressions.WinnowFingerprint).
     */
-  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16): Column = {
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16,
+                        portable: Boolean = false): Column = {
     val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
     org.apache.spark.sql.graftshim.Shim.column(
       graft.expressions.WinnowFingerprint(
-        org.apache.spark.sql.graftshim.Shim.expression(norm), k, w))
+        org.apache.spark.sql.graftshim.Shim.expression(norm), k, w, portable))
   }
 }

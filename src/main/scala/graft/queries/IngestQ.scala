@@ -451,8 +451,12 @@ object IngestQ {
 
     // sink_report (`assess_changes.qmd:249-258`): the changelog rendered
     // as markdown over the EP2+EP3 frames — emitted as (line_no, line)
-    // rows so the report itself is oracle-checkable (golden VALUES; the
-    // fixture is deterministic and the report carries no temp paths).
+    // rows so the report itself is oracle-checkable. The oracle is
+    // HAND-DERIVED from the fixture + renderer spec (not generated from
+    // a Verify dump): born is new-only, gone is old-only, trade pairs
+    // 8→12 bytes (Δ = 4/2^20 MB, rounded to 6 dp = 4.0E-6 in Java
+    // double notation), schema a,b→a,c (added c, removed b), rows 1→2,
+    // plus the two literal country/species rows.
     Q("sink_report",
       (s, d) => {
         import s.implicits._
@@ -480,7 +484,48 @@ object IngestQ {
           .map { case (l, i) => (i.toLong, l) }
           .toDF("line_no", "line")
       },
-      None), // oracle comes from the generated Golden map
+      Some("""SELECT * FROM (VALUES
+             (CAST(0 AS BIGINT), '# Data changelog'),
+             (1, ''),
+             (2, '## New files'),
+             (3, ''),
+             (4, '| std_name |'),
+             (5, '| --- |'),
+             (6, '| born |'),
+             (7, ''),
+             (8, '## Removed files'),
+             (9, ''),
+             (10, '| std_name |'),
+             (11, '| --- |'),
+             (12, '| gone |'),
+             (13, ''),
+             (14, '## Size changes'),
+             (15, ''),
+             (16, '| std_name | size_change_mb |'),
+             (17, '| --- | --- |'),
+             (18, '| trade | 4.0E-6 |'),
+             (19, ''),
+             (20, '## Column changes'),
+             (21, ''),
+             (22, 'Only matching .csv and .xlsx files were compared.'),
+             (23, ''),
+             (24, '| std_name | added_cols | removed_cols |'),
+             (25, '| --- | --- | --- |'),
+             (26, '| trade | c | b |'),
+             (27, ''),
+             (28, '## Row-count changes'),
+             (29, ''),
+             (30, '| std_name | old_rows | new_rows | row_change |'),
+             (31, '| --- | --- | --- | --- |'),
+             (32, '| trade | 1 | 2 | 1 |'),
+             (33, ''),
+             (34, '## Country and species changes'),
+             (35, ''),
+             (36, '| entity | direction | value |'),
+             (37, '| --- | --- | --- |'),
+             (38, '| country | added | CHL |'),
+             (39, '| species | removed | herring |'),
+             (40, '')) AS t(line_no, line)""")),
 
     // src_html + xpath_extract + the full scrape chain
     // (`scrape_newest_baci_data.R:20-41`): XPath anchor extraction →

@@ -223,17 +223,43 @@ object TextQ {
       },
       None),
 
-    // text_winnow [EXT]: winnowing rolling-hash fingerprint set size per
-    // document (the fingerprints themselves are array-valued; the count
-    // is the stable scalar projection). Rows-only check.
+    // text_winnow [EXT]: winnowing fingerprint set size per document
+    // (the fingerprints themselves are array-valued; the count is the
+    // stable scalar projection). Uses the PORTABLE md5 gram hash so the
+    // DuckDB oracle re-runs the whole winnow — gram hashing, the
+    // rolling w-window minimum, distinct selection — independently from
+    // raw text. (After normalization the text is pure [a-z0-9 ] ASCII,
+    // so SQL character positions equal the expression's byte offsets.)
+    // The Rabin-Karp rolling hash stays the 100 TB default.
     Q("text_winnow",
       (s, d) => t(s, d, "documents").select(col("doc_id"),
-        size(graft.functions.TextFns.winnowFingerprint(col("text")))
-          .as("n_fingerprints")),
-      None),
+        size(graft.functions.TextFns.winnowFingerprint(col("text"),
+          portable = true)).as("n_fingerprints")),
+      Some("""WITH d AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+             FROM documents),
+             g AS (SELECT doc_id, length(nt) - 7 AS ng,
+               unnest(generate_series(1, length(nt) - 7)) AS i, nt
+             FROM d WHERE length(nt) >= 8),
+             h AS (SELECT doc_id, ng, i,
+               ('0x' || substr(md5(substr(nt, i::INT, 8)), 1, 15))::BIGINT AS hv
+             FROM g),
+             m AS (SELECT doc_id, ng, i,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin
+             FROM h)
+             SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints
+             FROM m WHERE i >= least(16, ng) GROUP BY doc_id
+             UNION ALL
+             SELECT doc_id, 1 AS n_fingerprints FROM d
+             WHERE length(nt) < 8""")),
 
     // sim_neardup_cos [EXT]: embedding-cosine near-dup pairs over a
-    // corpus with planted perturbed copies.
+    // corpus with planted perturbed copies. Independent oracle: DuckDB
+    // recomputes ALL-pairs exact cosine from the raw embeddings (float
+    // perturbation replayed bit-exactly via FLOAT arithmetic, cosine in
+    // double) — so the gate checks both the cosine math and that the
+    // LSH bucket/Hamming-prefilter path loses no qualifying pair.
     Q("sim_neardup_cos",
       (s, d) => {
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -245,24 +271,72 @@ object TextQ {
         Similarity.cosineNearDupPairs(emb.unionByName(planted), dim = 64,
           threshold = 0.99)
       },
-      None),
+      Some("""WITH planted AS (
+               SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000,
+                 list_prepend(CAST(embedding[1] + '0.01'::FLOAT AS FLOAT),
+                   embedding[2:])
+               FROM embeddings WHERE vec_id % 50 = 0
+             ),
+             p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM planted)
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cos
+             FROM p a JOIN p b ON a.vec_id < b.vec_id
+             WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99""")),
 
     // dedup_contain [EXT]: train/test contamination — which "benchmark"
     // docs (perturbed copies of every 25th doc, simulating leaked eval
-    // items) near-duplicate a training doc. Cross-corpus MinHash join;
-    // golden VALUES oracle (deterministic seeded sketches).
+    // items) near-duplicate a training doc. Cross-corpus MinHash
+    // banding generates candidates, exact shingle-Jaccard verifies, and
+    // pairs at or above the 0.5 final threshold are reported — the
+    // candidate→verify→threshold contamination shape. Independent
+    // oracle: DuckDB computes ALL train×bench pair Jaccards from raw
+    // text, so the gate checks both the exact math and cross-corpus
+    // candidate recall (every qualifying pair here sits at j >= 0.9,
+    // where 16x4 banding recall ≈ 1).
     Q("dedup_contain",
       (s, d) => {
         val train = t(s, d, "documents").select(col("doc_id"), col("text"))
         val bench = train.filter(col("doc_id") % 25 === 0).select(
           (col("doc_id") + 5000000L).as("doc_id"),
           concat(lit("Q: "), col("text")).as("text"))
-        Dedup.crossMinhashPairs(train, bench, "doc_id", "text",
+        val cand = Dedup.crossMinhashPairs(train, bench, "doc_id", "text",
           threshold = 0.35)
-          .select(col("left_id"), col("right_id"),
-            round(col("est_jaccard"), 4).as("est_jaccard"))
+          .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
+        Dedup.jaccardVerify(cand, train.unionByName(bench), "doc_id", "text")
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a").as("left_id"), col("id_b").as("right_id"),
+            round(col("jaccard"), 4).as("jaccard"))
       },
-      None),
+      Some("""WITH bench AS (
+               SELECT doc_id + 5000000 AS doc_id, 'Q: ' || text AS text
+               FROM documents WHERE doc_id % 25 = 0
+             ),
+             sh AS (
+               SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   FOR i IN generate_series(1, greatest(len(tk) - 2, 0))]) AS s
+               FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' ') AS tk FROM documents)
+             ),
+             shb AS (
+               SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   FOR i IN generate_series(1, greatest(len(tk) - 2, 0))]) AS s
+               FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' ') AS tk FROM bench)
+             )
+             SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                 AS jaccard
+             FROM sh a JOIN shb b ON true
+             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""")),
 
     // corpus_sample [EXT]: deterministic content-hash stratified sampling
     // for corpus balancing — unlike rand()-based sampleBy, the same rows
@@ -356,8 +430,15 @@ object TextQ {
     // text_stats_approx [EXT]: the 100 TB variant of text_stats —
     // approx_percentile is partially aggregatable (a fixed-size sketch
     // merges map-side, so per-group memory is constant), unlike exact
-    // percentile which buffers each group. Per-language distribution;
-    // sketch internals differ from DuckDB → golden VALUES oracle.
+    // percentile which buffers each group. Per-language distribution.
+    // Independent oracle: below the sketch's compression threshold
+    // (every sf0.01 group has n < accuracy = 1000) Greenwald-Khanna
+    // holds each value exactly and query(p) returns the element at
+    // nearest rank ceil(p·n) — a closed-form rule DuckDB recomputes
+    // from raw data (verified against all 5 language groups at both
+    // percentiles). The gate therefore checks real semantics, not a
+    // pinned dump; at larger SF the sketch compresses and only the
+    // rank-error bound holds.
     Q("text_stats_approx",
       (s, d) => t(s, d, "documents")
         .select(col("lang"), TextFns.wsTokenCount(col("text")).as("n_ws"))
@@ -367,7 +448,16 @@ object TextQ {
         .select(col("lang"), col("n_docs"),
           element_at(col("p"), 1).as("p50"),
           element_at(col("p"), 2).as("p90")),
-      None), // oracle comes from the generated Golden map
+      Some("""WITH v AS (SELECT lang,
+               len(string_split_regex(trim(text), '\s+')) AS n_ws
+             FROM documents),
+             r AS (SELECT lang, n_ws,
+               row_number() OVER (PARTITION BY lang ORDER BY n_ws) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n FROM v)
+             SELECT lang, any_value(n) AS n_docs,
+               max(CASE WHEN rk = CAST(ceil(0.5*n) AS BIGINT) THEN n_ws END) AS p50,
+               max(CASE WHEN rk = CAST(ceil(0.9*n) AS BIGINT) THEN n_ws END) AS p90
+             FROM r GROUP BY lang""")),
 
     // corpus_clean [EXT]: the end-to-end training-corpus cleaning
     // pipeline a data-pipeline user actually runs — language filter →
