@@ -51,27 +51,37 @@ object Similarity {
     * shares a bucket with the query in at least one table. Recall grows
     * with `tables`, cost with `tables * corpus/2^planes`.
     *
-    * A (query, candidate) pair colliding in several tables is scored in
-    * each colliding partition pipeline (cheap native cosine) and
-    * deduplicated on (qid, vec_id, sim) scalars — vectors never shuffle.
+    * A (query, candidate) pair colliding in several tables is born
+    * exactly once via FIRST-AGREE emission: each side carries its
+    * per-table bucket array (tables·8 B), and only the lowest table
+    * where the arrays agree emits the pair
+    * (`firstAgree(q.bks, c.bks) == table`). That replaces the
+    * (qid, vec_id) dedup AGGREGATION a multi-collision pair would
+    * otherwise need — one less shuffle over the candidate stream, and
+    * vectors still never shuffle (the query side is broadcast).
+    * Safe here because buckets are not sub-salted (contrast
+    * cosineNearDupPairs, where salting can hide the first agreeing
+    * table's meeting).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, planes: Int = 8, tables: Int = 8,
               seed: Long = 42L, roundTo: Int = 6): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+    def bucketed(df: DataFrame, idAs: String, vecAs: String,
+                 bksAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
-        posexplode(VecFns.hyperplaneBucketsAll(col("embedding"), dim,
-          planes, tables, seed)))
+        VecFns.hyperplaneBucketsAll(col("embedding"), dim,
+          planes, tables, seed).as(bksAs))
+        .select(col(idAs), col(vecAs), col(bksAs), posexplode(col(bksAs)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "bucket")
 
-    val qb = broadcast(bucketed(queries, "qid", "qvec"))
-    val cb = bucketed(corpus, "vec_id", "cvec")
+    val qb = broadcast(bucketed(queries, "qid", "qvec", "qbks"))
+    val cb = bucketed(corpus, "vec_id", "cvec", "cbks")
     val scored = cb.join(qb, Seq("table", "bucket"))
-      .filter(col("qid") =!= col("vec_id"))
+      .filter(col("qid") =!= col("vec_id") &&
+        VecFns.firstAgree(col("qbks"), col("cbks")) === col("table"))
       .select(col("qid"), col("vec_id"),
         VecFns.cosine(col("qvec"), col("cvec")).as("sim_raw"))
-      .groupBy("qid", "vec_id").agg(first("sim_raw").as("sim_raw"))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -169,9 +179,9 @@ object Similarity {
       nprobe, roundTo)
 
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
-    * within-bucket candidate pairs (first-collision emission) → exact
-    * cosine filter. The dedup-by-embedding path of the training-data
-    * pipeline.
+    * within-bucket candidate pairs (deduplicated with a distinct() over
+    * bare id pairs — see the emission note below) → exact cosine filter.
+    * The dedup-by-embedding path of the training-data pipeline.
     *
     * Shuffle shape (same discipline as Dedup.minhashPairs): buckets are
     * computed in one narrow pass and the embeddings dropped immediately,
@@ -235,6 +245,13 @@ object Similarity {
     def hamming(a: org.apache.spark.sql.Column, b2: org.apache.spark.sql.Column) =
       bit_count(element_at(a, 1).bitwiseXOR(element_at(b2, 1))) +
         bit_count(element_at(a, 2).bitwiseXOR(element_at(b2, 2)))
+    // Pair dedup is a distinct() over (id_a, id_b) scalars — NOT
+    // first-agree emission (used in lshTopK), deliberately: with
+    // sub-bucket salting, a pair whose first AGREEING table salt-splits
+    // them never meets there, and first-agree would then veto its
+    // emission from the later table where they do meet — a recall hole
+    // exactly in the skewed corpora the salting exists for. distinct()
+    // dedups only pairs that met, wherever they met.
     val pairs = staged.select(col("table"), col("bucket"), col("sub"),
         col("vec_id").as("id_a"), col("sig").as("sa"))
       .join(staged.select(col("table"), col("bucket"), col("sub"),

@@ -27,20 +27,26 @@ object Xlsx {
   private val sharedStringsEntry = "xl/sharedStrings.xml"
   private val sheetEntryPattern = "xl/worksheets/sheet\\d+\\.xml"
 
-  /** All rows of the first worksheet as string cells, in sheet order.
-    * Driver- or executor-side (pure function of the bytes).
+  /** All rows of the FIRST worksheet (lowest sheet number) as string
+    * cells, in sheet order. Driver- or executor-side (pure function of
+    * the bytes).
     */
   def parseRows(xlsxBytes: Array[Byte]): Seq[Seq[String]] = {
-    // ZipInputStream is sequential and entry order is arbitrary, so
-    // buffer the (small) parts we need before parsing.
+    // ZipInputStream is sequential and entry order is arbitrary in files
+    // written by other tools, so scan EVERY entry and keep the sheet
+    // with the lowest number — taking the first matching entry would
+    // silently read whichever sheet the writer happened to store first.
     var shared: Option[Array[Byte]] = None
     var sheet: Option[Array[Byte]] = None
+    var sheetNum = Int.MaxValue
     val zis = new ZipInputStream(new ByteArrayInputStream(xlsxBytes))
     var e = zis.getNextEntry
-    while (e != null && (shared.isEmpty || sheet.isEmpty)) {
+    while (e != null) {
       if (e.getName == sharedStringsEntry) shared = Some(zis.readAllBytes())
-      else if (e.getName.matches(sheetEntryPattern) && sheet.isEmpty)
-        sheet = Some(zis.readAllBytes())
+      else if (e.getName.matches(sheetEntryPattern)) {
+        val num = e.getName.replaceAll("\\D+", "").toInt
+        if (num < sheetNum) { sheetNum = num; sheet = Some(zis.readAllBytes()) }
+      }
       e = zis.getNextEntry
     }
     val sst = shared.map(b => parseSharedStrings(
@@ -157,10 +163,15 @@ object Xlsx {
       .load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
-    // schema peek: first file only, driver-side
+    // schema peek: first file only, driver-side — through the Hadoop
+    // FileSystem API so the same code reads file:, hdfs: and s3a: URIs
+    // (java.nio Path.of(URI) only resolves file: and would throw
+    // FileSystemNotFoundException on the cluster deployment shape)
     val firstPath = files.select("path").as[String].orderBy("path").head()
-    val headerBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Path.of(java.net.URI.create(firstPath)))
+    val hp = new org.apache.hadoop.fs.Path(java.net.URI.create(firstPath))
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    val headerBytes = try in.readAllBytes() finally in.close()
     val header = parseRows(headerBytes).drop(skip).headOption.getOrElse(
       throw new IllegalArgumentException(s"$firstPath: no header row"))
       .zipWithIndex.map { case (h, i) => if (h.isEmpty) s"_c$i" else h }
