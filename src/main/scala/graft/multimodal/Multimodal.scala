@@ -42,6 +42,7 @@ object Multimodal {
       .when(h8 === "89504E47", "png")
       .when(h8 === "52494646", "riff") // wav/avi container
       .when(h8 === "47494638", "gif")
+      .when(h8.startsWith("424D"), "bmp") // the REAL-decode path (Bmp)
       .otherwise("unknown")
   }
 
@@ -73,9 +74,36 @@ object Multimodal {
     Feature(id, kind, bytes.length.toLong, hist)
   }
 
+  /** REAL decode for BMP payloads: 16-bin LUMINANCE histogram over the
+    * decoded pixels (Rec.601 luma, L1-normalized) — pixel-derived,
+    * unlike decodeStub's raw-byte histogram. Same Feature shape, so the
+    * pipeline downstream of the dispatch is identical for real and
+    * stubbed kinds.
+    */
+  def decodeBmpFeature(id: Long, bytes: Array[Byte]): Feature = {
+    val img = Bmp.decode(bytes)
+    val hist = new Array[Float](16)
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val r = img.rgb(3 * i) & 0xff
+      val g = img.rgb(3 * i + 1) & 0xff
+      val b = img.rgb(3 * i + 2) & 0xff
+      val lum = (r * 299 + g * 587 + b * 114) / 1000
+      hist(lum >> 4) += 1f
+      i += 1
+    }
+    val total = math.max(1, n).toFloat
+    var j = 0
+    while (j < 16) { hist(j) /= total; j += 1 }
+    Feature(id, "bmp", bytes.length.toLong, hist)
+  }
+
   /** Partition-parallel feature extraction over (id, kind, payload) rows.
     * Batched per partition (the decoder amortizes any model/codec init
     * across the partition's rows — same shape as mapInPandas batches).
+    * BMP payloads take the REAL pixel-decode path (`Bmp.decode`); kinds
+    * with no codec in this container take the documented stub.
     */
   def extractFeatures(spark: SparkSession, df: DataFrame,
                       idCol: String = "id", binCol: String = "payload"): Dataset[Feature] = {
@@ -84,7 +112,10 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would happen here (once, not per row)
-        it.map { case (id, kind, bytes) => decodeStub(id, kind, bytes) }
+        it.map {
+          case (id, "bmp", bytes) => decodeBmpFeature(id, bytes)
+          case (id, kind, bytes) => decodeStub(id, kind, bytes)
+        }
       }
   }
 

@@ -538,6 +538,70 @@ object TextQ {
       },
       None), // oracle comes from the generated Golden map
 
+    // multimodal_decode [EXT]: REAL image decode — deterministic 5x3
+    // 24-bit BMPs are encoded from a pixel formula, ride as binary
+    // payloads, and are decoded back by the dependency-free Bmp codec
+    // (bottom-up rows, 4-byte row padding, BGR order all exercised:
+    // width 5 forces a non-trivial pad). The oracle recomputes each
+    // channel mean STRAIGHT FROM THE PIXEL FORMULA in SQL — if decode
+    // mangles padding, row order, or channel order, the gate fails.
+    Q("multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Bmp, Multimodal}
+        val imgs = t(s, d, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val (w, h) = (5, 3)
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+                rgb(i + 1) = ((id * 17 + x * 5 + y * 3) % 256).toByte
+                rgb(i + 2) = ((id * 29 + x * 11 + y * 19) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Bmp.encode(Bmp.Image(w, h, rgb)))
+          }.toDF("id", "payload")
+        imgs.select(col("id"),
+            Multimodal.sniffKind(col("payload")).as("kind"), col("payload"))
+          .as[(Long, String, Array[Byte])]
+          .mapPartitions(_.map { case (id, kind, bytes) =>
+            val img = Bmp.decode(bytes)
+            val n = img.width * img.height
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              sr += img.rgb(3 * i) & 0xff
+              sg += img.rgb(3 * i + 1) & 0xff
+              sb += img.rgb(3 * i + 2) & 0xff
+              i += 1
+            }
+            (id, kind, img.width, img.height,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          })
+          .toDF("id", "kind", "w", "h", "mean_r", "mean_g", "mean_b")
+          .select(col("id"), col("kind"), col("w"), col("h"),
+            round(col("mean_r"), 4).as("mean_r"),
+            round(col("mean_g"), 4).as("mean_g"),
+            round(col("mean_b"), 4).as("mean_b"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+               WHERE doc_id < 40),
+             px AS (SELECT id, gx.x AS x, gy.y AS y
+               FROM ids, generate_series(0, 4) AS gx(x),
+                    generate_series(0, 2) AS gy(y))
+             SELECT id, 'bmp' AS kind, 5 AS w, 3 AS h,
+               round(avg((id*31 + x*7 + y*13) % 256), 4) AS mean_r,
+               round(avg((id*17 + x*5 + y*3) % 256), 4) AS mean_g,
+               round(avg((id*29 + x*11 + y*19) % 256), 4) AS mean_b
+             FROM px GROUP BY id""")),
+
     // multimodal_meta [EXT]: opaque-binary column plumbing — bytes are
     // first-class (byte length + header hex of the payload); the
     // decode/feature-extract stage lives in graft.multimodal (stubbed,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Bmp, Multimodal}
 
 /** Multimodal binary-column plumbing: metadata, sniffing, and the
   * partition-parallel feature-extraction stage (stub decode, real
@@ -68,5 +68,45 @@ class MultimodalSpec extends SparkFunSuite {
     val again = Multimodal.extractFeatures(spark, df).collect()
       .map(f => f.id -> f.feature.toSeq).toMap
     assert(again === feats.view.mapValues(_.feature.toSeq).toMap)
+  }
+
+  test("Bmp round-trips RGB through padding, bottom-up storage, BGR order") {
+    // width 5 → 15-byte rows padded to 16; asymmetric pixels catch
+    // row-order or channel-order mistakes
+    val rgb = Array.tabulate(5 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = Bmp.Image(5, 3, rgb)
+    val bytes = Bmp.encode(img)
+    assert(Bmp.isBmp(bytes))
+    assert(((bytes(18) & 0xff): Int) === 5 && ((bytes(22) & 0xff): Int) === 3)
+    val back = Bmp.decode(bytes)
+    assert(back.width === 5 && back.height === 3)
+    assert(back.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("Bmp decodes top-down (negative height) files too") {
+    val rgb = Array.tabulate(2 * 2 * 3)(i => (i * 19).toByte)
+    val bytes = Bmp.encode(Bmp.Image(2, 2, rgb))
+    // flip to top-down: height := -2, rows already bottom-up in the file
+    // → reverse the two rows so pixel content is unchanged
+    val h = -2
+    bytes(22) = (h & 0xff).toByte; bytes(23) = ((h >> 8) & 0xff).toByte
+    bytes(24) = ((h >> 16) & 0xff).toByte; bytes(25) = ((h >> 24) & 0xff).toByte
+    val rowBytes = ((2 * 3 + 3) / 4) * 4
+    val row0 = bytes.slice(54, 54 + rowBytes)
+    Array.copy(bytes, 54 + rowBytes, bytes, 54, rowBytes)
+    Array.copy(row0, 0, bytes, 54 + rowBytes, rowBytes)
+    assert(Bmp.decode(bytes).rgb.toSeq === rgb.toSeq)
+  }
+
+  test("extractFeatures dispatches bmp to the REAL pixel decoder") {
+    // a solid mid-gray image: every pixel luma 128 → all mass in bin 8
+    val gray = Array.fill(4 * 4 * 3)(128.toByte)
+    val bmp = Bmp.encode(Bmp.Image(4, 4, gray))
+    val df = Seq((7L, bmp)).toDF("id", "payload")
+    val f = Multimodal.extractFeatures(spark, df).collect().head
+    assert(f.kind === "bmp")
+    assert(f.feature(8) === 1.0f && f.feature.sum === 1.0f)
+    // the stub (byte histogram over the whole file) would spread mass
+    // over header bytes — the real decoder must not
   }
 }
