@@ -73,6 +73,24 @@ object ScaleProbe {
       println(f"CONTAM mult=$mult%2d train=${5000 * mult}%7d contaminated=$hits%4d time=$dt%7.1fs")
       spark.catalog.clearCache()
     }
+    // MEGA-BUCKET contamination: 5000 boilerplate-IDENTICAL train docs
+    // make every band-bucket 5x maxBucketSize. Round 2's cross path
+    // dropped oversized buckets wholesale → 0/100 found here; the
+    // sub-bucket salting (train side salted, bench side replicated)
+    // must keep 100/100 with per-task work still bounded.
+    val boiler = (1 to 60).map(i => s"clause$i shared boilerplate term")
+      .mkString("this website uses cookies and standard terms ", " ", " end")
+    val megaTrain = spark.range(5000)
+      .select(($"id" + 30000000L).as("doc_id"), lit(boiler).as("text"))
+    val megaBench = spark.range(100)
+      .select(($"id" + 40000000L).as("doc_id"),
+        concat(lit("Q: "), lit(boiler)).as("text"))
+    val tm = System.nanoTime()
+    val megaHits = Dedup.crossMinhashPairs(megaTrain, megaBench,
+      "doc_id", "text", threshold = 0.5)
+      .select("right_id").distinct().count()
+    val dtm = (System.nanoTime() - tm) / 1e9
+    println(f"MEGA   train=   5000 identical docs, contaminated=$megaHits%4d/100 time=$dtm%7.1fs")
     spark.stop()
   }
 }
