@@ -202,3 +202,51 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
+
+/** 0-based index of the nearest centroid (squared Euclidean distance,
+  * lowest index wins ties) — the IVF assignment pass. The centroid
+  * matrix is carried in the expression instance and ships once per task
+  * via the referenced object, so assignment is one narrow codegen'd
+  * pass over the corpus: no ML pipeline, no shuffle, no per-row
+  * allocation.
+  */
+case class NearestCentroid(child: Expression, centers: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  def compute(in: ArrayData): Int = {
+    val n = in.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      val m = math.min(n, ctr.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val diff = VecUtil.get(in, i, isFloat) - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nc", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}

@@ -111,31 +111,36 @@ object Similarity {
 
   /** Build the IVF index: train the coarse quantizer on a bounded seeded
     * sample (k-means needs only enough vectors to place `nlist`
-    * centroids; 10 iterations over the full corpus would be the
-    * scale-killer at 100 TB), assign every corpus vector to its nearest
-    * centroid, and stage the inverted file to parquet. count() on a
-    * parquet source resolves from row-group metadata (no data scan).
+    * centroids; iterating over the full corpus would be the scale-killer
+    * at 100 TB), assign every corpus vector to its nearest centroid with
+    * a narrow codegen'd pass, and stage the inverted file to parquet.
+    *
+    * Training is DRIVER-SIDE (`KMeansLite` over the collected sample —
+    * metadata-scale by construction, `maxTrainRows` bounds the collect):
+    * round 2 used a distributed iterative fit whose per-iteration
+    * cluster jobs dominated the query's cost. The only distributed work
+    * is one corpus count, the sample scan, and the assignment map.
     */
   def fitIvf(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
              maxTrainRows: Long = 100000L): IvfModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val featured = corpus.select(col("vec_id"), col("embedding"))
     val n = featured.count()
     val train =
       if (n <= maxTrainRows) featured
       else featured.sample(withReplacement = false,
         fraction = maxTrainRows.toDouble / n, seed = seed)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    val cells = Stage.materialize(model.transform(featured)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")),
+    val sample = train.select(col("embedding")).as[Array[Float]].collect()
+    val centers = KMeansLite.fit(sample, nlist, seed)
+    val cells = Stage.materialize(featured.select(
+      col("vec_id"), col("embedding"),
+      org.apache.spark.sql.graftshim.Shim.column(
+        graft.expressions.NearestCentroid(
+          org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
+          centers)).as("cell")),
       "ivf_cells")
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
-    IvfModel(cells, centers)
+    IvfModel(cells, centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
   }
 
   /** Probe a fitted IVF index: rank centroids per query, search only the
