@@ -44,6 +44,15 @@ object Dedup {
                        seed: Long = 42L): Column =
     Shim.column(MinHashSig(Shim.expression(shingleHashes(text, n)), k, seed))
 
+  /** MinHash signature from an ALREADY-COMPUTED shingle-hash array —
+    * lets a pipeline that also needs the exact sets (candidate → verify)
+    * tokenize/shingle the text ONCE and derive the sketch from the
+    * staged sets instead of re-scanning the text.
+    */
+  def minhashSignatureOfSets(sets: Column, k: Int = 64,
+                             seed: Long = 42L): Column =
+    Shim.column(MinHashSig(Shim.expression(sets), k, seed))
+
   /** Estimated Jaccard similarity from two equal-length signatures. */
   def sigSimilarity(sigA: Column, sigB: Column): Column =
     Shim.column(SigAgreement(Shim.expression(sigA), Shim.expression(sigB)))
@@ -236,6 +245,100 @@ object Dedup {
       .select(col("left_id"), col("right_id"),
         sigSimilarity(col("left_sig"), col("right_sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Candidate → exact-verify → threshold near-dup pipeline over one
+    * corpus, tokenizing/shingling the text exactly ONCE: the
+    * (id, shingle-set) frame is staged, MinHash banding derives from
+    * the staged sets in a narrow pass, and the SAME staged sets
+    * exact-verify the candidate pairs. No est_jaccard pre-filter — the
+    * exact verify IS the filter, so recall vs. the all-pairs truth can
+    * only be limited by banding, never by sketch underestimation.
+    * Output: (id_a, id_b, jaccard), id_a < id_b,
+    * jaccard >= finalThreshold.
+    */
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                    bands: Int = 16, rowsPerBand: Int = 4, n: Int = 3,
+                    finalThreshold: Double = 0.5, seed: Long = 42L,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val sets = Stage.materialize(df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("sh")), "verified_sets")
+    val banded = sets.select(col("id"),
+      posexplode(Shim.column(BandHashes(Shim.expression(
+        minhashSignatureOfSets(col("sh"), k, seed)), bands, rowsPerBand))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val capped = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .withColumn("sub",
+        when(col("bucket_n") <= maxBucketSize, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")),
+            ceil(col("bucket_n") / maxBucketSize).cast("long"))))
+      .drop("bucket_n")
+    val pairs = capped.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("id_b")),
+        Seq("band", "bucket", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Shim.column(SortedJaccard(Shim.expression(col("sh_a")),
+          Shim.expression(col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= finalThreshold)
+  }
+
+  /** Cross-corpus candidate → exact-verify → threshold contamination
+    * pipeline (the verified twin of `crossMinhashPairs`), tokenizing
+    * each corpus exactly once. Same mega-bucket discipline: the big
+    * (train) side salts, the tiny (bench) side replicates. Output:
+    * (left_id, right_id, jaccard), jaccard >= finalThreshold.
+    */
+  def crossVerifiedPairs(left: DataFrame, right: DataFrame,
+                         idCol: String, textCol: String,
+                         bands: Int = 16, rowsPerBand: Int = 4, n: Int = 3,
+                         finalThreshold: Double = 0.5, seed: Long = 42L,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    def staged(df: DataFrame, side: String) = {
+      val sets = Stage.materialize(df.select(col(idCol).as(s"${side}_id"),
+        shingleHashes(col(textCol), n).as(s"${side}_sh")),
+        s"crossv_${side}_sets")
+      val bd = sets.select(col(s"${side}_id"),
+        posexplode(Shim.column(BandHashes(Shim.expression(
+          minhashSignatureOfSets(col(s"${side}_sh"), k, seed)),
+          bands, rowsPerBand))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+      (sets, bd)
+    }
+    val (lSets, lBand) = staged(left, "left")
+    val (rSets, rBand) = staged(right, "right")
+    val subPlan = lBand.groupBy("band", "bucket")
+      .agg(ceil(count(lit(1)) / maxBucketSize).cast("long").as("nsub"))
+    val lSalted = lBand.join(broadcast(subPlan), Seq("band", "bucket"))
+      .withColumn("sub",
+        when(col("nsub") <= 1L, lit(0L))
+          .otherwise(pmod(xxhash64(col("left_id")), col("nsub"))))
+      .select("band", "bucket", "sub", "left_id")
+    val rSalted = rBand.join(broadcast(subPlan), Seq("band", "bucket"))
+      .withColumn("sub", explode(sequence(lit(0L), col("nsub") - 1L)))
+      .select("band", "bucket", "sub", "right_id")
+    val pairs = lSalted.join(rSalted, Seq("band", "bucket", "sub"))
+      .select("left_id", "right_id").distinct()
+    pairs
+      .join(lSets, "left_id")
+      .join(rSets, "right_id")
+      .select(col("left_id"), col("right_id"),
+        Shim.column(SortedJaccard(Shim.expression(col("left_sh")),
+          Shim.expression(col("right_sh")))).as("jaccard"))
+      .filter(col("jaccard") >= finalThreshold)
   }
 
   /** Exact dedup: keep the minimum id per distinct key expression. */

@@ -143,15 +143,10 @@ object TextQ {
     // Spark computes Jaccard over 31-bit hashed shingles — exact modulo
     // collisions (P ≈ 4e-5 per pair at these set sizes).
     Q("dedup_jaccard",
-      (s, d) => {
-        val docs = plantedDocs(s, d)
-        Dedup.jaccardVerify(
-          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.35),
-          docs, "doc_id", "text")
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
-            .as("jaccard"))
-      },
+      (s, d) => Dedup.verifiedPairs(plantedDocs(s, d), "doc_id", "text",
+        finalThreshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
+          .as("jaccard")),
       Some("""WITH planted AS (
                SELECT doc_id, text FROM documents
                UNION ALL
@@ -302,12 +297,9 @@ object TextQ {
         val bench = train.filter(col("doc_id") % 25 === 0).select(
           (col("doc_id") + 5000000L).as("doc_id"),
           concat(lit("Q: "), col("text")).as("text"))
-        val cand = Dedup.crossMinhashPairs(train, bench, "doc_id", "text",
-          threshold = 0.35)
-          .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
-        Dedup.jaccardVerify(cand, train.unionByName(bench), "doc_id", "text")
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id_a").as("left_id"), col("id_b").as("right_id"),
+        Dedup.crossVerifiedPairs(train, bench, "doc_id", "text",
+          finalThreshold = 0.5)
+          .select(col("left_id"), col("right_id"),
             round(col("jaccard"), 4).as("jaccard"))
       },
       Some("""WITH bench AS (

@@ -85,6 +85,35 @@ class DedupSpec extends SparkFunSuite {
     pairs.filter(p => (p._1, p._2) == ((1L, 2L))).foreach(p => assert(p._3 <= 7))
   }
 
+  test("verifiedPairs: one shingle pass, matches verify-after-candidates") {
+    val got = Dedup.verifiedPairs(corpus, "doc_id", "text",
+      finalThreshold = 0.3)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = Dedup.jaccardVerify(
+      Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.0),
+      corpus, "doc_id", "text")
+      .filter($"jaccard" >= 0.3)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.exists { case (a, b, _) => (a, b) == ((1L, 2L)) })
+  }
+
+  test("crossVerifiedPairs: exact-verified contamination, train side only") {
+    val bench = Seq(
+      (100L, "Q: " + base),
+      (101L, "entirely novel benchmark question about astronomy and " +
+        "the formation of spiral galaxies in the early universe epochs")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossVerifiedPairs(corpus, bench, "doc_id", "text",
+      finalThreshold = 0.3)
+      .select($"left_id", $"right_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.exists(h => (h._1, h._2) == ((1L, 100L)) && h._3 > 0.8))
+    assert(!hits.exists(_._2 == 101L))
+  }
+
   test("exactByKey keeps min id and counts dups") {
     val df = Seq((10L, "x"), (7L, "x"), (3L, "y")).toDF("id", "t")
     val r = Dedup.exactByKey(df, "id", col("t")).orderBy("dedup_key")
