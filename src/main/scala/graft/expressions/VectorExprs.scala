@@ -250,3 +250,129 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Float]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
+
+/** Product-quantization encode: L2-NORMALIZE the vector (the index
+  * targets cosine/angular similarity, so quantization happens on the
+  * unit sphere), split into `m` contiguous subspaces, and emit, per
+  * subspace, the index of the nearest codebook centroid (squared
+  * Euclidean, lowest index on ties). Output array<int> of length m —
+  * the PQ code (m·log2(k) bits of the vector). `codebooks(s)(c)` is
+  * centroid c of subspace s; the codebook tensor ships once per task
+  * via the referenced object.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  def compute(in: ArrayData): ArrayData = {
+    val m = codebooks.length
+    val dsub = if (m == 0) 0 else codebooks(0)(0).length
+    val dim = m * dsub
+    var nrm = 0.0
+    var i0 = 0
+    val n = math.min(in.numElements(), dim)
+    while (i0 < n) {
+      val x = VecUtil.get(in, i0, isFloat)
+      nrm += x * x
+      i0 += 1
+    }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val ctr = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = VecUtil.get(in, off + i, isFloat) * inv - ctr(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqe", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ distance (ADC): squared Euclidean between the
+  * L2-NORMALIZED query vector and the centroid reconstruction of a PQ
+  * code (codes quantize unit vectors — see PqEncode) — the shortlist
+  * scoring of a PQ index. On the unit sphere, L2 order == cosine
+  * order. Left: query array<float/double>; right: code array<int>.
+  * O(dim) per pair, but the corpus side reads only m ints per row (the
+  * 100 TB point: codes are ~32x smaller than raw floats).
+  */
+case class PqAdcDist(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  @transient private lazy val lFloat = VecUtil.isFloatArray(left.dataType)
+
+  def compute(q: ArrayData, code: ArrayData): Double = {
+    val m = codebooks.length
+    val dsub = if (m == 0) 0 else codebooks(0)(0).length
+    val dim = m * dsub
+    var nrm = 0.0
+    var i0 = 0
+    val n = math.min(q.numElements(), dim)
+    while (i0 < n) {
+      val x = VecUtil.get(q, i0, lFloat)
+      nrm += x * x
+      i0 += 1
+    }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      val ctr = codebooks(s)(code.getInt(s))
+      val off = s * dsub
+      var i = 0
+      while (i < dsub) {
+        val diff = VecUtil.get(q, off + i, lFloat) * inv - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      s += 1
+    }
+    d
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adc", this, classOf[PqAdcDist].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDist = copy(left = newLeft, right = newRight)
+}

@@ -183,6 +183,100 @@ object Similarity {
     probeIvf(fitIvf(corpus, nlist, seed, maxTrainRows), queries, k,
       nprobe, roundTo)
 
+  /** A fitted product-quantization index: per-subspace codebooks
+    * (metadata-scale — m·k·dsub floats) and the staged code table
+    * (vec_id, code: array<int> of length m). At 100 TB the codes are
+    * the point: m·log2(k) bits per vector instead of dim·32 — a 64-dim
+    * float corpus compresses ~32x, so the ADC scan is IO/memory-bound
+    * on a table two orders of magnitude smaller than the raw vectors.
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]],
+                           codes: DataFrame)
+
+  /** Train per-subspace codebooks on a bounded seeded sample
+    * (driver-side KMeansLite per subspace — metadata-scale, like the
+    * IVF quantizer) and PQ-encode the corpus in one narrow codegen'd
+    * pass staged to parquet.
+    *
+    * @param m    number of contiguous subspaces (must divide dim)
+    * @param kSub centroids per subspace (code entry range)
+    */
+  def fitPq(corpus: DataFrame, dim: Int, m: Int = 8, kSub: Int = 256,
+            seed: Long = 42L, maxTrainRows: Long = 100000L): PqModel = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val featured = corpus.select(col("vec_id"), col("embedding"))
+    val n = featured.count()
+    val train =
+      if (n <= maxTrainRows) featured
+      else featured.sample(withReplacement = false,
+        fraction = maxTrainRows.toDouble / n, seed = seed)
+    // the index targets cosine: train/encode/score on the unit sphere
+    // (PqEncode/PqAdcDist normalize internally; the sample must match)
+    val sample = train.select(col("embedding")).as[Array[Float]].collect()
+      .map { v =>
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
+      }
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
+        (s + 1) * dsub))
+      KMeansLite.fit(sub, kSub, seed + s)
+    }
+    val codes = Stage.materialize(featured.select(col("vec_id"),
+      org.apache.spark.sql.graftshim.Shim.column(
+        graft.expressions.PqEncode(
+          org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
+          codebooks)).as("code")),
+      "pq_codes")
+    PqModel(codebooks, codes)
+  }
+
+  /** Probe a PQ index: ADC-score every code against each (broadcast)
+    * query — reading only the compact code table — shortlist the
+    * `rerank` closest per query, then join the raw embeddings back for
+    * ONLY the shortlist and rank by exact cosine. The rerank join
+    * touches rerank·|queries| vectors regardless of corpus size, so
+    * recall comes almost free while the corpus-wide scan stays on
+    * codes.
+    */
+  def probePq(model: PqModel, corpus: DataFrame, queries: DataFrame,
+              k: Int, rerank: Int = 64, roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec")))
+    val shortlist = model.codes.crossJoin(q)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qvec"), col("vec_id"),
+        org.apache.spark.sql.graftshim.Shim.column(
+          graft.expressions.PqAdcDist(
+            org.apache.spark.sql.graftshim.Shim.expression(col("qvec")),
+            org.apache.spark.sql.graftshim.Shim.expression(col("code")),
+            model.codebooks)).as("adc"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("ark") <= rerank)
+      .select("qid", "qvec", "vec_id")
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
+  }
+
+  /** One-shot PQ fit + probe (see fitPq/probePq). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 8, kSub: Int = 256, rerank: Int = 64,
+             seed: Long = 42L, roundTo: Int = 6,
+             maxTrainRows: Long = 100000L): DataFrame =
+    probePq(fitPq(corpus, dim, m, kSub, seed, maxTrainRows), corpus,
+      queries, k, rerank, roundTo)
+
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
     * within-bucket candidate pairs (deduplicated with a distinct() over
     * bare id pairs — see the emission note below) → exact cosine filter.

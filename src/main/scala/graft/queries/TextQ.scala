@@ -20,6 +20,11 @@ object TextQ {
     scala.collection.concurrent.TrieMap
       .empty[(Int, String), Similarity.IvfModel]
 
+  /** Fitted PQ indexes — same fit-once discipline as ivfCache. */
+  private[queries] val pqCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), Similarity.PqModel]
+
   /** documents ∪ one-token-perturbed copies of every 50th doc. */
   private def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -217,6 +222,23 @@ object TextQ {
           nprobe = 4, roundTo = 3)
       },
       None),
+
+    // sim_ann_pq [EXT]: product-quantization ANN — the memory-bounded
+    // scale path (m·log2(k) bits per vector; the corpus-wide scan reads
+    // 8-int codes, not 64-float vectors), ADC shortlist + exact-cosine
+    // rerank. Deterministic (seeded per-subspace KMeansLite); recall vs
+    // brute force asserted in SimilaritySpec; golden VALUES oracle
+    // (codebook contents are sketch-internal).
+    Q("sim_ann_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = TextQ.pqCache.getOrElseUpdate(
+          (System.identityHashCode(s), d),
+          Similarity.fitPq(emb, dim = 64))
+        Similarity.probePq(model, emb, emb.filter(col("vec_id") < 5),
+          k = 5, roundTo = 3)
+      },
+      None), // oracle comes from the generated Golden map
 
     // text_winnow [EXT]: winnowing fingerprint set size per document
     // (the fingerprints themselves are array-valued; the count is the

@@ -84,6 +84,20 @@ class SimilaritySpec extends SparkFunSuite {
     assert(run() === ivf) // seeded k-means → reproducible
   }
 
+  test("pqTopK: ADC shortlist + exact rerank, recall@5 >= 0.9, deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(emb, q, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.pqTopK(emb, q, k = 5, dim = 64)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = run()
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 8-bit codebooks + exact rerank of a 64-deep ADC shortlist
+    assert(recall >= 0.9, s"recall $recall")
+    assert(run() === pq) // seeded per-subspace k-means → reproducible
+  }
+
   test("cosineNearDupPairs finds a planted perturbed copy") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding")
