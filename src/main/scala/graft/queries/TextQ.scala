@@ -129,11 +129,55 @@ object TextQ {
           .as("est_jaccard")),
       None),
 
-    // dedup_simhash [EXT]: 64-bit SimHash pairs, Hamming <= 7 (guaranteed
-    // recall via 8x8-bit blocking).
+    // dedup_simhash [EXT]: 64-bit SimHash pairs, Hamming <= 7.
+    // Independent oracle: because 8x8-bit chunk blocking GUARANTEES
+    // recall for dist <= 7 (pigeonhole), the output equals ALL pairs at
+    // Hamming <= 7 — and DuckDB recomputes every SimHash from raw text:
+    // per-token FNV-1a 64 replayed bit-exactly with UHUGEINT mod-2^64
+    // wraparound arithmetic, +-1 bit votes, sign packing (HUGEINT sum —
+    // a UHUGEINT sum silently falls back to DOUBLE and loses low bits),
+    // then an all-pairs XOR popcount. The gate thus verifies the hash,
+    // the sketch, AND the blocking's recall guarantee.
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text"),
-      None),
+      Some("""WITH planted AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' zz'
+               FROM documents WHERE doc_id % 50 = 0
+             ),
+             toks AS (
+               SELECT doc_id, unnest(string_split(trim(regexp_replace(
+                 lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+               FROM planted
+             ),
+             th AS (
+               SELECT doc_id, list_reduce(
+                 list_prepend(14695981039346656037::UBIGINT,
+                   list_transform(generate_series(1, length(tok)),
+                     i -> ord(substr(tok, i, 1))::UBIGINT)),
+                 (h, b) -> ((xor(h, b)::UHUGEINT * 1099511628211::UHUGEINT)
+                            % '18446744073709551616'::UHUGEINT)::UBIGINT) AS h
+               FROM toks
+             ),
+             votes AS (
+               SELECT doc_id, g.bit,
+                 sum(CASE WHEN (h >> g.bit) & 1::UBIGINT = 1::UBIGINT
+                     THEN 1 ELSE -1 END) AS v
+               FROM th, generate_series(0, 63) AS g(bit)
+               GROUP BY doc_id, g.bit
+             ),
+             sh AS (
+               SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0
+                   THEN ((1::UBIGINT << CAST(bit AS INT))::HUGEINT)
+                   ELSE 0::HUGEINT END) AS UBIGINT) AS sh
+               FROM votes GROUP BY doc_id
+             )
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh))::INT AS hamming
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.sh, b.sh)) <= 7""")),
 
     // dedup_jaccard [EXT]: exact n-gram Jaccard verification of the
     // MinHash candidates, keeping pairs at or above the final 0.5
