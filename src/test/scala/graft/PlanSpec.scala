@@ -69,6 +69,17 @@ class PlanSpec extends SparkFunSuite {
       "embedding column leaked into the bucket self-join frame")
   }
 
+  test("sim_ann_pq: the corpus-wide ADC scan reads codes, not vectors") {
+    val p = plan("sim_ann_pq")
+    assert(p.contains("graft_stage_pq_codes"),
+      "PQ code table stage checkpoint lost")
+    // the ADC stage must scan only (vec_id, code) — raw embeddings may
+    // appear ONLY via the shortlist rerank join, never the code scan
+    val codeScan = p.linesIterator.filter(_.contains("graft_stage_pq_codes"))
+    assert(codeScan.nonEmpty && codeScan.forall(!_.contains("embedding")),
+      "embedding column leaked into the PQ code scan")
+  }
+
   test("corpus_clean: one scan, one shuffle, map-side partial agg") {
     val p = plan("corpus_clean")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
