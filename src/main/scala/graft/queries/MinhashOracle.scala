@@ -1,0 +1,79 @@
+package graft.queries
+
+/** Independent DuckDB oracle for `dedup_minhash`: replays the whole
+  * MinHash pipeline from raw text in SQL —
+  *
+  *  1. tokenize/shingle exactly like `Dedup.normTokens`/`ShingleHashes`
+  *     (per-token FNV-1a 64, then a 3-step mix64 chain per word
+  *     3-window, masked to 31 bits, distinct);
+  *  2. derive the 64 universal-hash params from the seed exactly like
+  *     `HashUtil.hashParams` (mix64 of 42+2j / 42+2j+1);
+  *  3. per-doc signature = min (a·s + b) mod P31 per hash;
+  *  4. est_jaccard = fraction of agreeing signature entries over ALL
+  *     pairs, kept at est >= 0.35.
+  *
+  * 64-bit wraparound arithmetic is emulated with UHUGEINT mod 2^64;
+  * each mix64 step is its own CTE stage (columns referenced by name),
+  * so the splitmix chain doesn't explode into duplicated
+  * subexpressions. Sums/mins that must stay exact avoid UHUGEINT
+  * aggregates (DuckDB sums UHUGEINT as DOUBLE, losing low bits).
+  *
+  * The SQL is assembled here (one helper emits the four CTE stages of a
+  * mix64 application) rather than pasted, so the constant structure is
+  * auditable against HashUtil.mix64.
+  */
+object MinhashOracle {
+
+  private val Mod = "'18446744073709551616'::UHUGEINT" // 2^64
+  private val C1 = "11400714819323198485::UBIGINT" // 0x9e3779b97f4a7c15
+  private val C2 = "13787848793156543929::UBIGINT" // 0xbf58476d1ce4e5b9
+  private val C3 = "10723151780598845931::UBIGINT" // 0x94d049bb133111eb
+
+  /** Four CTE stages computing `outCol` = mix64(`inExpr`) over rows of
+    * `srcCte` (z + C1; (z^z>>>30)·C2; (z^z>>>27)·C3; z^z>>>31 — all
+    * mod 2^64).
+    */
+  private def mixStages(srcCte: String, inExpr: String, outCol: String,
+                        tag: String): String =
+    s"""${tag}a AS (SELECT *, ((($inExpr)::UHUGEINT + $C1) % $Mod)::UBIGINT AS z$tag FROM $srcCte),
+       |${tag}b AS (SELECT * REPLACE ((((xor(z$tag, z$tag >> 30))::UHUGEINT * $C2) % $Mod)::UBIGINT AS z$tag) FROM ${tag}a),
+       |${tag}c AS (SELECT * REPLACE ((((xor(z$tag, z$tag >> 27))::UHUGEINT * $C3) % $Mod)::UBIGINT AS z$tag) FROM ${tag}b),
+       |${tag}d AS (SELECT * EXCLUDE (z$tag), xor(z$tag, z$tag >> 31) AS $outCol FROM ${tag}c)""".stripMargin
+
+  val sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zz'
+       |  FROM documents WHERE doc_id % 50 = 0
+       |),
+       |tk AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+       |    '[^a-z0-9]+', ' ', 'g')), ' ') AS tk FROM planted),
+       |th AS (SELECT doc_id, list_transform(tk, t -> list_reduce(
+       |    list_prepend(14695981039346656037::UBIGINT,
+       |      list_transform(generate_series(1, length(t)),
+       |        i -> ord(substr(t, i, 1))::UBIGINT)),
+       |    (h, b) -> (((xor(h, b))::UHUGEINT * 1099511628211::UBIGINT::UHUGEINT) % $Mod)::UBIGINT)) AS hs
+       |  FROM tk),
+       |wix AS (SELECT doc_id, hs,
+       |    unnest(generate_series(1, greatest(len(hs) - 2, 0))) AS i FROM th),
+       |win AS (SELECT doc_id, hs[i] AS ta, hs[i+1] AS tb, hs[i+2] AS tc FROM wix),
+       |${mixStages("win", "xor(14695981039346656037::UBIGINT, ta)", "h1", "q1")},
+       |${mixStages("q1d", "xor(h1, tb)", "h2", "q2")},
+       |${mixStages("q2d", "xor(h2, tc)", "h3", "q3")},
+       |sh AS (SELECT DISTINCT doc_id, h3 & 2147483647::UBIGINT AS s FROM q3d),
+       |pj AS (SELECT g.j AS j, (42 + 2*g.j)::UBIGINT AS za, (42 + 2*g.j + 1)::UBIGINT AS zb
+       |  FROM generate_series(0, 63) AS g(j)),
+       |${mixStages("pj", "za", "ma", "p1")},
+       |${mixStages("p1d", "zb", "mb", "p2")},
+       |params AS (SELECT j, (ma & 2147483647::UBIGINT) | 1::UBIGINT AS a,
+       |    mb & 2147483647::UBIGINT AS b FROM p2d),
+       |sig AS (SELECT doc_id, j, min((a::BIGINT * s::BIGINT + b::BIGINT) % 2147483647) AS v
+       |  FROM sh, params GROUP BY doc_id, j),
+       |agree AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS eq
+       |  FROM sig x JOIN sig y ON x.j = y.j AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT id_a, id_b, round(eq / 64.0, 4) AS est_jaccard
+       |FROM agree WHERE eq / 64.0 >= 0.35""".stripMargin
+}

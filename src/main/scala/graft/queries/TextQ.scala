@@ -122,12 +122,19 @@ object TextQ {
 
     // dedup_minhash [EXT]: MinHash+LSH near-dup candidate pairs over the
     // planted corpus. Estimate is k-of-64 signature agreement.
+    // Independent oracle: DuckDB replays the ENTIRE sketch from raw
+    // text — per-token FNV-1a, the mix64 shingle chains (wraparound
+    // mult via UHUGEINT mod-2^64, one CTE stage per mix64 step so no
+    // expression blowup), the 64 seed-derived universal hash params,
+    // per-doc signature minima, and ALL-pairs signature agreement at
+    // est >= 0.35. Equality also certifies that 16x4 banding loses no
+    // est-qualifying pair on this corpus.
     Q("dedup_minhash",
       (s, d) => Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text",
         threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4)
           .as("est_jaccard")),
-      None),
+      Some(MinhashOracle.sql)),
 
     // dedup_simhash [EXT]: 64-bit SimHash pairs, Hamming <= 7.
     // Independent oracle: because 8x8-bit chunk blocking GUARANTEES
