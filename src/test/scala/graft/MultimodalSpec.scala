@@ -98,6 +98,25 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Bmp.decode(bytes).rgb.toSeq === rgb.toSeq)
   }
 
+  test("Bmp round-trips every width 1..9 (all pad remainders) and height 1..4") {
+    val rnd = new java.util.Random(7)
+    for (w <- 1 to 9; h <- 1 to 4) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val back = Bmp.decode(Bmp.encode(Bmp.Image(w, h, rgb)))
+      assert(back.width === w && back.height === h)
+      assert(back.rgb.toSeq === rgb.toSeq, s"mismatch at ${w}x$h")
+    }
+  }
+
+  test("Bmp.decode rejects non-BMP and unsupported flavors loudly") {
+    intercept[IllegalArgumentException](Bmp.decode("nope".getBytes))
+    val ok = Bmp.encode(Bmp.Image(2, 2, new Array[Byte](12)))
+    val bad16 = ok.clone(); bad16(28) = 16 // bpp 16
+    intercept[IllegalArgumentException](Bmp.decode(bad16))
+    val badRle = ok.clone(); badRle(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](Bmp.decode(badRle))
+  }
+
   test("extractFeatures dispatches bmp to the REAL pixel decoder") {
     // a solid mid-gray image: every pixel luma 128 → all mass in bin 8
     val gray = Array.fill(4 * 4 * 3)(128.toByte)
