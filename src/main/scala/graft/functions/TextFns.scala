@@ -17,9 +17,22 @@ object TextFns {
     */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Whitespace token count. */
+  /** All per-document signals from ONE native byte scan
+    * (graft.expressions.TextSignals) — the round-1/2 regex formulations
+    * cost ~10 regex passes per document. Field extractions over
+    * identical `signals(text)` subtrees collapse via codegen
+    * subexpression elimination, so every consumer below shares the one
+    * scan. Semantics are regex-identical; the DuckDB oracles still
+    * verify that equivalence against a real regex engine at the gate.
+    */
+  def signals(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.expressions.TextSignals(
+        org.apache.spark.sql.graftshim.Shim.expression(text)))
+
+  /** Whitespace token count (`size(split(trim(text), "\s+"))`). */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    signals(text).getField("n_words")
 
   /** BPE-ish token count via regexp_extract_all. */
   def bpeTokenCount(text: Column): Column =
@@ -27,15 +40,15 @@ object TextFns {
 
   /** Punctuation character ratio (0 when empty). */
   def punctRatio(text: Column): Column =
-    when(length(text) > 0,
-      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
-        .cast("double") / length(text))
+    when(signals(text).getField("n_chars") > 0,
+      signals(text).getField("n_punct").cast("double") /
+        signals(text).getField("n_chars"))
       .otherwise(lit(0.0))
 
   /** Mean whitespace-token length. */
   def avgWordLen(text: Column): Column =
     when(wsTokenCount(text) > 0,
-      length(regexp_replace(text, "\\s+", "")).cast("double") /
+      signals(text).getField("n_nonws").cast("double") /
         wsTokenCount(text))
       .otherwise(lit(0.0))
 
@@ -49,11 +62,12 @@ object TextFns {
     "zh" -> "[\\u4e00-\\u9fff]",
   )
 
-  /** Per-language stopword hit count. */
-  def stopwordHits(text: Column, lang: String): Column = {
-    val pat = StopwordPatterns.toMap.apply(lang)
-    size(regexp_extract_all(text, lit(pat), lit(0)))
-  }
+  /** Per-language stopword hit count (field of the one-scan signals
+    * struct; the regex patterns above document the exact semantics and
+    * back the DuckDB oracles).
+    */
+  def stopwordHits(text: Column, lang: String): Column =
+    signals(text).getField(lang)
 
   /** Stopword ratio against English stopwords (quality signal). */
   def stopwordRatio(text: Column): Column =
@@ -92,8 +106,16 @@ object TextFns {
     * pass of a dedup pipeline (before MinHash).
     */
   def fingerprint(text: Column): Column =
-    md5(to_binary(
-      trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), lit("utf-8")))
+    md5(normalizedBytes(text))
+
+  /** One-pass native normalization (lowercase alnum, collapse, trim) as
+    * the exact UTF-8 bytes — see expressions.NormalizeAlnum. Fronts
+    * every dedup sketch; replaces a per-document regex NFA walk.
+    */
+  def normalizedBytes(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.expressions.NormalizeAlnum(
+        org.apache.spark.sql.graftshim.Shim.expression(text)))
 
   /** Strip HTML/XML tags and entities, collapse the leftover whitespace —
     * the boilerplate-removal first pass over scraped corpora. Pure
@@ -124,7 +146,7 @@ object TextFns {
     */
   def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16,
                         portable: Boolean = false): Column = {
-    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    val norm = normalizedBytes(text).cast("string")
     org.apache.spark.sql.graftshim.Shim.column(
       graft.expressions.WinnowFingerprint(
         org.apache.spark.sql.graftshim.Shim.expression(norm), k, w, portable))

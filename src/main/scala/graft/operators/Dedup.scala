@@ -27,9 +27,12 @@ import graft.expressions.{BandHashes, MinHashSig, ShingleHashes, SigAgreement, S
   */
 object Dedup {
 
-  /** Normalized word tokens: lowercase, strip non-alphanumerics, split. */
+  /** Normalized word tokens: lowercase, strip non-alphanumerics, split.
+    * Normalization is the one-pass native scan (TextFns.normalizedBytes);
+    * the split on the collapsed single spaces is linear.
+    */
   def normTokens(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    split(graft.functions.TextFns.normalizedBytes(text).cast("string"), " ")
 
   /** Distinct 31-bit hashes of word n-gram shingles — the MinHash input
     * set, computed in one native pass from the token array.
