@@ -220,10 +220,14 @@ object Similarity {
         val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
         if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
       }
-    val codebooks = Array.tabulate(m) { s =>
+    // subspaces train independently → parallel across driver cores
+    // (each fit is a tight primitive loop; 8 subspaces x 256 centroids
+    // over a 100k sample is minutes single-threaded, seconds parallel)
+    val codebooks = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
         (s + 1) * dsub))
-      KMeansLite.fit(sub, kSub, seed + s)
+      codebooks(s) = KMeansLite.fit(sub, kSub, seed + s)
     }
     val codes = Stage.materialize(featured.select(col("vec_id"),
       org.apache.spark.sql.graftshim.Shim.column(

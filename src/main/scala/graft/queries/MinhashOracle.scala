@@ -40,7 +40,10 @@ object MinhashOracle {
        |${tag}c AS (SELECT * REPLACE ((((xor(z$tag, z$tag >> 27))::UHUGEINT * $C3) % $Mod)::UBIGINT AS z$tag) FROM ${tag}b),
        |${tag}d AS (SELECT * EXCLUDE (z$tag), xor(z$tag, z$tag >> 31) AS $outCol FROM ${tag}c)""".stripMargin
 
-  val sql: String =
+  /** The shared CTE pipeline: raw text → `agree(id_a, id_b, eq)` (of 64
+    * signature entries) over ALL planted-corpus pairs.
+    */
+  private val pipeline: String =
     s"""WITH planted AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -73,7 +76,18 @@ object MinhashOracle {
        |agree AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        |    sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS eq
        |  FROM sig x JOIN sig y ON x.j = y.j AND x.doc_id < y.doc_id
-       |  GROUP BY x.doc_id, y.doc_id)
+       |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
+  val sql: String =
+    s"""$pipeline
        |SELECT id_a, id_b, round(eq / 64.0, 4) AS est_jaccard
        |FROM agree WHERE eq / 64.0 >= 0.35""".stripMargin
+
+  /** Oracle for `stream_neardup`: each doc paired with its EARLIEST
+    * (min-id) near-duplicate predecessor at est >= 0.35.
+    */
+  val firstDupSql: String =
+    s"""$pipeline
+       |SELECT id_b AS doc_id, min(id_a) AS dup_of
+       |FROM agree WHERE eq / 64.0 >= 0.35 GROUP BY id_b""".stripMargin
 }

@@ -110,6 +110,26 @@ object StreamQ {
                AND b.ts <= a.ts + INTERVAL 5 MINUTE
              GROUP BY a.event_type""")),
 
+    // stream_neardup [EXT]: ONLINE near-duplicate detection — the
+    // streaming twin of dedup_minhash (banded LSH state per bucket via
+    // flatMapGroupsWithState; each arriving doc checks only its
+    // co-bucketed predecessors). Batch mode runs the identical code
+    // path in id order, which is what the oracle checks — and the
+    // oracle INDEPENDENTLY recomputes the whole MinHash sketch in SQL
+    // (MinhashOracle) and takes each doc's min-id predecessor at
+    // est >= 0.35. StreamingSpec drives the true incremental path with
+    // state carried across MemoryStream batches.
+    Q("stream_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") % 50 === 0).select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+        graft.streaming.DocStreams.firstNearDup(s, planted)
+      },
+      Some(MinhashOracle.firstDupSql)),
+
     // stream_stateful: custom per-user state via flatMapGroupsWithState
     // (graft.streaming.EventStreams.runningUserState). In batch mode the
     // running state degenerates to final per-user totals, which the

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming near-duplicate detection — the online twin of
+  * `Dedup.minhashPairs`: documents arrive as a stream and each one is
+  * checked against everything seen SO FAR, emitting
+  * (doc_id, dup_of, est) the moment a near-duplicate lands.
+  *
+  * Shape: each incoming document explodes to its LSH band keys (the
+  * same banding as the batch operator — computed by the native sketch
+  * expressions in one narrow pass), the stream is keyed by
+  * (band, bucket), and `flatMapGroupsWithState` holds per-bucket state:
+  * the (id, signature) pairs previously seen in that bucket, capped at
+  * `maxBucketSize` (mega-bucket guard — matches the batch sub-bucket
+  * cap's bound on per-event work; beyond the cap the OLDEST entries
+  * evict, bounding both memory and compare cost per arrival).
+  *
+  * What shuffles is the banded scalar stream — (band, bucket, id, sig),
+  * ~520 B per doc per band at k=64 — never the text. A pair colliding
+  * in several buckets emits once per collision; callers aggregate (the
+  * batch twin takes min(dup_of) per doc).
+  *
+  * Batch mode runs the same code path: each group's rows are processed
+  * in id order against an initially-empty state, so batch output ==
+  * the stream fed in id order — that equivalence is what the driver's
+  * oracle checks, while StreamingSpec drives the true incremental path
+  * (state carried ACROSS MemoryStream batches).
+  */
+object DocStreams {
+
+  final case class Match(doc_id: Long, dup_of: Long, est: Double)
+
+  def nearDupMatches(spark: SparkSession, docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     bands: Int = 16, rowsPerBand: Int = 4,
+                     threshold: Double = 0.35,
+                     maxBucketSize: Int = 1000): Dataset[Match] = {
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    val banded = docs.select(col(idCol).as("id"),
+        Dedup.minhashSignature(col(textCol), k).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(org.apache.spark.sql.graftshim.Shim.column(
+          graft.expressions.BandHashes(
+            org.apache.spark.sql.graftshim.Shim.expression(col("sig")),
+            bands, rowsPerBand))))
+      .select(col("pos").as("band"), col("col").as("bucket"),
+        col("id"), col("sig"))
+      .as[(Int, Long, Long, Array[Long])]
+
+    def agreement(a: Array[Long], b: Array[Long]): Double = {
+      val n = math.min(a.length, b.length)
+      var eq = 0
+      var i = 0
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      if (n == 0) 0.0 else eq.toDouble / n
+    }
+
+    banded.groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroupsWithState[List[(Long, Array[Long])], Match](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil) // newest first
+          val out = List.newBuilder[Match]
+          // id order makes batch mode equal to an id-ordered stream
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            seen.foreach { case (prevId, prevSig) =>
+              if (prevId != id) {
+                val est = agreement(sig, prevSig)
+                if (est >= threshold) out += Match(id, prevId, est)
+              }
+            }
+            seen = ((id, sig) :: seen).take(maxBucketSize)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** Each doc with its earliest (min-id) near-dup predecessor — the
+    * aggregate view of the match stream (and the oracle-checked batch
+    * twin).
+    */
+  def firstNearDup(spark: SparkSession, docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   threshold: Double = 0.35): DataFrame =
+    nearDupMatches(spark, docs, idCol, textCol, threshold = threshold)
+      .toDF()
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+}

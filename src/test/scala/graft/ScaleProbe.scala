@@ -91,6 +91,32 @@ object ScaleProbe {
       .select("right_id").distinct().count()
     val dtm = (System.nanoTime() - tm) / 1e9
     println(f"MEGA   train=   5000 identical docs, contaminated=$megaHits%4d/100 time=$dtm%7.1fs")
+    // PQ vs brute at growing corpus: the ADC scan reads 8-byte codes
+    // (32x smaller than the 256-byte vectors), so the corpus-wide cost
+    // is dominated by a table that fits where the raw vectors don't.
+    // recall = overlap@10 vs exact brute force on the same corpus.
+    for (mult <- Seq(1, 20)) {
+      val corpus = (0 until mult).map { m =>
+        emb.select(($"vec_id" + lit(m * 10000000L)).as("vec_id"),
+          transform($"embedding",
+            (x, i) => when(i === 0, x + lit(0.001f * m)).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _).persist()
+      corpus.count()
+      val q = corpus.filter($"vec_id" < 5)
+      val tb = System.nanoTime()
+      val brute = graft.operators.Similarity.bruteTopK(corpus, q, k = 10)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      val dtb = (System.nanoTime() - tb) / 1e9
+      val tp = System.nanoTime()
+      val model = graft.operators.Similarity.fitPq(corpus, dim = 64)
+      val pq = graft.operators.Similarity.probePq(model, corpus, q, k = 10)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      val dtp = (System.nanoTime() - tp) / 1e9
+      val recall = (brute & pq).size.toDouble / brute.size
+      println(f"PQ     mult=$mult%2d vecs=${embN * mult}%7d recall@10=$recall%.3f brute=$dtb%6.1fs fit+probe=$dtp%6.1fs")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -100,6 +100,33 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: a later batch's doc matches state from an earlier batch") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away while the sun sets slowly behind the tall green hills tonight"
+    val other = "completely different text about spark query engines and " +
+      "distributed columnar execution at terabyte scale with shuffles"
+    val in = MemoryStream[(Long, String)]
+    val name = nextTable()
+    val q = graft.streaming.DocStreams.nearDupMatches(spark,
+        in.toDS().toDF().withColumnRenamed("_1", "doc_id")
+          .withColumnRenamed("_2", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0) // nothing matches yet
+      in.addData((3L, base + " extra")) // near-dup of batch-1's doc 1
+      q.processAllAvailable()
+      val matches = spark.table(name)
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      // state carried across triggers: doc 3 pairs with doc 1, never doc 2
+      assert(matches.contains((3L, 1L)), s"got $matches")
+      assert(!matches.exists(_._2 == 2L))
+    } finally q.stop()
+  }
+
   test("file-source stream: new csv files are picked up incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("fstream")
     val schema = "ts TIMESTAMP, event_id LONG, user_id LONG, " +
