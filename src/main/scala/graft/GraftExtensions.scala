@@ -49,6 +49,13 @@ object GraftExtensions {
     "graft_hyperplane_buckets" -> (a => HyperplaneBuckets(
       a(0), intLit(a(1)), intLit(a(2)), intLit(a(3)), longLit(a(4)))),
     "graft_first_agree" -> (a => FirstAgreeIndex(a(0), a(1))),
+    "graft_text_signals" -> (a => TextSignals(a(0))),
+    "graft_normalize_alnum" -> (a => NormalizeAlnum(a(0))),
+    "graft_winnow_fingerprint" -> (a =>
+      WinnowFingerprint(a(0), intLit(a(1)), intLit(a(2)))),
+    // NearestCentroid / PqEncode / PqAdcDist carry centroid matrices in
+    // the expression instance — not SQL-literal-able; their surface is
+    // Similarity.fitIvf/probeIvf and fitPq/probePq.
   )
 
   /** Runtime registration on an existing session. */

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 import graft.expressions._
+import graft.functions.TextFns
 
 /** Edge-case behavior of the native expressions through the real query
   * path (null inputs, empty arrays, zero vectors, length mismatches).
@@ -80,6 +81,52 @@ class ExpressionEdgeSpec extends SparkFunSuite {
       .select(Shim.column(MinHashSig(Shim.expression(col("h")), 8, 42L)))
       .as[Seq[Long]].head()
     assert(r === Seq.fill(8)(Long.MaxValue))
+  }
+
+  test("TextSignals equals the regex formulation on adversarial inputs") {
+    // empty, all-punct, unicode (zh + accents), underscores (\w but not
+    // alnum), digits in runs, stopwords glued by punctuation
+    val docs = Seq("", "?!...", "the the the", "the,and;of", "the1 and_x",
+      "中文 文本 the was", "café the naïve", "  padded   the  ",
+      "la la est du", "x" * 20 + " the").toDF("t")
+    val sig = TextFns.signals(col("t"))
+    val rows = docs.select(
+      sig.getField("n_words").as("w"), sig.getField("n_chars").as("c"),
+      sig.getField("n_punct").as("p"), sig.getField("n_nonws").as("nw"),
+      sig.getField("en").as("en"), sig.getField("es").as("es"),
+      sig.getField("fr").as("fr"), sig.getField("zh").as("zh"),
+      size(split(trim(col("t")), "\\s+")).as("w2"),
+      length(col("t")).as("c2"),
+      size(regexp_extract_all(col("t"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("p2"),
+      length(regexp_replace(col("t"), "\\s+", "")).as("nw2"),
+      size(regexp_extract_all(col("t"),
+        lit(TextFns.StopwordPatterns.toMap.apply("en")), lit(0))).as("en2"),
+      size(regexp_extract_all(col("t"),
+        lit(TextFns.StopwordPatterns.toMap.apply("es")), lit(0))).as("es2"),
+      size(regexp_extract_all(col("t"),
+        lit(TextFns.StopwordPatterns.toMap.apply("fr")), lit(0))).as("fr2"),
+      size(regexp_extract_all(col("t"),
+        lit(TextFns.StopwordPatterns.toMap.apply("zh")), lit(0))).as("zh2")
+    ).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      for ((a, b, name) <- Seq((0, 8, "n_words"), (1, 9, "n_chars"),
+        (2, 10, "n_punct"), (3, 11, "n_nonws"), (4, 12, "en"),
+        (5, 13, "es"), (6, 14, "fr"), (7, 15, "zh")))
+        assert(r.getInt(a) === r.getInt(b),
+          s"doc $i: $name scan=${r.getInt(a)} regex=${r.getInt(b)}")
+    }
+  }
+
+  test("NormalizeAlnum equals the regex normalization on adversarial inputs") {
+    val docs = Seq("", "?!...", "  MiXeD   CaSe 42 ", "a--b__c",
+      "中文toKENs人 the", "café naïve", "\ttabs\nand\rreturns ").toDF("t")
+    val rows = docs.select(
+      TextFns.normalizedBytes(col("t")).cast("string").as("scan"),
+      trim(regexp_replace(lower(col("t")), "[^a-z0-9]+", " ")).as("rx"))
+      .as[(String, String)].collect()
+    rows.zipWithIndex.foreach { case ((s, r), i) =>
+      assert(s === r, s"doc $i: scan='$s' regex='$r'")
+    }
   }
 
   test("WinnowFingerprint: short strings (< k) still fingerprint") {
