@@ -33,7 +33,7 @@ object MinhashOracle {
     * `srcCte` (z + C1; (z^z>>>30)·C2; (z^z>>>27)·C3; z^z>>>31 — all
     * mod 2^64).
     */
-  private def mixStages(srcCte: String, inExpr: String, outCol: String,
+  private[queries] def mixStages(srcCte: String, inExpr: String, outCol: String,
                         tag: String): String =
     s"""${tag}a AS (SELECT *, ((($inExpr)::UHUGEINT + $C1) % $Mod)::UBIGINT AS z$tag FROM $srcCte),
        |${tag}b AS (SELECT * REPLACE ((((xor(z$tag, z$tag >> 30))::UHUGEINT * $C2) % $Mod)::UBIGINT AS z$tag) FROM ${tag}a),
@@ -90,4 +90,55 @@ object MinhashOracle {
     s"""$pipeline
        |SELECT id_b AS doc_id, min(id_a) AS dup_of
        |FROM agree WHERE eq / 64.0 >= 0.35 GROUP BY id_b""".stripMargin
+}
+
+/** Independent DuckDB oracle for `sim_ann_lsh`: replays hyperplane LSH
+  * end-to-end from the raw embeddings —
+  *
+  *  1. the weight matrix exactly as `HyperplaneBuckets` derives it
+  *     (mix64(seed + t·7919 + p·1000003 + i) >>> 11, scaled to [-1,1));
+  *  2. per-(vector, table) bucket = the 4 projection sign bits. A plain
+  *     SQL SUM is safe here even though double addition isn't
+  *     associative: the smallest |projection| over the corpus is ~1e-4
+  *     while reorder error is ~1e-16, so no sign can flip;
+  *  3. candidates = corpus vectors sharing any table's bucket with a
+  *     query; exact cosine ranking, top-5.
+  *
+  * Together with the recall spec this makes the LSH ANN path fully
+  * cross-engine verified; only the IVF/PQ rankings (float k-means
+  * internals) remain golden-pinned.
+  */
+object LshOracle {
+  // sim_ann_lsh params: dim=64, planes=4, tables=8, seed=42, k=5
+  val sql: String =
+    s"""WITH tpigrid AS (
+       |  SELECT t.t AS t, p.p AS p, i.i AS i,
+       |    (42 + t.t*7919 + p.p*1000003 + i.i)::UBIGINT AS z0
+       |  FROM generate_series(0,7) t(t), generate_series(0,3) p(p),
+       |       generate_series(0,63) i(i)),
+       |${MinhashOracle.mixStages("tpigrid", "z0", "mx", "w1")},
+       |w AS (SELECT t, p, i,
+       |    (mx >> 11)::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS wt
+       |  FROM w1d),
+       |v AS (SELECT vec_id, unnest(embedding) AS x,
+       |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+       |proj AS (SELECT v.vec_id, w.t, w.p, sum(v.x::DOUBLE * w.wt) AS pr
+       |  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.t, w.p),
+       |bkt AS (SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM proj GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+       |  FROM bkt q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+       |sc AS (SELECT cand.qid, cand.vec_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ce.embedding AS DOUBLE[])) AS sim_raw
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.qid
+       |  JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+       |r AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+       |    PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk FROM sc)
+       |SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
+       |FROM r WHERE rk <= 5""".stripMargin
 }

@@ -249,14 +249,18 @@ object TextQ {
              FROM r WHERE rk <= 5""")),
 
     // sim_ann_lsh [EXT]: hyperplane-LSH bucketed ANN (the scale path;
-    // recall vs. brute force asserted in ScalaTest).
+    // recall vs. brute force asserted in ScalaTest). Independent
+    // oracle: DuckDB replays the hyperplane sketch end-to-end from raw
+    // embeddings (mix64-derived weight matrix, projection sign buckets,
+    // candidate join, exact-cosine ranking) — see LshOracle for the
+    // numeric-robustness argument.
     Q("sim_ann_lsh",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
           dim = 64, planes = 4, tables = 8, roundTo = 3)
       },
-      None),
+      Some(LshOracle.sql)),
 
     // sim_ann_ivf [EXT]: inverted-file ANN (k-means cells + nprobe
     // probing) — the second scale path; recall vs. brute force asserted
