@@ -80,6 +80,20 @@ class PlanSpec extends SparkFunSuite {
       "embedding column leaked into the PQ code scan")
   }
 
+  test("stream_neardup: grouped state payload is (band, bucket, id, sig) — no text") {
+    val p = plan("stream_neardup")
+    // batch mode plans the same code path as MapGroups (the streaming
+    // physical op is FlatMapGroupsWithStateExec under a streaming query)
+    val grouped = p.linesIterator
+      .filter(l => l.contains("MapGroups") || l.contains("FlatMapGroupsWithState"))
+      .toSeq
+    assert(grouped.nonEmpty, "near-dup group operator missing:\n" + p.take(800))
+    assert(grouped.exists(l => l.contains("band") && l.contains("sig")),
+      "grouped payload should be the banded sketch rows")
+    assert(grouped.forall(!_.contains("text")),
+      "document text leaked into the stateful group payload")
+  }
+
   test("corpus_clean: one scan, one shuffle, map-side partial agg") {
     val p = plan("corpus_clean")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
