@@ -281,9 +281,10 @@ object TextQ {
     // sim_ann_pq [EXT]: product-quantization ANN — the memory-bounded
     // scale path (m·log2(k) bits per vector; the corpus-wide scan reads
     // 8-int codes, not 64-float vectors), ADC shortlist + exact-cosine
-    // rerank. Deterministic (seeded per-subspace KMeansLite); recall vs
-    // brute force asserted in SimilaritySpec; golden VALUES oracle
-    // (codebook contents are sketch-internal).
+    // rerank. Independent oracle: the EXACT brute-force top-5 in SQL —
+    // valid because the 64-deep shortlist's recall is 1.0 on the gate
+    // corpus, so the reranked output must equal ground truth; any
+    // codebook/ADC regression that costs recall breaks the gate.
     Q("sim_ann_pq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -293,7 +294,17 @@ object TextQ {
         Similarity.probePq(model, emb, emb.filter(col("vec_id") < 5),
           k = 5, roundTo = 3)
       },
-      None), // oracle comes from the generated Golden map
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+               AS qe FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings),
+             sc AS (SELECT qid, vec_id,
+               list_cosine_similarity(qe, ce) AS sim_raw
+               FROM q CROSS JOIN c WHERE vec_id != qid),
+             r AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+               PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk FROM sc)
+             SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
+             FROM r WHERE rk <= 5""")),
 
     // text_winnow [EXT]: winnowing fingerprint set size per document
     // (the fingerprints themselves are array-valued; the count is the
