@@ -294,7 +294,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
         var d = 0.0
         var i = 0
         while (i < dsub) {
-          val diff = VecUtil.get(in, off + i, isFloat) * inv - ctr(i)
+          // short vectors: missing trailing dims read as 0 (same
+          // min-length discipline as the sibling vector expressions)
+          val x = if (off + i < n) VecUtil.get(in, off + i, isFloat) else 0.0
+          val diff = x * inv - ctr(i)
           d += diff * diff
           i += 1
         }
@@ -356,7 +359,9 @@ case class PqAdcDist(left: Expression, right: Expression,
       val off = s * dsub
       var i = 0
       while (i < dsub) {
-        val diff = VecUtil.get(q, off + i, lFloat) * inv - ctr(i)
+        // same short-vector clamp as PqEncode
+        val x = if (off + i < n) VecUtil.get(q, off + i, lFloat) else 0.0
+        val diff = x * inv - ctr(i)
         d += diff * diff
         i += 1
       }

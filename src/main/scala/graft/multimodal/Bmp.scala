@@ -45,7 +45,20 @@ object Bmp {
     require(compression == 0, s"unsupported compression $compression")
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
+    // header fields are untrusted input: reject anything whose pixel
+    // array would not fit the payload BEFORE touching it (a corrupt
+    // header must throw a clean require, not read out of bounds or
+    // allocate a negative/absurd array)
+    require(width > 0 && height > 0 &&
+      width <= (1 << 20) && height <= (1 << 20),
+      s"implausible dimensions ${width}x$rawHeight")
     val rowBytes = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundary
+    require(pixelOff >= 54 &&
+      pixelOff.toLong + rowBytes.toLong * height <= bytes.length,
+      s"pixel array (offset $pixelOff, ${rowBytes}x$height) exceeds " +
+        s"payload of ${bytes.length} bytes")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"decoded image too large: ${width}x$height")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

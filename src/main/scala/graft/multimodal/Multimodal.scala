@@ -113,7 +113,17 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would happen here (once, not per row)
         it.map {
-          case (id, "bmp", bytes) => decodeBmpFeature(id, bytes)
+          case (id, "bmp", bytes) =>
+            // a malformed/unsupported-flavor payload that merely sniffs
+            // as BMP ('BM' is 2 bytes — arbitrary data can start with
+            // it) must not kill the whole extraction job: fall back to
+            // the byte-level stub for that ROW, keep kind honest
+            try decodeBmpFeature(id, bytes)
+            catch {
+              case _: IllegalArgumentException |
+                   _: IndexOutOfBoundsException =>
+                decodeStub(id, "bmp", bytes)
+            }
           case (id, kind, bytes) => decodeStub(id, kind, bytes)
         }
       }

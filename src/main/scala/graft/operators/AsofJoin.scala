@@ -56,8 +56,20 @@ object AsofJoin {
         struct(lit(1).as("_m") +: payload.map(col): _*).as("_pay"): _*)
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // deterministic tie-break among same-(key,time) right rows orders by
+    // the payload struct — possible only when every payload type is
+    // orderable (a map column would fail analysis); non-orderable
+    // payloads keep the documented arbitrary tie-break
+    val payOrderable = right.schema.fields
+      .filter(f => payload.contains(f.name))
+      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+    val ordering =
+      if (payOrderable)
+        Seq(col(timeCol).asc, col("_side").asc, col("_pay").asc)
+      else Seq(col(timeCol).asc, col("_side").asc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc, col("_pay").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("_pay",
       last(col("_pay"), ignoreNulls = true).over(w))

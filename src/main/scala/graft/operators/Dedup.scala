@@ -98,15 +98,18 @@ object Dedup {
     // n² in one task. Members are split into ceil(n/maxBucketSize)
     // deterministic hash sub-buckets and pairs generate only within a
     // sub-bucket — per-task work bounded by maxBucketSize² with no
-    // whole-bucket recall cliff (cross-sub-bucket pairs usually
-    // resurface via one of the other `bands`). The count window
-    // clusters by the join key, so the self-join reuses the exchange.
+    // whole-bucket recall cliff: the salt hashes (id, band), so a pair
+    // split apart in one band lands together with fresh probability in
+    // every other band (an id-only salt would split the pair the SAME
+    // way in all 16 bands and quietly lose ~(1-1/nsub) of mega-bucket
+    // recall). The count window clusters by the join key, so the
+    // self-join reuses the exchange.
     val capped = banded
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .withColumn("sub",
         when(col("bucket_n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(xxhash64(col("id")),
+          .otherwise(pmod(xxhash64(col("id"), col("band")),
             ceil(col("bucket_n") / maxBucketSize).cast("long"))))
       .drop("bucket_n")
 
@@ -145,12 +148,13 @@ object Dedup {
           .bitwiseAND(lit(0xffL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
     // same sub-bucket guardrail as minhashPairs: bounded per-task n²
-    // instead of a whole-bucket recall cliff
+    // instead of a whole-bucket recall cliff; salt by (id, chunk) so
+    // splits decorrelate across the 8 pigeonhole chunks
     val capped = chunked
       .withColumn("n", count(lit(1)).over(Window.partitionBy("chunk", "key")))
       .withColumn("sub",
         when(col("n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(xxhash64(col("id")),
+          .otherwise(pmod(xxhash64(col("id"), col("chunk")),
             ceil(col("n") / maxBucketSize).cast("long"))))
       .drop("n")
     val a = capped.select(col("chunk"), col("key"), col("sub"),
@@ -226,28 +230,43 @@ object Dedup {
     }
     val (lSigs, lBand) = banded(left, "left")
     val (rSigs, rBand) = banded(right, "right")
-    // sub-bucket plan per (band, bucket), from the big side's counts —
-    // a scalar aggregate, broadcast to both sides
-    val subPlan = lBand.groupBy("band", "bucket")
-      .agg(ceil(count(lit(1)) / maxBucketSize).cast("long").as("nsub"))
-    val lSalted = lBand.join(broadcast(subPlan), Seq("band", "bucket"))
-      .withColumn("sub",
-        when(col("nsub") <= 1L, lit(0L))
-          .otherwise(pmod(xxhash64(col("left_id")), col("nsub"))))
-      .select("band", "bucket", "sub", "left_id")
-    // inner join doubles as a filter: bench buckets with no train
-    // counterpart generate no candidates anyway
-    val rSalted = rBand.join(broadcast(subPlan), Seq("band", "bucket"))
-      .withColumn("sub", explode(sequence(lit(0L), col("nsub") - 1L)))
-      .select("band", "bucket", "sub", "right_id")
-    val pairs = lSalted.join(rSalted, Seq("band", "bucket", "sub"))
-      .select("left_id", "right_id").distinct()
+    val pairs = saltedCrossCandidates(lBand, rBand, maxBucketSize)
     pairs
       .join(lSigs, "left_id")
       .join(rSigs, "right_id")
       .select(col("left_id"), col("right_id"),
         sigSimilarity(col("left_sig"), col("right_sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Shared cross-corpus candidate generation with the mega-bucket
+    * guardrail: the big (left/train) side salts oversized buckets into
+    * hash sub-buckets, the tiny (right/bench) side replicates across
+    * them, so the cross path loses NO recall to salting. The sub-bucket
+    * plan is filtered to OVERSIZED buckets only before broadcasting —
+    * by construction those are rare, so the broadcast stays
+    * metadata-scale even when the train side has billions of distinct
+    * buckets (broadcasting every bucket's count would be ~bands×|train|
+    * rows — a driver OOM at the operator's own design target).
+    */
+  private def saltedCrossCandidates(lBand: DataFrame, rBand: DataFrame,
+                                    maxBucketSize: Int): DataFrame = {
+    val subPlan = lBand.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bucket"),
+        ceil(col("bn") / maxBucketSize).cast("long").as("nsub"))
+    val lSalted = lBand.join(broadcast(subPlan), Seq("band", "bucket"), "left")
+      .withColumn("sub",
+        when(col("nsub").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("left_id"), col("band")), col("nsub"))))
+      .select("band", "bucket", "sub", "left_id")
+    val rSalted = rBand.join(broadcast(subPlan), Seq("band", "bucket"), "left")
+      .withColumn("sub",
+        explode(sequence(lit(0L), coalesce(col("nsub") - 1L, lit(0L)))))
+      .select("band", "bucket", "sub", "right_id")
+    lSalted.join(rSalted, Seq("band", "bucket", "sub"))
+      .select("left_id", "right_id").distinct()
   }
 
   /** Candidate → exact-verify → threshold near-dup pipeline over one
@@ -277,7 +296,7 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .withColumn("sub",
         when(col("bucket_n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(xxhash64(col("id")),
+          .otherwise(pmod(xxhash64(col("id"), col("band")),
             ceil(col("bucket_n") / maxBucketSize).cast("long"))))
       .drop("bucket_n")
     val pairs = capped.select(col("band"), col("bucket"), col("sub"),
@@ -323,18 +342,7 @@ object Dedup {
     }
     val (lSets, lBand) = staged(left, "left")
     val (rSets, rBand) = staged(right, "right")
-    val subPlan = lBand.groupBy("band", "bucket")
-      .agg(ceil(count(lit(1)) / maxBucketSize).cast("long").as("nsub"))
-    val lSalted = lBand.join(broadcast(subPlan), Seq("band", "bucket"))
-      .withColumn("sub",
-        when(col("nsub") <= 1L, lit(0L))
-          .otherwise(pmod(xxhash64(col("left_id")), col("nsub"))))
-      .select("band", "bucket", "sub", "left_id")
-    val rSalted = rBand.join(broadcast(subPlan), Seq("band", "bucket"))
-      .withColumn("sub", explode(sequence(lit(0L), col("nsub") - 1L)))
-      .select("band", "bucket", "sub", "right_id")
-    val pairs = lSalted.join(rSalted, Seq("band", "bucket", "sub"))
-      .select("left_id", "right_id").distinct()
+    val pairs = saltedCrossCandidates(lBand, rBand, maxBucketSize)
     pairs
       .join(lSets, "left_id")
       .join(rSets, "right_id")

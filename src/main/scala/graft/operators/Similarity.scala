@@ -334,11 +334,14 @@ object Similarity {
         planes, tables, seed)))
       .select(col("vec_id"), col("sig"),
         col("pos").as("table"), col("col").as("bucket"))
+    // salt by (vec_id, table) so mega-bucket splits decorrelate across
+    // tables — an id-only salt splits the same pair identically in
+    // every table and quietly loses ~(1-1/nsub) of mega-bucket recall
     val capped = b.withColumn("n",
       count(lit(1)).over(Window.partitionBy("table", "bucket")))
       .withColumn("sub",
         when(col("n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(xxhash64(col("vec_id")),
+          .otherwise(pmod(xxhash64(col("vec_id"), col("table")),
             ceil(col("n") / maxBucketSize).cast("long"))))
       .drop("n")
     // both self-join sides read this scalar-only frame; a parquet stage

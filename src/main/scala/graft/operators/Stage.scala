@@ -5,13 +5,13 @@ import org.apache.spark.sql.DataFrame
 
 /** Stage materialization for multi-branch operator plans.
   *
-  * Sketch operators (MinHash/SimHash/LSH) compute a narrow scalar frame
-  * that feeds several plan branches (banding + signature join-backs);
-  * without materialization every branch re-scans and re-hashes the full
-  * corpus. Round 1/2 used `persist()`, which leaks cached blocks into the
-  * caller's session until the GC-driven ContextCleaner gets around to
-  * them — the round-1 "84 s anomaly" and a standing hazard in any
-  * long-lived session.
+  * Sketch operators (MinHash/SimHash/LSH/PQ) compute a narrow scalar
+  * frame that feeds several plan branches (banding + signature/code
+  * join-backs); without materialization every branch re-scans and
+  * re-hashes the full corpus. Round 1/2 used `persist()`, which leaks
+  * cached blocks into the caller's session until the GC-driven
+  * ContextCleaner gets around to them — the round-1 "84 s anomaly" and
+  * a standing hazard in any long-lived session.
   *
   * Round 3 replaces the cache with a **stage checkpoint**: write the
   * scalar frame once to parquet, hand every branch a fresh scan of that
@@ -20,19 +20,54 @@ import org.apache.spark.sql.DataFrame
   * invocation self-contained (no cross-query or cross-rep cache reuse),
   * and the columnar scans are column-pruned per branch for free.
   *
-  * The stage directory defaults to `java.io.tmpdir` and is deleted on
-  * JVM exit; on a cluster set `spark.graft.stageDir` to a shared
-  * filesystem path (HDFS/S3) via the Spark conf.
+  * Disk lifecycle: every stage directory is tracked. Local-tmp stages
+  * (the default) are deleted by a JVM shutdown hook; `spark.graft.
+  * stageDir` stages (HDFS/S3 deployments) are deleted through the
+  * Hadoop FileSystem by the same hook, best-effort. A LONG-LIVED
+  * session that runs many sketch operators should call `Stage.purge
+  * (spark)` at points where no staged frame is still referenced (e.g.
+  * between jobs) — stages are one-off per invocation, so disk grows
+  * with invocation count until purge/exit.
   */
 object Stage {
 
-  private val cleanup = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]()
+
   sys.addShutdownHook {
-    cleanup.forEach { p =>
+    tracked.forEach { case (dir, isLocal) =>
       try {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { val _ = Files.deleteIfExists(f) })
+        if (isLocal) {
+          Files.walk(Path.of(dir)).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { val _ = Files.deleteIfExists(f) })
+        } else {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val _ = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(p, true)
+        }
       } catch { case _: Throwable => }
+    }
+  }
+
+  /** Delete every stage directory written so far. ONLY safe when no
+    * DataFrame returned by `materialize` will be read again — i.e.
+    * between logically-independent jobs in a long-lived session.
+    */
+  def purge(spark: org.apache.spark.sql.SparkSession): Unit = {
+    var e = tracked.poll()
+    while (e != null) {
+      val (dir, isLocal) = e
+      try {
+        if (isLocal) {
+          Files.walk(Path.of(dir)).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { val _ = Files.deleteIfExists(f) })
+        } else {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val _ = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      } catch { case _: Throwable => }
+      e = tracked.poll()
     }
   }
 
@@ -45,10 +80,12 @@ object Stage {
     val base = spark.conf.getOption("spark.graft.stageDir")
     val dir = base match {
       case Some(b) =>
-        s"$b/graft_stage_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val d = s"$b/graft_stage_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        tracked.add((d, false))
+        d
       case None =>
         val p = Files.createTempDirectory(s"graft_stage_$tag")
-        cleanup.add(p)
+        tracked.add((p.toString, true))
         p.resolve("data").toString
     }
     df.write.mode("overwrite").parquet(dir)

@@ -12,18 +12,39 @@ import graft.operators.{Dedup, Similarity}
   */
 object TextQ {
 
-  /** Fitted IVF indexes, one per (session, corpus dir) — fitIvf once,
-    * probeIvf per query batch. Seeded k-means keeps the cached model's
-    * output identical to a fresh fit.
+  /** Bounded fit-once cache for ANN models, keyed per (session, corpus
+    * dir). Hits validate the SESSION IDENTITY (`eq`) — an
+    * identityHashCode collision between two live sessions must refit,
+    * never hand session B a model whose staged frames belong to session
+    * A. LRU-bounded at `max` entries so a long-lived JVM creating many
+    * sessions pins at most `max` model graphs (an unbounded map keyed
+    * by dead sessions would leak them forever).
     */
-  private[queries] val ivfCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(Int, String), Similarity.IvfModel]
+  private[queries] final class ModelCache[M](max: Int) {
+    private val m = new java.util.LinkedHashMap[(Int, String),
+        (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], M)](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String),
+            (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], M)])
+          : Boolean = size() > max
+    }
+    def getOrFit(s: org.apache.spark.sql.SparkSession, d: String,
+                 fit: => M): M = m.synchronized {
+      val k = (System.identityHashCode(s), d)
+      val hit = m.get(k)
+      if (hit != null && (hit._1.get eq s)) hit._2
+      else { val v = fit; m.put(k, (new java.lang.ref.WeakReference(s), v)); v }
+    }
+  }
+
+  /** Fitted IVF indexes — fitIvf once, probeIvf per query batch. Seeded
+    * k-means keeps the cached model's output identical to a fresh fit.
+    */
+  private[queries] val ivfCache = new ModelCache[Similarity.IvfModel](4)
 
   /** Fitted PQ indexes — same fit-once discipline as ivfCache. */
-  private[queries] val pqCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(Int, String), Similarity.PqModel]
+  private[queries] val pqCache = new ModelCache[Similarity.PqModel](4)
 
   /** documents ∪ one-token-perturbed copies of every 50th doc. */
   private def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
@@ -270,8 +291,7 @@ object TextQ {
     Q("sim_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val model = TextQ.ivfCache.getOrElseUpdate(
-          (System.identityHashCode(s), d),
+        val model = TextQ.ivfCache.getOrFit(s, d,
           Similarity.fitIvf(emb, nlist = 8))
         Similarity.probeIvf(model, emb.filter(col("vec_id") < 5), k = 5,
           nprobe = 4, roundTo = 3)
@@ -288,8 +308,7 @@ object TextQ {
     Q("sim_ann_pq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val model = TextQ.pqCache.getOrElseUpdate(
-          (System.identityHashCode(s), d),
+        val model = TextQ.pqCache.getOrFit(s, d,
           Similarity.fitPq(emb, dim = 64))
         Similarity.probePq(model, emb, emb.filter(col("vec_id") < 5),
           k = 5, roundTo = 3)
