@@ -114,6 +114,20 @@ class DedupSpec extends SparkFunSuite {
     assert(!hits.exists(_._2 == 101L))
   }
 
+  test("mega-bucket sub-salting keeps self-join recall (band-decorrelated)") {
+    // 120 identical docs, cap 40 → every band-bucket splits into 3 subs.
+    // With the (id, band) salt a pair separated in one band meets with
+    // fresh probability elsewhere: P(meet) = 1-(2/3)^16 ≈ 0.9985. An
+    // id-only salt would split every pair the SAME way in all 16 bands
+    // and find only ~1/3 of pairs — this spec pins the decorrelation.
+    val docs = (0L until 120L).map((_, base)).toDF("doc_id", "text")
+    val found = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 40).count()
+    val all = 120L * 119 / 2
+    assert(found >= (all * 0.99).toLong,
+      s"mega-bucket recall collapsed: $found of $all pairs")
+  }
+
   test("exactByKey keeps min id and counts dups") {
     val df = Seq((10L, "x"), (7L, "x"), (3L, "y")).toDF("id", "t")
     val r = Dedup.exactByKey(df, "id", col("t")).orderBy("dedup_key")
