@@ -117,6 +117,17 @@ object TextFns {
       graft.expressions.NormalizeAlnum(
         org.apache.spark.sql.graftshim.Shim.expression(text)))
 
+  /** One-pass fused scrub — `redactPii(stripHtml(text))` semantics in a
+    * single native byte scan (graft.expressions.ScrubText) instead of
+    * five regexp_replace NFA walks. The regex formulations below remain
+    * the specification: ExpressionEdgeSpec asserts fused/staged parity on
+    * adversarial inputs, and the DuckDB oracle replays the regex chain.
+    */
+  def scrub(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.expressions.ScrubText(
+        org.apache.spark.sql.graftshim.Shim.expression(text)))
+
   /** Strip HTML/XML tags and entities, collapse the leftover whitespace —
     * the boilerplate-removal first pass over scraped corpora. Pure
     * codegen'd regexp_replace chain (RE2-compatible patterns).

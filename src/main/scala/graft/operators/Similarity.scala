@@ -161,11 +161,14 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crk") <= nprobe)
       .select("qid", "qvec", "cell")
+    // no dedup needed: NearestCentroid puts each corpus vector in exactly
+    // one cell and qcells is distinct per (qid, cell), so the cell join
+    // emits each (qid, vec_id) at most once — an aggregate here would be
+    // a wasted full shuffle of the candidate stream
     val scored = model.cells.join(broadcast(qcells), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
-      .groupBy("qid", "vec_id").agg(first("sim_raw").as("sim_raw"))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -492,7 +492,7 @@ object TextQ {
               lit(" call +1 555 0100 9999 &amp; write&#33;"))
               .otherwise(lit(""))).as("text"))
         dirty.select(col("doc_id"),
-          TextFns.redactPii(TextFns.stripHtml(col("text"))).as("clean"))
+          TextFns.scrub(col("text")).as("clean"))
           .filter(col("clean").contains("<EMAIL>") ||
             col("clean").contains("<PHONE>"))
           .select(col("doc_id"),

@@ -129,6 +129,40 @@ class ExpressionEdgeSpec extends SparkFunSuite {
     }
   }
 
+  test("ScrubText equals the staged regexp_replace chain on adversarial inputs") {
+    val docs = Seq(
+      "",
+      "   \t\n  ",
+      "plain text, no markup at all",
+      "<a href='x'>link</a> plain <b>bold</b>",
+      "<div class=\"x\"><p>Contact: bob.smith+a@example.org</p></div> tail",
+      "unterminated <div class= stays literal",
+      "x<y and z>w",                       // '<'..nearest '>' IS a tag
+      "5<6>7",
+      "<<a>> nested",
+      "<> empty tag",
+      "&amp; &unknown &ab; &a; &abcdef; &abcdefg; &#1; &#12345; &#123456; &#x41;",
+      "a&amp;b@c.org entity feeding an email",
+      "12&amp;34-56-7890 entity-made phone separator",
+      "call +1 555 0100 9999 &amp; write&#33;",
+      "1-234-5678-90 and 12.34.56.78 and 999-99",
+      "mail a@b.co x.y+z@mail.example.com no-at-here.com",
+      "café <b>naïve</b> 中文&amp;字",
+      "\t mixed \n whitespace \r\n runs  end ",
+      "&am<b>p; tag inside entity candidate",
+      "trailing unterminated <",
+      "trailing amp &",
+      "only <b>tags</b> and &amp; entities")
+      .toDF("t")
+    val rows = docs.select(
+      TextFns.scrub(col("t")).as("fused"),
+      TextFns.redactPii(TextFns.stripHtml(col("t"))).as("staged"))
+      .as[(String, String)].collect()
+    rows.zipWithIndex.foreach { case ((f, s), i) =>
+      assert(f === s, s"doc $i: fused='$f' staged='$s'")
+    }
+  }
+
   test("WinnowFingerprint: short strings (< k) still fingerprint") {
     val r = Seq("ab").toDF("t")
       .select(Shim.column(WinnowFingerprint(Shim.expression(col("t")), 8, 16)))

@@ -80,6 +80,22 @@ class PlanSpec extends SparkFunSuite {
       "embedding column leaked into the PQ code scan")
   }
 
+  test("sim_ann_ivf: no aggregate between the cell join and the rank window") {
+    val p = plan("sim_ann_ivf")
+    // each corpus vector lives in exactly one IVF cell and the probed
+    // (qid, cell) set is distinct, so the candidate stream is already
+    // duplicate-free — a groupBy(qid, vec_id) here is a wasted full
+    // shuffle of every candidate (round-3 carried one)
+    val joinIdx = p.linesIterator.indexWhere(_.contains("Join"))
+    val aggAfterJoin = p.linesIterator.slice(0, joinIdx)
+      .exists(l => l.contains("HashAggregate") || l.contains("SortAggregate")
+        || l.contains("ObjectHashAggregate"))
+    assert(joinIdx >= 0, "cell join missing:\n" + p.take(1500))
+    assert(!aggAfterJoin,
+      "aggregate between cell join and rank window (redundant dedup shuffle)")
+    assert(p.contains("Window"), "rank window missing")
+  }
+
   test("stream_neardup: grouped state payload is (band, bucket, id, sig) — no text") {
     val p = plan("stream_neardup")
     // batch mode plans the same code path as MapGroups (the streaming
