@@ -25,11 +25,23 @@ import graft.operators.Dedup
   * in several buckets emits once per collision; callers aggregate (the
   * batch twin takes min(dup_of) per doc).
   *
-  * Batch mode runs the same code path: each group's rows are processed
-  * in id order against an initially-empty state, so batch output ==
-  * the stream fed in id order — that equivalence is what the driver's
-  * oracle checks, while StreamingSpec drives the true incremental path
-  * (state carried ACROSS MemoryStream batches).
+  * Bounded per-task work (the mega-bucket guard): the group iterator is
+  * processed INCREMENTALLY — each arrival compares against the capped
+  * state only, emits at most `maxBucketSize` matches, and the output
+  * iterator is lazy — so a boilerplate burst that lands a whole
+  * mega-bucket in one trigger never gets materialized or sorted in one
+  * task (the round-3 version buffered `rows.toSeq.sortBy` per group).
+  * Emitted labels are normalized (doc_id = the pair's larger id,
+  * dup_of = the smaller), which is exactly what an id-ordered feed
+  * produces, so the emitted pair SET and labels are arrival-order
+  * independent while the cap is unhit; beyond the cap, which entries
+  * remain in state (and hence recall) depends on arrival order — the
+  * same recency contract a real stream has.
+  *
+  * Batch mode runs the same code path against an initially-empty state,
+  * so batch output == the stream fed in id order — that equivalence is
+  * what the driver's oracle checks, while StreamingSpec drives the true
+  * incremental path (state carried ACROSS MemoryStream batches).
   */
 object DocStreams {
 
@@ -66,19 +78,25 @@ object DocStreams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
           var seen = state.getOption.getOrElse(Nil) // newest first
-          val out = List.newBuilder[Match]
-          // id order makes batch mode equal to an id-ordered stream
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
-            seen.foreach { case (prevId, prevSig) =>
-              if (prevId != id) {
+          val matches = rows.flatMap { case (_, _, id, sig) =>
+            // ≤ maxBucketSize comparisons and emissions per arrival;
+            // normalized labels == id-ordered-feed labels (see scaladoc)
+            val hits = seen.flatMap { case (prevId, prevSig) =>
+              if (prevId == id) None
+              else {
                 val est = agreement(sig, prevSig)
-                if (est >= threshold) out += Match(id, prevId, est)
+                if (est >= threshold)
+                  Some(Match(math.max(id, prevId), math.min(id, prevId), est))
+                else None
               }
             }
             seen = ((id, sig) :: seen).take(maxBucketSize)
+            hits
           }
-          state.update(seen)
-          out.result().iterator
+          // the state write must observe the final `seen`, and Spark
+          // commits GroupState only after draining the returned iterator
+          // — so chain the update lazily behind the last emission
+          matches ++ { state.update(seen); Iterator.empty[Match] }
       }
   }
 

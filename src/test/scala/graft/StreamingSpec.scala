@@ -127,6 +127,58 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: mega-bucket burst honors the state cap, match count is closed-form") {
+    implicit val sq = spark.sqlContext
+    // identical text → identical sketch → every doc lands in the SAME
+    // bucket of every band: one trigger delivers a 5x-oversized bucket
+    // (100 docs vs cap 20). With identical signatures every comparison
+    // matches (est 1.0), so the total is order-independent and
+    // closed-form: per band, arrival i compares against min(i, cap)
+    // retained entries → sum = cap(cap-1)/2 + (n-cap)·cap.
+    val txt = "the same boilerplate navigation header text repeated on " +
+      "every page of the scraped site with nothing document specific"
+    val n = 100
+    val cap = 20
+    val bands = 16
+    val perBand = cap * (cap - 1) / 2 + (n - cap) * cap
+    val in = MemoryStream[(Long, String)]
+    val name = nextTable()
+    val q = graft.streaming.DocStreams.nearDupMatches(spark,
+        in.toDS().toDF().withColumnRenamed("_1", "doc_id")
+          .withColumnRenamed("_2", "text"), maxBucketSize = cap)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((0L until n.toLong).map(i => (i, txt)): _*)
+      q.processAllAvailable()
+      assert(spark.table(name).count() === bands.toLong * perBand)
+      // est is exactly 1.0 everywhere and labels are normalized
+      val bad = spark.table(name).filter($"est" =!= 1.0 || $"doc_id" <= $"dup_of")
+      assert(bad.count() === 0)
+      // a later arrival compares against exactly `cap` retained entries
+      // per band — state stayed capped through the burst
+      in.addData((100000L, txt))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === bands.toLong * (perBand + cap))
+    } finally q.stop()
+  }
+
+  test("batch-mode near-dup runs the same capped incremental path") {
+    // the driver gate runs this operator in batch mode; the same
+    // closed-form count pins that batch groups are processed
+    // incrementally against capped state, not materialized whole
+    val n = 100
+    val cap = 20
+    val bands = 16
+    val perBand = cap * (cap - 1) / 2 + (n - cap) * cap
+    val txt = "the same boilerplate navigation header text repeated on " +
+      "every page of the scraped site with nothing document specific"
+    val docs = (0L until n.toLong).map(i => (i, txt)).toDF("doc_id", "text")
+    val got = graft.streaming.DocStreams
+      .nearDupMatches(spark, docs, maxBucketSize = cap).count()
+    assert(got === bands.toLong * perBand)
+  }
+
   test("file-source stream: new csv files are picked up incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("fstream")
     val schema = "ts TIMESTAMP, event_id LONG, user_id LONG, " +
