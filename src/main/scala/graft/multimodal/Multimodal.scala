@@ -99,11 +99,32 @@ object Multimodal {
     Feature(id, "bmp", bytes.length.toLong, hist)
   }
 
+  /** REAL decode for RIFF/WAVE 16-bit PCM payloads: 16-bin AMPLITUDE
+    * histogram over the decoded samples (bin = (s + 32768) >> 12,
+    * L1-normalized) — sample-derived, the audio analog of
+    * `decodeBmpFeature`'s luminance histogram. Kind is reported as
+    * "wav" (the parse proved it; "riff" is only the sniff).
+    */
+  def decodeWavFeature(id: Long, bytes: Array[Byte]): Feature = {
+    val pcm = Wav.decode(bytes)
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < pcm.samples.length) {
+      hist((pcm.samples(i) + 32768) >> 12) += 1f
+      i += 1
+    }
+    val total = math.max(1, pcm.samples.length).toFloat
+    var j = 0
+    while (j < 16) { hist(j) /= total; j += 1 }
+    Feature(id, "wav", bytes.length.toLong, hist)
+  }
+
   /** Partition-parallel feature extraction over (id, kind, payload) rows.
     * Batched per partition (the decoder amortizes any model/codec init
     * across the partition's rows — same shape as mapInPandas batches).
-    * BMP payloads take the REAL pixel-decode path (`Bmp.decode`); kinds
-    * with no codec in this container take the documented stub.
+    * BMP and RIFF/WAVE-PCM payloads take REAL decode paths (`Bmp`,
+    * `Wav`); kinds with no codec in this container take the documented
+    * stub.
     */
   def extractFeatures(spark: SparkSession, df: DataFrame,
                       idCol: String = "id", binCol: String = "payload"): Dataset[Feature] = {
@@ -123,6 +144,17 @@ object Multimodal {
               case _: IllegalArgumentException |
                    _: IndexOutOfBoundsException =>
                 decodeStub(id, "bmp", bytes)
+            }
+          case (id, "riff", bytes) =>
+            // same row-level degradation: 'RIFF' is 4 arbitrary bytes —
+            // AVI, non-PCM WAV, or plain text starting with RIFF all
+            // sniff here; only a parseable 16-bit PCM WAVE decodes
+            try decodeWavFeature(id, bytes)
+            catch {
+              case _: IllegalArgumentException |
+                   _: IndexOutOfBoundsException |
+                   _: java.nio.BufferUnderflowException =>
+                decodeStub(id, "riff", bytes)
             }
           case (id, kind, bytes) => decodeStub(id, kind, bytes)
         }

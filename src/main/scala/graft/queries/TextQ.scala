@@ -733,25 +733,73 @@ object TextQ {
              FROM documents""")),
 
     // multimodal_features [EXT]: partition-parallel decode/feature-extract
-    // over opaque binary payloads (graft.multimodal — decode stage is a
-    // documented deterministic stub, plumbing is real). Real magic-number
-    // headers (PNG/JPEG/RIFF-WAVE/GIF) are planted by doc_id so every
-    // sniffKind branch fires; golden VALUES oracle.
+    // over opaque binary payloads. The RIFF/WAVE branch is REAL — the
+    // dependency-free 16-bit-PCM codec (multimodal.Wav) decodes planted
+    // WAV files generated from a sample formula, and the oracle
+    // recomputes the amplitude-histogram feature STRAIGHT FROM THAT
+    // FORMULA in SQL (the audio analog of multimodal_decode's BMP
+    // pixel-formula oracle). PNG/JPEG/GIF (no codec in this container)
+    // take the documented byte-histogram stub, which the oracle ALSO
+    // replays independently: header-constant nibble-0 counts + the
+    // control-char count of the raw text (every payload byte < 0x10 is
+    // a single-byte UTF-8 char — continuation/lead bytes are >= 0x80),
+    // with the stub's FLOAT division replayed via DuckDB REAL division
+    // (bit-exact; verified by probe). Independent oracle since round 4
+    // (was a golden VALUES dump).
     Q("multimodal_features",
       (s, d) => {
-        import graft.multimodal.Multimodal.{GifHeader, JpegHeader, PngHeader, RiffWaveHeader}
-        val hdr = when(col("doc_id") % 5 === 0, lit(PngHeader))
-          .when(col("doc_id") % 5 === 1, lit(JpegHeader))
-          .when(col("doc_id") % 5 === 2, lit(RiffWaveHeader))
-          .when(col("doc_id") % 5 === 3, lit(GifHeader))
-          .otherwise(lit(Array.empty[Byte]))
-        val docs = t(s, d, "documents").select(col("doc_id").as("id"),
-          concat(hdr, to_binary(col("text"), lit("utf-8"))).as("payload"))
-        graft.multimodal.Multimodal.extractFeatures(s, docs)
+        import s.implicits._
+        import graft.multimodal.{Multimodal, Wav}
+        import graft.multimodal.Multimodal.{GifHeader, JpegHeader, PngHeader}
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val payload: Array[Byte] =
+              if (id % 5 == 2)
+                Wav.encode(Wav.Pcm(8000, 1, Array.tabulate(64) { i =>
+                  (((id * 31 + i * 7) % 4096 - 2048) * 16).toShort
+                }))
+              else {
+                val hdr = (id % 5) match {
+                  case 0 => PngHeader
+                  case 1 => JpegHeader
+                  case 3 => GifHeader
+                  case _ => Array.empty[Byte]
+                }
+                hdr ++ text.getBytes("UTF-8")
+              }
+            (id, payload)
+          }.toDF("id", "payload")
+        Multimodal.extractFeatures(s, docs)
           .toDF()
           .select(col("id"), col("kind"), col("n_bytes"),
-            round(element_at(col("feature"), 1), 4).as("f0"))
+            round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
       },
-      None),
+      Some("""WITH base AS (SELECT doc_id AS id, text FROM documents),
+             wav AS (SELECT id, 'wav' AS kind, CAST(172 AS BIGINT) AS n_bytes,
+               round(avg(CASE WHEN (id*31 + g.i*7) % 4096 < 256
+                 THEN 1.0 ELSE 0.0 END), 4) AS f0
+               FROM base, generate_series(0, 63) AS g(i)
+               WHERE id % 5 = 2 GROUP BY id),
+             stub AS (SELECT id,
+               CASE WHEN id % 5 = 0 THEN 'png'
+                    WHEN id % 5 = 1 THEN 'jpeg'
+                    WHEN id % 5 = 3 THEN 'gif'
+                    WHEN substring(text, 1, 4) = 'RIFF' THEN 'riff'
+                    WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
+                    WHEN substring(text, 1, 2) = 'BM' THEN 'bmp'
+                    ELSE 'unknown' END AS kind,
+               CAST(hlen + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               round(CAST(CAST(h0 + length(text)
+                   - length(regexp_replace(text, '[\x00-\x0f]', '', 'g')) AS REAL)
+                 / CAST(greatest(hlen + octet_length(encode(text)), 1) AS REAL)
+                 AS DOUBLE), 4) AS f0
+               FROM (SELECT id, text,
+                   CASE id % 5 WHEN 0 THEN 8 WHEN 1 THEN 11
+                     WHEN 3 THEN 6 ELSE 0 END AS hlen,
+                   CASE id % 5 WHEN 0 THEN 3 WHEN 1 THEN 2
+                     ELSE 0 END AS h0
+                 FROM base WHERE id % 5 != 2) s)
+             SELECT * FROM wav UNION ALL SELECT * FROM stub""")),
   )
 }
