@@ -64,7 +64,15 @@ object Bench {
     // a failing query must not hide inside a fast-looking timing
     val errJson = failed.distinct.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$errJson,"queries":$qJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$errJson,"queries":$qJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's bounded tail capture truncated round-2/3 runs
+    // mid-JSON (alphabetically-first queries and the total were lost);
+    // the full artifact also lands on disk so every round is comparable
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => () } // bench result > artifact write
     spark.stop()
   }
 }

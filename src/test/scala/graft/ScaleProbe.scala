@@ -117,6 +117,45 @@ object ScaleProbe {
       println(f"PQ     mult=$mult%2d vecs=${embN * mult}%7d recall@10=$recall%.3f brute=$dtb%6.1fs fit+probe=$dtp%6.1fs")
       spark.catalog.clearCache()
     }
+    // SKEW: manual salting (SkewJoin.saltedJoin) vs AQE's runtime
+    // skew-split on the same whale-key join — which is the 100× default?
+    // Shape: 8M-row fact side with ONE key holding 50% of all rows,
+    // 10k-key dim side forced non-broadcastable (at 100 TB the dim that
+    // fits in driver memory gets broadcast and skew never matters; this
+    // probes the shuffled-join regime where it does).
+    {
+      val nFact = 8000000L
+      val nKeys = 10000L
+      val fact = spark.range(nFact).select(
+        when($"id" % 2 === 0, lit(0L))
+          .otherwise(pmod(xxhash64($"id"), lit(nKeys))).as("k"),
+        ($"id" % 97).cast("double").as("v")).persist()
+      fact.count()
+      val dim = spark.range(nKeys).select($"id".as("k"),
+        concat(lit("b"), $"id" % 25).as("b")).persist()
+      dim.count()
+      val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      def timed(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"SKEW   $name%-14s rows=$n%9d time=${(System.nanoTime() - t0) / 1e9}%6.1fs")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      timed("smj-no-aqe")(fact.join(dim, "k").groupBy("b").count().count())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      timed("smj-aqe-skew")(fact.join(dim, "k").groupBy("b").count().count())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      timed("salted8-no-aqe")(graft.operators.SkewJoin
+        .saltedJoin(fact, dim, "k", salt = 8).groupBy("b").count().count())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      timed("salted8-aqe")(graft.operators.SkewJoin
+        .saltedJoin(fact, dim, "k", salt = 8).groupBy("b").count().count())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
