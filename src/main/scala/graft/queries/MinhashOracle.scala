@@ -90,6 +90,27 @@ object MinhashOracle {
     s"""$pipeline
        |SELECT id_b AS doc_id, min(id_a) AS dup_of
        |FROM agree WHERE eq / 64.0 >= 0.35 GROUP BY id_b""".stripMargin
+
+  /** Oracle for `dedup_cluster`: the same full sketch replay produces
+    * the candidate-pair edge set; a recursive CTE then computes the
+    * TRANSITIVE closure and labels every planted doc with the minimum
+    * reachable doc_id — the ground-truth connected component, computed
+    * by an algorithm (reachability fixpoint) entirely unlike the Spark
+    * side's alternating-star contraction.
+    */
+  val clusterSql: String =
+    s"""${pipeline.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM agree WHERE eq / 64.0 >= 0.35
+       |  UNION
+       |  SELECT id_b, id_a FROM agree WHERE eq / 64.0 >= 0.35),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM planted
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, min(dst) AS cluster_id,
+       |  src = min(dst) AS keep
+       |FROM reach GROUP BY src""".stripMargin
 }
 
 /** Independent DuckDB oracle for `sim_ann_lsh`: replays hyperplane LSH

@@ -455,6 +455,30 @@ object TextQ {
              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""")),
 
+    // dedup_cluster [EXT]: the clustering stage of the dedup pipeline —
+    // MinHash candidate PAIRS contracted to connected COMPONENTS
+    // (alternating large-star/small-star, O(log n) rounds), every doc
+    // labeled with its component-minimum doc_id and a keep flag for the
+    // canonical member. Independent oracle: DuckDB replays the full
+    // sketch to the same edge set, then computes ground-truth
+    // components by a RECURSIVE reachability fixpoint — a different
+    // algorithm family entirely, so the gate verifies both the sketch
+    // AND the star-contraction's transitive closure.
+    Q("dedup_cluster",
+      (s, d) => {
+        val docs = plantedDocs(s, d)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          threshold = 0.35).select(col("id_a"), col("id_b"))
+        val labels = graft.operators.ConnectedComponents
+          .labels(pairs, "id_a", "id_b")
+        docs.select(col("doc_id"))
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+      },
+      Some(MinhashOracle.clusterSql)),
+
     // corpus_sample [EXT]: deterministic content-hash stratified sampling
     // for corpus balancing — unlike rand()-based sampleBy, the same rows
     // are kept on every run/retry/cluster size. Uses the PORTABLE md5
