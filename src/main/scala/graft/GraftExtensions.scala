@@ -51,6 +51,7 @@ object GraftExtensions {
     "graft_first_agree" -> (a => FirstAgreeIndex(a(0), a(1))),
     "graft_text_signals" -> (a => TextSignals(a(0))),
     "graft_normalize_alnum" -> (a => NormalizeAlnum(a(0))),
+    "graft_repetition_signals" -> (a => RepetitionSignals(a(0))),
     "graft_winnow_fingerprint" -> (a =>
       WinnowFingerprint(a(0), intLit(a(1)), intLit(a(2)))),
     // NearestCentroid / PqEncode / PqAdcDist carry centroid matrices in

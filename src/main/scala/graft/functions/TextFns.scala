@@ -117,6 +117,16 @@ object TextFns {
       graft.expressions.NormalizeAlnum(
         org.apache.spark.sql.graftshim.Shim.expression(text)))
 
+  /** Per-document n-gram repetition signals (Gopher-style repetition
+    * quality filters) from one native pass over the normalized bytes —
+    * struct (n2, top2, dup2, n3, top3, dup3). See
+    * expressions.RepetitionSignals.
+    */
+  def repetitionSignals(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.expressions.RepetitionSignals(
+        org.apache.spark.sql.graftshim.Shim.expression(normalizedBytes(text))))
+
   /** One-pass fused scrub — `redactPii(stripHtml(text))` semantics in a
     * single native byte scan (graft.expressions.ScrubText) instead of
     * five regexp_replace NFA walks. The regex formulations below remain

@@ -132,6 +132,55 @@ object TextQ {
       Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text),
              '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents""")),
 
+    // text_repetition [EXT]: Gopher-style n-gram repetition quality
+    // signals (fraction of tokens in duplicate / most-common n-grams,
+    // Rae et al. 2021 §A1.1) from ONE native scan per document
+    // (expressions.RepetitionSignals) — no shuffle at any scale. The
+    // oracle replays the full scheme from raw strings: normalize,
+    // tokenize, build 2/3-grams, count. (The expression counts by
+    // 64-bit gram hash; equality with the string replay holds modulo a
+    // within-document hash collision, P ≈ m²/2⁻⁶⁵ — the same tolerance
+    // every sketch oracle here accepts.)
+    Q("text_repetition",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFns.repetitionSignals(col("text")).as("_r"))
+        .select(col("doc_id"),
+          col("_r.n2").as("n2"), col("_r.top2").as("top2"),
+          col("_r.dup2").as("dup2"), col("_r.n3").as("n3"),
+          col("_r.top3").as("top3"), col("_r.dup3").as("dup3")),
+      Some("""WITH norm AS (
+               SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+               FROM documents),
+             toks AS (
+               SELECT doc_id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(s, ' ') END AS tk
+               FROM norm),
+             g2 AS (
+               SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+                 FOR i IN generate_series(1, len(tk)-1)]) AS gram
+               FROM toks WHERE len(tk) >= 2),
+             c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+             a2 AS (SELECT doc_id, CAST(sum(c) AS INTEGER) AS n2,
+                      CAST(max(c) AS INTEGER) AS top2,
+                      CAST(coalesce(sum(c) FILTER (c > 1), 0) AS INTEGER) AS dup2
+                    FROM c2 GROUP BY 1),
+             g3 AS (
+               SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 FOR i IN generate_series(1, len(tk)-2)]) AS gram
+               FROM toks WHERE len(tk) >= 3),
+             c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+             a3 AS (SELECT doc_id, CAST(sum(c) AS INTEGER) AS n3,
+                      CAST(max(c) AS INTEGER) AS top3,
+                      CAST(coalesce(sum(c) FILTER (c > 1), 0) AS INTEGER) AS dup3
+                    FROM c3 GROUP BY 1)
+             SELECT norm.doc_id,
+               coalesce(n2, 0) AS n2, coalesce(top2, 0) AS top2,
+               coalesce(dup2, 0) AS dup2, coalesce(n3, 0) AS n3,
+               coalesce(top3, 0) AS top3, coalesce(dup3, 0) AS dup3
+             FROM norm LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)""")),
+
     // dedup_fingerprint: exact dedup on the normalized fingerprint —
     // min-id winner per group, group size.
     Q("dedup_fingerprint",

@@ -78,6 +78,32 @@ class TextFnsSpec extends SparkFunSuite {
     assert(r === "Hello welcome! bye")
   }
 
+  test("repetition signals count 2/3-gram totals, top, and duplicated mass") {
+    // "a b a b a b" → 2-grams: (a,b)x3 (b,a)x2 → n2=5 top2=3 dup2=5;
+    //                 3-grams: (a,b,a)x2 (b,a,b)x2 → n3=4 top3=2 dup3=4
+    val rep = Seq("a b a b a b").toDF("t")
+      .select(TextFns.repetitionSignals($"t").as("r"))
+      .select($"r.n2", $"r.top2", $"r.dup2", $"r.n3", $"r.top3", $"r.dup3")
+      .as[(Int, Int, Int, Int, Int, Int)].head()
+    assert(rep === ((5, 3, 5, 4, 2, 4)))
+    // all-distinct tokens: no duplicated grams, top frequency 1
+    val uniq = Seq("one two three four").toDF("t")
+      .select(TextFns.repetitionSignals($"t").as("r"))
+      .select($"r.n2", $"r.top2", $"r.dup2", $"r.n3", $"r.top3", $"r.dup3")
+      .as[(Int, Int, Int, Int, Int, Int)].head()
+    assert(uniq === ((3, 1, 0, 2, 1, 0)))
+    // normalization applies first (casing/punctuation invisible); short
+    // and empty docs yield all-zero signals, not errors
+    val norm = Seq("The, CAT! the cat", "single", "", "?!").toDF("t")
+      .select(TextFns.repetitionSignals($"t").as("r"))
+      .select($"r.n2", $"r.top2", $"r.dup2", $"r.n3")
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    assert(norm(0) === ((3, 2, 2, 2))) // the cat ×2, cat the ×1
+    assert(norm(1) === ((0, 0, 0, 0)))
+    assert(norm(2) === ((0, 0, 0, 0)))
+    assert(norm(3) === ((0, 0, 0, 0)))
+  }
+
   test("redactPii replaces emails and phones with typed placeholders") {
     val r = Seq("mail a.b+c@x-corp.io or call +44 20 7946 0958 today")
       .toDF("t").select(TextFns.redactPii($"t")).as[String].head()
