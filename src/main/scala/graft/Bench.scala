@@ -15,10 +15,11 @@ import org.apache.spark.sql.SparkSession
   *  - NO cache clearing between queries: operators own their cache
   *    lifecycle (persist → materialize → unpersist inside the operator),
   *    so nothing squats on executor memory across queries;
-  *  - the JSON line is kept compact (times rounded to 4 decimals, no
-  *    per-query spread map) so it survives the driver's bounded tail
-  *    capture intact — round-2's line was truncated mid-JSON and the
-  *    driver recorded parsed:null.
+  *  - the stdout JSON line is sized to the driver's 2000-char tail
+  *    window (slowest queries at 2 decimals, cheap ones summarized by
+  *    count); the full 4-decimal map is written to
+  *    <repo-root>/bench_full.json. Rounds 2-4 printed the full map and
+  *    lost the line head to the window → parsed:null.
   *
   * SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (local iteration).
   */
@@ -58,21 +59,44 @@ object Bench {
     }
     def r4(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qJson = results.map { case (k, v) => s"\"$k\":${r4(v)}" }
-      .mkString("{", ",", "}")
+    def r2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
     // a failing query must not hide inside a fast-looking timing
     val errJson = failed.distinct.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$errJson,"queries":$qJson,"sf":"$sfDir"}"""
+    // Full-precision, all-queries artifact on disk, resolved against
+    // the repo root (walk up to build.sbt) so the location does not
+    // depend on the launch directory.
+    val fullJson = results.map { case (k, v) => s"\"$k\":${r4(v)}" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$errJson,"queries":$fullJson,"sf":"$sfDir"}"""
+    try {
+      var root = new java.io.File(sys.props.getOrElse("user.dir", ".")).getAbsoluteFile
+      while (root != null && !new java.io.File(root, "build.sbt").exists())
+        root = root.getParentFile
+      val out = new java.io.File(
+        if (root != null) root else new java.io.File("."), "bench_full.json")
+      java.nio.file.Files.write(out.toPath, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () } // bench result > artifact write
+    // Stdout line: the driver keeps only the LAST 2000 chars of output
+    // (rounds 2-4 lost the line head to that window → parsed:null), and
+    // sbt's trailing "[success] ..." eats ~80 of them. Budget the
+    // per-query map to the SLOWEST queries that fit ~1550 chars at 2
+    // decimals; the cheap floor-noise queries live in bench_full.json.
+    val byCost = results.sortBy(-_._2)
+    val budget = 1550
+    var used = 0
+    val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+    byCost.foreach { case (k, v) =>
+      val len = k.length + r2(v).length + 5 // quotes + colon + comma
+      if (used + len <= budget) { used += len; keep += k }
+    }
+    val qJson = results.filter(r => keep(r._1))
+      .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+    val omitted = results.size - keep.size
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$errJson,"queries":$qJson,"omitted_fast":$omitted,"full":"bench_full.json","sf":"$sfDir"}"""
     println(line)
-    // the driver's bounded tail capture truncated round-2/3 runs
-    // mid-JSON (alphabetically-first queries and the total were lost);
-    // the full artifact also lands on disk so every round is comparable
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Exception => () } // bench result > artifact write
     spark.stop()
   }
 }

@@ -44,12 +44,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Component labels for every node that appears in `edges`.
+  /** Component labels for every node that appears in a non-self-loop
+    * edge of `edges`.
     *
     * @param edges two-column DataFrame of undirected pairs (self-loops
-    *              and duplicates tolerated)
+    *              and duplicates tolerated). Self-loops are dropped by
+    *              canonicalization, so a node appearing ONLY in
+    *              self-loop edges gets no label — callers wanting
+    *              singleton labels must `coalesce(cluster, id)` after
+    *              joining back (as `dedup_cluster` does).
     * @return DataFrame (id, cluster) where cluster = min node id in the
-    *         component; every edge endpoint appears exactly once
+    *         component; every labeled node appears exactly once
     */
   def labels(edges: DataFrame, aCol: String, bCol: String,
              maxIter: Int = 25): DataFrame = {
@@ -110,6 +115,19 @@ object ConnectedComponents {
     val roots = cur.select(col("a").as("id")).distinct()
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
-    members.union(roots)
+    val labels = members.union(roots)
+    if (converged) labels
+    else {
+      // maxIter exhausted before the fingerprint stabilized: the edge
+      // set is NOT a star forest, so a node can appear as 'b' under
+      // several provisional roots. Fail loudly in spirit (warn) and
+      // keep the output contract (one row per id) by taking the
+      // minimum provisional label — an upper-bound clustering, never
+      // duplicate/conflicting rows.
+      System.err.println(
+        s"[graft] ConnectedComponents: NOT converged after $maxIter " +
+          "rounds; emitting min provisional label per node")
+      labels.groupBy("id").agg(min(col("cluster")).as("cluster"))
+    }
   }
 }

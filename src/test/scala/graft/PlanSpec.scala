@@ -86,14 +86,20 @@ class PlanSpec extends SparkFunSuite {
     // (qid, cell) set is distinct, so the candidate stream is already
     // duplicate-free — a groupBy(qid, vec_id) here is a wasted full
     // shuffle of every candidate (round-3 carried one)
-    val joinIdx = p.linesIterator.indexWhere(_.contains("Join"))
-    val aggAfterJoin = p.linesIterator.slice(0, joinIdx)
+    val lines = p.linesIterator.toIndexedSeq
+    // anchor on the join whose condition references the IVF cell id —
+    // NOT the first Join in the text (AQE/centroid-assignment reorder
+    // could make another join print first and void the check)
+    val cellJoinIdx = lines.indexWhere(l => l.contains("Join") && l.contains("cell"))
+    val windowIdx = lines.indexWhere(_.contains("Window"))
+    assert(cellJoinIdx >= 0, "cell join missing:\n" + p.take(1500))
+    assert(windowIdx >= 0 && windowIdx < cellJoinIdx,
+      "rank window missing or not downstream of the cell join")
+    val aggBetween = lines.slice(windowIdx + 1, cellJoinIdx)
       .exists(l => l.contains("HashAggregate") || l.contains("SortAggregate")
         || l.contains("ObjectHashAggregate"))
-    assert(joinIdx >= 0, "cell join missing:\n" + p.take(1500))
-    assert(!aggAfterJoin,
+    assert(!aggBetween,
       "aggregate between cell join and rank window (redundant dedup shuffle)")
-    assert(p.contains("Window"), "rank window missing")
   }
 
   test("stream_neardup: grouped state payload is (band, bucket, id, sig) — no text") {
