@@ -7,16 +7,31 @@ import graft.operators.ConnectedComponents
   * component minimum for every endpoint, across shapes that exercise
   * the alternating-star rounds — stars, chains (deep diameter), messy
   * duplicate/self-loop input, and disjoint singleton pairs.
+  *
+  * Every shape runs through BOTH execution paths: the driver-side
+  * union-find fast path (edge count under the local limit — the
+  * default at these sizes) and the distributed alternating-star loop
+  * (forced with localEdgeLimit = 0). The two must agree exactly.
   */
 class ConnectedComponentsSpec extends SparkFunSuite {
   import spark.implicits._
 
-  private def labelMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b")
+  private def labelMap(edges: Seq[(Long, Long)],
+                       localEdgeLimit: Long): Map[Long, Long] =
+    ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b",
+        localEdgeLimit = localEdgeLimit)
       .as[(Long, Long)].collect().toMap
 
+  private def bothPaths(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val local = labelMap(edges, localEdgeLimit = 1000000L)
+    val dist = labelMap(edges, localEdgeLimit = 0L)
+    assert(local == dist,
+      s"local union-find and distributed star loop disagree:\n$local\n$dist")
+    local
+  }
+
   test("two disjoint components label to their minima") {
-    val m = labelMap(Seq((5L, 3L), (3L, 9L), (20L, 21L)))
+    val m = bothPaths(Seq((5L, 3L), (3L, 9L), (20L, 21L)))
     assert(m == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
@@ -24,21 +39,46 @@ class ConnectedComponentsSpec extends SparkFunSuite {
     // path 0-1-2-...-40: diameter 40 >> default rounds if propagation
     // were per-hop; star contraction must still converge
     val edges = (0L until 40L).map(i => (i, i + 1))
-    val m = labelMap(edges)
+    val m = bothPaths(edges)
     assert(m.size == 41 && m.values.forall(_ == 0L))
   }
 
   test("duplicate, reversed, and self-loop edges are tolerated") {
-    val m = labelMap(Seq((2L, 7L), (7L, 2L), (2L, 7L), (4L, 4L), (7L, 11L)))
+    val m = bothPaths(Seq((2L, 7L), (7L, 2L), (2L, 7L), (4L, 4L), (7L, 11L)))
     // self-loop (4,4) introduces no 4-node (filtered); 2-7-11 one component
     assert(m == Map(2L -> 2L, 7L -> 2L, 11L -> 2L))
   }
 
-  test("every endpoint appears exactly once in the labeling") {
+  test("every endpoint appears exactly once in the labeling (both paths)") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L))
-    val df = ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b")
-    assert(df.groupBy("id").count().filter($"count" > 1).isEmpty)
-    assert(df.count() == 6)
-    assert(df.agg(countDistinct($"cluster")).as[Long].head() == 1L)
+    for (limit <- Seq(1000000L, 0L)) {
+      val df = ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b",
+        localEdgeLimit = limit)
+      assert(df.groupBy("id").count().filter($"count" > 1).isEmpty)
+      assert(df.count() == 6)
+      assert(df.agg(countDistinct($"cluster")).as[Long].head() == 1L)
+    }
+  }
+
+  test("random graph: both paths agree on a non-trivial component mix") {
+    // deterministic pseudo-random graph: 120 nodes, ~90 edges via a
+    // fixed LCG so the shape is stable across runs
+    var seed = 0x9e3779b97f4a7c15L
+    def next(bound: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound.toLong)
+    }
+    val edges = Seq.fill(90)((next(120), next(120)))
+    val m = bothPaths(edges)
+    // labels are component minima: every cluster id labels itself
+    assert(m.filter { case (id, c) => id == c }.keySet == m.values.toSet)
+  }
+
+  test("non-long node ids fall back to the distributed path") {
+    val edges = Seq(("x", "y"), ("y", "z"), ("p", "q"))
+      .toDF("a", "b")
+    val m = ConnectedComponents.labels(edges, "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(m == Map("x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p"))
   }
 }
