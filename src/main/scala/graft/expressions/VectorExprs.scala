@@ -381,3 +381,68 @@ case class PqAdcDist(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqAdcDist = copy(left = newLeft, right = newRight)
 }
+
+/** Dense random projection to `outDim` dimensions — the classic
+  * Johnson-Lindenstrauss dimensionality reduction for embedding
+  * columns (ship 8 doubles downstream instead of 64 floats). The
+  * weight matrix derives from mix64(seed + j·1000003 + i) with the
+  * same [-1, 1) mapping as [[HyperplaneBuckets]] (whose buckets are
+  * exactly the SIGNS of such projections), so an external engine can
+  * replay the projection values bit-for-bit from the seed. Matrix is
+  * carried in the expression instance and ships once per task via the
+  * referenced object; accumulation is sequential in double precision.
+  */
+case class RandomProjection(child: Expression, dim: Int, outDim: Int,
+    seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_random_projection"
+
+  @transient private lazy val isFloat = VecUtil.isFloatArray(child.dataType)
+
+  // weights[j * dim + i]
+  @transient private lazy val weights: Array[Double] = {
+    val w = new Array[Double](outDim * dim)
+    var j = 0
+    while (j < outDim) {
+      var i = 0
+      while (i < dim) {
+        val x = HashUtil.mix64(seed + j.toLong * 1000003L + i)
+        w(j * dim + i) = (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        i += 1
+      }
+      j += 1
+    }
+    w
+  }
+
+  def compute(in: ArrayData): ArrayData = {
+    val n = math.min(in.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = VecUtil.get(in, i, isFloat); i += 1 }
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      val off = j * dim
+      var acc = 0.0
+      var t = 0
+      while (t < n) { acc += v(t) * weights(off + t); t += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rp", this, classOf[RandomProjection].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
+}

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.Shim
-import graft.expressions.{CosineSim, DotProduct, FirstAgreeIndex, HyperplaneBuckets}
+import graft.expressions.{CosineSim, DotProduct, FirstAgreeIndex, HyperplaneBuckets, RandomProjection}
 
 /** Vector math over `ArrayType` embedding columns, backed by native
   * Catalyst expressions (graft.expressions.VectorExprs): one primitive
@@ -37,4 +37,10 @@ object VecFns {
     */
   def firstAgree(a: Column, b: Column): Column =
     Shim.column(FirstAgreeIndex(Shim.expression(a), Shim.expression(b)))
+
+  /** Johnson-Lindenstrauss random projection to `outDim` doubles
+    * (seeded, replayable — see expressions.RandomProjection).
+    */
+  def randomProjection(v: Column, dim: Int, outDim: Int, seed: Long): Column =
+    Shim.column(RandomProjection(Shim.expression(v), dim, outDim, seed))
 }

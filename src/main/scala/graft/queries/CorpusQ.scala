@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+import graft.operators.{ConnectedComponents, Corpus, Dedup}
+
+/** Corpus-curation operators (SURVEY.md §2 [EXT], round 5): line-level
+  * boilerplate dedup, tf-idf keyword extraction, quality-aware
+  * canonical selection, random-projection dimensionality reduction,
+  * and target-proportion data mixing. Every entry carries an
+  * INDEPENDENT DuckDB oracle that recomputes the semantics from the
+  * raw tables.
+  */
+object CorpusQ {
+
+  val all: Seq[Q] = Seq(
+
+    // line_dedup [EXT]: CCNet-style boilerplate line removal — a line
+    // occurring in >= 10 distinct docs (headers/footers/banners) is
+    // stripped everywhere, preserving the order of surviving lines.
+    // The synthetic corpus is single-line, so multi-line "pages" are
+    // assembled deterministically: a nav header shared by doc_id % 7,
+    // two body lines from the text, a copyright footer on even ids —
+    // the header/footer cross the threshold, the bodies don't. The
+    // oracle rebuilds the same pages and replays the threshold + strip
+    // in SQL.
+    Q("line_dedup",
+      (s, d) => {
+        val pages = t(s, d, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("=== NEWSLETTER src"), col("doc_id") % 7, lit(" ===")),
+            substring(col("text"), 1, 80),
+            substring(col("text"), 81, 80),
+            when(col("doc_id") % 2 === 0,
+              lit("(c) example.com all rights reserved"))).as("page"))
+        Corpus.stripBoilerplateLines(pages, "doc_id", "page", minDocs = 10L)
+      },
+      Some("""WITH pages AS (
+             |  SELECT doc_id, concat_ws(chr(10),
+             |    '=== NEWSLETTER src' || (doc_id % 7) || ' ===',
+             |    substr(text, 1, 80),
+             |    substr(text, 81, 80),
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN '(c) example.com all rights reserved' END) AS page
+             |  FROM documents),
+             |l0 AS (SELECT doc_id, string_split(page, chr(10)) AS sp FROM pages),
+             |l1 AS (SELECT doc_id, unnest(generate_series(1, len(sp))) AS pos, sp
+             |  FROM l0),
+             |l AS (SELECT doc_id, pos, sp[pos] AS line FROM l1),
+             |b AS (SELECT line FROM l GROUP BY line
+             |  HAVING count(DISTINCT doc_id) >= 10),
+             |k AS (SELECT l.doc_id, l.pos, l.line,
+             |    l.line IN (SELECT line FROM b) AS is_b FROM l)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+             |    chr(10) ORDER BY pos), '') AS clean_text,
+             |  sum(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS n_removed
+             |FROM k GROUP BY doc_id""".stripMargin)),
+
+    // text_tfidf [EXT]: top-3 tf-idf keywords per doc; score =
+    // tf * ln(N/df), ties by term. Integer tf/df/N on both engines;
+    // the only float ops (one ln, one multiply, one divide) hit the
+    // same IEEE doubles on both sides, so ranking and the 4-decimal
+    // rounding are stable cross-engine.
+    Q("text_tfidf",
+      (s, d) => Corpus.tfidfTopK(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(text),
+             |    '[^a-z0-9]+')) AS term FROM documents),
+             |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM tok2 GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+             |  FROM tok2 GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term,
+             |    tf.tf * ln(n.n_docs / dfq.df) AS score
+             |  FROM tf JOIN dfq ON tf.term = dfq.term, n),
+             |r AS (SELECT doc_id, term, score, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             |  FROM sc)
+             |SELECT doc_id, term, round(score, 4) AS tfidf, rank
+             |FROM r WHERE rank <= 3""".stripMargin)),
+
+    // dedup_best [EXT]: quality-aware canonical selection — the same
+    // near-dup clusters as dedup_cluster, but the kept member is the
+    // LONGEST document (ties → lowest id), the keep-the-most-complete-
+    // version heuristic real pipelines use. The planted " zz" copies
+    // are longer than their originals, so the canonical member
+    // genuinely differs from dedup_cluster's min-id keep. Oracle =
+    // full sketch replay + recursive-CTE ground-truth components +
+    // the same argmax.
+    Q("dedup_best",
+      (s, d) => {
+        val docs = TextQ.plantedDocs(s, d)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          threshold = 0.35).select(col("id_a"), col("id_b"))
+        val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+        val labeled = docs
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
+            length(col("text")).cast("long").as("n_chars"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        labeled.withColumn("keep", row_number().over(w) === 1)
+      },
+      Some(MinhashOracle.bestSql)),
+
+    // embed_project [EXT]: Johnson-Lindenstrauss random projection of
+    // the 64-dim embeddings to 8 doubles — the ship-less-data path for
+    // downstream clustering/dedup at 100 TB. Seeded mix64 weight
+    // matrix (same mapping as the LSH hyperplanes, different seed);
+    // the oracle regenerates the matrix and replays every projection
+    // from the raw embeddings. Sum order differs (DuckDB aggregates in
+    // arbitrary order) but reorder error ~1e-13 cannot move a value
+    // across a 4-decimal rounding boundary at these magnitudes.
+    Q("embed_project",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(VecFns.randomProjection(col("embedding"), 64, 8, 1337L))
+            .as(Seq("j", "p")))
+        .select(col("vec_id"), col("j"), round(col("p"), 4).as("proj")),
+      Some(s"""WITH grid AS (
+              |  SELECT j.j AS j, i.i AS i,
+              |    (1337 + j.j*1000003 + i.i)::UBIGINT AS z0
+              |  FROM generate_series(0,7) j(j), generate_series(0,63) i(i)),
+              |${MinhashOracle.mixStages("grid", "z0", "mx", "w1")},
+              |w AS (SELECT j, i,
+              |    (mx >> 11)::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS wt
+              |  FROM w1d),
+              |v AS (SELECT vec_id, unnest(embedding) AS x,
+              |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              |p AS (SELECT v.vec_id, w.j, sum(v.x::DOUBLE * w.wt) AS pr
+              |  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j)
+              |SELECT vec_id, j, round(pr, 4) AS proj FROM p""".stripMargin)),
+
+    // corpus_mix [EXT]: data mixing to target proportions — largest
+    // corpus achievable at exactly 40/20/20/20 en/de/fr/es: the
+    // scarcest stratum (relative to its weight) stays whole, the rest
+    // are deterministically downsampled via the portable md5 membership
+    // hash. The oracle recomputes counts → budget → per-stratum
+    // fraction → membership with the same IEEE arithmetic.
+    Q("corpus_mix",
+      (s, d) => Corpus.mixToTarget(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"),
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2),
+        portable = true)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents
+             |  WHERE lang IN ('en','de','fr','es') GROUP BY lang),
+             |cw AS (SELECT lang, n, CASE lang WHEN 'en' THEN 0.4::DOUBLE
+             |    WHEN 'de' THEN 0.2::DOUBLE WHEN 'fr' THEN 0.2::DOUBLE
+             |    WHEN 'es' THEN 0.2::DOUBLE END AS w FROM c),
+             |b AS (SELECT min(n / w) AS budget FROM cw),
+             |f AS (SELECT lang, least(1.0::DOUBLE, b.budget * w / n) AS frac
+             |  FROM cw, b)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+             |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 15))
+             |    ::BIGINT % 1000000
+             |  < CAST(floor(frac * 1e6) AS BIGINT)""".stripMargin))
+  )
+}

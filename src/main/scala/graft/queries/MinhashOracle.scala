@@ -98,7 +98,7 @@ object MinhashOracle {
     * by an algorithm (reachability fixpoint) entirely unlike the Spark
     * side's alternating-star contraction.
     */
-  val clusterSql: String =
+  private val clusterCtes: String =
     s"""${pipeline.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM agree WHERE eq / 64.0 >= 0.35
@@ -107,10 +107,30 @@ object MinhashOracle {
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM planted
        |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
+
+  val clusterSql: String =
+    s"""$clusterCtes
        |SELECT src AS doc_id, min(dst) AS cluster_id,
        |  src = min(dst) AS keep
        |FROM reach GROUP BY src""".stripMargin
+
+  /** Oracle for `dedup_best`: same ground-truth components as
+    * [[clusterSql]], but the canonical member is the LONGEST document
+    * (ties → lowest doc_id) — the keep-the-most-complete-version
+    * heuristic — instead of the minimum id.
+    */
+  val bestSql: String =
+    s"""$clusterCtes,
+       |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |jl AS (SELECT lab.doc_id, lab.cluster_id,
+       |    length(p.text)::BIGINT AS n_chars
+       |  FROM lab JOIN planted p ON lab.doc_id = p.doc_id)
+       |SELECT doc_id, cluster_id, n_chars,
+       |  (row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id)) = 1 AS keep
+       |FROM jl""".stripMargin
 }
 
 /** Independent DuckDB oracle for `sim_ann_lsh`: replays hyperplane LSH

@@ -47,7 +47,7 @@ object TextQ {
   private[queries] val pqCache = new ModelCache[Similarity.PqModel](4)
 
   /** documents ∪ one-token-perturbed copies of every 50th doc. */
-  private def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") % 50 === 0).select(

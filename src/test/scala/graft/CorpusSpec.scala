@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+import graft.operators.Corpus
+
+/** Corpus-curation operators: boilerplate line removal, tf-idf top-k,
+  * target-proportion mixing, and the random-projection expression.
+  */
+class CorpusSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("stripBoilerplateLines removes threshold lines, preserves order") {
+    val docs = (0L until 12L).map { i =>
+      (i, s"HEADER\nbody-$i-one\nbody-$i-two\nFOOTER")
+    }.toDF("doc_id", "text")
+    val rows = Corpus.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 10L)
+      .as[(Long, String, Long)].collect()
+    assert(rows.length == 12)
+    rows.foreach { case (id, clean, removed) =>
+      assert(clean == s"body-$id-one\nbody-$id-two", s"doc $id: $clean")
+      assert(removed == 2L)
+    }
+  }
+
+  test("stripBoilerplateLines: below-threshold lines survive; all-boiler doc → empty") {
+    val docs = ((0L until 11L).map(i => (i, "SPAM")) :+ (99L, "SPAM\nunique-line"))
+      .toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 10L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == (("", 1L)))
+    assert(out(99L) == (("unique-line", 1L)))
+  }
+
+  test("tfidfTopK scores and ranks: rare terms beat common ones") {
+    // 4 docs; "common" is in all (idf = ln(1) = 0), "rare" in one
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common midway"),
+      (3L, "common midway"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4).map(_._2).toList }
+    assert(out(1L).head == "rare") // tf 2 * ln(4/1) beats everything
+    assert(out(2L).head == "midway") // ln(4/2) > ln(4/4) = 0
+    // doc 4 has only the zero-idf term; it still ranks (score 0)
+    assert(out(4L) == List("common"))
+  }
+
+  test("mixToTarget hits target proportions; scarcest stratum kept whole") {
+    // 200 a / 40 b: target 50/50 → budget = min(200/.5, 40/.5) = 80
+    // → keep all 40 b, sample a at fraction 0.2
+    val df = ((0L until 200L).map(i => (i, "a")) ++
+      (1000L until 1040L).map(i => (i, "b"))).toDF("id", "s")
+    val out = Corpus.mixToTarget(df, col("s"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    val byS = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byS("b") == 40L, "scarcest stratum must be kept whole")
+    // hash sampling is Bernoulli at 0.2: expect ~40, tolerate 3 sigma
+    assert(math.abs(byS("a") - 40L) <= 20L, s"got ${byS("a")}")
+    // deterministic: same membership on a second run
+    val again = Corpus.mixToTarget(df, col("s"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(out.select("id").except(again.select("id")).isEmpty &&
+      again.select("id").except(out.select("id")).isEmpty)
+  }
+
+  test("randomProjection matches a naive reference computation") {
+    def mix64(zIn: Long): Long = {
+      var z = zIn + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vec = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
+    val expected = Array.tabulate(8) { j =>
+      var acc = 0.0
+      for (i <- 0 until 64) {
+        val w = (mix64(1337L + j * 1000003L + i) >>> 11).toDouble /
+          (1L << 52).toDouble * 2.0 - 1.0
+        acc += vec(i).toDouble * w
+      }
+      acc
+    }
+    val got = Seq(Tuple1(vec)).toDF("v")
+      .select(VecFns.randomProjection(col("v"), 64, 8, 1337L).as("p"))
+      .as[Array[Double]].head()
+    assert(got.length == 8)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
+  test("randomProjection: short vectors project over their prefix; null stays null") {
+    val out = Seq((1L, Some(Array(1f, 2f))), (2L, None))
+      .toDF("id", "v")
+      .select(col("id"), VecFns.randomProjection(col("v"), 64, 8, 1337L).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined && out(2L).isEmpty)
+  }
+}

@@ -116,6 +116,18 @@ class PlanSpec extends SparkFunSuite {
       "document text leaked into the stateful group payload")
   }
 
+  test("text_tfidf: per-doc top-k runs as a window group limit") {
+    val p = plan("text_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k not pushed below the window shuffle")
+  }
+
+  test("line_dedup: boilerplate blocklist joins broadcast (corpus text never shuffles on line)") {
+    val p = plan("line_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "blocklist join not broadcast:\n" + p.take(1200))
+  }
+
   test("corpus_clean: one scan, one shuffle, map-side partial agg") {
     val p = plan("corpus_clean")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
