@@ -17,6 +17,18 @@ object TextFns {
     */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Corpus-wide approximate top-`k` heavy hitters over a term column
+    * in one pass with `capacity`-bounded memory per partial sketch
+    * (Space-Saving; see expressions.SpaceSavingTopK). Returns
+    * array<struct<term, cnt, err>> with est - err <= true <= est;
+    * exact (err 0) while distinct terms per partial <= capacity.
+    */
+  def topTerms(term: Column, k: Int, capacity: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.expressions.SpaceSavingTopK(
+        org.apache.spark.sql.graftshim.Shim.expression(term), k, capacity)
+        .toAggregateExpression())
+
   /** All per-document signals from ONE native byte scan
     * (graft.expressions.TextSignals) — the round-1/2 regex formulations
     * cost ~10 regex passes per document. Field extractions over

@@ -138,6 +138,35 @@ object CorpusQ {
               |  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j)
               |SELECT vec_id, j, round(pr, 4) AS proj FROM p""".stripMargin)),
 
+    // text_topterms [EXT]: corpus-wide top-20 terms via the native
+    // Space-Saving aggregate — ONE pass, capacity-bounded partial
+    // sketches merged at the exchange (the vocabulary never shuffles;
+    // contrast groupBy(term).count.orderBy.limit, which shuffles every
+    // distinct n-gram at 100 TB). Oracle validity: the corpus
+    // vocabulary (31 distinct terms) is far below capacity 256, so the
+    // sketch is in its EXACT regime (no eviction, err = 0) and plain
+    // SQL counts replay it — the same exact-case gating rule as
+    // text_stats_approx's GK sketch. Any sketch regression (wrong
+    // merge, lost counts, unstable ordering) breaks the gate.
+    Q("text_topterms",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+          .filter(col("term") =!= "")
+        tok.agg(graft.functions.TextFns.topTerms(col("term"), 20, 256).as("tt"))
+          .select(posexplode(col("tt")).as(Seq("i", "x")))
+          .select((col("i") + 1).cast("int").as("rank"),
+            col("x.term").as("term"), col("x.cnt").as("cnt"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(text),
+             |    '[^a-z0-9]+')) AS term FROM documents),
+             |c AS (SELECT term, count(*) AS cnt FROM tok
+             |  WHERE term <> '' GROUP BY term),
+             |r AS (SELECT term, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c)
+             |SELECT CAST(rank AS INT) AS rank, term, cnt
+             |FROM r WHERE rank <= 20""".stripMargin)),
+
     // corpus_mix [EXT]: data mixing to target proportions — largest
     // corpus achievable at exactly 40/20/20/20 en/de/fr/es: the
     // scarcest stratum (relative to its weight) stays whole, the rest

@@ -66,6 +66,29 @@ class CorpusSpec extends SparkFunSuite {
       again.select("id").except(out.select("id")).isEmpty)
   }
 
+  test("topTerms exact regime: matches a full count, counts exact, errs zero") {
+    val terms = (Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      Seq.fill(10)("gamma") ++ Seq.fill(5)("delta") ++ Seq("eps"))
+    val df = scala.util.Random.shuffle(terms).map(Tuple1(_)).toDF("term")
+      .repartition(4) // force multi-partition partial sketches + merge
+    val got = df.agg(graft.functions.TextFns.topTerms(col("term"), 3, 16).as("t"))
+      .selectExpr("inline(t)").as[(String, Long, Long)].collect().toList
+    assert(got == List(("alpha", 30L, 0L), ("beta", 20L, 0L), ("gamma", 10L, 0L)))
+  }
+
+  test("topTerms over capacity: heavy hitter survives with a valid error bound") {
+    // 1 heavy item + 40 distinct light items through capacity-8 sketches:
+    // evictions must keep the heavy item and keep est-err <= true <= est
+    val terms = Seq.fill(200)("heavy") ++ (0 until 40).flatMap(i => Seq.fill(2)(s"light$i"))
+    val df = terms.map(Tuple1(_)).toDF("term").repartition(3)
+    val got = df.agg(graft.functions.TextFns.topTerms(col("term"), 1, 8).as("t"))
+      .selectExpr("inline(t)").as[(String, Long, Long)].collect().toList
+    val (term, cnt, err) = got.head
+    assert(term == "heavy")
+    assert(cnt >= 200L, s"estimate must upper-bound the true count, got $cnt")
+    assert(cnt - err <= 200L, s"est-err must lower-bound the true count ($cnt-$err)")
+  }
+
   test("randomProjection matches a naive reference computation") {
     def mix64(zIn: Long): Long = {
       var z = zIn + 0x9e3779b97f4a7c15L

@@ -128,6 +128,15 @@ class PlanSpec extends SparkFunSuite {
       "blocklist join not broadcast:\n" + p.take(1200))
   }
 
+  test("text_topterms: partial sketches merge at the exchange (vocabulary never shuffles)") {
+    val p = plan("text_topterms")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed-imperative sketch aggregate missing")
+    assert(p.contains("partial_graft_space_saving_topk"),
+      "map-side partial sketch lost — the term stream would ride the shuffle:\n" +
+        p.take(1200))
+  }
+
   test("corpus_clean: one scan, one shuffle, map-side partial agg") {
     val p = plan("corpus_clean")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
