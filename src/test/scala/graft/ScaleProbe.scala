@@ -156,6 +156,36 @@ object ScaleProbe {
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       spark.catalog.clearCache()
     }
+    // CONNECTED COMPONENTS at scale: 1.5M edges over 1M nodes (mixed
+    // chain + pseudo-random topology so components are non-trivial).
+    // The bounded union-find fast path and the distributed
+    // alternating-star loop must agree exactly (checksum: component
+    // count + label sum); the timings document the crossover that
+    // justifies the default 1M-edge local limit.
+    {
+      import graft.operators.ConnectedComponents
+      val edges = spark.range(1000000).select(
+        col("id").as("a"), ((col("id") * 2654435761L) % 1000000L).as("b"))
+        .unionByName(spark.range(500000).select(
+          (col("id") * 2L).as("a"), (col("id") * 2L + 1L).as("b")))
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), countDistinct(col("cluster")),
+          sum(col("cluster"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val t0 = System.nanoTime()
+      val local = checksum(ConnectedComponents.labels(edges, "a", "b",
+        localEdgeLimit = 10000000L))
+      val dtL = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val dist = checksum(ConnectedComponents.labels(edges, "a", "b",
+        localEdgeLimit = 0L))
+      val dtD = (System.nanoTime() - t1) / 1e9
+      require(local == dist,
+        s"CC paths disagree at scale: local=$local dist=$dist")
+      println(f"CC     edges=1500000 nodes=${local._1}%8d comps=${local._2}%7d " +
+        f"local=$dtL%6.1fs distributed=$dtD%6.1fs")
+    }
     spark.stop()
   }
 }
