@@ -74,21 +74,21 @@ object Multimodal {
     Feature(id, kind, bytes.length.toLong, hist)
   }
 
-  /** REAL decode for BMP payloads: 16-bin LUMINANCE histogram over the
-    * decoded pixels (Rec.601 luma, L1-normalized) — pixel-derived,
-    * unlike decodeStub's raw-byte histogram. Same Feature shape, so the
-    * pipeline downstream of the dispatch is identical for real and
-    * stubbed kinds.
+  /** 16-bin LUMINANCE histogram (Rec.601 luma, L1-normalized) over
+    * decoded top-down RGB — the shared real-decode feature for the BMP
+    * and PNG paths; pixel-derived, unlike decodeStub's raw-byte
+    * histogram. Same Feature shape, so the pipeline downstream of the
+    * dispatch is identical for real and stubbed kinds.
     */
-  def decodeBmpFeature(id: Long, bytes: Array[Byte]): Feature = {
-    val img = Bmp.decode(bytes)
+  private def lumaFeature(id: Long, kind: String, nBytes: Long,
+                          w: Int, h: Int, rgb: Array[Byte]): Feature = {
     val hist = new Array[Float](16)
-    val n = img.width * img.height
+    val n = w * h
     var i = 0
     while (i < n) {
-      val r = img.rgb(3 * i) & 0xff
-      val g = img.rgb(3 * i + 1) & 0xff
-      val b = img.rgb(3 * i + 2) & 0xff
+      val r = rgb(3 * i) & 0xff
+      val g = rgb(3 * i + 1) & 0xff
+      val b = rgb(3 * i + 2) & 0xff
       val lum = (r * 299 + g * 587 + b * 114) / 1000
       hist(lum >> 4) += 1f
       i += 1
@@ -96,7 +96,22 @@ object Multimodal {
     val total = math.max(1, n).toFloat
     var j = 0
     while (j < 16) { hist(j) /= total; j += 1 }
-    Feature(id, "bmp", bytes.length.toLong, hist)
+    Feature(id, kind, nBytes, hist)
+  }
+
+  /** REAL decode for BMP payloads (see [[lumaFeature]]). */
+  def decodeBmpFeature(id: Long, bytes: Array[Byte]): Feature = {
+    val img = Bmp.decode(bytes)
+    lumaFeature(id, "bmp", bytes.length.toLong, img.width, img.height, img.rgb)
+  }
+
+  /** REAL decode for RGB8 PNG payloads (see [[lumaFeature]]): full
+    * chunk/CRC framing, DEFLATE via the JDK, all five scanline filters
+    * unfiltered (multimodal.Png).
+    */
+  def decodePngFeature(id: Long, bytes: Array[Byte]): Feature = {
+    val img = Png.decode(bytes)
+    lumaFeature(id, "png", bytes.length.toLong, img.width, img.height, img.rgb)
   }
 
   /** REAL decode for RIFF/WAVE 16-bit PCM payloads: 16-bin AMPLITUDE
@@ -122,9 +137,9 @@ object Multimodal {
   /** Partition-parallel feature extraction over (id, kind, payload) rows.
     * Batched per partition (the decoder amortizes any model/codec init
     * across the partition's rows — same shape as mapInPandas batches).
-    * BMP and RIFF/WAVE-PCM payloads take REAL decode paths (`Bmp`,
-    * `Wav`); kinds with no codec in this container take the documented
-    * stub.
+    * BMP, RGB8 PNG, and RIFF/WAVE-PCM payloads take REAL decode paths
+    * (`Bmp`, `Png`, `Wav`); kinds with no codec in this container take
+    * the documented stub.
     */
   def extractFeatures(spark: SparkSession, df: DataFrame,
                       idCol: String = "id", binCol: String = "payload"): Dataset[Feature] = {
@@ -144,6 +159,17 @@ object Multimodal {
               case _: IllegalArgumentException |
                    _: IndexOutOfBoundsException =>
                 decodeStub(id, "bmp", bytes)
+            }
+          case (id, "png", bytes) =>
+            // same row-level degradation as bmp: the 8-byte signature
+            // can prefix a payload that is not a decodable RGB8 PNG
+            // (palette/alpha flavors, or arbitrary data behind the
+            // magic); only a well-formed truecolor stream decodes
+            try decodePngFeature(id, bytes)
+            catch {
+              case _: IllegalArgumentException |
+                   _: IndexOutOfBoundsException =>
+                decodeStub(id, "png", bytes)
             }
           case (id, "riff", bytes) =>
             // same row-level degradation: 'RIFF' is 4 arbitrary bytes —

@@ -708,7 +708,11 @@ object TextQ {
     // multimodal_frames [EXT]: frame-sample → resize chain over opaque
     // binary payloads (stub decode, real partition-parallel plumbing —
     // blobs never shuffle; emitted frames are fixed-size binaries ready
-    // for batch inference). Golden VALUES oracle.
+    // for batch inference). Independent oracle since round 5: the stub
+    // sampler is deterministic byte arithmetic (64-byte strides, then
+    // an 8x8 strided resample thumb[j] = frame[j*flen/64]), which the
+    // SQL replays byte-for-byte over hex(encode(text)) — DuckDB has no
+    // BLOB substring, so byte i lives at hex-string offset 2i+1.
     Q("multimodal_frames",
       (s, d) => {
         import graft.multimodal.Multimodal
@@ -726,7 +730,22 @@ object TextQ {
             lower(hex(substring(col("thumb"), 1, 8))).as("thumb_head"),
             length(col("thumb")).as("thumb_len"))
       },
-      None), // oracle comes from the generated Golden map
+      Some {
+        // thumb byte j = frame[(j*flen) // 64]; one hex pair per byte
+        val head8 = (0 until 8).map(j =>
+          s"substr(fh, 2*(($j*flen)//64)+1, 2)").mkString(" || ")
+        s"""WITH d AS (SELECT doc_id AS id, hex(encode(text)) AS h,
+           |    octet_length(encode(text)) AS plen
+           |  FROM documents WHERE doc_id < 50),
+           |fr AS (SELECT id, h, plen, f.f AS frame
+           |  FROM d, generate_series(0, 3) f(f) WHERE f.f*64 < plen),
+           |fx AS (SELECT id, frame,
+           |    substr(h, frame*128+1, 128) AS fh,
+           |    least(64, plen - frame*64) AS flen FROM fr)
+           |SELECT id, frame, lower($head8) AS thumb_head,
+           |  64 AS thumb_len
+           |FROM fx""".stripMargin
+      }),
 
     // multimodal_decode [EXT]: REAL image decode — deterministic 5x3
     // 24-bit BMPs are encoded from a pixel formula, ride as binary
@@ -790,6 +809,70 @@ object TextQ {
                round(avg((id*31 + x*7 + y*13) % 256), 4) AS mean_r,
                round(avg((id*17 + x*5 + y*3) % 256), 4) AS mean_g,
                round(avg((id*29 + x*11 + y*19) % 256), 4) AS mean_b
+             FROM px GROUP BY id""")),
+
+    // multimodal_png [EXT]: REAL PNG round-trip — deterministic 6x4
+    // truecolor pixels from a formula, encoded by the dependency-free
+    // Png codec (chunk framing + CRC32 + DEFLATE via the JDK), sniffed,
+    // decoded back (all-filter unfiltering path), channel means out.
+    // The oracle recomputes each mean STRAIGHT FROM THE PIXEL FORMULA
+    // in SQL — any framing/CRC/inflate/unfilter defect breaks the gate.
+    Q("multimodal_png",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal, Png}
+        val imgs = t(s, d, "documents")
+          .filter(col("doc_id") >= 40 && col("doc_id") < 80)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val (w, h) = (6, 4)
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((id * 37 + x * 11 + y * 5) % 256).toByte
+                rgb(i + 1) = ((id * 23 + x * 3 + y * 17) % 256).toByte
+                rgb(i + 2) = ((id * 41 + x * 13 + y * 7) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Png.encode(Png.Image(w, h, rgb)))
+          }.toDF("id", "payload")
+        imgs.select(col("id"),
+            Multimodal.sniffKind(col("payload")).as("kind"), col("payload"))
+          .as[(Long, String, Array[Byte])]
+          .mapPartitions(_.map { case (id, kind, bytes) =>
+            val img = graft.multimodal.Png.decode(bytes)
+            val n = img.width * img.height
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              sr += img.rgb(3 * i) & 0xff
+              sg += img.rgb(3 * i + 1) & 0xff
+              sb += img.rgb(3 * i + 2) & 0xff
+              i += 1
+            }
+            (id, kind, img.width, img.height,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          })
+          .toDF("id", "kind", "w", "h", "mean_r", "mean_g", "mean_b")
+          .select(col("id"), col("kind"), col("w"), col("h"),
+            round(col("mean_r"), 4).as("mean_r"),
+            round(col("mean_g"), 4).as("mean_g"),
+            round(col("mean_b"), 4).as("mean_b"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             WHERE doc_id >= 40 AND doc_id < 80),
+             px AS (SELECT id, gx.x AS x, gy.y AS y
+               FROM ids, generate_series(0, 5) AS gx(x),
+                    generate_series(0, 3) AS gy(y))
+             SELECT id, 'png' AS kind, 6 AS w, 4 AS h,
+               round(avg((id*37 + x*11 + y*5) % 256), 4) AS mean_r,
+               round(avg((id*23 + x*3 + y*17) % 256), 4) AS mean_g,
+               round(avg((id*41 + x*13 + y*7) % 256), 4) AS mean_b
              FROM px GROUP BY id""")),
 
     // multimodal_meta [EXT]: opaque-binary column plumbing — bytes are

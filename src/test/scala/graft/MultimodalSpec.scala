@@ -178,4 +178,86 @@ class MultimodalSpec extends SparkFunSuite {
     // the stub (byte histogram over the whole file) would spread mass
     // over header bytes — the real decoder must not
   }
+
+  test("Png round-trips arbitrary RGB for every size 1..6 x 1..4") {
+    for (w <- 1 to 6; h <- 1 to 4) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + 7) % 256).toByte)
+      val out = graft.multimodal.Png.decode(
+        graft.multimodal.Png.encode(graft.multimodal.Png.Image(w, h, rgb)))
+      assert(out.width == w && out.height == h)
+      assert(out.rgb.sameElements(rgb), s"pixels corrupted at ${w}x$h")
+    }
+  }
+
+  test("Png.decode unfilters all five scanline filter types") {
+    // hand-filter a known 3x4 image with filters None/Sub/Up/Average/
+    // Paeth on successive rows (row 0 must be None-compatible), then
+    // deflate + chunk-wrap BY HAND and require exact pixel recovery
+    import java.util.zip.{CRC32, Deflater}
+    val w = 3; val h = 4; val bpr = w * 3
+    val rgb = Array.tabulate(bpr * h)(i => ((i * 37 + 11) % 256).toByte)
+    def px(y: Int, x: Int): Int = rgb(y * bpr + x) & 0xff
+    val filters = Array(1, 2, 3, 4) // Sub, Up, Average, Paeth per row
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(filters(y))
+      for (x <- 0 until bpr) {
+        val a = if (x >= 3) px(y, x - 3) else 0
+        val b = if (y > 0) px(y - 1, x) else 0
+        val c = if (x >= 3 && y > 0) px(y - 1, x - 3) else 0
+        val v = filters(y) match {
+          case 1 => px(y, x) - a
+          case 2 => px(y, x) - b
+          case 3 => px(y, x) - (a + b) / 2
+          case 4 => px(y, x) - paeth(a, b, c)
+        }
+        raw.write(v & 0xff)
+      }
+    }
+    val d = new Deflater(); d.setInput(raw.toByteArray); d.finish()
+    val comp = new Array[Byte](1024)
+    val n = d.deflate(comp); d.end()
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new CRC32(); crc.update(t.getBytes("US-ASCII"))
+      crc.update(data)
+      be(data.length) ++ t.getBytes("US-ASCII") ++ data ++ be(crc.getValue.toInt)
+    }
+    val ihdr = be(w) ++ be(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val png = Multimodal.PngHeader ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", comp.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+    val out = graft.multimodal.Png.decode(png)
+    assert(out.rgb.sameElements(rgb),
+      "filtered scanlines (Sub/Up/Average/Paeth) did not unfilter to the source")
+  }
+
+  test("Png.decode rejects corrupt CRC, bad flavors, and truncation loudly") {
+    val good = graft.multimodal.Png.encode(graft.multimodal.Png.Image(
+      2, 2, Array.tabulate(12)(_.toByte)))
+    val flipped = good.clone()
+    flipped(flipped.length - 5) = (flipped(flipped.length - 5) ^ 0x01).toByte
+    intercept[IllegalArgumentException](graft.multimodal.Png.decode(flipped))
+    intercept[IllegalArgumentException](
+      graft.multimodal.Png.decode(good.take(20)))
+    intercept[IllegalArgumentException](
+      graft.multimodal.Png.decode("not a png".getBytes))
+  }
+
+  test("extractFeatures dispatches png to the REAL decoder, with row fallback") {
+    val gray = Array.fill(4 * 4 * 3)(128.toByte)
+    val png = graft.multimodal.Png.encode(graft.multimodal.Png.Image(4, 4, gray))
+    val fake = Multimodal.PngHeader ++ "just text behind a magic".getBytes
+    val df = Seq((1L, png), (2L, fake)).toDF("id", "payload")
+    val fs = Multimodal.extractFeatures(spark, df).collect()
+      .map(f => f.id -> f).toMap
+    assert(fs(1L).kind === "png" && fs(1L).feature(8) === 1.0f)
+    // undecodable payload behind the magic degrades to the byte stub
+    assert(fs(2L).kind === "png" && fs(2L).feature.sum > 0.99f)
+  }
 }
