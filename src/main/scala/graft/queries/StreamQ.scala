@@ -139,5 +139,28 @@ object StreamQ {
         .runningUserState(s, t(s, d, "events")).toDF(),
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v
              FROM events GROUP BY user_id""")),
+
+    // stream_topterms: per-window top-3 event types via the
+    // Space-Saving aggregate — streaming state per window is one
+    // capacity-bounded sketch, not a per-distinct-term map. The events
+    // stream has 5 distinct types << capacity 64, so the sketch is in
+    // its EXACT regime and plain windowed counts replay it (same
+    // exact-case rule as text_topterms); StreamingSpec drives the
+    // incremental path with sketch state merged across triggers.
+    Q("stream_topterms",
+      (s, d) => graft.streaming.EventStreams
+        .windowTopTerms(t(s, d, "events"), "event_type")
+        .select(col("w.start").cast("long").as("window_s"),
+          posexplode(col("tt")).as(Seq("i", "x")))
+        .select(col("window_s"), (col("i") + 1).cast("int").as("rank"),
+          col("x.term").as("event_type"), col("x.cnt").as("n")),
+      Some("""WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+               AS window_s, event_type, count(*) AS n
+             FROM events GROUP BY 1, 2),
+             r AS (SELECT window_s, event_type, n, row_number() OVER (
+               PARTITION BY window_s ORDER BY n DESC, event_type) AS rank
+             FROM c)
+             SELECT window_s, CAST(rank AS INT) AS rank, event_type, n
+             FROM r WHERE rank <= 3""")),
   )
 }

@@ -26,6 +26,22 @@ object EventStreams {
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
 
+  /** Per-window top-`k` heavy hitters over a term-like column via the
+    * Space-Saving sketch aggregate (expressions.SpaceSavingTopK) —
+    * streaming state per window is ONE capacity-bounded sketch buffer
+    * (the typed-imperative serialize/deserialize path), not a
+    * per-distinct-term count map, so an adversarial high-cardinality
+    * stream cannot grow state past `capacity` entries per window.
+    * Watermark-bounded like every other windowed aggregate here.
+    */
+  def windowTopTerms(events: DataFrame, termCol: String,
+                     watermark: String = "10 minutes",
+                     width: String = "1 hour",
+                     k: Int = 3, capacity: Int = 64): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(graft.functions.TextFns.topTerms(col(termCol), k, capacity).as("tt"))
+
   /** Sliding-window counts/sums. */
   def slide(events: DataFrame, watermark: String = "10 minutes",
             width: String = "1 hour", step: String = "30 minutes"): DataFrame =

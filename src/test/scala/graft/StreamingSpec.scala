@@ -40,6 +40,29 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-terms sketch merges across triggers (streaming Space-Saving)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.windowTopTerms(in.toDF(), "event_type",
+        watermark = "5 minutes", k = 2, capacity = 16)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      // trigger 1: click x2, view x1 — trigger 2 must MERGE into the
+      // same window's sketch state, flipping the leader to view
+      in.addData(Ev(ts(0), 1, 1, "click", 1.0), Ev(ts(5), 2, 1, "click", 1.0),
+        Ev(ts(10), 3, 2, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(15), 4, 2, "view", 1.0), Ev(ts(20), 5, 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .selectExpr("inline(tt)").as[(String, Long, Long)].collect().toList
+      assert(rows == List(("view", 3L, 0L), ("click", 2L, 0L)),
+        s"sketch state did not merge across triggers: $rows")
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops replayed event ids") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Ev]
