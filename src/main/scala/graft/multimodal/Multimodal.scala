@@ -114,6 +114,15 @@ object Multimodal {
     lumaFeature(id, "png", bytes.length.toLong, img.width, img.height, img.rgb)
   }
 
+  /** REAL decode for single-frame non-interlaced GIF payloads (see
+    * [[lumaFeature]]): full LZW with variable code widths, palette
+    * mapping (multimodal.Gif).
+    */
+  def decodeGifFeature(id: Long, bytes: Array[Byte]): Feature = {
+    val img = Gif.decode(bytes)
+    lumaFeature(id, "gif", bytes.length.toLong, img.width, img.height, img.rgb)
+  }
+
   /** REAL decode for RIFF/WAVE 16-bit PCM payloads: 16-bin AMPLITUDE
     * histogram over the decoded samples (bin = (s + 32768) >> 12,
     * L1-normalized) — sample-derived, the audio analog of
@@ -137,9 +146,9 @@ object Multimodal {
   /** Partition-parallel feature extraction over (id, kind, payload) rows.
     * Batched per partition (the decoder amortizes any model/codec init
     * across the partition's rows — same shape as mapInPandas batches).
-    * BMP, RGB8 PNG, and RIFF/WAVE-PCM payloads take REAL decode paths
-    * (`Bmp`, `Png`, `Wav`); kinds with no codec in this container take
-    * the documented stub.
+    * BMP, RGB8 PNG, single-frame GIF, and RIFF/WAVE-PCM payloads take
+    * REAL decode paths (`Bmp`, `Png`, `Gif`, `Wav`); only JPEG (no
+    * entropy codec in this container) takes the documented stub.
     */
   def extractFeatures(spark: SparkSession, df: DataFrame,
                       idCol: String = "id", binCol: String = "payload"): Dataset[Feature] = {
@@ -170,6 +179,16 @@ object Multimodal {
               case _: IllegalArgumentException |
                    _: IndexOutOfBoundsException =>
                 decodeStub(id, "png", bytes)
+            }
+          case (id, "gif", bytes) =>
+            // same row-level degradation: 'GIF89a' can prefix arbitrary
+            // data, and interlaced/local-table/animated flavors are
+            // outside the decode subset
+            try decodeGifFeature(id, bytes)
+            catch {
+              case _: IllegalArgumentException |
+                   _: IndexOutOfBoundsException =>
+                decodeStub(id, "gif", bytes)
             }
           case (id, "riff", bytes) =>
             // same row-level degradation: 'RIFF' is 4 arbitrary bytes —

@@ -875,6 +875,70 @@ object TextQ {
                round(avg((id*41 + x*13 + y*7) % 256), 4) AS mean_b
              FROM px GROUP BY id""")),
 
+    // multimodal_gif [EXT]: REAL GIF round-trip — deterministic 7x3
+    // pixels from a formula, paletted and LZW-compressed by the
+    // dependency-free Gif codec, sniffed, decoded back (variable-width
+    // LZW + palette mapping), channel means out. Same formula-oracle
+    // gating as the BMP/PNG legs: any palette/LZW/framing defect
+    // breaks the gate.
+    Q("multimodal_gif",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Gif, Multimodal}
+        val imgs = t(s, d, "documents")
+          .filter(col("doc_id") >= 80 && col("doc_id") < 120)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val (w, h) = (7, 3)
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((id * 43 + x * 9 + y * 21) % 256).toByte
+                rgb(i + 1) = ((id * 19 + x * 7 + y * 11) % 256).toByte
+                rgb(i + 2) = ((id * 53 + x * 17 + y * 3) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Gif.encode(Gif.Image(w, h, rgb)))
+          }.toDF("id", "payload")
+        imgs.select(col("id"),
+            Multimodal.sniffKind(col("payload")).as("kind"), col("payload"))
+          .as[(Long, String, Array[Byte])]
+          .mapPartitions(_.map { case (id, kind, bytes) =>
+            val img = graft.multimodal.Gif.decode(bytes)
+            val n = img.width * img.height
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              sr += img.rgb(3 * i) & 0xff
+              sg += img.rgb(3 * i + 1) & 0xff
+              sb += img.rgb(3 * i + 2) & 0xff
+              i += 1
+            }
+            (id, kind, img.width, img.height,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          })
+          .toDF("id", "kind", "w", "h", "mean_r", "mean_g", "mean_b")
+          .select(col("id"), col("kind"), col("w"), col("h"),
+            round(col("mean_r"), 4).as("mean_r"),
+            round(col("mean_g"), 4).as("mean_g"),
+            round(col("mean_b"), 4).as("mean_b"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             WHERE doc_id >= 80 AND doc_id < 120),
+             px AS (SELECT id, gx.x AS x, gy.y AS y
+               FROM ids, generate_series(0, 6) AS gx(x),
+                    generate_series(0, 2) AS gy(y))
+             SELECT id, 'gif' AS kind, 7 AS w, 3 AS h,
+               round(avg((id*43 + x*9 + y*21) % 256), 4) AS mean_r,
+               round(avg((id*19 + x*7 + y*11) % 256), 4) AS mean_g,
+               round(avg((id*53 + x*17 + y*3) % 256), 4) AS mean_b
+             FROM px GROUP BY id""")),
+
     // multimodal_meta [EXT]: opaque-binary column plumbing — bytes are
     // first-class (byte length + header hex of the payload); the
     // decode/feature-extract stage lives in graft.multimodal (stubbed,

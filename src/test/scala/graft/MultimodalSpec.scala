@@ -249,6 +249,61 @@ class MultimodalSpec extends SparkFunSuite {
       graft.multimodal.Png.decode("not a png".getBytes))
   }
 
+  test("Gif round-trips arbitrary RGB for every size 1..6 x 1..4") {
+    for (w <- 1 to 6; h <- 1 to 4) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + 7) % 256).toByte)
+      val out = graft.multimodal.Gif.decode(
+        graft.multimodal.Gif.encode(graft.multimodal.Gif.Image(w, h, rgb)))
+      assert(out.width == w && out.height == h)
+      assert(out.rgb.sameElements(rgb), s"pixels corrupted at ${w}x$h")
+    }
+  }
+
+  test("Gif LZW survives dictionary growth, width bumps, and the reset path") {
+    // 160x120 two-color repetitive image: long runs force composite
+    // codes through every width 3..12 and past the 4090-entry reset;
+    // a stripe phase shift exercises the code==next self-reference
+    val w = 160; val h = 120
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val on = ((x + y * 7) / 3) % 2 == 0
+      val i = (y * w + x) * 3
+      rgb(i) = if (on) 200.toByte else 10.toByte
+      rgb(i + 1) = if (on) 100.toByte else 20.toByte
+      rgb(i + 2) = if (on) 50.toByte else 30.toByte
+    }
+    val bytes = graft.multimodal.Gif.encode(graft.multimodal.Gif.Image(w, h, rgb))
+    // two colors -> real compression must beat 1 byte/pixel handily
+    assert(bytes.length < w * h / 2, s"LZW not compressing: ${bytes.length}")
+    val out = graft.multimodal.Gif.decode(bytes)
+    assert(out.rgb.sameElements(rgb), "pixels corrupted through LZW growth/reset")
+  }
+
+  test("Gif.decode rejects non-GIF, truncation, and unsupported flavors loudly") {
+    val good = graft.multimodal.Gif.encode(graft.multimodal.Gif.Image(
+      3, 2, Array.tabulate(18)(_.toByte)))
+    intercept[IllegalArgumentException](
+      graft.multimodal.Gif.decode("GIF89a then garbage".getBytes))
+    intercept[IllegalArgumentException](
+      graft.multimodal.Gif.decode(good.take(good.length - 6)))
+    val interlaced = good.clone()
+    // image descriptor packed byte: set the interlace flag
+    val idOff = good.indexOfSlice(Seq(0x2c.toByte))
+    interlaced(idOff + 9) = (interlaced(idOff + 9) | 0x40).toByte
+    intercept[IllegalArgumentException](graft.multimodal.Gif.decode(interlaced))
+  }
+
+  test("extractFeatures dispatches gif to the REAL decoder, with row fallback") {
+    val gray = Array.fill(4 * 4 * 3)(128.toByte)
+    val gif = graft.multimodal.Gif.encode(graft.multimodal.Gif.Image(4, 4, gray))
+    val fake = Multimodal.GifHeader ++ "just text behind a magic".getBytes
+    val df = Seq((1L, gif), (2L, fake)).toDF("id", "payload")
+    val fs = Multimodal.extractFeatures(spark, df).collect()
+      .map(f => f.id -> f).toMap
+    assert(fs(1L).kind === "gif" && fs(1L).feature(8) === 1.0f)
+    assert(fs(2L).kind === "gif" && fs(2L).feature.sum > 0.99f)
+  }
+
   test("extractFeatures dispatches png to the REAL decoder, with row fallback") {
     val gray = Array.fill(4 * 4 * 3)(128.toByte)
     val png = graft.multimodal.Png.encode(graft.multimodal.Png.Image(4, 4, gray))
