@@ -91,7 +91,7 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
         var i = 0
         while (i < dim) {
           val x = HashUtil.mix64(seed + t * 7919L + p.toLong * 1000003L + i)
-          w(p * dim + i) = (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+          w(p * dim + i) = (x >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0
           i += 1
         }
         p += 1
@@ -409,7 +409,7 @@ case class RandomProjection(child: Expression, dim: Int, outDim: Int,
       var i = 0
       while (i < dim) {
         val x = HashUtil.mix64(seed + j.toLong * 1000003L + i)
-        w(j * dim + i) = (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        w(j * dim + i) = (x >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0
         i += 1
       }
       j += 1

@@ -82,6 +82,8 @@ object Gif {
   def encode(img: Image): Array[Byte] = {
     require(img.rgb.length == img.width * img.height * 3,
       s"rgb length ${img.rgb.length} != ${img.width}x${img.height}x3")
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      s"${img.width}x${img.height} exceeds GIF's u16 descriptor fields")
     val n = img.width * img.height
     require(n > 0, "empty image")
     // palette: distinct colors in first-appearance order. Values stay

@@ -126,7 +126,9 @@ object Png {
             "unsupported compression/filter/interlace method")
           require(width > 0 && height > 0 &&
             width <= (1 << 20) && height <= (1 << 20) &&
-            width.toLong * height * 3 <= Int.MaxValue,
+            // the FILTERED buffer is (1 + 3w)·h — bound that, not just
+            // the pixel array, or its allocation below overflows Int
+            (1L + 3L * width) * height <= Int.MaxValue,
             s"implausible dimensions ${width}x$height")
           seenIhdr = true
         case "IDAT" => idat.write(bytes, off + 8, len)

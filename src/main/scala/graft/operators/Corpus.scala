@@ -27,12 +27,15 @@ object Corpus {
     * shuffle, unavoidable: the output is per-document).
     *
     * @return (idCol, clean_text, n_removed) — empty string when every
-    *         line was boilerplate
+    *         line was boilerplate. NULL text is treated as empty text
+    *         (the doc keeps its output row rather than silently
+    *         vanishing from the curated corpus).
     */
   def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                             minDocs: Long): DataFrame = {
     def lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("pos", "line")))
     val blocklist = lines.groupBy("line")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -98,6 +101,9 @@ object Corpus {
     val counts = df.filter(strataCol.isin(weights.keys.toSeq: _*))
       .groupBy(strataCol.as("s")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no weighted stratum present → the target mix is unachievable at
+    // any size; the largest conforming corpus is empty (not a crash)
+    if (counts.isEmpty) return df.filter(lit(false))
     val budget = weights.collect {
       case (k, w) if w > 0 && counts.contains(k) => counts(k) / w
     }.min

@@ -130,7 +130,7 @@ object CorpusQ {
               |  FROM generate_series(0,7) j(j), generate_series(0,63) i(i)),
               |${MinhashOracle.mixStages("grid", "z0", "mx", "w1")},
               |w AS (SELECT j, i,
-              |    (mx >> 11)::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS wt
+              |    (mx >> 12)::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS wt
               |  FROM w1d),
               |v AS (SELECT vec_id, unnest(embedding) AS x,
               |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),

@@ -137,7 +137,7 @@ object MinhashOracle {
   * end-to-end from the raw embeddings —
   *
   *  1. the weight matrix exactly as `HyperplaneBuckets` derives it
-  *     (mix64(seed + t·7919 + p·1000003 + i) >>> 11, scaled to [-1,1));
+  *     (mix64(seed + t·7919 + p·1000003 + i) >>> 12, scaled to [-1,1));
   *  2. per-(vector, table) bucket = the 4 projection sign bits. A plain
   *     SQL SUM is safe here even though double addition isn't
   *     associative: the smallest |projection| over the corpus is ~1e-4
@@ -150,16 +150,16 @@ object MinhashOracle {
   * internals) remain golden-pinned.
   */
 object LshOracle {
-  // sim_ann_lsh params: dim=64, planes=4, tables=8, seed=42, k=5
+  // sim_ann_lsh params: dim=64, planes=4, tables=12, seed=42, k=5
   val sql: String =
     s"""WITH tpigrid AS (
        |  SELECT t.t AS t, p.p AS p, i.i AS i,
        |    (42 + t.t*7919 + p.p*1000003 + i.i)::UBIGINT AS z0
-       |  FROM generate_series(0,7) t(t), generate_series(0,3) p(p),
+       |  FROM generate_series(0,11) t(t), generate_series(0,3) p(p),
        |       generate_series(0,63) i(i)),
        |${MinhashOracle.mixStages("tpigrid", "z0", "mx", "w1")},
        |w AS (SELECT t, p, i,
-       |    (mx >> 11)::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS wt
+       |    (mx >> 12)::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS wt
        |  FROM w1d),
        |v AS (SELECT vec_id, unnest(embedding) AS x,
        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),

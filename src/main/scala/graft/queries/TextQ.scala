@@ -328,7 +328,7 @@ object TextQ {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
-          dim = 64, planes = 4, tables = 8, roundTo = 3)
+          dim = 64, planes = 4, tables = 12, roundTo = 3)
       },
       Some(LshOracle.sql)),
 

@@ -76,6 +76,34 @@ class CorpusSpec extends SparkFunSuite {
     assert(got == List(("alpha", 30L, 0L), ("beta", 20L, 0L), ("gamma", 10L, 0L)))
   }
 
+  test("topTerms boundary: a partial at EXACTLY capacity distinct merges exactly") {
+    // partition 0 holds {x:5, y:5} (2 distinct == capacity 2, NO
+    // eviction), partition 1 holds {z:3}. A merge that treats
+    // size==capacity as "has evicted" would inflate z to cnt 8 / err 5;
+    // the exact answer is x=5 err 0
+    val rows = Seq.fill(5)(("x", 0)) ++ Seq.fill(5)(("y", 0)) ++
+      Seq.fill(3)(("z", 1))
+    val df = rows.toDF("term", "p").repartitionByRange(2, col("p"))
+    val got = df.agg(graft.functions.TextFns.topTerms(col("term"), 1, 2).as("t"))
+      .selectExpr("inline(t)").as[(String, Long, Long)].collect().toList
+    assert(got == List(("x", 5L, 0L)), s"boundary merge not exact: $got")
+  }
+
+  test("stripBoilerplateLines: null text keeps its row as empty text") {
+    val docs = ((0L until 11L).map(i => (i, "SPAM")) :+ (99L, null))
+      .toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 10L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.contains(99L), "null-text doc vanished from the output")
+    assert(out(99L) == (("", 0L)))
+  }
+
+  test("mixToTarget with no weighted stratum present returns empty, not a crash") {
+    val df = Seq((1L, "zh"), (2L, "ja")).toDF("id", "s")
+    val out = Corpus.mixToTarget(df, col("s"), col("id"), Map("en" -> 1.0))
+    assert(out.isEmpty)
+  }
+
   test("topTerms over capacity: heavy hitter survives with a valid error bound") {
     // 1 heavy item + 40 distinct light items through capacity-8 sketches:
     // evictions must keep the heavy item and keep est-err <= true <= est
@@ -100,7 +128,7 @@ class CorpusSpec extends SparkFunSuite {
     val expected = Array.tabulate(8) { j =>
       var acc = 0.0
       for (i <- 0 until 64) {
-        val w = (mix64(1337L + j * 1000003L + i) >>> 11).toDouble /
+        val w = (mix64(1337L + j * 1000003L + i) >>> 12).toDouble /
           (1L << 52).toDouble * 2.0 - 1.0
         acc += vec(i).toDouble * w
       }

@@ -279,6 +279,31 @@ class MultimodalSpec extends SparkFunSuite {
     assert(out.rgb.sameElements(rgb), "pixels corrupted through LZW growth/reset")
   }
 
+  test("codec encoders reject dimensions their formats cannot represent") {
+    // GIF descriptors are u16: silently truncated dimensions would
+    // emit a file that decodes to the wrong shape
+    intercept[IllegalArgumentException](graft.multimodal.Gif.encode(
+      graft.multimodal.Gif.Image(70000, 1, new Array[Byte](70000 * 3))))
+    // PNG decode: the FILTERED buffer (1+3w)*h must be bounded even
+    // when w*h*3 alone fits Int (the overflow would wrap to a negative
+    // allocation outside the row-level fallback's catch)
+    val ihdrW = 1365; val ihdrH = 524288
+    val good = graft.multimodal.Png.encode(graft.multimodal.Png.Image(
+      2, 2, Array.tabulate(12)(_.toByte)))
+    // patch IHDR dims + recompute its CRC
+    val b = good.clone()
+    def putBe(off: Int, v: Int): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+    putBe(16, ihdrW); putBe(20, ihdrH)
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 4 + 13)
+    putBe(12 + 4 + 13, crc.getValue.toInt)
+    val ex = intercept[IllegalArgumentException](graft.multimodal.Png.decode(b))
+    assert(ex.getMessage.contains("implausible dimensions"))
+  }
+
   test("Gif.decode rejects non-GIF, truncation, and unsupported flavors loudly") {
     val good = graft.multimodal.Gif.encode(graft.multimodal.Gif.Image(
       3, 2, Array.tabulate(18)(_.toByte)))
