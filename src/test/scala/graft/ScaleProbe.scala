@@ -186,6 +186,41 @@ object ScaleProbe {
       println(f"CC     edges=1500000 nodes=${local._1}%8d comps=${local._2}%7d " +
         f"local=$dtL%6.1fs distributed=$dtD%6.1fs")
     }
+    // SPACE-SAVING at adversarial cardinality: 20M tokens over ~2M
+    // distinct terms (approx-zipf: term j repeats ~N/j times for the
+    // head, singletons in the tail) through capacity-4096 sketches —
+    // the eviction path runs millions of times; the true heavy hitters
+    // must survive with valid bounds and bounded memory.
+    {
+      val n = 20000000L
+      val terms = spark.range(n).select(
+        // id -> rank r with frequency ~ N/r^2 head + unique tail
+        when(col("id") % 4 === 0, concat(lit("hot"),
+            pmod(xxhash64(col("id")), lit(10L))))
+          .when(col("id") % 4 === 1, concat(lit("warm"),
+            pmod(xxhash64(col("id"), lit(1L)), lit(10000L))))
+          .otherwise(concat(lit("tail"), col("id"))).as("term"))
+      val t0 = System.nanoTime()
+      val top = terms
+        .agg(graft.functions.TextFns.topTerms(col("term"), 10, 4096).as("t"))
+        .selectExpr("inline(t)")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val dt = (System.nanoTime() - t0) / 1e9
+      // every hot term has true count ~n/4/10 = 500k >> N/capacity ≈ 4.9k,
+      // so Space-Saving guarantees all 10 are present; bounds are
+      // checked against the EXACT per-term counts (the hash split is
+      // binomial, not exactly n/40)
+      val hotFound = top.count(_._1.startsWith("hot"))
+      val trueHot = terms.filter(col("term").startsWith("hot"))
+        .groupBy("term").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val boundsOk = top.filter(_._1.startsWith("hot")).forall { case (t, c, e) =>
+        c >= trueHot(t) && c - e <= trueHot(t) }
+      require(hotFound == 10 && boundsOk,
+        s"heavy hitters lost or bounds violated: ${top.toList} vs $trueHot")
+      println(f"TOPK   tokens=$n%9d distinct~2M cap=4096 hot=$hotFound/10 " +
+        f"bounds_ok=$boundsOk time=$dt%6.1fs")
+    }
     spark.stop()
   }
 }
