@@ -82,6 +82,38 @@ object Corpus {
         round(col("score"), 4).as("tfidf"), col("rank"))
   }
 
+  /** Concat-then-chunk sequence packing — the standard LLM-pretraining
+    * batching step: documents are laid end-to-end in a deterministic
+    * order and the token stream is sliced into fixed `window`-token
+    * training chunks; each document reports the chunk range it lands
+    * in. Packing runs independently per SHARD (content-hash of the id,
+    * `shards` of them), so the cumulative-sum window parallelizes —
+    * one ordered window per shard over (id, n_tokens) SCALARS — while
+    * staying fully deterministic and replayable (a single global
+    * cumulative sum would serialize into one task at 100 TB).
+    *
+    * @return (idCol, shard, n_tokens, start_off, first_chunk,
+    *         last_chunk); offsets are within the shard's stream
+    */
+  def packChunks(docs: DataFrame, idCol: String, nTokCol: Column,
+                 window: Long, shards: Int, seed: Long = 42L,
+                 portable: Boolean = false): DataFrame = {
+    // same portable-vs-fast membership hash split as [[Sampling]]:
+    // md5-low-60 replays in any engine, xxhash64 is the 100 TB path
+    val shard =
+      if (portable) pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + seed))), 1, 15), 16, 10).cast("long"), lit(shards.toLong))
+      else pmod(xxhash64(col(idCol), lit(seed)), lit(shards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), nTokCol.as("n_tokens"), shard.as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        floor((col("cum") - col("n_tokens")) / window).as("first_chunk"),
+        floor((col("cum") - 1) / window).as("last_chunk"))
+  }
+
   /** Downsample strata to hit TARGET PROPORTIONS (data mixing: "train
     * on 40% en / 20% de / 20% fr / 20% es"): the output is the LARGEST
     * corpus achievable at exactly the target mix — the scarcest stratum

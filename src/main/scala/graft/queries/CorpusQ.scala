@@ -167,6 +167,33 @@ object CorpusQ {
              |SELECT CAST(rank AS INT) AS rank, term, cnt
              |FROM r WHERE rank <= 20""".stripMargin)),
 
+    // corpus_pack [EXT]: concat-then-chunk sequence packing — the
+    // standard LLM-pretraining batching step. Documents lay end-to-end
+    // per content-hash shard (4 shards, portable md5) in doc_id order;
+    // the token stream slices into 256-token chunks and each doc
+    // reports its chunk range (a doc straddling a boundary has
+    // last_chunk > first_chunk). One ordered window over scalars per
+    // shard — deterministic, parallel across shards, replayed exactly
+    // by the oracle's windowed cumulative sum.
+    Q("corpus_pack",
+      (s, d) => graft.operators.Corpus.packChunks(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", graft.functions.TextFns.wsTokenCount(col("text")),
+        window = 256L, shards = 4, portable = true),
+      Some("""WITH tkn AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+             |      ::BIGINT % 4 AS shard
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM tkn)
+             |SELECT doc_id, shard, n_tokens,
+             |  cum - n_tokens AS start_off,
+             |  (cum - n_tokens) // 256 AS first_chunk,
+             |  (cum - 1) // 256 AS last_chunk
+             |FROM c""".stripMargin)),
+
     // corpus_mix [EXT]: data mixing to target proportions — largest
     // corpus achievable at exactly 40/20/20/20 en/de/fr/es: the
     // scarcest stratum (relative to its weight) stays whole, the rest

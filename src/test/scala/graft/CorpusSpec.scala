@@ -117,6 +117,31 @@ class CorpusSpec extends SparkFunSuite {
     assert(cnt - err <= 200L, s"est-err must lower-bound the true count ($cnt-$err)")
   }
 
+  test("packChunks: per-shard streams tile exactly, straddlers span chunks") {
+    val docs = (0L until 40L).map(i => (i, (i % 7 + 1) * 10)).toDF("id", "n")
+    val out = Corpus.packChunks(docs, "id", col("n"), window = 64L,
+      shards = 2, portable = true)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, sh, n, off, fc, lc) => id -> ((sh, n, off, fc, lc)) }
+      .toMap
+    assert(out.size == 40)
+    // within each shard, docs in id order tile the stream with no gaps
+    out.values.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(_._3)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._3 + a._2 == b._3, "gap or overlap in the packed stream")
+      }
+      assert(ordered.head._3 == 0L)
+    }
+    // chunk math: first = floor(start/64), last = floor((start+n-1)/64)
+    out.values.foreach { case (_, n, off, fc, lc) =>
+      assert(fc == off / 64 && lc == (off + n - 1) / 64)
+      assert(lc >= fc)
+    }
+    // with doc sizes up to 70 > window 64, at least one doc straddles
+    assert(out.values.exists { case (_, _, _, fc, lc) => lc > fc })
+  }
+
   test("randomProjection matches a naive reference computation") {
     def mix64(zIn: Long): Long = {
       var z = zIn + 0x9e3779b97f4a7c15L
