@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registry: Seq[Q] =
-    Relational.all ++ IngestQ.all ++ TextQ.all ++ CorpusQ.all ++ StreamQ.all
+    Relational.all ++ IngestQ.all ++ TextQ.all ++ CorpusQ.all ++
+      ScaleQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

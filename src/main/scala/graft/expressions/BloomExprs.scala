@@ -1,0 +1,158 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.LongInputTypes
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+
+/** Bloom-filter runtime filter, the explicit form of Spark's own
+  * injected `bloom_filter_agg`/`might_contain` pair (Spark's is an
+  * optimizer-internal rewrite, `spark.sql.optimizer.runtime.bloomFilter.*`,
+  * not a stable public function surface — so graft carries its own).
+  *
+  * Purpose at 100 TB: a selective dimension predicate should prune the
+  * FACT side before the join shuffle, not after. The dim side folds to
+  * one fixed-size bitset scalar (partials OR together at the exchange —
+  * one row per partition, not a key stream); the fact side then drops
+  * non-candidate rows inside its scan stage, so the join exchanges only
+  * rows that can match. False positives cost nothing but wasted shuffle
+  * (the exact join removes them); false negatives are impossible, so
+  * the filtered plan returns EXACTLY the unfiltered result.
+  *
+  * Layout: `numBits` bits in long words; k probe positions by
+  * Kirsch–Mitzenmacher double hashing (h1 + i·h2, two splitmix64 mixes
+  * per key — public-domain math, self-contained like HashExprs). With
+  * m/n = 16 bits/key and k = 8 the false-positive rate is ~5e-4.
+  */
+object BloomUtil {
+  def wordCount(numBits: Int): Int = (numBits + 63) >>> 6
+
+  def positions(key: Long, numHashes: Int, numBits: Int): Array[Int] = {
+    val h1 = HashUtil.mix64(key ^ 0x243f6a8885a308d3L)
+    val h2 = HashUtil.mix64(key ^ 0x13198a2e03707344L) | 1L
+    val out = new Array[Int](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      out(i) = (((h1 + i * h2) & Long.MaxValue) % numBits).toInt
+      i += 1
+    }
+    out
+  }
+
+  def toBytes(words: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](words.length * 8)
+    var i = 0
+    while (i < words.length) {
+      var w = words(i)
+      var j = 0
+      while (j < 8) { bytes(i * 8 + j) = (w & 0xff).toByte; w >>>= 8; j += 1 }
+      i += 1
+    }
+    bytes
+  }
+
+  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    val words = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < words.length) {
+      var w = 0L
+      var j = 7
+      while (j >= 0) { w = (w << 8) | (bytes(i * 8 + j) & 0xffL); j -= 1 }
+      words(i) = w
+      i += 1
+    }
+    words
+  }
+}
+
+/** Builds the bitset over a bigint key column; evaluates to the
+  * serialized bitset (binary). Partial states are the bitsets
+  * themselves; merge is bitwise OR — associative, commutative,
+  * retry-deterministic.
+  */
+case class BloomBuildAgg(child: Expression, numBits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with LongInputTypes {
+
+  require(numBits >= 64 && numHashes >= 1,
+    s"need numBits >= 64, numHashes >= 1; got $numBits/$numHashes")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bloom_build"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](BloomUtil.wordCount(numBits))
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val ps = BloomUtil.positions(v.asInstanceOf[Long], numHashes, numBits)
+      var i = 0
+      while (i < ps.length) {
+        buf(ps(i) >>> 6) |= 1L << (ps(i) & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = BloomUtil.toBytes(buf)
+  override def serialize(buf: Array[Long]): Array[Byte] = BloomUtil.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    BloomUtil.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomBuildAgg =
+    copy(child = newChildren.head)
+}
+
+/** Membership probe against a driver-materialized bitset. Codegen emits
+  * one virtual call on the referenced expression (same fusion posture
+  * as HashExprs) so the probe rides inside the scan's WholeStageCodegen
+  * span instead of breaking it.
+  */
+case class BloomMightContain(child: Expression, bloom: Array[Byte],
+    numHashes: Int)
+    extends UnaryExpression with LongInputTypes {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val words: Array[Long] = BloomUtil.fromBytes(bloom)
+  @transient private lazy val numBits: Int = words.length * 64
+
+  def compute(key: Long): Boolean = {
+    val ps = BloomUtil.positions(key, numHashes, numBits)
+    var i = 0
+    while (i < ps.length) {
+      if ((words(ps(i) >>> 6) & (1L << (ps(i) & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+import graft.operators.{FuzzyJoin, RuntimeFilter}
+
+/** Scale-engineering operators added round 5: blocked fuzzy linkage and
+  * batch sessionization. Each is the at-scale generalization of a
+  * reference behavior (exact standardized-name matching,
+  * `assess_changes.qmd:97-114`; per-run file grouping) re-expressed as
+  * a shuffle-frugal Spark plan with a DuckDB oracle.
+  */
+object ScaleQ {
+
+  val all: Seq[Q] = Seq(
+
+    // join_fuzzy [EXT]: record linkage at edit distance <= 3, blocked
+    // on the discriminative name token (see FuzzyJoin scaladoc for the
+    // blocking/banding/salting scale shape). Aggregated per block so
+    // the gate output is small while every pair is still computed.
+    Q("join_fuzzy",
+      (s, d) => FuzzyJoin.selfPairs(
+          t(s, d, "part"),
+          col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(1),
+          maxDist = 3)
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("dist"), 4).as("avg_dist")),
+      Some("""WITH p AS (SELECT p_partkey AS k, p_name AS txt,
+                    split_part(p_name, ' ', 2) AS blk FROM part)
+             SELECT a.blk AS blk, count(*) AS n_pairs,
+                    round(avg(levenshtein(a.txt, b.txt)), 4) AS avg_dist
+             FROM p a JOIN p b
+               ON a.blk = b.blk AND a.k < b.k
+               AND abs(length(a.txt) - length(b.txt)) <= 3
+             WHERE levenshtein(a.txt, b.txt) BETWEEN 1 AND 3
+             GROUP BY a.blk""")),
+
+    // win_session [EXT]: batch sessionization — the bounded-data twin
+    // of stream_session (StreamQ.scala), same 10-minute gap rule. ONE
+    // shuffle keyed on user_id serves the lag window, the running-sum
+    // window, and both aggregates (Catalyst reuses the exchange: every
+    // step is partitioned by user_id). Per-user state is the user's own
+    // event list — the 100 TB hazard is a whale user, which AQE's skew
+    // handling splits at the final aggregate but not inside a window;
+    // for adversarial whales pre-split by (user, day) first. Ordering
+    // ties broken by event_id so both engines see one deterministic
+    // event order.
+    Q("win_session",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+          unix_millis(Cols.toMillis(col("ts"))).as("ts_ms"))
+        val sess = ev
+          .withColumn("new_s",
+            when(lag("ts_ms", 1).over(w).isNull ||
+              col("ts_ms") - lag("ts_ms", 1).over(w) > 600000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess", sum("new_s").over(run))
+        sess.groupBy("user_id", "sess")
+          .agg(count(lit(1)).as("n_ev"),
+            (max("ts_ms") - min("ts_ms")).as("dur_ms"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n_ev").cast("long").as("n_events"),
+            max("n_ev").as("max_sess_events"),
+            round(avg("dur_ms"), 4).as("avg_dur_ms"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+                    epoch_ms(date_trunc('millisecond', ts)) AS ts_ms
+                    FROM events),
+             f AS (SELECT user_id, event_id, ts_ms,
+                   CASE WHEN lag(ts_ms) OVER w IS NULL
+                          OR ts_ms - lag(ts_ms) OVER w > 600000
+                        THEN 1 ELSE 0 END AS new_s
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+             g AS (SELECT user_id, ts_ms,
+                   sum(new_s) OVER (PARTITION BY user_id
+                     ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                   FROM f),
+             h AS (SELECT user_id, sess, count(*) AS n_ev,
+                   max(ts_ms) - min(ts_ms) AS dur_ms
+                   FROM g GROUP BY user_id, sess)
+             SELECT user_id, count(*) AS n_sessions,
+                    CAST(sum(n_ev) AS BIGINT) AS n_events,
+                    max(n_ev) AS max_sess_events,
+                    round(avg(dur_ms), 4) AS avg_dur_ms
+             FROM h GROUP BY user_id""")),
+
+    // join_bloom [EXT]: selective-dim semi-join with an explicit bloom
+    // runtime filter pruning the fact side BEFORE the join shuffle
+    // (RuntimeFilter scaladoc). ~9% of suppliers pass the balance
+    // predicate, so ~91% of lineitem rows drop inside the scan stage;
+    // the exact semi-join removes bloom false positives, making the
+    // result identical to the plain EXISTS the oracle runs.
+    Q("join_bloom",
+      (s, d) => RuntimeFilter.bloomSemiJoin(
+          t(s, d, "lineitem"), "l_suppkey",
+          t(s, d, "supplier").filter(col("s_acctbal") > 9000), "s_suppkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             round(sum(l_extendedprice), 2) AS sum_price
+             FROM lineitem
+             WHERE EXISTS (SELECT 1 FROM supplier
+               WHERE s_suppkey = l_suppkey AND s_acctbal > 9000)
+             GROUP BY l_returnflag"""))
+  )
+}

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.types.{AbstractDataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, LongType, StringType}
 
 /** Declares a single string argument with implicit casts, from inside
   * the `org.apache.spark.sql` scope — Spark 4 marks `AbstractDataType`
@@ -10,4 +10,9 @@ import org.apache.spark.sql.types.{AbstractDataType, StringType}
   */
 trait StringInputTypes extends ImplicitCastInputTypes { self: Expression =>
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+}
+
+/** Single bigint argument, same rationale as [[StringInputTypes]]. */
+trait LongInputTypes extends ImplicitCastInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 }
