@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
-import graft.operators.{FuzzyJoin, RuntimeFilter}
+import graft.operators.{FuzzyJoin, RuntimeFilter, ZOrder}
 
 /** Scale-engineering operators added round 5: blocked fuzzy linkage and
   * batch sessionization. Each is the at-scale generalization of a
@@ -111,6 +111,43 @@ object ScaleQ {
              FROM lineitem
              WHERE EXISTS (SELECT 1 FROM supplier
                WHERE s_suppkey = l_suppkey AND s_acctbal > 9000)
-             GROUP BY l_returnflag"""))
+             GROUP BY l_returnflag""")),
+
+    // layout_zorder [EXT]: Morton-interleave (o_custkey, order-day) and
+    // report each 1/32nd z-range's bounding box in BOTH dimensions —
+    // the per-file min/max stats that drive parquet row-group pruning
+    // after a z-ordered write. The gate query pins the layout MATH
+    // (ntile over a deterministic total order, oracle replays the bit
+    // formula via ZOrder.zvalueSql); the production write path is
+    // ZOrder.layoutBy — a distributed repartitionByRange sort with no
+    // global-window task (asserted in ZOrderSpec).
+    Q("layout_zorder",
+      (s, d) => {
+        val w = Window.orderBy("zval", "o_orderkey")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(to_date(col("o_orderdate")),
+              to_date(lit("1995-01-01"))).cast("long").as("d"))
+          .withColumn("zval",
+            ZOrder.zvalue(Seq(col("o_custkey"), col("d")), 16))
+          .withColumn("bucket", ntile(32).over(w).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
+            min("d").as("d_min"), max("d").as("d_max"))
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey, o_custkey,
+                    date_diff('day', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS d FROM orders),
+             z AS (SELECT o_orderkey, o_custkey, d,
+                   ${ZOrder.zvalueSql(Seq("o_custkey", "d"), 16)} AS zval
+                   FROM o),
+             b AS (SELECT o_custkey, d,
+                   ntile(32) OVER (ORDER BY zval, o_orderkey) AS bucket
+                   FROM z)
+             SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                    min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+                    min(d) AS d_min, max(d) AS d_max
+             FROM b GROUP BY bucket"""))
   )
 }
