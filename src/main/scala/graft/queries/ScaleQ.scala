@@ -17,20 +17,26 @@ object ScaleQ {
   val all: Seq[Q] = Seq(
 
     // join_fuzzy [EXT]: record linkage at edit distance <= 3, blocked
-    // on the discriminative name token (see FuzzyJoin scaladoc for the
-    // blocking/banding/salting scale shape). Aggregated per block so
-    // the gate output is small while every pair is still computed.
+    // on (discriminative name token, first letter) — the classic
+    // Newcombe first-letter refinement; on this corpus it cuts
+    // candidate volume 8x vs token-only blocks (3.1M vs 25M at sf0.1)
+    // at the usual modeled-recall price (a typo in position 1 escapes
+    // the block). See FuzzyJoin scaladoc for banding/salting. Output is
+    // aggregated per block so the gate frame stays small while every
+    // pair is still computed.
     Q("join_fuzzy",
       (s, d) => FuzzyJoin.selfPairs(
           t(s, d, "part"),
           col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(1),
+          concat_ws("|", split(col("p_name"), " ").getItem(1),
+            substring(col("p_name"), 1, 1)),
           maxDist = 3)
         .groupBy("blk")
         .agg(count(lit(1)).as("n_pairs"),
           round(avg("dist"), 4).as("avg_dist")),
       Some("""WITH p AS (SELECT p_partkey AS k, p_name AS txt,
-                    split_part(p_name, ' ', 2) AS blk FROM part)
+                    split_part(p_name, ' ', 2) || '|' ||
+                      substr(p_name, 1, 1) AS blk FROM part)
              SELECT a.blk AS blk, count(*) AS n_pairs,
                     round(avg(levenshtein(a.txt, b.txt)), 4) AS avg_dist
              FROM p a JOIN p b
@@ -148,6 +154,21 @@ object ScaleQ {
              SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
                     min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
                     min(d) AS d_min, max(d) AS d_max
-             FROM b GROUP BY bucket"""))
+             FROM b GROUP BY bucket""")),
+
+    // agg_histogram [EXT]: equi-width histogram per group — pure
+    // map-side bucketing (floor division, no sort, no window) feeding
+    // one partial+final aggregate keyed on (group, bucket). The 100 TB
+    // histogram: cardinality = groups × buckets, independent of rows.
+    Q("agg_histogram",
+      (s, d) => t(s, d, "orders")
+        .withColumn("bucket", floor(col("o_totalprice") / 25000).cast("long"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(avg("o_totalprice"), 2).as("avg_price")),
+      Some("""SELECT o_orderstatus,
+                    CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+                    count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+             FROM orders GROUP BY 1, 2"""))
   )
 }

@@ -160,4 +160,36 @@ class PlanSpec extends SparkFunSuite {
     val p = plan("proj_select")
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"))
   }
+
+  test("join_bloom: bloom probe filters the fact side BELOW the join") {
+    val p = plan("join_bloom")
+    val lines = p.linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    val probeIdx = lines.indexWhere(_.contains("graft_bloom_might_contain"))
+    assert(joinIdx >= 0 && probeIdx >= 0,
+      "bloom probe or join missing:\n" + p.take(1500))
+    assert(probeIdx > joinIdx,
+      "bloom probe not on the fact input of the join (would filter after)")
+    // the probe must not break the scan stage's codegen span
+    val probeLine = lines(probeIdx)
+    assert(!probeLine.trim.startsWith("Filter ") ||
+      lines.take(probeIdx).exists(_.contains("WholeStageCodegen")),
+      "bloom probe fell out of whole-stage codegen")
+  }
+
+  test("join_fuzzy: no cartesian; one block-key shuffle join") {
+    val p = plan("join_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join degraded to all-pairs:\n" + p.take(1500))
+  }
+
+  test("win_session: both windows and aggregates share ONE user exchange") {
+    val p = plan("win_session")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hashpartitioning(user_id) exchange + AQE may add none beyond it
+    assert(exchanges <= 2,
+      s"sessionization re-shuffling per step ($exchanges exchanges):\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
