@@ -284,6 +284,113 @@ object Similarity {
     probePq(fitPq(corpus, dim, m, kSub, seed, maxTrainRows), corpus,
       queries, k, rerank, roundTo)
 
+  /** A fitted IVF-PQ composite index: coarse centroids (metadata-scale),
+    * per-subspace codebooks (metadata-scale), and ONE staged table
+    * (vec_id, cell, code) — the layout both search restrictions
+    * compound on. At 100 TB this is the standard ANN serving shape
+    * (FAISS's IVF+PQ with by_residual=false, here on the unit sphere
+    * for cosine): the scan touches `nprobe/nlist` of the corpus AND
+    * reads 8-byte codes instead of dim·4-byte vectors — the two
+    * reductions multiply, so a 16-cell/1-probe index over compressed
+    * codes scans ~1/500th of the raw bytes a brute-force pass would.
+    */
+  final case class IvfPqModel(centers: Seq[(Int, Array[Float])],
+                              codebooks: Array[Array[Array[Float]]],
+                              table: DataFrame)
+
+  /** Train BOTH quantizers from one bounded seeded sample (driver-side,
+    * like fitIvf/fitPq) and write cell + code in a single staged
+    * corpus pass — the corpus is scanned once, not once per index.
+    */
+  def fitIvfPq(corpus: DataFrame, dim: Int, nlist: Int = 16, m: Int = 8,
+               kSub: Int = 256, seed: Long = 42L,
+               maxTrainRows: Long = 100000L): IvfPqModel = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val featured = corpus.select(col("vec_id"), col("embedding"))
+    val n = featured.count()
+    val train =
+      if (n <= maxTrainRows) featured
+      else featured.sample(withReplacement = false,
+        fraction = maxTrainRows.toDouble / n, seed = seed)
+    val sample = train.select(col("embedding")).as[Array[Float]].collect()
+    val centers = KMeansLite.fit(sample, nlist, seed)
+    // PQ trains on the unit sphere (PqEncode/PqAdcDist normalize
+    // internally — the sample must match; same rule as fitPq)
+    val unit = sample.map { v =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
+    }
+    val codebooks = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+      val sub = unit.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
+        (s + 1) * dsub))
+      codebooks(s) = KMeansLite.fit(sub, kSub, seed + s)
+    }
+    val table = Stage.materialize(featured.select(
+      col("vec_id"),
+      org.apache.spark.sql.graftshim.Shim.column(
+        graft.expressions.NearestCentroid(
+          org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
+          centers)).as("cell"),
+      org.apache.spark.sql.graftshim.Shim.column(
+        graft.expressions.PqEncode(
+          org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
+          codebooks)).as("code")),
+      "ivfpq_table")
+    IvfPqModel(centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq,
+      codebooks, table)
+  }
+
+  /** Probe the composite index: rank centroids per query (broadcast
+    * metadata), ADC-score codes in ONLY the nprobe nearest cells,
+    * shortlist `rerank` per query, then exact-rerank the shortlist
+    * against the raw embeddings. Cost shape: the corpus-side scan is
+    * (nprobe/nlist)·|codes|; the rerank join touches rerank·|queries|
+    * vectors regardless of corpus size.
+    */
+  def probeIvfPq(model: IvfPqModel, corpus: DataFrame, queries: DataFrame,
+                 k: Int, nprobe: Int = 4, rerank: Int = 64,
+                 roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centersDf = broadcast(model.centers.toDF("cell", "centroid"))
+    val qcells = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+      .crossJoin(centersDf)
+      .select(col("qid"), col("qvec"), col("cell"),
+        VecFns.cosine(col("qvec"), col("centroid")).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crk") <= nprobe)
+      .select("qid", "qvec", "cell")
+    // each corpus vector sits in exactly one cell and qcells is distinct
+    // per (qid, cell) — no dedup aggregate needed (probeIvf's rule)
+    val shortlist = model.table.join(broadcast(qcells), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qvec"), col("vec_id"),
+        org.apache.spark.sql.graftshim.Shim.column(
+          graft.expressions.PqAdcDist(
+            org.apache.spark.sql.graftshim.Shim.expression(col("qvec")),
+            org.apache.spark.sql.graftshim.Shim.expression(col("code")),
+            model.codebooks)).as("adc"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("ark") <= rerank)
+      .select("qid", "qvec", "vec_id")
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →
     * within-bucket candidate pairs (deduplicated with a distinct() over
     * bare id pairs — see the emission note below) → exact cosine filter.

@@ -46,6 +46,9 @@ object TextQ {
   /** Fitted PQ indexes — same fit-once discipline as ivfCache. */
   private[queries] val pqCache = new ModelCache[Similarity.PqModel](4)
 
+  /** Fitted IVF-PQ composite indexes — same fit-once discipline. */
+  private[queries] val ivfPqCache = new ModelCache[Similarity.IvfPqModel](4)
+
   /** documents ∪ one-token-perturbed copies of every 50th doc. */
   private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -379,6 +382,34 @@ object TextQ {
           Similarity.fitPq(emb, dim = 64))
         Similarity.probePq(model, emb, emb.filter(col("vec_id") < 5),
           k = 5, roundTo = 3)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+               AS qe FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings),
+             sc AS (SELECT qid, vec_id,
+               list_cosine_similarity(qe, ce) AS sim_raw
+               FROM q CROSS JOIN c WHERE vec_id != qid),
+             r AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+               PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk FROM sc)
+             SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
+             FROM r WHERE rk <= 5""")),
+
+    // sim_ann_ivfpq [EXT]: the composite serving index — IVF cell
+    // restriction AND 8-byte ADC codes in one staged table; the two
+    // scan reductions multiply (Similarity.fitIvfPq scaladoc). Gate
+    // settings make the exact brute-force top-5 a valid oracle by the
+    // same argument as sim_ann_ivf (nprobe=7/nlist=8 probes every cell
+    // that can hold a top-5 neighbor) plus sim_ann_pq (rerank=64
+    // shortlist depth is recall-1.0 at gate SF, exact rerank on top);
+    // production keeps nprobe/rerank as tuning knobs.
+    Q("sim_ann_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = TextQ.ivfPqCache.getOrFit(s, d,
+          Similarity.fitIvfPq(emb, dim = 64, nlist = 8))
+        Similarity.probeIvfPq(model, emb, emb.filter(col("vec_id") < 5),
+          k = 5, nprobe = 7, roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
                AS qe FROM embeddings WHERE vec_id < 5),

@@ -80,6 +80,17 @@ class PlanSpec extends SparkFunSuite {
       "embedding column leaked into the PQ code scan")
   }
 
+  test("sim_ann_ivfpq: one staged table; cell-restricted scan reads codes") {
+    val p = plan("sim_ann_ivfpq")
+    assert(p.contains("graft_stage_ivfpq_table"),
+      "composite (cell, code) table stage checkpoint lost")
+    // the ADC stage must scan (vec_id, cell, code) only — embeddings
+    // enter via the shortlist rerank join, never the code scan
+    val tScan = p.linesIterator.filter(_.contains("graft_stage_ivfpq_table"))
+    assert(tScan.nonEmpty && tScan.forall(!_.contains("embedding")),
+      "embedding column leaked into the IVF-PQ code scan")
+  }
+
   test("sim_ann_ivf: no aggregate between the cell join and the rank window") {
     val p = plan("sim_ann_ivf")
     // each corpus vector lives in exactly one IVF cell and the probed

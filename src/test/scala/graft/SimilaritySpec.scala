@@ -100,6 +100,22 @@ class SimilaritySpec extends SparkFunSuite {
     assert(run() === pq) // seeded per-subspace k-means → reproducible
   }
 
+  test("ivfPq composite: recall@5 >= 0.9 at probe depth, deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(emb, q, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = {
+      val model = Similarity.fitIvfPq(emb, dim = 64, nlist = 8)
+      Similarity.probeIvfPq(model, emb, q, k = 5, nprobe = 7)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    }
+    val got = run()
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+    assert(run() === got) // both quantizers seeded -> reproducible
+  }
+
   test("cosineNearDupPairs finds a planted perturbed copy") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding")
