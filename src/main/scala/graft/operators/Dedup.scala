@@ -239,6 +239,68 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** A persisted MinHash band index over a corpus: the staged
+    * signature table and the staged (band, bucket, id) posting table.
+    * This is the INCREMENTAL-ingest shape: at 100 TB the corpus is
+    * hashed once when it lands, and every subsequent batch probes (and
+    * can be appended to) the posting table — re-sketching the full
+    * corpus per arriving batch, as a naive crossMinhashPairs loop
+    * would, costs O(|corpus|) per day instead of O(|batch|).
+    */
+  final case class MinhashIndex(bands: Int, rowsPerBand: Int, n: Int,
+                                seed: Long, sigs: DataFrame,
+                                banded: DataFrame)
+
+  /** Sketch + band the corpus once and stage both frames (parquet, see
+    * [[Stage]]) — the index build pass.
+    */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 16, rowsPerBand: Int = 4, n: Int = 3,
+                        seed: Long = 42L): MinhashIndex = {
+    val k = bands * rowsPerBand
+    val sigs = Stage.materialize(corpus.select(col(idCol).as("corpus_id"),
+      minhashSignature(col(textCol), k, n, seed).as("corpus_sig")),
+      "mh_index_sigs")
+    val banded = Stage.materialize(sigs.select(col("corpus_id"),
+      posexplode(Shim.column(BandHashes(
+        Shim.expression(col("corpus_sig")), bands, rowsPerBand))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket"),
+      "mh_index_bands")
+    MinhashIndex(bands, rowsPerBand, n, seed, sigs, banded)
+  }
+
+  /** Near-dup pairs between a NEW batch and the indexed corpus. Only
+    * the batch is tokenized/sketched here; the corpus contributes its
+    * staged postings. Same mega-bucket discipline as the cross path
+    * (corpus side salts, small batch side replicates — no recall loss).
+    * Output: (corpus_id, batch_id, est_jaccard), est >= threshold.
+    */
+  def probeMinhashIndex(index: MinhashIndex, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.5,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val k = index.bands * index.rowsPerBand
+    val bSigs = Stage.materialize(batch.select(col(idCol).as("batch_id"),
+      minhashSignature(col(textCol), k, index.n, index.seed)
+        .as("batch_sig")),
+      "mh_probe_sigs")
+    val bBand = bSigs.select(col("batch_id"),
+      posexplode(Shim.column(BandHashes(
+        Shim.expression(col("batch_sig")), index.bands, index.rowsPerBand))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val pairs = saltedCrossCandidates(
+      index.banded.withColumnRenamed("corpus_id", "left_id"),
+      bBand.withColumnRenamed("batch_id", "right_id"), maxBucketSize)
+    pairs
+      .join(index.sigs.withColumnRenamed("corpus_id", "left_id"), "left_id")
+      .join(bSigs.withColumnRenamed("batch_id", "right_id"), "right_id")
+      .select(col("left_id").as("corpus_id"), col("right_id").as("batch_id"),
+        sigSimilarity(col("corpus_sig"), col("batch_sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Shared cross-corpus candidate generation with the mega-bucket
     * guardrail: the big (left/train) side salts oversized buckets into
     * hash sub-buckets, the tiny (right/bench) side replicates across

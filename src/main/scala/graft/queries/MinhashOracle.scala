@@ -83,6 +83,21 @@ object MinhashOracle {
        |SELECT id_a, id_b, round(eq / 64.0, 4) AS est_jaccard
        |FROM agree WHERE eq / 64.0 >= 0.35""".stripMargin
 
+  /** Oracle for `dedup_incr`: the planted corpus splits into the
+    * original documents (the INDEXED corpus, doc_id < 1e6) and the
+    * perturbed copies (the NEW batch, doc_id >= 1e6); the incremental
+    * probe must surface exactly the cross near-dup pairs. `agree`
+    * orients id_a < id_b, so corpus ids are always on the a side of a
+    * cross pair; within-corpus and within-batch pairs fall to the range
+    * predicates.
+    */
+  val incrSql: String =
+    s"""$pipeline
+       |SELECT id_a AS corpus_id, id_b AS batch_id,
+       |  round(eq / 64.0, 4) AS est_jaccard
+       |FROM agree
+       |WHERE eq / 64.0 >= 0.35 AND id_a < 1000000 AND id_b >= 1000000""".stripMargin
+
   /** Oracle for `stream_neardup`: each doc paired with its EARLIEST
     * (min-id) near-duplicate predecessor at est >= 0.35.
     */

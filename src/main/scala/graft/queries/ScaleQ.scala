@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
-import graft.operators.{FuzzyJoin, RuntimeFilter, ZOrder}
+import graft.operators.{Dedup, FuzzyJoin, RuntimeFilter, ZOrder}
 
 /** Scale-engineering operators added round 5: blocked fuzzy linkage and
   * batch sessionization. Each is the at-scale generalization of a
@@ -13,6 +13,12 @@ import graft.operators.{FuzzyJoin, RuntimeFilter, ZOrder}
   * a shuffle-frugal Spark plan with a DuckDB oracle.
   */
 object ScaleQ {
+
+  /** Persisted MinHash band indexes — built once per (session, corpus),
+    * probed per batch; the fit-once discipline of TextQ.ivfCache.
+    */
+  private[queries] val mhIndexCache =
+    new TextQ.ModelCache[Dedup.MinhashIndex](4)
 
   val all: Seq[Q] = Seq(
 
@@ -169,6 +175,28 @@ object ScaleQ {
       Some("""SELECT o_orderstatus,
                     CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
                     count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
-             FROM orders GROUP BY 1, 2"""))
+             FROM orders GROUP BY 1, 2""")),
+
+    // dedup_incr [EXT]: incremental ingest dedup — the corpus's MinHash
+    // posting index is built ONCE per (session, corpus) and the new
+    // batch (the same every-50th perturbed docs the other dedup oracles
+    // plant, so the full-sketch SQL replay applies verbatim) only
+    // sketches ITSELF before probing the staged postings. At 100 TB
+    // this turns per-batch dedup cost from O(corpus) to O(batch); the
+    // oracle recomputes every cross pair from raw text independently.
+    Q("dedup_incr",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idx = ScaleQ.mhIndexCache.getOrFit(s, d,
+          Dedup.buildMinhashIndex(docs, "doc_id", "text"))
+        val batch = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"))
+        Dedup.probeMinhashIndex(idx, batch, "doc_id", "text",
+            threshold = 0.35)
+          .select(col("corpus_id"), col("batch_id"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+      },
+      Some(MinhashOracle.incrSql))
   )
 }

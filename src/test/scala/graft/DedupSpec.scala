@@ -114,6 +114,35 @@ class DedupSpec extends SparkFunSuite {
     assert(!hits.exists(_._2 == 101L))
   }
 
+  test("incremental index: probe finds cross dups, agrees with cross path") {
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    val batch = Seq(
+      (100L, base + " zz"), // near-dup of corpus 1 (and 2, 5)
+      (101L, "totally fresh topic on oceanography currents and tides " +
+        "moving across the planet with lunar gravitational forcing")
+    ).toDF("doc_id", "text")
+    val got = Dedup.probeMinhashIndex(idx, batch, "doc_id", "text",
+        threshold = 0.35)
+      .select($"corpus_id", $"batch_id", $"est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(h => (h._1, h._2) == ((1L, 100L)) && h._3 > 0.7))
+    assert(!got.exists(_._2 == 101L))
+    // the persisted-index probe must equal the one-shot cross path
+    val cross = Dedup.crossMinhashPairs(corpus, batch, "doc_id", "text",
+        threshold = 0.35)
+      .select($"left_id", $"right_id", $"est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(h => (h._1, h._2)).toSet ===
+      cross.map(h => (h._1, h._2)).toSet)
+    // a SECOND batch probes the same staged postings (index reuse)
+    val batch2 = Seq((200L, base.replace("dog", "dog!") + " yy"))
+      .toDF("doc_id", "text")
+    val again = Dedup.probeMinhashIndex(idx, batch2, "doc_id", "text",
+        threshold = 0.35)
+      .select($"batch_id").distinct().as[Long].collect()
+    assert(again.toSeq === Seq(200L))
+  }
+
   test("mega-bucket sub-salting keeps self-join recall (band-decorrelated)") {
     // 120 identical docs, cap 40 → every band-bucket splits into 3 subs.
     // With the (id, band) salt a pair separated in one band meets with

@@ -172,6 +172,18 @@ class PlanSpec extends SparkFunSuite {
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"))
   }
 
+  test("dedup_incr: probe reads staged index postings, corpus not re-sketched") {
+    val p = plan("dedup_incr")
+    assert(p.contains("graft_stage_mh_index_bands"),
+      "corpus posting index stage lost — probe would re-band the corpus")
+    assert(p.contains("graft_stage_mh_index_sigs"),
+      "corpus signature stage lost — probe would re-sketch the corpus")
+    // the only live minhash computation in the probe plan is the batch's
+    // own sketch stage; the corpus columns come from parquet stages
+    assert(p.contains("graft_stage_mh_probe_sigs"),
+      "batch sketch stage missing")
+  }
+
   test("join_bloom: bloom probe filters the fact side BELOW the join") {
     val p = plan("join_bloom")
     val lines = p.linesIterator.toIndexedSeq
