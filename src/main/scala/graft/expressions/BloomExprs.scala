@@ -27,19 +27,16 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
   * m/n = 16 bits/key and k = 8 the false-positive rate is ~5e-4.
   */
 object BloomUtil {
+  final val Seed1 = 0x243f6a8885a308d3L
+  final val Seed2 = 0x13198a2e03707344L
+
   def wordCount(numBits: Int): Int = (numBits + 63) >>> 6
 
-  def positions(key: Long, numHashes: Int, numBits: Int): Array[Int] = {
-    val h1 = HashUtil.mix64(key ^ 0x243f6a8885a308d3L)
-    val h2 = HashUtil.mix64(key ^ 0x13198a2e03707344L) | 1L
-    val out = new Array[Int](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      out(i) = (((h1 + i * h2) & Long.MaxValue) % numBits).toInt
-      i += 1
-    }
-    out
-  }
+  /** Probe position i (Kirsch-Mitzenmacher double hashing). Callers
+    * derive h1/h2 once per key and loop — no per-row allocation.
+    */
+  def position(h1: Long, h2: Long, i: Int, numBits: Int): Int =
+    (((h1 + i * h2) & Long.MaxValue) % numBits).toInt
 
   def toBytes(words: Array[Long]): Array[Byte] = {
     val bytes = new Array[Byte](words.length * 8)
@@ -90,10 +87,13 @@ case class BloomBuildAgg(child: Expression, numBits: Int, numHashes: Int,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val ps = BloomUtil.positions(v.asInstanceOf[Long], numHashes, numBits)
+      val key = v.asInstanceOf[Long]
+      val h1 = HashUtil.mix64(key ^ BloomUtil.Seed1)
+      val h2 = HashUtil.mix64(key ^ BloomUtil.Seed2) | 1L
       var i = 0
-      while (i < ps.length) {
-        buf(ps(i) >>> 6) |= 1L << (ps(i) & 63)
+      while (i < numHashes) {
+        val p = BloomUtil.position(h1, h2, i, numBits)
+        buf(p >>> 6) |= 1L << (p & 63)
         i += 1
       }
     }
@@ -136,10 +136,12 @@ case class BloomMightContain(child: Expression, bloom: Array[Byte],
   @transient private lazy val numBits: Int = words.length * 64
 
   def compute(key: Long): Boolean = {
-    val ps = BloomUtil.positions(key, numHashes, numBits)
+    val h1 = HashUtil.mix64(key ^ BloomUtil.Seed1)
+    val h2 = HashUtil.mix64(key ^ BloomUtil.Seed2) | 1L
     var i = 0
-    while (i < ps.length) {
-      if ((words(ps(i) >>> 6) & (1L << (ps(i) & 63))) == 0L) return false
+    while (i < numHashes) {
+      val p = BloomUtil.position(h1, h2, i, numBits)
+      if ((words(p >>> 6) & (1L << (p & 63))) == 0L) return false
       i += 1
     }
     true

@@ -34,10 +34,12 @@ object RuntimeFilter {
                     dim: DataFrame, dimKey: String,
                     bitsPerKey: Int = 16, numHashes: Int = 8): DataFrame = {
     // sizing pass: plain row count (an upper bound on distinct keys —
-    // no extra shuffle, and oversizing a bloom only lowers its FPR)
+    // no extra shuffle, and oversizing a bloom only lowers its FPR);
+    // bits = nKeys·bitsPerKey rounded UP to a power of two (pow2 keeps
+    // the positions() modulo bias negligible), capped at 1 Gbit
     val nKeys = math.max(64L, dim.count())
     val numBits = math.min(Int.MaxValue.toLong / 2,
-      java.lang.Long.highestOneBit(nKeys * bitsPerKey * 2 - 1) * 2).toInt
+      java.lang.Long.highestOneBit(nKeys * bitsPerKey * 2 - 1)).toInt
     val bloom = dim
       .select(Shim.column(BloomBuildAgg(
         Shim.expression(col(dimKey).cast("long")), numBits, numHashes))
