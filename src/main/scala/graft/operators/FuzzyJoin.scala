@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked edit-distance (record-linkage) join.
@@ -61,18 +60,27 @@ object FuzzyJoin {
     val base = df.select(keyCol.as("k"), textCol.as("txt"),
       blockCol.as("blk"), length(textCol).as("len"))
 
-    // count window clusters by the join key, so the self-join below
-    // reuses this exchange rather than shuffling twice
-    val sized = base
-      .withColumn("nsub",
-        greatest(lit(1L),
-          ceil(count(lit(1)).over(Window.partitionBy("blk")) / maxBlockSize)
-            .cast("long")))
+    // Sub-salt plan: ONLY the oversized blocks (rare by construction),
+    // broadcast to both sides — same shape as Dedup's cross-candidate
+    // guardrail. A per-row count window here would shuffle the whole
+    // input by blk just to learn sizes; the filtered aggregate moves
+    // one count per block and the broadcast stays metadata-scale even
+    // when the block-key cardinality is huge.
+    val subPlan = broadcast(base.groupBy("blk")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBlockSize)
+      .select(col("blk"), ceil(col("bn") / maxBlockSize).cast("long")
+        .as("nsub")))
 
-    val a = sized.withColumn("sub", pmod(xxhash64(col("k")), col("nsub")))
+    val a = base.join(subPlan, Seq("blk"), "left")
+      .withColumn("sub",
+        when(col("nsub").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("k")), col("nsub"))))
       .select(col("blk"), col("sub"), col("k").as("a_key"),
         col("txt").as("a_txt"), col("len").as("a_len"))
-    val b = sized.withColumn("sub", explode(sequence(lit(0L), col("nsub") - 1)))
+    val b = base.join(subPlan, Seq("blk"), "left")
+      .withColumn("sub",
+        explode(sequence(lit(0L), coalesce(col("nsub") - 1, lit(0L)))))
       .select(col("blk"), col("sub"), col("k").as("b_key"),
         col("txt").as("b_txt"), col("len").as("b_len"))
 
