@@ -40,4 +40,31 @@ class SqlFunctionsSpec extends SparkFunSuite {
       .as[Seq[Long]].head()
     assert(viaSql === viaDf)
   }
+
+  test("bloom build + probe round-trips through pure SQL") {
+    GraftExtensions.register(spark)
+    Seq(10L, 20L, 30L).toDF("k").createOrReplaceTempView("sql_bloom_keys")
+    val bloom = spark.sql(
+      "SELECT graft_bloom_build(k, 1024, 8) AS bf FROM sql_bloom_keys")
+      .head().getAs[Array[Byte]]("bf")
+    val hex = bloom.map(b => f"$b%02x").mkString
+    val r = spark.sql(
+      s"""SELECT graft_bloom_might_contain(10L, X'$hex', 8) AS hit,
+             graft_bloom_might_contain(999L, X'$hex', 8) AS miss""")
+      .as[(Boolean, Boolean)].head()
+    assert(r._1 === true)
+    assert(r._2 === false) // 1024 bits / 3 keys: FP chance negligible
+  }
+
+  test("SQL aggregates and z-value match the operator paths") {
+    GraftExtensions.register(spark)
+    Seq("a", "a", "b", "a").toDF("t").createOrReplaceTempView("sql_terms")
+    val top = spark.sql(
+      """SELECT graft_space_saving_topk(t, 2, 16) AS tk FROM sql_terms""")
+      .selectExpr("tk[0].term", "tk[0].cnt").as[(String, Long)].head()
+    assert(top === (("a", 3L)))
+    val z = spark.sql("SELECT graft_zvalue2(3L, 5L, 3) AS z").as[Long].head()
+    // x=011, y=101 -> interleaved (y2 x2 y1 x1 y0 x0) = 100111b = 39
+    assert(z === 39L)
+  }
 }
