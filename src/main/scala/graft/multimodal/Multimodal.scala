@@ -143,12 +143,35 @@ object Multimodal {
     Feature(id, "wav", bytes.length.toLong, hist)
   }
 
+  /** REAL decode for baseline JFIF payloads (multimodal.Jpeg: marker
+    * parse, table-driven Huffman, dequant + IDCT, 4:4:4 or grayscale).
+    * Gray planes feed the luminance histogram directly; color goes
+    * through [[lumaFeature]] like the other image kinds.
+    */
+  def decodeJpegFeature(id: Long, bytes: Array[Byte]): Feature = {
+    val img = Jpeg.decode(bytes)
+    if (img.comps == 3)
+      lumaFeature(id, "jpeg", bytes.length.toLong, img.width, img.height,
+        img.data)
+    else {
+      val hist = new Array[Float](16)
+      val n = img.width * img.height
+      var i = 0
+      while (i < n) { hist((img.data(i) & 0xff) >> 4) += 1f; i += 1 }
+      val total = math.max(1, n).toFloat
+      var j = 0
+      while (j < 16) { hist(j) /= total; j += 1 }
+      Feature(id, "jpeg", bytes.length.toLong, hist)
+    }
+  }
+
   /** Partition-parallel feature extraction over (id, kind, payload) rows.
     * Batched per partition (the decoder amortizes any model/codec init
     * across the partition's rows — same shape as mapInPandas batches).
-    * BMP, RGB8 PNG, single-frame GIF, and RIFF/WAVE-PCM payloads take
-    * REAL decode paths (`Bmp`, `Png`, `Gif`, `Wav`); only JPEG (no
-    * entropy codec in this container) takes the documented stub.
+    * BMP, RGB8 PNG, single-frame GIF, RIFF/WAVE-PCM, and baseline-JFIF
+    * JPEG payloads all take REAL decode paths (`Bmp`, `Png`, `Gif`,
+    * `Wav`, `Jpeg`); the stub remains only as the per-row degradation
+    * target for unsupported flavors and unknown kinds.
     */
   def extractFeatures(spark: SparkSession, df: DataFrame,
                       idCol: String = "id", binCol: String = "payload"): Dataset[Feature] = {
@@ -189,6 +212,16 @@ object Multimodal {
               case _: IllegalArgumentException |
                    _: IndexOutOfBoundsException =>
                 decodeStub(id, "gif", bytes)
+            }
+          case (id, "jpeg", bytes) =>
+            // same row-level degradation: FFD8FF prefixes progressive,
+            // subsampled, and arithmetic-coded flavors outside the
+            // baseline 4:4:4/grayscale decode subset
+            try decodeJpegFeature(id, bytes)
+            catch {
+              case _: IllegalArgumentException |
+                   _: IndexOutOfBoundsException =>
+                decodeStub(id, "jpeg", bytes)
             }
           case (id, "riff", bytes) =>
             // same row-level degradation: 'RIFF' is 4 arbitrary bytes —

@@ -970,6 +970,58 @@ object TextQ {
                round(avg((id*53 + x*17 + y*3) % 256), 4) AS mean_b
              FROM px GROUP BY id""")),
 
+    // multimodal_jpeg [EXT]: REAL baseline-JPEG round-trip. The fixture
+    // is quality-100 GRAYSCALE with pixels constant per 8x8 block, the
+    // one regime where lossy JPEG is provably exact (DC-only blocks,
+    // unit quant — Jpeg scaladoc), so the full marker/Huffman/
+    // bitstream/IDCT machinery gates against the pixel formula like the
+    // lossless BMP/PNG/GIF legs; general content is spec-gated by PSNR.
+    Q("multimodal_jpeg",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Jpeg, Multimodal}
+        val imgs = t(s, d, "documents")
+          .filter(col("doc_id") >= 120 && col("doc_id") < 160)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val (w, h) = (16, 16) // four 8x8 blocks
+            val px = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val (bx, by) = (x / 8, y / 8)
+                px(y * w + x) = ((id * 47 + bx * 31 + by * 13) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Jpeg.encode(Jpeg.Image(w, h, 1, px), quality = 100))
+          }.toDF("id", "payload")
+        imgs.select(col("id"),
+            Multimodal.sniffKind(col("payload")).as("kind"), col("payload"))
+          .as[(Long, String, Array[Byte])]
+          .mapPartitions(_.map { case (id, kind, bytes) =>
+            val img = graft.multimodal.Jpeg.decode(bytes)
+            val n = img.width * img.height
+            var sum = 0L
+            var i = 0
+            while (i < n) { sum += img.data(i) & 0xff; i += 1 }
+            (id, kind, img.width, img.height, sum.toDouble / n)
+          })
+          .toDF("id", "kind", "w", "h", "mean_lum")
+          .select(col("id"), col("kind"), col("w"), col("h"),
+            round(col("mean_lum"), 4).as("mean_lum"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             WHERE doc_id >= 120 AND doc_id < 160),
+             blk AS (SELECT id, gx.bx AS bx, gy.by AS by
+               FROM ids, generate_series(0, 1) AS gx(bx),
+                    generate_series(0, 1) AS gy(by))
+             SELECT id, 'jpeg' AS kind, 16 AS w, 16 AS h,
+               round(avg((id*47 + bx*31 + by*13) % 256), 4) AS mean_lum
+             FROM blk GROUP BY id""")),
+
     // multimodal_meta [EXT]: opaque-binary column plumbing — bytes are
     // first-class (byte length + header hex of the payload); the
     // decode/feature-extract stage lives in graft.multimodal (stubbed,

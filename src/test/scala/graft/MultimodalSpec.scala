@@ -340,4 +340,82 @@ class MultimodalSpec extends SparkFunSuite {
     // undecodable payload behind the magic degrades to the byte stub
     assert(fs(2L).kind === "png" && fs(2L).feature.sum > 0.99f)
   }
+
+  test("Jpeg: block-constant grayscale at quality 100 is EXACT") {
+    import graft.multimodal.Jpeg
+    // 24x16: six 8x8 blocks, each a distinct constant
+    val consts = Array(0, 17, 96, 128, 200, 255)
+    val (w, h) = (24, 16)
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) = consts((y / 8) * 3 + (x / 8)).toByte
+    val bytes = Jpeg.encode(Jpeg.Image(w, h, 1, px), quality = 100)
+    assert(Jpeg.isJpeg(bytes))
+    val back = Jpeg.decode(bytes)
+    assert(back.width === w && back.height === h && back.comps === 1)
+    assert(back.data.toSeq === px.toSeq, "DC-only blocks must be lossless")
+  }
+
+  test("Jpeg: color 4:4:4 round-trip stays within quantization error") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (17, 11) // non-multiple-of-8: exercises edge padding
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = ((x * 29 + y * 7) % 256).toByte
+      rgb(i + 1) = ((x * 13 + y * 31) % 256).toByte
+      rgb(i + 2) = ((x * 5 + y * 17) % 256).toByte
+    }
+    val back = Jpeg.decode(Jpeg.encode(Jpeg.Image(w, h, 3, rgb), quality = 95))
+    assert(back.width === w && back.height === h && back.comps === 3)
+    var se = 0.0
+    for (i <- 0 until w * h * 3) {
+      val d = (back.data(i) & 0xff) - (rgb(i) & 0xff)
+      se += d.toDouble * d
+    }
+    val psnr = 10 * math.log10(255.0 * 255.0 / (se / (w * h * 3)))
+    assert(psnr > 25.0, f"PSNR $psnr%.1f dB too low for q95 4:4:4")
+  }
+
+  test("Jpeg: smooth gradient at quality 90 reconstructs closely") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (32, 32)
+    val px = Array.tabulate(w * h)(i => ((i % w) * 4 + (i / w) * 3).toByte)
+    val back = Jpeg.decode(Jpeg.encode(Jpeg.Image(w, h, 1, px), quality = 90))
+    var maxErr = 0
+    for (i <- 0 until w * h)
+      maxErr = math.max(maxErr,
+        math.abs((back.data(i) & 0xff) - (px(i) & 0xff)))
+    assert(maxErr <= 8, s"gradient max error $maxErr")
+  }
+
+  test("Jpeg.decode rejects non-JPEG, progressive markers, and truncation") {
+    import graft.multimodal.Jpeg
+    intercept[IllegalArgumentException] {
+      Jpeg.decode("definitely not a jpeg".getBytes)
+    }
+    val px = Array.fill(8 * 8)(100.toByte)
+    val good = Jpeg.encode(Jpeg.Image(8, 8, 1, px))
+    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive must throw, not decode
+    val prog = good.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException] { Jpeg.decode(prog) }
+    intercept[Exception] {
+      Jpeg.decode(java.util.Arrays.copyOfRange(good, 0, good.length / 2))
+    }
+  }
+
+  test("extractFeatures dispatches jpeg to the REAL decoder, with row fallback") {
+    import graft.multimodal.Jpeg
+    val px = Array.fill(8 * 8)(136.toByte) // constant -> exact -> bin 8
+    val jpg = Jpeg.encode(Jpeg.Image(8, 8, 1, px), quality = 100)
+    val fake = Multimodal.JpegHeader ++ "just text behind a magic".getBytes
+    val df = Seq((1L, jpg), (2L, fake)).toDF("id", "payload")
+    val fs = Multimodal.extractFeatures(spark, df).collect()
+      .map(f => f.id -> f).toMap
+    assert(fs(1L).kind === "jpeg" && fs(1L).feature(8) === 1.0f)
+    assert(fs(2L).kind === "jpeg" && fs(2L).feature.sum > 0.99f)
+  }
 }
