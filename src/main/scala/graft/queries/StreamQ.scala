@@ -110,6 +110,24 @@ object StreamQ {
                AND b.ts <= a.ts + INTERVAL 5 MINUTE
              GROUP BY a.event_type""")),
 
+    // stream_enrich: stream-STATIC broadcast enrichment (batch twin;
+    // the true streaming path — broadcast dim, zero join state,
+    // dim re-resolved per micro-batch — is EventStreams.enrich driven
+    // by MemoryStream in StreamingSpec). Events join the customer
+    // dimension on user_id and aggregate per (hour, segment).
+    Q("stream_enrich",
+      (s, d) => graft.streaming.EventStreams.enrich(
+          t(s, d, "events"),
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey"), col("c_mktsegment"))
+        .select(col("w.start").cast("long").as("window_s"),
+          col("c_mktsegment"), col("n"), col("sum_v")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+               AS window_s, c_mktsegment, count(*) AS n,
+               round(sum(value), 2) AS sum_v
+             FROM events JOIN customer ON user_id = c_custkey
+             GROUP BY 1, 2""")),
+
     // stream_neardup [EXT]: ONLINE near-duplicate detection — the
     // streaming twin of dedup_minhash (banded LSH state per bucket via
     // flatMapGroupsWithState; each arriving doc checks only its

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -62,6 +62,24 @@ object EventStreams {
     */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Stream-STATIC enrichment join — the most common production
+    * streaming shape: each arriving event joins a slowly-changing
+    * dimension snapshot (users, catalogs, geo tables), then aggregates
+    * per window. The dim side is a bounded DataFrame, so Spark plans a
+    * broadcast hash join against the stream with NO join state at all
+    * (unlike stream-stream, nothing buffers: the dim is re-resolved
+    * per micro-batch, which is also what picks up dim updates between
+    * triggers). Watermark bounds the windowed aggregate exactly as in
+    * `tumble`.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, joinCond: Column,
+             dimGroup: Column, watermark: String = "10 minutes",
+             width: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim), joinCond)
+      .groupBy(window(col("ts"), width).as("w"), dimGroup)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
 
   /** Stream-stream interval join: each event pairs with follow-up
     * events of the same user inside `horizon` (the streaming twin of

@@ -242,4 +242,31 @@ class StreamingSpec extends SparkFunSuite {
       assert(n.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins a broadcast dim with zero join state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val name = nextTable()
+    val q = EventStreams.enrich(in.toDF(), dim,
+        col("user_id") === col("c_custkey"), col("c_mktsegment"),
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      in.addData(Ev(ts(0), 1, 1, "click", 1.0), Ev(ts(10), 2, 2, "view", 2.0))
+      q.processAllAvailable()
+      // second trigger accumulates into the same windows incrementally
+      in.addData(Ev(ts(20), 3, 1, "click", 4.0),
+        Ev(ts(25), 4, 9, "view", 8.0)) // user 9 not in dim -> dropped
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select($"c_mktsegment", $"n", $"sum_v")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("BUILDING", 2L, 5.0), ("MACHINERY", 1L, 2.0)))
+      // stream-static must not allocate stream-stream join state
+      assert(q.lastProgress.stateOperators.length <= 1,
+        "enrichment join allocated its own state operator")
+    } finally q.stop()
+  }
 }
