@@ -34,24 +34,6 @@ object GraftExtensions {
   private def longLit(e: Expression): Long =
     e.eval(null).asInstanceOf[Number].longValue
 
-  /** ZOrder.zvalue's bit-interleave as a raw catalyst tree (bit i of
-    * dim j → position i·d + j), for the SQL registration.
-    */
-  private def zvalueExpr(dims: Seq[Expression], bits: Int): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast,
-      Literal, ShiftLeft, ShiftRight}
-    import org.apache.spark.sql.types.LongType
-    val d = dims.size
-    require(d * bits <= 63, s"need d*bits <= 63, got ${d * bits}")
-    val terms = for {
-      (c, j) <- dims.zipWithIndex
-      i <- 0 until bits
-    } yield ShiftLeft(
-      BitwiseAnd(ShiftRight(Cast(c, LongType), Literal(i)), Literal(1L)),
-      Literal(i * d + j)): Expression
-    terms.reduce(Add(_, _))
-  }
-
   /** name → (args => Expression) for every SQL-exposed kernel. */
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (a => CosineSim(a(0), a(1))),
@@ -82,10 +64,11 @@ object GraftExtensions {
     // bloom bytes arrive as a (folded) binary literal — X'..' in SQL
     "graft_bloom_might_contain" -> (a => BloomMightContain(a(0),
       a(1).eval(null).asInstanceOf[Array[Byte]], intLit(a(2)))),
-    // Morton z-value over two bigint dims — the same shift/and tree
-    // ZOrder.zvalue composes, built directly as catalyst nodes (a
-    // Column assembled inside a function builder would stay unresolved)
-    "graft_zvalue2" -> (a => zvalueExpr(Seq(a(0), a(1)), intLit(a(2)))),
+    // Morton z-value over two bigint dims — the single catalyst tree
+    // behind ZOrder.zvalue (built as raw nodes: a Column assembled
+    // inside a function builder would stay unresolved)
+    "graft_zvalue2" -> (a =>
+      graft.operators.ZOrder.zvalueExpr(Seq(a(0), a(1)), intLit(a(2)))),
     // NearestCentroid / PqEncode / PqAdcDist carry centroid matrices in
     // the expression instance — not SQL-literal-able; their surface is
     // Similarity.fitIvf/probeIvf and fitPq/probePq.

@@ -73,8 +73,14 @@ case class BloomBuildAgg(child: Expression, numBits: Int, numHashes: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with LongInputTypes {
 
-  require(numBits >= 64 && numHashes >= 1,
-    s"need numBits >= 64, numHashes >= 1; got $numBits/$numHashes")
+  // numBits MUST be a multiple of 64: the probe side reconstructs
+  // numBits as words.length*64 from the serialized bitset — a non-
+  // aligned build would probe a different modulus and produce silent
+  // FALSE NEGATIVES (dropped matches), the one failure a bloom filter
+  // must never have
+  require(numBits >= 64 && numBits % 64 == 0 && numHashes >= 1,
+    s"need numBits >= 64 and divisible by 64, numHashes >= 1; " +
+      s"got $numBits/$numHashes")
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false

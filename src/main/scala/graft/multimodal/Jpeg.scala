@@ -502,8 +502,13 @@ object Jpeg {
           u16()
           require(u8() == 8, "only 8-bit precision supported")
           height = u16(); width = u16()
+          // cap BEFORE the plane allocation: a crafted ~100-byte header
+          // can declare arbitrary dimensions, and an OutOfMemoryError
+          // is not an exception the per-row degrade path may catch.
+          // 2^22 px (2048x2048) bounds worst-case decode memory at
+          // ~48 MB (3 int planes) — the supported in-pipeline subset
           require(width > 0 && height > 0 &&
-            width.toLong * height <= (1L << 26),
+            width.toLong * height <= (1L << 22),
             "unreasonable dimensions") // garbage behind a JPEG magic
           nComps = u8()
           require(nComps == 1 || nComps == 3,

@@ -57,8 +57,13 @@ object FuzzyJoin {
                 blockCol: Column, maxDist: Int,
                 maxBlockSize: Int = 1000): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val base = df.select(keyCol.as("k"), textCol.as("txt"),
-      blockCol.as("blk"), length(textCol).as("len"))
+    // staged once: the frame feeds THREE plan branches (size aggregate,
+    // a-side, b-side) — without the stage checkpoint any expensive
+    // upstream pipeline (parsing, normalization) would execute 3x
+    val base = Stage.materialize(
+      df.select(keyCol.as("k"), textCol.as("txt"),
+        blockCol.as("blk"), length(textCol).as("len")),
+      "fuzzy_base")
 
     // Sub-salt plan: ONLY the oversized blocks (rare by construction),
     // broadcast to both sides — same shape as Dedup's cross-candidate

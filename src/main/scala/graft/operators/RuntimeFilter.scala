@@ -36,9 +36,13 @@ object RuntimeFilter {
     // sizing pass: plain row count (an upper bound on distinct keys —
     // no extra shuffle, and oversizing a bloom only lowers its FPR);
     // bits = nKeys·bitsPerKey rounded UP to a power of two (pow2 keeps
-    // the positions() modulo bias negligible), capped at 1 Gbit
+    // the positions() modulo bias negligible AND satisfies the
+    // 64-alignment BloomBuildAgg requires — the probe reconstructs
+    // numBits from the bitset length, so a misaligned cap here would
+    // mean probing a different modulus than the build: silent false
+    // negatives). Cap is itself a power of two (128 Mbit = 16 MB).
     val nKeys = math.max(64L, dim.count())
-    val numBits = math.min(Int.MaxValue.toLong / 2,
+    val numBits = math.min(1L << 27,
       java.lang.Long.highestOneBit(nKeys * bitsPerKey * 2 - 1)).toInt
     val bloom = dim
       .select(Shim.column(BloomBuildAgg(

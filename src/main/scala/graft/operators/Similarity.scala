@@ -106,6 +106,63 @@ object Similarity {
     * corpus, probe many times — per-query k-means training was round 2's
     * scale defect.
     */
+  /** Bounded seeded training sample, collected to the driver — the
+    * shared fit-side discipline for every quantizer here (k-means needs
+    * only enough vectors to place centroids; iterating the full corpus
+    * is the scale-killer).
+    */
+  private def boundedSample(featured: DataFrame,
+                            maxTrainRows: Long, seed: Long): Array[Array[Float]] = {
+    val spark = featured.sparkSession
+    import spark.implicits._
+    val n = featured.count()
+    val train =
+      if (n <= maxTrainRows) featured
+      else featured.sample(withReplacement = false,
+        fraction = maxTrainRows.toDouble / n, seed = seed)
+    train.select(col("embedding")).as[Array[Float]].collect()
+  }
+
+  /** Project a sample onto the unit sphere — PQ codebooks train in the
+    * same space PqEncode/PqAdcDist score in (they normalize internally).
+    */
+  private def unitize(sample: Array[Array[Float]]): Array[Array[Float]] =
+    sample.map { v =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
+    }
+
+  /** Per-subspace codebooks over a unit-sphere sample — subspaces train
+    * independently, parallel across driver cores.
+    */
+  private def trainCodebooks(unit: Array[Array[Float]], dim: Int, m: Int,
+                             kSub: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val dsub = dim / m
+    val codebooks = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+      val sub = unit.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
+        (s + 1) * dsub))
+      codebooks(s) = KMeansLite.fit(sub, kSub, seed + s)
+    }
+    codebooks
+  }
+
+  /** Shared ranking tail: join raw embeddings back for ONLY the
+    * shortlist rows, rank by exact cosine, keep top k per query.
+    */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+                          k: Int, roundTo: Int): DataFrame = {
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
+  }
+
   final case class IvfModel(cells: DataFrame,
                             centers: Seq[(Int, Array[Float])])
 
@@ -123,15 +180,8 @@ object Similarity {
     */
   def fitIvf(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
              maxTrainRows: Long = 100000L): IvfModel = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val featured = corpus.select(col("vec_id"), col("embedding"))
-    val n = featured.count()
-    val train =
-      if (n <= maxTrainRows) featured
-      else featured.sample(withReplacement = false,
-        fraction = maxTrainRows.toDouble / n, seed = seed)
-    val sample = train.select(col("embedding")).as[Array[Float]].collect()
+    val sample = boundedSample(featured, maxTrainRows, seed)
     val centers = KMeansLite.fit(sample, nlist, seed)
     val cells = Stage.materialize(featured.select(
       col("vec_id"), col("embedding"),
@@ -207,31 +257,9 @@ object Similarity {
   def fitPq(corpus: DataFrame, dim: Int, m: Int = 8, kSub: Int = 256,
             seed: Long = 42L, maxTrainRows: Long = 100000L): PqModel = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val dsub = dim / m
     val featured = corpus.select(col("vec_id"), col("embedding"))
-    val n = featured.count()
-    val train =
-      if (n <= maxTrainRows) featured
-      else featured.sample(withReplacement = false,
-        fraction = maxTrainRows.toDouble / n, seed = seed)
-    // the index targets cosine: train/encode/score on the unit sphere
-    // (PqEncode/PqAdcDist normalize internally; the sample must match)
-    val sample = train.select(col("embedding")).as[Array[Float]].collect()
-      .map { v =>
-        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-        if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
-      }
-    // subspaces train independently → parallel across driver cores
-    // (each fit is a tight primitive loop; 8 subspaces x 256 centroids
-    // over a 100k sample is minutes single-threaded, seconds parallel)
-    val codebooks = new Array[Array[Array[Float]]](m)
-    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
-        (s + 1) * dsub))
-      codebooks(s) = KMeansLite.fit(sub, kSub, seed + s)
-    }
+    val codebooks = trainCodebooks(
+      unitize(boundedSample(featured, maxTrainRows, seed)), dim, m, kSub, seed)
     val codes = Stage.materialize(featured.select(col("vec_id"),
       org.apache.spark.sql.graftshim.Shim.column(
         graft.expressions.PqEncode(
@@ -265,15 +293,7 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)))
       .filter(col("ark") <= rerank)
       .select("qid", "qvec", "vec_id")
-    val exact = shortlist
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim_raw").desc, col("vec_id").asc)
-    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"),
-        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
+    exactRerank(shortlist, corpus, k, roundTo)
   }
 
   /** One-shot PQ fit + probe (see fitPq/probePq). */
@@ -306,29 +326,10 @@ object Similarity {
                kSub: Int = 256, seed: Long = 42L,
                maxTrainRows: Long = 100000L): IvfPqModel = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val dsub = dim / m
     val featured = corpus.select(col("vec_id"), col("embedding"))
-    val n = featured.count()
-    val train =
-      if (n <= maxTrainRows) featured
-      else featured.sample(withReplacement = false,
-        fraction = maxTrainRows.toDouble / n, seed = seed)
-    val sample = train.select(col("embedding")).as[Array[Float]].collect()
+    val sample = boundedSample(featured, maxTrainRows, seed)
     val centers = KMeansLite.fit(sample, nlist, seed)
-    // PQ trains on the unit sphere (PqEncode/PqAdcDist normalize
-    // internally — the sample must match; same rule as fitPq)
-    val unit = sample.map { v =>
-      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-      if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
-    }
-    val codebooks = new Array[Array[Array[Float]]](m)
-    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
-      val sub = unit.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
-        (s + 1) * dsub))
-      codebooks(s) = KMeansLite.fit(sub, kSub, seed + s)
-    }
+    val codebooks = trainCodebooks(unitize(sample), dim, m, kSub, seed)
     val table = Stage.materialize(featured.select(
       col("vec_id"),
       org.apache.spark.sql.graftshim.Shim.column(
@@ -380,15 +381,7 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)))
       .filter(col("ark") <= rerank)
       .select("qid", "qvec", "vec_id")
-    val exact = shortlist
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim_raw").desc, col("vec_id").asc)
-    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"),
-        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
+    exactRerank(shortlist, corpus, k, roundTo)
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH buckets →

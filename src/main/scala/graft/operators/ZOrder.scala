@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast,
+  Expression, Literal, ShiftLeft, ShiftRight}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.LongType
 
 /** Z-order (Morton) layout for multi-dimensional data skipping.
   *
@@ -29,22 +33,32 @@ object ZOrder {
     * normalize to that range first — rank, scale, or modulo; whatever
     * preserves the locality they want). d·bits must fit a positive
     * long.
+    *
+    * The catalyst tree below is THE formula; `zvalue` wraps it for the
+    * Column API, GraftExtensions registers it for SQL, and `zvalueSql`
+    * prints the same loop as ANSI text — one shape, three surfaces.
     */
-  def zvalue(dims: Seq[Column], bits: Int = 16): Column = {
+  def zvalueExpr(dims: Seq[Expression], bits: Int): Expression = {
     val d = dims.size
     require(d >= 1 && bits >= 1 && d * bits <= 63,
       s"need 1 <= d*bits <= 63, got d=$d bits=$bits")
     val terms = for {
       (c, j) <- dims.zipWithIndex
       i <- 0 until bits
-    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
-      i * d + j)
-    terms.reduce(_ + _)
+    } yield ShiftLeft(
+      BitwiseAnd(ShiftRight(Cast(c, LongType), Literal(i)), Literal(1L)),
+      Literal(i * d + j)): Expression
+    terms.reduce(Add(_, _))
   }
+
+  def zvalue(dims: Seq[Column], bits: Int = 16): Column =
+    Shim.column(zvalueExpr(dims.map(Shim.expression), bits))
 
   /** The same formula as SQL over the given column expressions. */
   def zvalueSql(dims: Seq[String], bits: Int = 16): String = {
     val d = dims.size
+    require(d >= 1 && bits >= 1 && d * bits <= 63,
+      s"need 1 <= d*bits <= 63, got d=$d bits=$bits")
     val terms = for {
       (c, j) <- dims.zipWithIndex
       i <- 0 until bits

@@ -397,12 +397,16 @@ object TextQ {
 
     // sim_ann_ivfpq [EXT]: the composite serving index — IVF cell
     // restriction AND 8-byte ADC codes in one staged table; the two
-    // scan reductions multiply (Similarity.fitIvfPq scaladoc). Gate
-    // settings make the exact brute-force top-5 a valid oracle by the
-    // same argument as sim_ann_ivf (nprobe=7/nlist=8 probes every cell
-    // that can hold a top-5 neighbor) plus sim_ann_pq (rerank=64
-    // shortlist depth is recall-1.0 at gate SF, exact rerank on top);
-    // production keeps nprobe/rerank as tuning knobs.
+    // scan reductions multiply (Similarity.fitIvfPq scaladoc). Oracle
+    // posture (same as sim_ann_ivf/sim_ann_pq): the exact brute-force
+    // top-5 is the oracle because MEASURED recall at the gate settings
+    // (nprobe=7/8 cells, rerank-64 ADC shortlist, exact rerank) is 1.0
+    // on both gate corpora — an empirical property of the fixture, NOT
+    // a bound; it is rechecked every gate run, so any centroid/codebook
+    // /shortlist regression (or a fixture change that breaks the
+    // property) fails loudly rather than silently. SimilaritySpec
+    // separately pins recall >= 0.9 as the operator-level floor.
+    // Production keeps nprobe/rerank as tuning knobs.
     Q("sim_ann_ivfpq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -1041,14 +1045,17 @@ object TextQ {
     // WAV files generated from a sample formula, and the oracle
     // recomputes the amplitude-histogram feature STRAIGHT FROM THAT
     // FORMULA in SQL (the audio analog of multimodal_decode's BMP
-    // pixel-formula oracle). PNG/JPEG/GIF (no codec in this container)
-    // take the documented byte-histogram stub, which the oracle ALSO
-    // replays independently: header-constant nibble-0 counts + the
-    // control-char count of the raw text (every payload byte < 0x10 is
-    // a single-byte UTF-8 char — continuation/lead bytes are >= 0x80),
-    // with the stub's FLOAT division replayed via DuckDB REAL division
-    // (bit-exact; verified by probe). Independent oracle since round 4
-    // (was a golden VALUES dump).
+    // pixel-formula oracle). The PNG/JPEG/GIF rows here are DELIBERATELY
+    // UNDECODABLE (a codec magic prefixing raw UTF-8 text — 0xFF never
+    // occurs in UTF-8, a PNG/GIF body never inflates/LZW-decodes), so
+    // what this query gates is the per-ROW degradation path: real
+    // decoders throw, the row falls to the byte-histogram stub, and the
+    // oracle replays the stub independently (header-constant nibble-0
+    // counts + the control-char count of the raw text — every payload
+    // byte < 0x10 is a single-byte UTF-8 char), with the stub's FLOAT
+    // division replayed via DuckDB REAL division (bit-exact; verified
+    // by probe). The REAL decode paths for all five codecs are gated by
+    // multimodal_decode/_png/_gif/_jpeg and the WAV branch here.
     Q("multimodal_features",
       (s, d) => {
         import s.implicits._

@@ -26,6 +26,23 @@ class CompactionSpec extends SparkFunSuite {
     assert(got.length === 10000 && got.head === ((1L, "row1")))
   }
 
+  test("hive-partitioned input is sized from the RECURSIVE listing") {
+    val dir = Files.createTempDirectory("graft_compact3").toString
+    (1 to 4000).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "p", "s")
+      .repartition(16).write.partitionBy("p").parquet(s"$dir/in")
+    val stats = Compaction.compact(spark, s"$dir/in", s"$dir/out",
+      targetBytes = 64L * 1024)
+    // top-level listing would have seen 0 files / 0 bytes -> 1 file
+    assert(stats.filesBefore >= 16L, s"recursive census missed files: $stats")
+    assert(stats.bytes > 0L)
+    assert(stats.filesAfter > 1L,
+      s"partitioned input funneled to one file: $stats")
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() === 4000L)
+    assert(got.columns.toSet === Set("id", "p", "s"),
+      "partition column lost in the rewrite")
+  }
+
   test("refuses to clobber an existing output directory") {
     val dir = Files.createTempDirectory("graft_compact2").toString
     Seq((1, "a")).toDF("id", "s").write.parquet(s"$dir/in")
