@@ -89,23 +89,6 @@ object Similarity {
         col("rk"))
   }
 
-  /** IVF (inverted-file) approximate top-k — the other standard ANN
-    * scale path beside LSH: k-means coarse quantizer over the corpus
-    * (MLlib KMeans, seeded → deterministic), corpus vectors inverted by
-    * nearest-centroid cell, queries probe their `nprobe` nearest cells
-    * only. Cost ≈ corpus · nprobe / nlist per query vs. brute force.
-    *
-    * Scale shape: training samples the corpus (KMeans holds nlist
-    * centroids, not data); assignment is one narrow pass; the cell join
-    * shuffles candidates by cell id. Centroids are metadata-scale and
-    * broadcast to the query side.
-    *
-    * A fitted IVF index: the inverted file (vec_id, embedding, cell),
-    * staged to parquet so probes scan the index rather than re-assigning
-    * the corpus, plus the (metadata-scale) centroid table. Fit ONCE per
-    * corpus, probe many times — per-query k-means training was round 2's
-    * scale defect.
-    */
   /** Bounded seeded training sample, collected to the driver — the
     * shared fit-side discipline for every quantizer here (k-means needs
     * only enough vectors to place centroids; iterating the full corpus
@@ -163,6 +146,23 @@ object Similarity {
         round(col("sim_raw"), roundTo).as("sim"), col("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path beside LSH: k-means coarse quantizer over the corpus
+    * (MLlib KMeans, seeded → deterministic), corpus vectors inverted by
+    * nearest-centroid cell, queries probe their `nprobe` nearest cells
+    * only. Cost ≈ corpus · nprobe / nlist per query vs. brute force.
+    *
+    * Scale shape: training samples the corpus (KMeans holds nlist
+    * centroids, not data); assignment is one narrow pass; the cell join
+    * shuffles candidates by cell id. Centroids are metadata-scale and
+    * broadcast to the query side.
+    *
+    * A fitted IVF index: the inverted file (vec_id, embedding, cell),
+    * staged to parquet so probes scan the index rather than re-assigning
+    * the corpus, plus the (metadata-scale) centroid table. Fit ONCE per
+    * corpus, probe many times — per-query k-means training was round 2's
+    * scale defect.
+    */
   final case class IvfModel(cells: DataFrame,
                             centers: Seq[(Int, Array[Float])])
 
