@@ -27,22 +27,40 @@ object ScaleQ {
     // Newcombe first-letter refinement; on this corpus it cuts
     // candidate volume 8x vs token-only blocks (3.1M vs 25M at sf0.1)
     // at the usual modeled-recall price (a typo in position 1 escapes
-    // the block). See FuzzyJoin scaladoc for banding/salting. Output is
+    // the block). The part vocabulary is synthetic (64 distinct names,
+    // every same-block pair identical), so the linkage targets are
+    // PLANTED deterministic typos — every 10th part re-entered with
+    // its 2nd character dropped (first letter and name token survive,
+    // so the typo stays in its block at distance 1; the plantedDocs
+    // pattern the dedup oracles use). The oracle replays the planting,
+    // and FuzzyJoinSpec pins the gate output NON-EMPTY — this query
+    // once passed vacuously on 0==0 rows and must not again. Output is
     // aggregated per block so the gate frame stays small while every
     // pair is still computed.
     Q("join_fuzzy",
-      (s, d) => FuzzyJoin.selfPairs(
-          t(s, d, "part"),
-          col("p_partkey"), col("p_name"),
-          concat_ws("|", split(col("p_name"), " ").getItem(1),
-            substring(col("p_name"), 1, 1)),
-          maxDist = 3)
-        .groupBy("blk")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg("dist"), 4).as("avg_dist")),
-      Some("""WITH p AS (SELECT p_partkey AS k, p_name AS txt,
-                    split_part(p_name, ' ', 2) || '|' ||
-                      substr(p_name, 1, 1) AS blk FROM part)
+      (s, d) => {
+        val base = t(s, d, "part")
+          .select(col("p_partkey").as("k"), col("p_name").as("txt"))
+        val typos = base.filter(col("k") % 10 === 0)
+          .select((col("k") + 10000000L).as("k"),
+            concat(substring(col("txt"), 1, 1),
+              col("txt").substr(lit(3), length(col("txt")))).as("txt"))
+        FuzzyJoin.selfPairs(base.unionByName(typos),
+            col("k"), col("txt"),
+            concat_ws("|", split(col("txt"), " ").getItem(1),
+              substring(col("txt"), 1, 1)),
+            maxDist = 3)
+          .groupBy("blk")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg("dist"), 4).as("avg_dist"))
+      },
+      Some("""WITH base AS (SELECT p_partkey AS k, p_name AS txt FROM part),
+             typos AS (SELECT k + 10000000 AS k,
+                   substr(txt, 1, 1) || substr(txt, 3) AS txt
+                   FROM base WHERE k % 10 = 0),
+             p AS (SELECT k, txt, split_part(txt, ' ', 2) || '|' ||
+                     substr(txt, 1, 1) AS blk
+                   FROM (SELECT * FROM base UNION ALL SELECT * FROM typos))
              SELECT a.blk AS blk, count(*) AS n_pairs,
                     round(avg(levenshtein(a.txt, b.txt)), 4) AS avg_dist
              FROM p a JOIN p b

@@ -65,6 +65,17 @@ class FuzzyJoinSpec extends SparkFunSuite {
     assert(got.toSet === expected)
   }
 
+  test("registered join_fuzzy gate query returns NON-EMPTY output") {
+    // regression guard: the first-letter blocking refinement once made
+    // every surviving same-block pair identical (distance 0), so the
+    // query returned zero rows and the oracle passed vacuously on
+    // 0 == 0. The planted-typo fixture must keep real pairs flowing.
+    val out = SparkEntry.queries("join_fuzzy")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "join_fuzzy gate output is empty — hollow oracle")
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum > 0L)
+  }
+
   test("blocks do not leak pairs across block keys") {
     val df = Seq((1L, "same", "x"), (2L, "samo", "y")).toDF("k", "txt", "blk")
     assert(FuzzyJoin.selfPairs(df, col("k"), col("txt"), col("blk"), 3)

@@ -57,7 +57,14 @@ for name in sorted(os.listdir(out_dir)):
         if not eq.all():
             idx = (~eq).idxmax()
             mismatched.append(f"{c}[row{idx}]: spark={av[idx]!r} oracle={bv[idx]!r} dtypes {av.dtype}/{bv.dtype}")
-    results[name] = "OK" if not mismatched else "VALUE_MISMATCH " + "; ".join(mismatched[:3])
+    if not mismatched:
+        # an empty frame matching an empty oracle is a VACUOUS pass —
+        # join_fuzzy once shipped a blocking refinement that silently
+        # zeroed its own output and the gate kept passing on 0 == 0.
+        # Flag it as a local FAILURE so it gets looked at.
+        results[name] = "VACUOUS_EMPTY_MATCH" if len(a) == 0 else "OK"
+    else:
+        results[name] = "VALUE_MISMATCH " + "; ".join(mismatched[:3])
 
 ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows_only("))
 bad = {k: v for k, v in results.items() if not (v == "OK" or (v.startswith("rows_only") and "EMPTY" not in v))}
