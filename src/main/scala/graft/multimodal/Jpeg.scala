@@ -299,13 +299,22 @@ object Jpeg {
   // ---- encoder ----------------------------------------------------
 
   /** Encode `img` as baseline JFIF at `quality` (1..100). Grayscale
-    * images emit one component; RGB emits YCbCr 4:4:4 (no subsampling
-    * — the supported-subset choice that keeps MCU = one block per
-    * component).
+    * images emit one component; RGB emits YCbCr — 4:4:4 by default, or
+    * 4:2:0 (`subsample = true`: Y at 2×2, chroma averaged over each
+    * 2×2 luma box — the dominant real-world layout; MCU = 4 Y blocks +
+    * Cb + Cr).
     */
-  def encode(img: Image, quality: Int = 90): Array[Byte] = {
+  def encode(img: Image, quality: Int = 90,
+             subsample: Boolean = false): Array[Byte] = {
     require(img.comps == 1 || img.comps == 3, s"comps=${img.comps}")
     require(img.width > 0 && img.height > 0, "empty image")
+    val sub = subsample && img.comps == 3
+    // per-component (h, v) sampling factors
+    val hv: Array[(Int, Int)] =
+      if (sub) Array((2, 2), (1, 1), (1, 1))
+      else Array.fill(img.comps)((1, 1))
+    val hMax = hv.map(_._1).max
+    val vMax = hv.map(_._2).max
     val qLum = scaledQ(QLum, quality)
     val qChr = scaledQ(QChr, quality)
     val out = new ArrayBuffer[Byte](1024)
@@ -329,7 +338,7 @@ object Jpeg {
     marker(0xc0); u16(8 + 3 * img.comps); u8(8) // SOF0
     u16(img.height); u16(img.width); u8(img.comps)
     for (c <- 0 until img.comps) {
-      u8(c + 1); u8(0x11); u8(if (c == 0) 0 else 1)
+      u8(c + 1); u8((hv(c)._1 << 4) | hv(c)._2); u8(if (c == 0) 0 else 1)
     }
 
     def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
@@ -348,9 +357,9 @@ object Jpeg {
     }
     u8(0); u8(63); u8(0)
 
-    // component planes (levels 0..255)
+    // full-resolution component values (levels 0..255)
     val w = img.width; val h = img.height
-    val planes: Array[Array[Int]] =
+    val full: Array[Array[Int]] =
       if (img.comps == 1) Array(img.data.map(_ & 0xff))
       else {
         val yP = new Array[Int](w * h)
@@ -369,15 +378,98 @@ object Jpeg {
         Array(yP, cbP, crP)
       }
 
+    // per-component planes PADDED to the MCU grid; subsampled comps
+    // average their (hMax/h x vMax/v) source box (edge-clamped)
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeW = new Array[Int](img.comps)
+    val planes: Array[Array[Int]] = Array.tabulate(img.comps) { c =>
+      val (hc, vc) = hv(c)
+      val pw = mcusX * 8 * hc
+      val ph = mcusY * 8 * vc
+      planeW(c) = pw
+      val fx = hMax / hc
+      val fy = vMax / vc
+      val plane = new Array[Int](pw * ph)
+      var py = 0
+      while (py < ph) {
+        var px = 0
+        while (px < pw) {
+          var sum = 0
+          var dy = 0
+          while (dy < fy) {
+            var dx = 0
+            while (dx < fx) {
+              val sx = math.min(w - 1, px * fx + dx)
+              val sy = math.min(h - 1, py * fy + dy)
+              sum += full(c)(sy * w + sx)
+              dx += 1
+            }
+            dy += 1
+          }
+          plane(py * pw + px) = (sum + fx * fy / 2) / (fx * fy)
+          px += 1
+        }
+        py += 1
+      }
+      plane
+    }
+
     val encDc = Array(buildEncodeTable(DcLumBits, DcLumVals),
       buildEncodeTable(DcChrBits, DcChrVals))
     val encAc = Array(buildEncodeTable(AcLumBits, AcLumVals),
       buildEncodeTable(AcChrBits, AcChrVals))
     val qt = Array(qLum, qChr)
 
+    def encodeBlock(bw: BitWriter, c: Int, plane: Array[Int], pw: Int,
+                    ox: Int, oy: Int, prevDc: Array[Int]): Unit = {
+      val tbl = if (c == 0) 0 else 1
+      val f = new Array[Double](64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          f(by * 8 + bx) = plane((oy + by) * pw + ox + bx) - 128.0
+          bx += 1
+        }
+        by += 1
+      }
+      val coef = fdct(f)
+      val zz = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val nat = Zigzag(i)
+        zz(i) = math.round(coef(nat) / qt(tbl)(nat)).toInt
+        i += 1
+      }
+      val diff = zz(0) - prevDc(c)
+      prevDc(c) = zz(0)
+      val sMag = magnitude(diff)
+      val dcode = encDc(tbl)(sMag)
+      bw.write(dcode(0), dcode(1))
+      if (sMag > 0)
+        bw.write(if (diff >= 0) diff else diff - 1 + (1 << sMag), sMag)
+      var run = 0
+      var kk = 1
+      while (kk < 64) {
+        val v = zz(kk)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) {
+            val z = encAc(tbl)(0xf0); bw.write(z(0), z(1)); run -= 16
+          }
+          val sz = magnitude(v)
+          val acode = encAc(tbl)((run << 4) | sz)
+          bw.write(acode(0), acode(1))
+          bw.write(if (v >= 0) v else v - 1 + (1 << sz), sz)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) { val e = encAc(tbl)(0x00); bw.write(e(0), e(1)) }
+    }
+
     val bw = new BitWriter(out)
-    val mcusX = (w + 7) / 8
-    val mcusY = (h + 7) / 8
     val prevDc = new Array[Int](img.comps)
     var my = 0
     while (my < mcusY) {
@@ -385,54 +477,17 @@ object Jpeg {
       while (mx < mcusX) {
         var c = 0
         while (c < img.comps) {
-          val tbl = if (c == 0) 0 else 1
-          // gather the 8x8 block with edge replication
-          val f = new Array[Double](64)
-          var by = 0
-          while (by < 8) {
-            val sy = math.min(h - 1, my * 8 + by)
-            var bx = 0
-            while (bx < 8) {
-              val sx = math.min(w - 1, mx * 8 + bx)
-              f(by * 8 + bx) = planes(c)(sy * w + sx) - 128.0
-              bx += 1
+          val (hc, vc) = hv(c)
+          var bv = 0
+          while (bv < vc) {
+            var bh = 0
+            while (bh < hc) {
+              encodeBlock(bw, c, planes(c), planeW(c),
+                (mx * hc + bh) * 8, (my * vc + bv) * 8, prevDc)
+              bh += 1
             }
-            by += 1
+            bv += 1
           }
-          val coef = fdct(f)
-          val zz = new Array[Int](64)
-          var i = 0
-          while (i < 64) {
-            val nat = Zigzag(i)
-            zz(i) = math.round(coef(nat) / qt(tbl)(nat)).toInt
-            i += 1
-          }
-          // DC
-          val diff = zz(0) - prevDc(c)
-          prevDc(c) = zz(0)
-          val s = magnitude(diff)
-          val dcode = encDc(tbl)(s)
-          bw.write(dcode(0), dcode(1))
-          if (s > 0) bw.write(if (diff >= 0) diff else diff - 1 + (1 << s), s)
-          // AC
-          var run = 0
-          var kk = 1
-          while (kk < 64) {
-            val v = zz(kk)
-            if (v == 0) run += 1
-            else {
-              while (run > 15) {
-                val z = encAc(tbl)(0xf0); bw.write(z(0), z(1)); run -= 16
-              }
-              val sz = magnitude(v)
-              val acode = encAc(tbl)((run << 4) | sz)
-              bw.write(acode(0), acode(1))
-              bw.write(if (v >= 0) v else v - 1 + (1 << sz), sz)
-              run = 0
-            }
-            kk += 1
-          }
-          if (run > 0) { val e = encAc(tbl)(0x00); bw.write(e(0), e(1)) }
           c += 1
         }
         mx += 1
@@ -460,6 +515,8 @@ object Jpeg {
     var width = 0; var height = 0
     var nComps = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var compDcT: Array[Int] = null
     var compAcT: Array[Int] = null
 
@@ -514,11 +571,20 @@ object Jpeg {
           require(nComps == 1 || nComps == 3,
             s"unsupported component count $nComps")
           compQ = new Array[Int](nComps)
+          compH = new Array[Int](nComps)
+          compV = new Array[Int](nComps)
           for (c <- 0 until nComps) {
             u8() // component id (assume 1..n order, as we emit)
-            require(u8() == 0x11, "subsampled JPEG unsupported (HV != 1x1)")
+            val hvByte = u8()
+            compH(c) = hvByte >> 4; compV(c) = hvByte & 0xf
             compQ(c) = u8()
           }
+          if (nComps == 1) { compH(0) = 1; compV(0) = 1 } // single-comp
+          val layout444 = compH.forall(_ == 1) && compV.forall(_ == 1)
+          val layout420 = nComps == 3 && compH(0) == 2 && compV(0) == 2 &&
+            compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
+          require(layout444 || layout420,
+            s"unsupported sampling layout H=${compH.toSeq} V=${compV.toSeq}")
         case 0xc2 => require(false, "progressive JPEG unsupported")
         case 0xdd => // DRI
           u16(); require(u16() == 0, "restart intervals unsupported")
@@ -543,51 +609,69 @@ object Jpeg {
     }
 
     require(width > 0 && height > 0, "SOS before SOF")
-    val mcusX = (width + 7) / 8
-    val mcusY = (height + 7) / 8
-    val planes = Array.fill(nComps)(new Array[Int](mcusX * 8 * mcusY * 8))
+    val hMax = compH.max
+    val vMax = compV.max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = Array.tabulate(nComps)(c => mcusX * 8 * compH(c))
+    val planes = Array.tabulate(nComps)(c =>
+      new Array[Int](planeW(c) * mcusY * 8 * compV(c)))
     val br = new BitReader(bytes, scanStart)
     val prevDc = new Array[Int](nComps)
     val coef = new Array[Double](64)
+
+    def decodeBlock(c: Int, ox: Int, oy: Int): Unit = {
+      val qt = quant(compQ(c))
+      require(qt != null, "missing quant table")
+      val dc = dcDec(compDcT(c)); val ac = acDec(compAcT(c))
+      require(dc != null && ac != null, "missing Huffman table")
+      java.util.Arrays.fill(coef, 0.0)
+      val sMag = dc.decode(br)
+      prevDc(c) += extend(br.receive(sMag), sMag)
+      coef(0) = prevDc(c).toDouble * qt(0)
+      var k = 1
+      while (k < 64) {
+        val rs = ac.decode(br)
+        if (rs == 0x00) k = 64 // EOB
+        else if (rs == 0xf0) k += 16 // ZRL
+        else {
+          k += rs >> 4
+          require(k < 64, "AC index overflow")
+          val sz = rs & 0xf
+          val nat = Zigzag(k)
+          coef(nat) = extend(br.receive(sz), sz).toDouble * qt(nat)
+          k += 1
+        }
+      }
+      val px = idct(coef)
+      val pw = planeW(c)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          planes(c)((oy + by) * pw + ox + bx) =
+            clamp8(math.round(px(by * 8 + bx) + 128.0).toInt)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
         var c = 0
         while (c < nComps) {
-          val qt = quant(compQ(c))
-          require(qt != null, "missing quant table")
-          val dc = dcDec(compDcT(c)); val ac = acDec(compAcT(c))
-          require(dc != null && ac != null, "missing Huffman table")
-          java.util.Arrays.fill(coef, 0.0)
-          val s = dc.decode(br)
-          prevDc(c) += extend(br.receive(s), s)
-          coef(0) = prevDc(c).toDouble * qt(0)
-          var k = 1
-          while (k < 64) {
-            val rs = ac.decode(br)
-            if (rs == 0x00) k = 64 // EOB
-            else if (rs == 0xf0) k += 16 // ZRL
-            else {
-              k += rs >> 4
-              require(k < 64, "AC index overflow")
-              val sz = rs & 0xf
-              val nat = Zigzag(k)
-              coef(nat) = extend(br.receive(sz), sz).toDouble * qt(nat)
-              k += 1
+          var bv = 0
+          while (bv < compV(c)) {
+            var bh = 0
+            while (bh < compH(c)) {
+              decodeBlock(c, (mx * compH(c) + bh) * 8,
+                (my * compV(c) + bv) * 8)
+              bh += 1
             }
-          }
-          val px = idct(coef)
-          val rowW = mcusX * 8
-          var by = 0
-          while (by < 8) {
-            var bx = 0
-            while (bx < 8) {
-              planes(c)((my * 8 + by) * rowW + mx * 8 + bx) =
-                clamp8(math.round(px(by * 8 + bx) + 128.0).toInt)
-              bx += 1
-            }
-            by += 1
+            bv += 1
           }
           c += 1
         }
@@ -596,29 +680,32 @@ object Jpeg {
       my += 1
     }
 
-    val rowW = mcusX * 8
     if (nComps == 1) {
+      val pw = planeW(0)
       val out = new Array[Byte](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          out(y * width + x) = planes(0)(y * rowW + x).toByte
+          out(y * width + x) = planes(0)(y * pw + x).toByte
           x += 1
         }
         y += 1
       }
       Image(width, height, 1, out)
     } else {
+      // chroma upsampling by sample replication (nearest): a chroma
+      // sample at (x*h/hMax, y*v/vMax) covers the luma pixel (x, y)
       val out = new Array[Byte](width * height * 3)
+      val pw0 = planeW(0); val pw1 = planeW(1); val pw2 = planeW(2)
+      val fx1 = hMax / compH(1); val fy1 = vMax / compV(1)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          val i = y * rowW + x
-          val yy = planes(0)(i)
-          val cb = planes(1)(i) - 128
-          val cr = planes(2)(i) - 128
+          val yy = planes(0)(y * pw0 + x)
+          val cb = planes(1)((y / fy1) * pw1 + x / fx1) - 128
+          val cr = planes(2)((y / fy1) * pw2 + x / fx1) - 128
           val o = (y * width + x) * 3
           out(o) = clamp8(math.round(yy + 1.402 * cr).toInt).toByte
           out(o + 1) = clamp8(math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt).toByte

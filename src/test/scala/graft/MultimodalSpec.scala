@@ -377,6 +377,38 @@ class MultimodalSpec extends SparkFunSuite {
     assert(psnr > 25.0, f"PSNR $psnr%.1f dB too low for q95 4:4:4")
   }
 
+  test("Jpeg: 4:2:0 subsampled round-trip (the real-world layout)") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (19, 13) // non-multiple of the 16x16 MCU: edge padding
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      // smooth fields: chroma varies slowly, as 4:2:0 assumes
+      rgb(i) = (40 + x * 6 + y * 4).toByte
+      rgb(i + 1) = (90 + x * 3 + y * 5).toByte
+      rgb(i + 2) = (140 + x * 2 + y * 2).toByte
+    }
+    val bytes = Jpeg.encode(Jpeg.Image(w, h, 3, rgb), quality = 95,
+      subsample = true)
+    // encoded stream really declares 2x2/1x1 sampling
+    val sofAt = bytes.indices.find(i => (bytes(i) & 0xff) == 0xff &&
+      (bytes(i + 1) & 0xff) == 0xc0).get
+    assert((bytes(sofAt + 11) & 0xff) === 0x22, "Y not 2x2-sampled")
+    val back = Jpeg.decode(bytes)
+    assert(back.width === w && back.height === h && back.comps === 3)
+    var se = 0.0
+    for (i <- 0 until w * h * 3) {
+      val d = (back.data(i) & 0xff) - (rgb(i) & 0xff)
+      se += d.toDouble * d
+    }
+    val psnr = 10 * math.log10(255.0 * 255.0 / (se / (w * h * 3)))
+    assert(psnr > 25.0, f"4:2:0 PSNR $psnr%.1f dB too low")
+    // and the subsampled stream is genuinely smaller than 4:4:4
+    val full = Jpeg.encode(Jpeg.Image(w, h, 3, rgb), quality = 95)
+    assert(bytes.length < full.length,
+      s"4:2:0 (${bytes.length}B) not smaller than 4:4:4 (${full.length}B)")
+  }
+
   test("Jpeg: smooth gradient at quality 90 reconstructs closely") {
     import graft.multimodal.Jpeg
     val (w, h) = (32, 32)
