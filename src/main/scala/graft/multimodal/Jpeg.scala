@@ -15,10 +15,11 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Decode path is fully table-driven (DQT/DHT are read from the
   * stream, mincode/maxcode/valptr decoding per T.81 F.2.2.3), so it
-  * reads real-world baseline JFIFs within the supported subset;
-  * progressive (SOF2), subsampled (HV ≠ 1×1), 16-bit quant, arithmetic
-  * coding, and nonzero restart intervals throw an honest `require` and
-  * the caller row-degrades to the byte stub (Multimodal dispatch).
+  * reads real-world baseline JFIFs within the supported subset —
+  * grayscale, YCbCr 4:4:4 and 4:2:0, restart intervals (DRI/RSTn);
+  * progressive (SOF2), other sampling layouts, 16-bit quant, and
+  * arithmetic coding throw an honest `require` and the caller
+  * row-degrades to the byte stub (Multimodal dispatch).
   *
   * Losslessness note for the oracle gate: JPEG is lossy in general,
   * but a quality-100 (all-ones quant) GRAYSCALE image whose pixels are
@@ -254,6 +255,12 @@ object Jpeg {
       if ((acc & 0xff) == 0xff) out += 0x00.toByte
       acc = 0; n = 0
     }
+    /** Byte-align and emit a restart marker (unstuffed, by definition). */
+    def restart(m: Int): Unit = {
+      flush()
+      out += 0xff.toByte
+      out += (0xd0 + m).toByte
+    }
   }
 
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
@@ -281,6 +288,15 @@ object Jpeg {
       while (i < nbits) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    /** Discard partial bits and consume the expected RSTm marker. */
+    def expectRestart(m: Int): Unit = {
+      acc = 0; n = 0 // byte-align
+      require(pos + 1 < bytes.length, "truncated at restart")
+      require((bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == 0xd0 + m,
+        f"expected RST$m%d, got ${bytes(pos) & 0xff}%02x${bytes(pos + 1) & 0xff}%02x")
+      pos += 2
+    }
   }
 
   /** T.81 F.2.2.1 EXTEND: map the s received magnitude bits to the
@@ -305,7 +321,10 @@ object Jpeg {
     * Cb + Cr).
     */
   def encode(img: Image, quality: Int = 90,
-             subsample: Boolean = false): Array[Byte] = {
+             subsample: Boolean = false,
+             restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restartInterval $restartInterval")
     require(img.comps == 1 || img.comps == 3, s"comps=${img.comps}")
     require(img.width > 0 && img.height > 0, "empty image")
     val sub = subsample && img.comps == 3
@@ -349,6 +368,10 @@ object Jpeg {
     dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
     if (img.comps == 3) {
       dht(0, 1, DcChrBits, DcChrVals); dht(1, 1, AcChrBits, AcChrVals)
+    }
+
+    if (restartInterval > 0) { // DRI
+      marker(0xdd); u16(4); u16(restartInterval)
     }
 
     marker(0xda); u16(6 + 2 * img.comps); u8(img.comps) // SOS
@@ -471,10 +494,20 @@ object Jpeg {
 
     val bw = new BitWriter(out)
     val prevDc = new Array[Int](img.comps)
+    var mcuSeq = 0
+    var rstSeq = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        // restart BETWEEN interval groups: align, emit RSTm (mod 8),
+        // reset every DC predictor — never after the final MCU
+        if (restartInterval > 0 && mcuSeq > 0 &&
+            mcuSeq % restartInterval == 0) {
+          bw.restart(rstSeq % 8)
+          rstSeq += 1
+          java.util.Arrays.fill(prevDc, 0)
+        }
         var c = 0
         while (c < img.comps) {
           val (hc, vc) = hv(c)
@@ -490,6 +523,7 @@ object Jpeg {
           }
           c += 1
         }
+        mcuSeq += 1
         mx += 1
       }
       my += 1
@@ -519,6 +553,7 @@ object Jpeg {
     var compV: Array[Int] = null
     var compDcT: Array[Int] = null
     var compAcT: Array[Int] = null
+    var restartInterval = 0
 
     var scanStart = -1
     while (scanStart < 0) {
@@ -587,7 +622,7 @@ object Jpeg {
             s"unsupported sampling layout H=${compH.toSeq} V=${compV.toSeq}")
         case 0xc2 => require(false, "progressive JPEG unsupported")
         case 0xdd => // DRI
-          u16(); require(u16() == 0, "restart intervals unsupported")
+          u16(); restartInterval = u16()
         case 0xda => // SOS
           u16()
           val ns = u8()
@@ -657,10 +692,18 @@ object Jpeg {
       }
     }
 
+    var mcuSeq = 0
+    var rstSeq = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuSeq > 0 &&
+            mcuSeq % restartInterval == 0) {
+          br.expectRestart(rstSeq % 8)
+          rstSeq += 1
+          java.util.Arrays.fill(prevDc, 0)
+        }
         var c = 0
         while (c < nComps) {
           var bv = 0
@@ -675,6 +718,7 @@ object Jpeg {
           }
           c += 1
         }
+        mcuSeq += 1
         mx += 1
       }
       my += 1

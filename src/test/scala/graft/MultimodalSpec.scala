@@ -421,6 +421,36 @@ class MultimodalSpec extends SparkFunSuite {
     assert(maxErr <= 8, s"gradient max error $maxErr")
   }
 
+  test("Jpeg: restart intervals (DRI/RSTn) survive both directions") {
+    import graft.multimodal.Jpeg
+    // 40x24 gray = 15 MCUs; interval 4 -> RST0..RST2 mid-stream
+    val (w, h) = (40, 24)
+    val px = Array.tabulate(w * h)(i => ((i * 7) % 251).toByte)
+    val bytes = Jpeg.encode(Jpeg.Image(w, h, 1, px), quality = 100,
+      restartInterval = 4)
+    // stream truly contains a DRI segment and at least one RST marker
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xdd), "no DRI")
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 &&
+        (p(1) & 0xff) <= 0xd7), "no RSTn in scan")
+    val back = Jpeg.decode(bytes)
+    assert(back.width === w && back.height === h)
+    // quality 100 + per-pixel gradient is NOT DC-only, so compare by
+    // near-exactness, not equality
+    var maxErr = 0
+    for (i <- 0 until w * h)
+      maxErr = math.max(maxErr,
+        math.abs((back.data(i) & 0xff) - (px(i) & 0xff)))
+    assert(maxErr <= 2, s"restart round-trip max error $maxErr")
+    // a 4:2:0 color stream with restarts also round-trips
+    val rgb = Array.tabulate(w * h * 3)(i => (50 + (i / 3) % 97).toByte)
+    val cBytes = Jpeg.encode(Jpeg.Image(w, h, 3, rgb), quality = 95,
+      subsample = true, restartInterval = 2)
+    val cBack = Jpeg.decode(cBytes)
+    assert(cBack.width === w && cBack.height === h && cBack.comps === 3)
+  }
+
   test("Jpeg.decode rejects non-JPEG, progressive markers, and truncation") {
     import graft.multimodal.Jpeg
     intercept[IllegalArgumentException] {
