@@ -1,0 +1,127 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Jpeg
+import graft.operators.FuzzyJoin
+
+/** Seeded randomized fuzzing of the round-5 operators: many small
+  * adversarial shapes per property, deterministic seed so a failure
+  * reproduces. Complements the hand-picked spec cases with coverage of
+  * the shapes nobody thought to pick.
+  */
+class FuzzSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("Jpeg: 30 random (dims, comps, quality, layout, restart) round-trips") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 30) {
+      val w = 1 + rnd.nextInt(33)
+      val h = 1 + rnd.nextInt(33)
+      val comps = if (rnd.nextBoolean()) 1 else 3
+      val quality = 70 + rnd.nextInt(31)
+      val subsample = comps == 3 && rnd.nextBoolean()
+      val restart = rnd.nextInt(4) // 0 = off
+      val data = Array.fill(w * h * comps)(rnd.nextInt(256).toByte)
+      val img = Jpeg.Image(w, h, comps, data)
+      val bytes = Jpeg.encode(img, quality, subsample, restart)
+      assert(Jpeg.isJpeg(bytes), s"trial $trial: bad magic")
+      val back = Jpeg.decode(bytes)
+      assert(back.width === w && back.height === h && back.comps === comps,
+        s"trial $trial: dims ${w}x$h/$comps -> ${back.width}x${back.height}/${back.comps}")
+      // random noise is JPEG's worst case — the bound is sanity (the
+      // decode is reading the coefficients we wrote), not fidelity
+      var se = 0.0
+      for (i <- data.indices) {
+        val d = (back.data(i) & 0xff) - (data(i) & 0xff)
+        se += d.toDouble * d
+      }
+      val psnr = 10 * math.log10(255.0 * 255.0 / math.max(1e-9, se / data.length))
+      assert(psnr > 10.0,
+        f"trial $trial (${w}x$h c=$comps q=$quality sub=$subsample rst=$restart): PSNR $psnr%.1f")
+    }
+  }
+
+  test("FuzzyJoin: 20 random corpora match brute force under forced salting") {
+    val rnd = new Random(7)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (trial <- 1 to 20) {
+      val n = 5 + rnd.nextInt(25)
+      val maxDist = 1 + rnd.nextInt(3)
+      val maxBlock = 1 + rnd.nextInt(5) // tiny: salting constantly active
+      // 2-letter alphabet, short strings: dense near-pairs
+      val rows = (0 until n).map { i =>
+        val len = 1 + rnd.nextInt(5)
+        val txt = (0 until len).map(_ => if (rnd.nextBoolean()) 'a' else 'b')
+          .mkString
+        (i.toLong, txt, if (rnd.nextBoolean()) "x" else "y")
+      }
+      val expected = (for {
+        (ka, ta, ba) <- rows; (kb, tb, bb) <- rows
+        if ka < kb && ba == bb
+        d = lev(ta, tb) if d >= 1 && d <= maxDist
+      } yield (ka, kb)).toSet
+      val got = FuzzyJoin.selfPairs(rows.toDF("k", "txt", "blk"),
+          col("k"), col("txt"), col("blk"), maxDist, maxBlock)
+        .select("a_key", "b_key").as[(Long, Long)].collect()
+      assert(got.length === got.distinct.length,
+        s"trial $trial: duplicate pair emitted")
+      assert(got.toSet === expected,
+        s"trial $trial (n=$n d=$maxDist blk=$maxBlock): " +
+          s"missing=${expected -- got.toSet} extra=${got.toSet -- expected}")
+    }
+  }
+
+  test("Bloom: random builds never produce a false negative") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 15) {
+      val nKeys = 1 + rnd.nextInt(500)
+      val numBits = 64 << rnd.nextInt(6) // 64..2048, always aligned
+      val k = 1 + rnd.nextInt(10)
+      val keys = Array.fill(nKeys)(rnd.nextLong())
+      val bloom = keys.toSeq.toDF("key")
+        .select(org.apache.spark.sql.graftshim.Shim.column(
+          graft.expressions.BloomBuildAgg(
+            org.apache.spark.sql.graftshim.Shim.expression(col("key")),
+            numBits, k)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val probe = graft.expressions.BloomMightContain(
+        org.apache.spark.sql.graftshim.Shim.expression(lit(0L)), bloom, k)
+      keys.foreach(key => assert(probe.compute(key),
+        s"trial $trial: false negative (bits=$numBits k=$k n=$nKeys)"))
+    }
+  }
+
+  test("ZOrder: random dims/bits agree with the SQL twin and stay injective") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 10) {
+      val bits = 1 + rnd.nextInt(6)
+      val mask = (1 << bits) - 1
+      val pts = (0 until 64).map(_ =>
+        (rnd.nextInt(1 << bits).toLong, rnd.nextInt(1 << bits).toLong))
+      val df = pts.toDF("x", "y")
+        .withColumn("z", graft.operators.ZOrder.zvalue(
+          Seq(col("x"), col("y")), bits))
+        .withColumn("z_sql",
+          expr(graft.operators.ZOrder.zvalueSql(Seq("x", "y"), bits)))
+      val rows = df.select("x", "y", "z", "z_sql")
+        .as[(Long, Long, Long, Long)].collect()
+      rows.foreach { case (x, y, z, zs) =>
+        assert(z === zs, s"trial $trial: Scala/SQL diverge at ($x,$y)")
+        assert(z >= 0 && z < (1L << (2 * bits)))
+      }
+      val byPoint = rows.map(r => (r._1 & mask, r._2 & mask) -> r._3).toMap
+      assert(byPoint.values.toSeq.distinct.length === byPoint.size,
+        s"trial $trial: collision on distinct masked points")
+    }
+  }
+}
