@@ -102,16 +102,9 @@ object Dedup {
     // split apart in one band lands together with fresh probability in
     // every other band (an id-only salt would split the pair the SAME
     // way in all 16 bands and quietly lose ~(1-1/nsub) of mega-bucket
-    // recall). The count window clusters by the join key, so the
-    // self-join reuses the exchange.
-    val capped = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .withColumn("sub",
-        when(col("bucket_n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(xxhash64(col("id"), col("band")),
-            ceil(col("bucket_n") / maxBucketSize).cast("long"))))
-      .drop("bucket_n")
+    // recall).
+    val capped = saltOversized(banded, Seq("band", "bucket"), "id",
+      maxBucketSize)
 
     val pairs = capped.select(col("band"), col("bucket"), col("sub"),
         col("id").as("id_a"))
@@ -149,7 +142,15 @@ object Dedup {
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
     // same sub-bucket guardrail as minhashPairs: bounded per-task n²
     // instead of a whole-bucket recall cliff; salt by (id, chunk) so
-    // splits decorrelate across the 8 pigeonhole chunks
+    // splits decorrelate across the 8 pigeonhole chunks.
+    // NOTE: unlike the MinHash band buckets, the chunk keyspace is only
+    // 256 values wide — at corpus scale EVERY (chunk, key) block is
+    // populated and many exceed the cap, so the oversize-only
+    // aggregate+broadcast plan (saltOversized) degenerates to a
+    // broadcast of most blocks plus a third pass over the chunked
+    // stream (measured 0.9 s → 1.5 s at sf0.1). The inline count
+    // window stays the right plan here: one exchange over ≤ 2048
+    // groups, counts computed in the same pass the join will reuse.
     val capped = chunked
       .withColumn("n", count(lit(1)).over(Window.partitionBy("chunk", "key")))
       .withColumn("sub",
@@ -311,6 +312,34 @@ object Dedup {
     * buckets (broadcasting every bucket's count would be ~bands×|train|
     * rows — a driver OOM at the operator's own design target).
     */
+  /** Self-join mega-bucket salt, as an oversize-only aggregate +
+    * broadcast join-back (same plan family as [[saltedCrossCandidates]]
+    * and FuzzyJoin): `sub = xxhash64(id, blockCols.head) % nsub` for
+    * members of blocks larger than `maxBucketSize`, 0 otherwise.
+    *
+    * Round 4 computed the block size with `count().over(Window
+    * .partitionBy(blockCols))` — a full shuffle + SORT of every banded
+    * row, duplicated in BOTH self-join branches. Here the size scan is
+    * a map-side-combinable aggregate whose post-filter output (only the
+    * rare oversized blocks) broadcasts, so the main stream picks up
+    * `sub` in a narrow pass and the only wide exchange left is the
+    * self-join's own.
+    */
+  private def saltOversized(banded: DataFrame, blockCols: Seq[String],
+                            idCol: String, maxBucketSize: Int): DataFrame = {
+    val bc = blockCols.map(col)
+    val subPlan = banded.groupBy(bc: _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucketSize)
+      .select(bc :+ ceil(col("bn") / maxBucketSize).cast("long").as("nsub"): _*)
+    banded.join(broadcast(subPlan), blockCols, "left")
+      .withColumn("sub",
+        when(col("nsub").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col(idCol), col(blockCols.head)),
+            col("nsub"))))
+      .drop("nsub")
+  }
+
   private def saltedCrossCandidates(lBand: DataFrame, rBand: DataFrame,
                                     maxBucketSize: Int): DataFrame = {
     val subPlan = lBand.groupBy("band", "bucket")
@@ -353,14 +382,8 @@ object Dedup {
         minhashSignatureOfSets(col("sh"), k, seed)), bands, rowsPerBand))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val capped = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .withColumn("sub",
-        when(col("bucket_n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(xxhash64(col("id"), col("band")),
-            ceil(col("bucket_n") / maxBucketSize).cast("long"))))
-      .drop("bucket_n")
+    val capped = saltOversized(banded, Seq("band", "bucket"), "id",
+      maxBucketSize)
     val pairs = capped.select(col("band"), col("bucket"), col("sub"),
         col("id").as("id_a"))
       .join(capped.select(col("band"), col("bucket"), col("sub"),
