@@ -114,6 +114,78 @@ object Corpus {
         floor((col("cum") - 1) / window).as("last_chunk"))
   }
 
+  /** Fixed-size overlapping text chunking — the RAG / context-window
+    * preparation step: each document is cut into `chunkSize`-character
+    * windows advancing by `chunkSize - overlap` characters, so
+    * consecutive chunks share `overlap` characters of context. Every
+    * document yields at least one chunk (an empty text yields one empty
+    * chunk rather than vanishing); the final chunk may be shorter.
+    *
+    * Plan shape at scale: a narrow exploding projection — chunk count,
+    * offsets, and slices all derive per-row from the text length with
+    * integer arithmetic (`DIV`, no floating ceil), entirely inside
+    * whole-stage codegen. No shuffle: chunks inherit the parent
+    * document's partition, which is exactly what a downstream embed /
+    * index stage wants to `mapPartitions` over.
+    *
+    * @return (idCol, chunk_id, start_off, chunk_len, chunk_text);
+    *         chunk_id counts from 0 per document, start_off is the
+    *         0-based character offset
+    */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol), coalesce(col(textCol), lit("")).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+      // integer ceil: docs longer than one chunk add one chunk per
+      // stride of the remainder — exact in 64-bit on both engines
+      .withColumn("n_chunks",
+        when(col("len") <= chunkSize, lit(1L))
+          .otherwise(expr(s"(len - $chunkSize + ${stride - 1}) DIV $stride")
+            + lit(1L)))
+      .select(col(idCol), col("t"), col("len"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_off", col("chunk_id") * stride)
+      .select(col(idCol), col("chunk_id"), col("start_off"),
+        least(lit(chunkSize.toLong), col("len") - col("start_off"))
+          .as("chunk_len"),
+        col("t").substr((col("start_off") + 1).cast("int"),
+          lit(chunkSize)).as("chunk_text"))
+  }
+
+  /** Per-group document cap — the C4/RefinedWeb-style "at most N pages
+    * per domain" balancing step: within each group, documents are
+    * ranked by a deterministic content hash of their id (so the kept
+    * subset is stable across runs, retries, and cluster sizes — unlike
+    * a rand() ordering) and rows past `maxPerGroup` are dropped.
+    *
+    * Plan shape at scale: one shuffle keyed on the group. The
+    * rank-then-filter pattern is recognized by Spark's WindowGroupLimit
+    * rule, which prunes each map-side partition to its top
+    * `maxPerGroup` rows BEFORE the exchange — so a mega-domain (the
+    * exact skew case domain capping exists for) ships at most
+    * `maxPerGroup` rows per map task, not its full population.
+    *
+    * @return input columns + `cap_rank` (1-based rank within the
+    *         group), only rows with cap_rank <= maxPerGroup
+    */
+  def capPerGroup(df: DataFrame, groupCol: Column, idCol: Column,
+                  maxPerGroup: Int, seed: Long = 42L,
+                  portable: Boolean = false): DataFrame = {
+    // same portable-vs-fast priority hash split as [[Sampling]]
+    val pri =
+      if (portable) conv(substring(md5(concat(idCol.cast("string"),
+        lit(":" + seed))), 1, 15), 16, 10).cast("long")
+      else xxhash64(idCol, lit(seed))
+    val w = Window.partitionBy(groupCol).orderBy(col("graft_pri"), idCol)
+    df.withColumn("graft_pri", pri)
+      .withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= maxPerGroup)
+      .drop("graft_pri")
+  }
+
   /** Downsample strata to hit TARGET PROPORTIONS (data mixing: "train
     * on 40% en / 20% de / 20% fr / 20% es"): the output is the LARGEST
     * corpus achievable at exactly the target mix — the scarcest stratum

@@ -194,6 +194,48 @@ object CorpusQ {
              |  (cum - 1) // 256 AS last_chunk
              |FROM c""".stripMargin)),
 
+    // text_chunk [EXT]: fixed-size overlapping chunking (RAG / context-
+    // window prep) — 200-char windows advancing by 150 (50 overlap).
+    // Narrow exploding projection, no shuffle; integer-DIV chunk count
+    // so the oracle replays offsets exactly. The oracle recomputes
+    // count, offsets, lengths, and the substring slices from raw text.
+    Q("text_chunk",
+      (s, d) => Corpus.chunkText(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkSize = 200, overlap = 50),
+      Some("""WITH dd AS (SELECT doc_id, coalesce(text, '') AS t,
+             |    length(coalesce(text, ''))::BIGINT AS len FROM documents),
+             |n AS (SELECT doc_id, t, len,
+             |    CASE WHEN len <= 200 THEN 1
+             |      ELSE (len - 200 + 149) // 150 + 1 END AS n_chunks
+             |  FROM dd),
+             |c AS (SELECT doc_id, t, len,
+             |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+             |  FROM n)
+             |SELECT doc_id, chunk_id, chunk_id * 150 AS start_off,
+             |  least(200, len - chunk_id * 150) AS chunk_len,
+             |  substr(t, (chunk_id * 150 + 1)::INT, 200) AS chunk_text
+             |FROM c""".stripMargin)),
+
+    // corpus_cap [EXT]: per-source document cap (C4-style "at most N
+    // pages per domain") — deterministic md5 priority, top-10 kept per
+    // source. The rank-filter shape plans as WindowGroupLimit (map-side
+    // prune to 10 rows per group before the exchange — the skew guard).
+    // Oracle replays the hash, the rank, and the cut.
+    Q("corpus_cap",
+      (s, d) => Corpus.capPerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), maxPerGroup = 10, portable = true),
+      Some("""WITH p AS (SELECT doc_id, source,
+             |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+             |      ::BIGINT AS pri
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY pri, doc_id) AS cap_rank
+             |  FROM p)
+             |SELECT doc_id, source, cap_rank FROM r
+             |WHERE cap_rank <= 10""".stripMargin)),
+
     // corpus_mix [EXT]: data mixing to target proportions — largest
     // corpus achievable at exactly 40/20/20/20 en/de/fr/es: the
     // scarcest stratum (relative to its weight) stays whole, the rest

@@ -335,6 +335,30 @@ object IngestQ {
       Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
              CAST(3 AS BIGINT) AS n_notnull""")),
 
+    // src_json [EXT]: line-delimited JSON read with an EXPLICIT schema
+    // (the production posture — inferSchema double-scans the input at
+    // 100 TB) over a deterministic fixture exercising nulls, a missing
+    // field, and a nested array; golden-VALUES oracle.
+    Q("src_json",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_json")
+        val f = dir.resolve("fixture.jsonl")
+        java.nio.file.Files.writeString(f,
+          """{"id":1,"name":"aa","v":1.5,"tags":["x","y"]}
+            |{"id":2,"name":"bb","v":2.5,"tags":[]}
+            |{"id":3,"name":"cc","v":null,"tags":["z"]}
+            |{"id":4,"name":"dd","v":4.0}
+            |""".stripMargin)
+        s.read.schema("id BIGINT, name STRING, v DOUBLE, tags ARRAY<STRING>")
+          .json(f.toString)
+          .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"),
+            count(col("v")).as("n_notnull"),
+            sum(coalesce(size(col("tags")), lit(0))).cast("bigint")
+              .as("n_tags"))
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
+             CAST(3 AS BIGINT) AS n_notnull, CAST(3 AS BIGINT) AS n_tags""")),
+
     // src_zip (`assess_changes.qmd:267-275`): zipped-CSV bundles via
     // binaryFile + ZipInputStream flatMap; deterministic fixture zip with
     // two entries sharing a header; golden-VALUES oracle.

@@ -91,6 +91,22 @@ object Relational {
              JOIN region ON n_regionkey = r_regionkey
              GROUP BY ROLLUP(r_name, n_name)""")),
 
+    // agg_cube [EXT]: all grouping-set combinations (status × priority
+    // marginals + grand total) in one pass — Spark expands the sets
+    // inside a single Expand + aggregate, no per-set rescan.
+    Q("agg_cube",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                count(*) AS n_ord, round(sum(o_totalprice), 2) AS sum_price
+                FROM v_orders
+                GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n_ord, round(sum(o_totalprice), 2) AS sum_price
+             FROM orders
+             GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
     // agg_distinct_col: distinct projection (`assess_changes.qmd:335-338`).
     Q("agg_distinct_col",
       (s, d) => t(s, d, "customer").select(col("c_mktsegment").as("segment"))

@@ -173,4 +173,59 @@ class CorpusSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(1L).isDefined && out(2L).isEmpty)
   }
+
+  test("chunkText: overlap reconstruction, final short chunk, edge lengths") {
+    // 10-char chunks, stride 7: "0123456789abcdefghij" (20 chars)
+    // → chunks at 0,7,14: "0123456789","789abcdefg","efghij"
+    val docs = Seq(
+      (1L, "0123456789abcdefghij"), // 20 chars → 3 chunks
+      (2L, "short"),                // < chunkSize → 1 whole chunk
+      (3L, ""),                     // empty → 1 empty chunk
+      (4L, null.asInstanceOf[String]), // null → treated as empty
+      (5L, "0123456789")            // exactly chunkSize → 1 chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkText(docs, "doc_id", "text", 10, 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+    assert(out(1L).map(_._5) == List("0123456789", "789abcdefg", "efghij"))
+    assert(out(1L).map(_._3) == List(0L, 7L, 14L), "start offsets")
+    assert(out(1L).map(_._4) == List(10L, 10L, 6L), "chunk lengths")
+    assert(out(2L) == List((2L, 0L, 0L, 5L, "short")))
+    assert(out(3L) == List((3L, 0L, 0L, 0L, "")))
+    assert(out(4L) == List((4L, 0L, 0L, 0L, "")))
+    assert(out(5L) == List((5L, 0L, 0L, 10L, "0123456789")))
+    // every character of every doc is covered by some chunk
+    val covered = out(1L).flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 20L).toSet)
+  }
+
+  test("chunkText rejects overlap >= chunkSize") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkText(docs, "doc_id", "text", 10, 10)
+    }
+  }
+
+  test("capPerGroup: cap enforced, deterministic, stable under repartition") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Corpus.capPerGroup(df, col("g"), col("id"), 7)
+      .as[(Long, String, Int)].collect()
+    assert(out.length == 21, "3 groups x cap 7")
+    assert(out.groupBy(_._2).forall(_._2.length == 7))
+    assert(out.forall(_._3 >= 1) && out.forall(_._3 <= 7))
+    // determinism: same rows regardless of input partitioning
+    val out2 = Corpus.capPerGroup(df.repartition(13), col("g"), col("id"), 7)
+      .as[(Long, String, Int)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == out2.map(r => (r._1, r._2)).toSet)
+    // portable and fast hashes select per their own (different) priority
+    val port = Corpus.capPerGroup(df, col("g"), col("id"), 7, portable = true)
+      .as[(Long, String, Int)].collect()
+    assert(port.length == 21)
+  }
+
+  test("capPerGroup: groups below the cap keep every row") {
+    val df = (0L until 5L).map(i => (i, "only")).toDF("id", "g")
+    val out = Corpus.capPerGroup(df, col("g"), col("id"), 10)
+    assert(out.count() == 5L)
+  }
 }

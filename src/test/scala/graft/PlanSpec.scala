@@ -207,6 +207,22 @@ class PlanSpec extends SparkFunSuite {
       "fuzzy join degraded to all-pairs:\n" + p.take(1500))
   }
 
+  test("corpus_cap: rank filter plans WindowGroupLimit; one group exchange") {
+    val p = plan("corpus_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group cap lost its map-side prune (mega-domain skew guard)")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1,
+      s"cap should shuffle once on the group key ($exchanges exchanges)")
+  }
+
+  test("text_chunk: pure narrow projection — no exchange at all") {
+    val p = plan("text_chunk")
+    assert(!p.contains("Exchange"),
+      "chunking introduced a shuffle:\n" + p.take(1500))
+    assert(p.contains("Generate"), "explode-based chunk expansion missing")
+  }
+
   test("win_session: both windows and aggregates share ONE user exchange") {
     val p = plan("win_session")
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
