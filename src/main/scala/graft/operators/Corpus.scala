@@ -114,6 +114,47 @@ object Corpus {
         floor((col("cum") - 1) / window).as("last_chunk"))
   }
 
+  /** Unigram cross-entropy document scoring — the perplexity-style
+    * quality filter of a CCNet-like pipeline (there: a KenLM 5-gram;
+    * here: the dependency-free unigram LM trained on the corpus
+    * itself). A document's score is the average negative log-likelihood
+    * of its tokens under the corpus-wide term distribution, in nats per
+    * token: low = built from common tokens (boilerplate-ish), high =
+    * rare-token-heavy (noise, codes, other languages). Real pipelines
+    * threshold or stratify on this score.
+    *
+    * Plan shape at scale: "training" the LM and scoring share ONE
+    * tokenized pass — per-doc term frequencies first (shuffle on
+    * (doc, term), map-side partial agg), the term totals derive from
+    * that (term-keyed shuffle of the already-aggregated counts, NOT the
+    * token stream), and scoring joins tf to the totals on term (both
+    * sides term-keyed). The vocabulary is never broadcast or collected
+    * — at 100 TB it wouldn't fit anywhere but a shuffle.
+    *
+    * @return (idCol, n_tokens, xent) — xent is NULL for documents with
+    *         no tokens (they carry no evidence either way; callers
+    *         filter or coalesce per policy)
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    def tok = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tc = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = tc.agg(sum("cnt").as("total"))
+    val scored = tf.join(tc, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (-sum(col("tf") * log(col("cnt") / col("total"))) /
+          sum(col("tf"))).as("h"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("h"), 4).as("xent"))
+  }
+
   /** Fixed-size overlapping text chunking — the RAG / context-window
     * preparation step: each document is cut into `chunkSize`-character
     * windows advancing by `chunkSize - overlap` characters, so

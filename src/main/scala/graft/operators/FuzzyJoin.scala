@@ -26,17 +26,20 @@ import org.apache.spark.sql.functions._
   *     moment the distance provably exceeds `k`: O(k·min(|a|,|b|))
   *     per surviving pair instead of O(|a|·|b|).
   *
-  * Scale shape: the only shuffle is the equi-join on the block key.
-  * Within-block pair enumeration is quadratic in block size — that is
-  * inherent to exact pairwise linkage — so oversized blocks are the
+  * Scale shape: identical texts collapse into (block, text) groups
+  * before enumeration, so candidate generation and the DP are
+  * quadratic in DISTINCT texts per block, never in records — the
+  * all-unique corpus degenerates to the record-pair join, the
+  * low-entropy corpus (few names, many records: the shape that needs
+  * linkage most) collapses by orders of magnitude. The only shuffle is
+  * the group/join exchange on the block key. Oversized blocks are the
   * skew hazard, and the same guardrail as Dedup's mega-bucket salting
-  * applies (Dedup.scala): blocks larger than `maxBlockSize` are split
-  * into deterministic hash sub-blocks on the left side while the right
-  * side replicates across the sub-blocks. Each pair is still compared
-  * EXACTLY once (left occurrence decides the sub-block; the `a < b`
-  * orientation kills the mirror), recall is 1.0 by construction, and
-  * per-task row count is bounded by `maxBlockSize · |block|/nsub`
-  * regardless of how hot the block key is.
+  * applies (Dedup.scala): both sides sub-group by a record-hash salt
+  * (key lists stay bounded even for one mega-repeated text) and the
+  * b-side replicates its group rows across the sub-blocks. Every
+  * unordered record pair meets exactly twice (once per text
+  * orientation) and the `a < b` cut keeps exactly one; recall is 1.0
+  * by construction.
   */
 object FuzzyJoin {
 
@@ -77,23 +80,53 @@ object FuzzyJoin {
       .select(col("blk"), ceil(col("bn") / maxBlockSize).cast("long")
         .as("nsub")))
 
-    val a = base.join(subPlan, Seq("blk"), "left")
+    // Collapse identical texts BEFORE pair enumeration: records group
+    // into (block, sub, text) key-lists, candidate generation and the
+    // Levenshtein DP run once per DISTINCT-TEXT pair, and surviving
+    // text pairs explode back into record pairs. Enumeration cost goes
+    // from quadratic in records to quadratic in distinct texts per
+    // block — identical in the all-unique worst case, and orders of
+    // magnitude less in low-entropy corpora (few names, many records:
+    // exactly the shape that needs fuzzy linkage). dist >= 1 already
+    // excludes identical-text pairs, so nothing is lost by never
+    // comparing a group to itself.
+    //
+    // Both sides sub-group by the record-hash salt, so every key list
+    // is bounded by ~maxBlockSize/nsub even for a mega-block of ONE
+    // repeated text; the b-side replicates its (small) GROUP rows
+    // across subs, never its records. The explicit repartition on the
+    // join key (blk, sub) makes the groupBys and the join share ONE
+    // exchange per side (subset-key clustering satisfies both).
+    def grouped(side: String) = base.join(subPlan, Seq("blk"), "left")
       .withColumn("sub",
         when(col("nsub").isNull, lit(0L))
           .otherwise(pmod(xxhash64(col("k")), col("nsub"))))
-      .select(col("blk"), col("sub"), col("k").as("a_key"),
-        col("txt").as("a_txt"), col("len").as("a_len"))
-    val b = base.join(subPlan, Seq("blk"), "left")
-      .withColumn("sub",
+      .repartition(col("blk"), col("sub"))
+      .groupBy("blk", "sub", "nsub", "txt", "len")
+      .agg(collect_list("k").as(s"${side}_ks"))
+
+    val a = grouped("a")
+      .select(col("blk"), col("sub"), col("txt").as("a_txt"),
+        col("len").as("a_len"), col("a_ks"))
+    val b = grouped("b")
+      .withColumn("rsub",
         explode(sequence(lit(0L), coalesce(col("nsub") - 1, lit(0L)))))
-      .select(col("blk"), col("sub"), col("k").as("b_key"),
-        col("txt").as("b_txt"), col("len").as("b_len"))
+      .select(col("blk"), col("rsub").as("sub"), col("txt").as("b_txt"),
+        col("len").as("b_len"), col("b_ks"))
 
     a.join(b, Seq("blk", "sub"))
-      .filter(col("a_key") < col("b_key") &&
-        abs(col("a_len") - col("b_len")) <= maxDist)
+      .filter(abs(col("a_len") - col("b_len")) <= maxDist &&
+        col("a_txt") =!= col("b_txt"))
       .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), maxDist))
       .filter(col("dist").between(1, maxDist))
+      // surviving text pairs expand to record pairs; each unordered
+      // record pair meets twice (once per text orientation) and the
+      // a_key < b_key cut keeps exactly one
+      .select(col("blk"), explode(col("a_ks")).as("a_key"), col("b_ks"),
+        col("a_txt"), col("b_txt"), col("dist"))
+      .select(col("blk"), col("a_key"), explode(col("b_ks")).as("b_key"),
+        col("a_txt"), col("b_txt"), col("dist"))
+      .filter(col("a_key") < col("b_key"))
       .select("blk", "a_key", "b_key", "a_txt", "b_txt", "dist")
   }
 }

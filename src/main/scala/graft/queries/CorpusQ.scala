@@ -194,6 +194,29 @@ object CorpusQ {
              |  (cum - 1) // 256 AS last_chunk
              |FROM c""".stripMargin)),
 
+    // text_perplexity [EXT]: unigram cross-entropy quality scoring
+    // (the CCNet perplexity-filter shape, with the corpus's own unigram
+    // LM standing in for KenLM). Integer tf/cnt/total on both engines;
+    // per-term ln() hits the same IEEE doubles, per-doc sums reorder
+    // with ~1e-13 relative error — far from any 4-decimal boundary.
+    Q("text_perplexity",
+      (s, d) => Corpus.unigramCrossEntropy(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(
+             |    lower(text), '[^a-z0-9]+')) AS term FROM documents),
+             |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM tok2 GROUP BY doc_id, term),
+             |tc AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+             |tot AS (SELECT sum(cnt)::BIGINT AS total FROM tc),
+             |sc AS (SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+             |    round(-sum(tf.tf * ln(tc.cnt / tot.total)) / sum(tf.tf), 4)
+             |      AS xent
+             |  FROM tf JOIN tc USING (term), tot GROUP BY tf.doc_id)
+             |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, sc.xent
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin)),
+
     // text_chunk [EXT]: fixed-size overlapping chunking (RAG / context-
     // window prep) — 200-char windows advancing by 150 (50 overlap).
     // Narrow exploding projection, no shuffle; integer-DIV chunk count

@@ -223,6 +223,23 @@ class CorpusSpec extends SparkFunSuite {
     assert(port.length == 21)
   }
 
+  test("unigramCrossEntropy: hand-computed LM scores; empty doc → null") {
+    // corpus: "a a b" + "a c" + "" → counts a=3 b=1 c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Corpus.unigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toList.sortBy(_._1)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val h1 = -(2 * math.log(3.0 / 5) + 1 * math.log(1.0 / 5)) / 3
+    val h2 = -(math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(out(0) == ((1L, 3L, Some(r4(h1)))))
+    assert(out(1) == ((2L, 2L, Some(r4(h2)))))
+    assert(out(2) == ((3L, 0L, None)), "token-less doc keeps a NULL-score row")
+    // rare-token doc scores strictly higher than the common-token doc
+    assert(out(1)._3.get > out(0)._3.get)
+  }
+
   test("capPerGroup: groups below the cap keep every row") {
     val df = (0L until 5L).map(i => (i, "only")).toDF("id", "g")
     val out = Corpus.capPerGroup(df, col("g"), col("id"), 10)
