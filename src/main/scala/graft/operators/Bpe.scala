@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training — the tokenizer-learning step of
+  * an LLM data pipeline (Sennrich et al., "Neural Machine Translation
+  * of Rare Words with Subword Units", ACL'16). The reference has no
+  * tokenizer surface; this is the [EXT] generalization that turns the
+  * corpus the other operators curate into a trainable vocabulary.
+  *
+  * Algorithm (classic word-level BPE): words start as character
+  * sequences; each round counts adjacent symbol pairs weighted by word
+  * frequency, merges the globally most frequent pair (ties broken by
+  * the space-joined pair string — symbols are alphanumeric and ' '
+  * sorts below them, so string order equals (left, right) tuple order
+  * in every engine), and rewrites the vocabulary with a single greedy
+  * left-to-right scan per word (a fresh merge output never re-merges
+  * within the same round).
+  *
+  * Scale shape: training runs over the WORD-FREQUENCY table, not the
+  * corpus — the one corpus-sized pass is the token count. Per round the
+  * distributed loop does one map-side-combinable pair aggregate, one
+  * TakeOrdered(1) for the argmax (a single row to the driver — the
+  * same bounded count-then-choose posture as broadcast planning), and
+  * one narrow higher-order-function rewrite of the symbol strings;
+  * each round's vocabulary is stage-checkpointed ([[Stage]]) to
+  * truncate the iterative lineage. Vocabularies at or below
+  * `localVocabLimit` (default 100k words ≈ a few MB) instead collect
+  * once and train driver-side in microseconds — bit-identical results,
+  * asserted by spec.
+  */
+object Bpe {
+
+  /** Learn `numMerges` BPE merges from the corpus.
+    *
+    * @param docs corpus; tokenized as lowercase [a-z0-9]+ runs (the
+    *             same convention as the tf-idf / perplexity operators)
+    * @param localVocabLimit max distinct-word count for the driver-side
+    *             fast path; <= -1 reads `spark.graft.bpe.localVocabLimit`
+    *             (default 100000), 0 forces the distributed loop
+    * @return (step, lhs, rhs, merged, pair_freq) — one row per learned
+    *         merge, step 1-based; fewer than `numMerges` rows when the
+    *         vocabulary runs out of adjacent pairs
+    */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  localVocabLimit: Long = -1L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val limit =
+      if (localVocabLimit >= 0L) localVocabLimit
+      else spark.conf.getOption("spark.graft.bpe.localVocabLimit")
+        .map(_.toLong).getOrElse(100000L)
+
+    // the ONE corpus-sized pass: token counts → (word, freq)
+    val words = Stage.materialize(
+      docs.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq")),
+      "bpe_vocab")
+
+    val merges =
+      if (words.count() <= limit) {
+        val vocab = words.as[(String, Long)].collect()
+        localTrain(vocab, numMerges)
+      } else distributedTrain(words, numMerges)
+
+    merges.toDF("step", "lhs", "rhs", "merged", "pair_freq")
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+        col("pair_freq"))
+  }
+
+  /** Driver-side trainer over a bounded collected vocabulary. */
+  private def localTrain(vocab: Array[(String, Long)],
+                         numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var syms = vocab.map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts = new java.util.HashMap[String, Long]()
+      syms.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          counts.merge(s(i) + " " + s(i + 1), f, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax by (freq desc, pair-string asc) — the engine-portable order
+        var bestPair: String = null
+        var bestF = Long.MinValue
+        counts.forEach { (p, f) =>
+          if (f > bestF || (f == bestF && p < bestPair)) {
+            bestPair = p; bestF = f
+          }
+        }
+        val Array(a, b) = bestPair.split(" ", 2)
+        val m = a + b
+        syms = syms.map { case (s, f) => (mergeOnce(s, a, b, m), f) }
+        out += ((step, a, b, m, bestF))
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** One greedy left-to-right merge pass — the reference semantics the
+    * distributed HOF and the DuckDB oracle lambda both replicate.
+    */
+  private[graft] def mergeOnce(s: Array[String], a: String, b: String,
+                                   m: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+        out += m; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Distributed loop: pair aggregate → TakeOrdered(1) argmax → HOF
+    * rewrite, vocabulary staged per round. The greedy scan folds the
+    * token array with a space-joined string accumulator; a just-merged
+    * symbol differs textually from its parts, so it can never re-merge
+    * within the round — identical semantics to [[mergeOnce]].
+    */
+  private def distributedTrain(words0: DataFrame,
+                               numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var cur = words0.select(
+      expr("trim(regexp_replace(w, '(.)', '$1 '))").as("syms"), col("freq"))
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val staged = Stage.materialize(cur, "bpe_round")
+      val best = staged
+        .select(explode(expr(
+          // NB Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+          // single-symbol words must short-circuit to an empty array
+          """CASE WHEN size(split(syms, ' ')) < 2 THEN array()
+            |ELSE transform(sequence(1, size(split(syms, ' ')) - 1),
+            |  j -> concat(element_at(split(syms, ' '), j), ' ',
+            |              element_at(split(syms, ' '), j + 1))) END"""
+            .stripMargin)).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("f"))
+        .orderBy(col("f").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val f = best(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        val m = a + b
+        cur = staged.select(expr(
+          s"""aggregate(slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1),
+             |  element_at(split(syms, ' '), 1),
+             |  (acc, x) -> CASE
+             |    WHEN acc = '$a' AND x = '$b' THEN '$m'
+             |    WHEN endswith(acc, concat(' ', '$a')) AND x = '$b'
+             |      THEN concat(substring(acc, 1,
+             |        length(acc) - length('$a') - 1), ' ', '$m')
+             |    ELSE concat(acc, ' ', x) END)""".stripMargin).as("syms"),
+          col("freq"))
+        out += ((step, a, b, m, f))
+        step += 1
+      }
+    }
+    out.result()
+  }
+}

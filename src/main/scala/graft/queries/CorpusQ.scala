@@ -13,7 +13,64 @@ import graft.operators.{ConnectedComponents, Corpus, Dedup}
   */
 object CorpusQ {
 
+  /** DuckDB replay of `numMerges` rounds of BPE training, unrolled as
+    * one CTE chain per round: pair counting (unnest of adjacent token
+    * pairs weighted by word freq), the argmax with the engine-portable
+    * (freq DESC, pair-string ASC) tie-break, and the greedy
+    * left-to-right merge as a `list_reduce` whose lambda mirrors the
+    * operator's fold exactly (string accumulator, suffix test,
+    * just-merged symbols never re-merge within a round). A round with
+    * no pairs left yields empty CTEs from there on — the same
+    * early-stop row count as the operator.
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val head =
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text),
+        |    '[^a-z0-9]+')) AS w FROM documents),
+        |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok
+        |  WHERE w <> '' GROUP BY w),
+        |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+        |  freq FROM words)""".stripMargin
+    val stages = (1 to numMerges).map { k =>
+      s"""i$k AS (SELECT unnest(generate_series(1, len(tok) - 1)) AS i,
+         |    tok, freq
+         |  FROM (SELECT string_split(syms, ' ') AS tok, freq
+         |        FROM w${k - 1})),
+         |p$k AS (SELECT tok[i] || ' ' || tok[i + 1] AS pair,
+         |    sum(freq)::BIGINT AS f
+         |  FROM i$k GROUP BY 1),
+         |m$k AS (SELECT pair, f, string_split(pair, ' ')[1] AS lhs,
+         |    string_split(pair, ' ')[2] AS rhs,
+         |    replace(pair, ' ', '') AS merged
+         |  FROM p$k ORDER BY f DESC, pair LIMIT 1),
+         |w$k AS (SELECT list_reduce(string_split(syms, ' '),
+         |    (acc, x) -> CASE
+         |      WHEN acc = m.lhs AND x = m.rhs THEN m.merged
+         |      WHEN ends_with(acc, ' ' || m.lhs) AND x = m.rhs
+         |        THEN left(acc, length(acc) - length(m.lhs) - 1)
+         |          || ' ' || m.merged
+         |      ELSE acc || ' ' || x END) AS syms, freq
+         |  FROM w${k - 1}, m$k m)""".stripMargin
+    }
+    val union = (1 to numMerges)
+      .map(k => s"SELECT $k::INT AS step, lhs, rhs, merged, f AS pair_freq FROM m$k")
+      .mkString("\nUNION ALL\n")
+    (head +: stages).mkString(",\n") + "\n" + union
+  }
+
   val all: Seq[Q] = Seq(
+
+    // tok_bpe [EXT]: BPE tokenizer-merge training (Sennrich'16) — 8
+    // learned merges over the corpus vocabulary. The pipeline's one
+    // corpus-sized pass is the token count; every round then works the
+    // (word, freq) table. Independent oracle: the full 8-round replay
+    // in SQL (pair counts, portable argmax tie-break, list_reduce
+    // greedy merge) — any regression in counting, ordering, or the
+    // merge scan diverges the learned merges and breaks the gate.
+    Q("tok_bpe",
+      (s, d) => graft.operators.Bpe.trainMerges(
+        t(s, d, "documents").select(col("text")), "text", numMerges = 8),
+      Some(bpeOracleSql(8))),
 
     // line_dedup [EXT]: CCNet-style boilerplate line removal — a line
     // occurring in >= 10 distinct docs (headers/footers/banners) is
