@@ -45,6 +45,54 @@ object Bpe {
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
                   localVocabLimit: Long = -1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, merges) = trainCore(docs, textCol, numMerges, localVocabLimit)
+    merges.toDF("step", "lhs", "rhs", "merged", "pair_freq")
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+        col("pair_freq"))
+  }
+
+  /** Per-document subword statistics under the learned merges — the
+    * apply side of the tokenizer lifecycle: how many whitespace-ish
+    * words and how many BPE subwords each document encodes to, and the
+    * fertility ratio (subwords per word) that tokenizer evaluations
+    * report. Merges apply to the VOCABULARY (one HOF rewrite per merge
+    * over the word table), never per token occurrence; documents then
+    * join their tokens to the encoded vocabulary on the word — the
+    * token stream only ever shuffles as (doc, word) scalars.
+    *
+    * @return (idCol, n_words, n_subwords, fertility); token-less
+    *         documents keep a (0, 0, NULL) row
+    */
+  def subwordStats(docs: DataFrame, idCol: String, textCol: String,
+                   numMerges: Int, localVocabLimit: Long = -1L): DataFrame = {
+    val (vocab, merges) = trainCore(docs, textCol, numMerges, localVocabLimit)
+    val base = vocab.select(col("w"),
+      expr("trim(regexp_replace(w, '(.)', '$1 '))").as("syms"))
+    val applied = merges.foldLeft(base) { case (df, (_, a, b, m, _)) =>
+      df.select(col("w"), expr(mergeExpr(a, b, m)).as("syms"))
+    }
+    val sub = applied.select(col("w"),
+      size(split(col("syms"), " ")).cast("long").as("n_sub"))
+    val tok = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "")
+    val agg = tok.join(sub, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nw"), sum("n_sub").as("ns"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("ns"), lit(0L)).as("n_subwords"),
+        round(col("ns") / col("nw"), 4).as("fertility"))
+  }
+
+  /** Shared trainer: staged vocabulary + the learned merge list. */
+  private def trainCore(docs: DataFrame, textCol: String, numMerges: Int,
+                        localVocabLimit: Long)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -65,11 +113,22 @@ object Bpe {
         val vocab = words.as[(String, Long)].collect()
         localTrain(vocab, numMerges)
       } else distributedTrain(words, numMerges)
-
-    merges.toDF("step", "lhs", "rhs", "merged", "pair_freq")
-      .select(col("step"), col("lhs"), col("rhs"), col("merged"),
-        col("pair_freq"))
+    (words, merges)
   }
+
+  /** The greedy left-to-right merge scan as a SQL higher-order fold —
+    * shared by the distributed trainer and the apply path; the DuckDB
+    * oracle lambda mirrors it term for term.
+    */
+  private def mergeExpr(a: String, b: String, m: String): String =
+    s"""aggregate(slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1),
+       |  element_at(split(syms, ' '), 1),
+       |  (acc, x) -> CASE
+       |    WHEN acc = '$a' AND x = '$b' THEN '$m'
+       |    WHEN endswith(acc, concat(' ', '$a')) AND x = '$b'
+       |      THEN concat(substring(acc, 1,
+       |        length(acc) - length('$a') - 1), ' ', '$m')
+       |    ELSE concat(acc, ' ', x) END)""".stripMargin
 
   /** Driver-side trainer over a bounded collected vocabulary. */
   private def localTrain(vocab: Array[(String, Long)],
@@ -156,16 +215,7 @@ object Bpe {
         val f = best(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         val m = a + b
-        cur = staged.select(expr(
-          s"""aggregate(slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1),
-             |  element_at(split(syms, ' '), 1),
-             |  (acc, x) -> CASE
-             |    WHEN acc = '$a' AND x = '$b' THEN '$m'
-             |    WHEN endswith(acc, concat(' ', '$a')) AND x = '$b'
-             |      THEN concat(substring(acc, 1,
-             |        length(acc) - length('$a') - 1), ' ', '$m')
-             |    ELSE concat(acc, ' ', x) END)""".stripMargin).as("syms"),
-          col("freq"))
+        cur = staged.select(expr(mergeExpr(a, b, m)).as("syms"), col("freq"))
         out += ((step, a, b, m, f))
         step += 1
       }

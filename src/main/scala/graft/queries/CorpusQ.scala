@@ -23,13 +23,18 @@ object CorpusQ {
     * no pairs left yields empty CTEs from there on — the same
     * early-stop row count as the operator.
     */
-  private def bpeOracleSql(numMerges: Int): String = {
+  /** Shared CTE chain for the BPE oracles: doc-tagged tokens, word
+    * frequencies, and `numMerges` unrolled training rounds
+    * (w0..wN / m1..mN). The wk stages carry the original word so the
+    * apply oracle can map word → encoded symbols.
+    */
+  private def bpeStageSql(numMerges: Int): String = {
     val head =
-      """WITH tok AS (SELECT unnest(string_split_regex(lower(text),
+      """WITH dtok AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z0-9]+')) AS w FROM documents),
-        |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok
-        |  WHERE w <> '' GROUP BY w),
-        |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+        |tok AS (SELECT doc_id, w FROM dtok WHERE w <> ''),
+        |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY w),
+        |w0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
         |  freq FROM words)""".stripMargin
     val stages = (1 to numMerges).map { k =>
       s"""i$k AS (SELECT unnest(generate_series(1, len(tok) - 1)) AS i,
@@ -43,20 +48,38 @@ object CorpusQ {
          |    string_split(pair, ' ')[2] AS rhs,
          |    replace(pair, ' ', '') AS merged
          |  FROM p$k ORDER BY f DESC, pair LIMIT 1),
-         |w$k AS (SELECT list_reduce(string_split(syms, ' '),
+         |w$k AS (SELECT w, CASE WHEN m.lhs IS NULL THEN syms
+         |    ELSE list_reduce(string_split(syms, ' '),
          |    (acc, x) -> CASE
          |      WHEN acc = m.lhs AND x = m.rhs THEN m.merged
          |      WHEN ends_with(acc, ' ' || m.lhs) AND x = m.rhs
          |        THEN left(acc, length(acc) - length(m.lhs) - 1)
          |          || ' ' || m.merged
-         |      ELSE acc || ' ' || x END) AS syms, freq
-         |  FROM w${k - 1}, m$k m)""".stripMargin
+         |      ELSE acc || ' ' || x END) END AS syms, freq
+         |  FROM w${k - 1} LEFT JOIN m$k m ON true)""".stripMargin
     }
+    (head +: stages).mkString(",\n")
+  }
+
+  private def bpeOracleSql(numMerges: Int): String = {
     val union = (1 to numMerges)
       .map(k => s"SELECT $k::INT AS step, lhs, rhs, merged, f AS pair_freq FROM m$k")
       .mkString("\nUNION ALL\n")
-    (head +: stages).mkString(",\n") + "\n" + union
+    bpeStageSql(numMerges) + "\n" + union
   }
+
+  private def bpeApplySql(numMerges: Int): String =
+    bpeStageSql(numMerges) +
+      s""",
+         |sub AS (SELECT w, len(string_split(syms, ' '))::BIGINT AS n_sub
+         |  FROM w$numMerges),
+         |ag AS (SELECT t.doc_id, count(*)::BIGINT AS nw,
+         |    sum(s.n_sub)::BIGINT AS ns
+         |  FROM tok t JOIN sub s USING (w) GROUP BY t.doc_id)
+         |SELECT d.doc_id, coalesce(ag.nw, 0) AS n_words,
+         |  coalesce(ag.ns, 0) AS n_subwords,
+         |  round(ag.ns / ag.nw, 4) AS fertility
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -71,6 +94,20 @@ object CorpusQ {
       (s, d) => graft.operators.Bpe.trainMerges(
         t(s, d, "documents").select(col("text")), "text", numMerges = 8),
       Some(bpeOracleSql(8))),
+
+    // tok_bpe_apply [EXT]: the apply side of the tokenizer lifecycle —
+    // encode the corpus under the 8 learned merges and report per-doc
+    // word/subword counts and fertility (subwords per word). Merges
+    // rewrite the VOCABULARY (8 narrow HOF passes over the word
+    // table); documents join their tokens to the encoded vocabulary on
+    // the word, so the corpus-sized stream is (doc, word) scalars.
+    // Oracle: the same 8-round replay, then the word→subword-count
+    // join-back.
+    Q("tok_bpe_apply",
+      (s, d) => graft.operators.Bpe.subwordStats(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", numMerges = 8),
+      Some(bpeApplySql(8))),
 
     // line_dedup [EXT]: CCNet-style boilerplate line removal — a line
     // occurring in >= 10 distinct docs (headers/footers/banners) is

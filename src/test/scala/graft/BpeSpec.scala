@@ -56,6 +56,19 @@ class BpeSpec extends SparkFunSuite {
     assert(local.nonEmpty)
   }
 
+  test("subwordStats: hand-computed fertility under learned merges") {
+    // one merge on "low low" corpus: (l,o) and (o,w) tie at 2 →
+    // 'l o' wins → vocab "low" encodes to [lo, w] → 2 subwords/word
+    val docs = Seq((1L, "low low"), (2L, ""), (3L, "low"))
+      .toDF("doc_id", "text")
+    val out = Bpe.subwordStats(docs, "doc_id", "text", numMerges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(_._1).toList
+    assert(out(0) == ((1L, 2L, 4L, Some(2.0))))
+    assert(out(1) == ((2L, 0L, 0L, None)), "token-less doc keeps a row")
+    assert(out(2) == ((3L, 1L, 2L, Some(2.0))))
+  }
+
   test("vocabulary exhaustion stops early with fewer rows") {
     // single char per word → one pair-less round after 0 merges? No:
     // "a b" has two single-char words, no adjacent pairs at all
