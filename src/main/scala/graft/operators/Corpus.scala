@@ -55,21 +55,31 @@ object Corpus {
   /** Top-`k` tf-idf keywords per document: terms are lowercase
     * alphanumeric runs; score = tf · ln(N / df); ties broken by term.
     *
-    * Plan shape at scale: term frequencies shuffle on (doc, term),
-    * document frequencies on term; the scored stream joins on term
-    * (both sides already term-keyed) and the per-doc top-k runs as a
+    * Plan shape at scale: the token stream shuffles ONCE on term; that
+    * exchange serves the (doc, term) frequency aggregate (subset-key
+    * clustering), the document-frequency aggregate (derived from tf —
+    * one row per (doc, term), so count(*) per term IS the distinct-doc
+    * count), and the tf ⋈ df join. The per-doc top-k runs as a
     * rank-limit window — Spark's WindowGroupLimit prunes to k rows per
-    * doc on the map side before the final shuffle.
+    * doc on the map side before that second, output-inherent shuffle.
     *
     * @return (idCol, term, tfidf, rank), rank 1..k per document
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
-    def tok = docs.select(col(idCol),
+    val tok = docs.select(col(idCol),
       explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
       .filter(col("term") =!= "")
-    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfq = tok.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
+    // ONE term-keyed exchange serves the whole scoring side: the
+    // (doc, term) frequency aggregate runs on it (subset-key
+    // clustering), document frequency derives FROM tf (one row per
+    // (doc, term) — count(*) per term IS the distinct-doc count; no
+    // second corpus scan), and the tf ⋈ df join is already term-keyed
+    // on both sides. The only other exchange is the per-doc rank
+    // window's — inherent to the output.
+    val tf = tok.repartition(col("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
@@ -137,10 +147,13 @@ object Corpus {
     */
   def unigramCrossEntropy(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    def tok = docs.select(col(idCol),
+    val tok = docs.select(col(idCol),
       explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
       .filter(col("term") =!= "")
-    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // one term-keyed exchange shared by tf, the term totals, and the
+    // scoring join (same single-exchange shape as tfidfTopK)
+    val tf = tok.repartition(col("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val tc = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val total = tc.agg(sum("cnt").as("total"))
     val scored = tf.join(tc, "term")

@@ -101,6 +101,103 @@ class FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("chunkText: 25 random (text, size, overlap) — coverage and reassembly") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 25) {
+      val chunkSize = 2 + rnd.nextInt(20)
+      val overlap = rnd.nextInt(chunkSize)
+      val stride = chunkSize - overlap
+      val texts = (0L until (1 + rnd.nextInt(8)).toLong).map { id =>
+        (id, rnd.alphanumeric.take(rnd.nextInt(80)).mkString)
+      }
+      val out = graft.operators.Corpus.chunkText(
+        texts.toDF("doc_id", "text"), "doc_id", "text", chunkSize, overlap)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+      texts.foreach { case (id, txt) =>
+        val chunks = out(id)
+        assert(chunks.nonEmpty, s"trial $trial doc $id: no chunks")
+        // offsets advance by exactly the stride, slices match substring
+        chunks.zipWithIndex.foreach { case ((_, cid, off, len, body), i) =>
+          assert(cid == i && off == i.toLong * stride)
+          assert(body == txt.slice(off.toInt, off.toInt + chunkSize),
+            s"trial $trial doc $id chunk $i")
+          assert(len == body.length.toLong)
+        }
+        // stitching chunks (dropping each chunk's overlap head) = text
+        val stitched = chunks.head._5 +
+          chunks.tail.map(c => c._5.drop(overlap)).mkString
+        assert(stitched == txt,
+          s"trial $trial doc $id: reassembly mismatch (cs=$chunkSize ov=$overlap)")
+        // no chunk starts past the end; at most one chunk would fit after
+        assert(chunks.last._3 <= math.max(0, txt.length - 1).toLong ||
+          txt.isEmpty)
+      }
+    }
+  }
+
+  test("capPerGroup: 15 random groupings — cap exact, priority honored") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 15) {
+      val n = 20 + rnd.nextInt(200)
+      val groups = 1 + rnd.nextInt(6)
+      val cap = 1 + rnd.nextInt(12)
+      val rows = (0L until n.toLong).map(i => (i, s"g${rnd.nextInt(groups)}"))
+      val df = rows.toDF("id", "g")
+      val out = graft.operators.Corpus.capPerGroup(
+        df, col("g"), col("id"), cap, portable = true)
+        .as[(Long, String, Int)].collect()
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val outBy = out.groupBy(_._2)
+      sizes.foreach { case (g, sz) =>
+        val kept = outBy.getOrElse(g, Array.empty).length
+        assert(kept == math.min(sz, cap), s"trial $trial group $g")
+      }
+      // replay the md5 priority: the kept set must be the cap-smallest
+      def pri(id: Long): BigInt = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:42".getBytes("UTF-8"))
+        BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+      }
+      rows.groupBy(_._2).foreach { case (g, members) =>
+        val expect = members.map(_._1)
+          .sortBy(id => (pri(id), id)).take(cap).toSet
+        val got = outBy.getOrElse(g, Array.empty).map(_._1).toSet
+        assert(got == expect, s"trial $trial group $g: priority order")
+      }
+    }
+  }
+
+  test("unigramCrossEntropy: 10 random corpora match a direct replay") {
+    val rnd = new Random(17)
+    val lexicon = Vector("alpha", "beta", "gamma", "delta", "x1", "z")
+    for (trial <- 1 to 10) {
+      val docs = (0L until (2 + rnd.nextInt(6)).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(12))(
+          lexicon(rnd.nextInt(lexicon.length))).mkString(" "))
+      }
+      val out = graft.operators.Corpus.unigramCrossEntropy(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+        .toMap
+      val counts = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = counts.values.sum.toDouble
+      docs.foreach { case (id, txt) =>
+        val toks = txt.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) assert(out(id) == ((0L, None)), s"trial $trial doc $id")
+        else {
+          val h = -toks.map(t => math.log(counts(t) / total)).sum / toks.length
+          val (nTok, Some(x)) = out(id)
+          assert(nTok == toks.length.toLong)
+          assert(math.abs(x - h) < 5e-5,
+            s"trial $trial doc $id: $x vs $h")
+        }
+      }
+    }
+  }
+
   test("ZOrder: random dims/bits agree with the SQL twin and stay injective") {
     val rnd = new Random(23)
     for (trial <- 1 to 10) {
