@@ -37,6 +37,35 @@ object Sampling {
       bucket1M(idCol, seed, portable) < (frac * 1e6).cast("long"))
   }
 
+  /** Deterministic multi-way split assignment — the train/val/test
+    * partitioning step of a training-data pipeline: each row gets the
+    * first split whose cumulative fraction bound exceeds the row's
+    * content-hash bucket. Content addressing makes the split
+    * reproducible across runs, retries, cluster sizes, and (with
+    * `portable = true`) across engines — and a document keeps its split
+    * when the corpus around it grows, which `ntile`/`rand` splits do
+    * not guarantee. Narrow projection: no shuffle.
+    *
+    * @param splits ordered (name, fraction) list; fractions must sum
+    *               to 1 (last split absorbs the hash-bucket remainder)
+    * @return input columns + `split`
+    */
+  def assignSplits(df: DataFrame, idCol: Column,
+                   splits: Seq[(String, Double)], seed: Long = 42L,
+                   portable: Boolean = false): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be positive and sum to 1: $splits")
+    val b = bucket1M(idCol, seed, portable)
+    val uppers = splits.scanLeft(0.0)(_ + _._2).tail // cumulative bounds
+    val assign = splits.zip(uppers).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), upper), els) =>
+          when(b < (upper * 1e6).toLong, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** `portable = false`: xxhash64 — the fast path (one multiply-rotate
     * per row; use at 100 TB). `portable = true`: the low 60 bits of
     * md5(id || ':' || seed) — byte-identical in any engine with md5

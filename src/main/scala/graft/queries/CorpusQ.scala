@@ -353,6 +353,24 @@ object CorpusQ {
              |SELECT doc_id, source, cap_rank FROM r
              |WHERE cap_rank <= 10""".stripMargin)),
 
+    // corpus_split [EXT]: deterministic 80/10/10 train/val/test
+    // assignment by the portable content hash — a doc keeps its split
+    // across runs, retries, cluster sizes, engines, and corpus growth.
+    // Narrow projection (no shuffle); the oracle replays hash, bounds,
+    // and labels per row.
+    Q("corpus_split",
+      (s, d) => graft.operators.Sampling.assignSplits(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), portable = true),
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN b < 800000 THEN 'train'
+             |       WHEN b < 900000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, lang,
+             |  ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+             |    ::BIGINT % 1000000 AS b FROM documents)""".stripMargin)),
+
     // corpus_mix [EXT]: data mixing to target proportions — largest
     // corpus achievable at exactly 40/20/20/20 en/de/fr/es: the
     // scarcest stratum (relative to its weight) stays whole, the rest

@@ -91,6 +91,29 @@ object Relational {
              JOIN region ON n_regionkey = r_regionkey
              GROUP BY ROLLUP(r_name, n_name)""")),
 
+    // win_distribution [EXT]: the distribution-function window family
+    // (percent_rank / cume_dist / ntile) over a deterministic total
+    // order — identical definitions in Spark and DuckDB, ties broken
+    // by key so both engines see one order.
+    Q("win_distribution",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("v_customer")
+        s.sql("""SELECT c_custkey,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd,
+                ntile(10) OVER w AS decile
+                FROM v_customer
+                WINDOW w AS (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey)""")
+      },
+      Some("""SELECT c_custkey,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             ntile(10) OVER w AS decile
+             FROM customer
+             WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey)""")),
+
     // agg_cube [EXT]: all grouping-set combinations (status × priority
     // marginals + grand total) in one pass — Spark expands the sets
     // inside a single Expand + aggregate, no per-set rescan.

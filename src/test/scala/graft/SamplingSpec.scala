@@ -23,6 +23,35 @@ class SamplingSpec extends SparkFunSuite {
     assert(math.abs(a.size / 10000.0 - 0.3) < 0.02)
   }
 
+  test("assignSplits: exhaustive, disjoint, proportional, growth-stable") {
+    val out = Sampling.assignSplits(corpus, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val bySplit = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // every row gets exactly one split
+    assert(bySplit.values.sum == 10000L)
+    assert(math.abs(bySplit("train") / 10000.0 - 0.8) < 0.03)
+    assert(math.abs(bySplit("val") / 10000.0 - 0.1) < 0.02)
+    assert(math.abs(bySplit("test") / 10000.0 - 0.1) < 0.02)
+    // growth stability: a doc's split is a pure function of its id —
+    // the half-corpus assigns identically
+    val half = Sampling.assignSplits(
+      corpus.filter(col("id") < 5000), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, sp) => assert(full(id) == sp, s"id $id moved") }
+  }
+
+  test("assignSplits rejects bad fractions") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(corpus, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(corpus, col("id"), Seq.empty)
+    }
+  }
+
   test("stratifiedSample: per-stratum fractions, absent strata dropped") {
     val s = Sampling.stratifiedSample(corpus, col("grp"), col("id"),
       Map("0" -> 0.5, "1" -> 0.1))
