@@ -35,29 +35,29 @@ object Bmp {
     * silent garbage.
     */
   def decode(bytes: Array[Byte]): Image = {
-    require(isBmp(bytes), "not a BMP (missing BM magic or truncated)")
+    Codec.check(isBmp(bytes), "not a BMP (missing BM magic or truncated)")
     val pixelOff = i32(bytes, 10)
     val width = i32(bytes, 18)
     val rawHeight = i32(bytes, 22)
     val bpp = u16(bytes, 28)
     val compression = i32(bytes, 30)
-    require(bpp == 24, s"unsupported bpp $bpp (only 24-bit BI_RGB)")
-    require(compression == 0, s"unsupported compression $compression")
+    Codec.check(bpp == 24, s"unsupported bpp $bpp (only 24-bit BI_RGB)")
+    Codec.check(compression == 0, s"unsupported compression $compression")
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
     // header fields are untrusted input: reject anything whose pixel
     // array would not fit the payload BEFORE touching it (a corrupt
     // header must throw a clean require, not read out of bounds or
     // allocate a negative/absurd array)
-    require(width > 0 && height > 0 &&
+    Codec.check(width > 0 && height > 0 &&
       width <= (1 << 20) && height <= (1 << 20),
       s"implausible dimensions ${width}x$rawHeight")
     val rowBytes = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundary
-    require(pixelOff >= 54 &&
+    Codec.check(pixelOff >= 54 &&
       pixelOff.toLong + rowBytes.toLong * height <= bytes.length,
       s"pixel array (offset $pixelOff, ${rowBytes}x$height) exceeds " +
         s"payload of ${bytes.length} bytes")
-    require(width.toLong * height * 3 <= Int.MaxValue,
+    Codec.check(width.toLong * height * 3 <= Int.MaxValue,
       s"decoded image too large: ${width}x$height")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0

@@ -63,7 +63,7 @@ object Gif {
     private var nbits = 0
     def get(width: Int): Int = {
       while (nbits < width) {
-        require(pos < data.length, "LZW stream truncated")
+        Codec.check(pos < data.length, "LZW stream truncated")
         acc |= (data(pos) & 0xffL) << nbits
         pos += 1
         nbits += 8
@@ -80,12 +80,12 @@ object Gif {
     * compression of the index stream.
     */
   def encode(img: Image): Array[Byte] = {
-    require(img.rgb.length == img.width * img.height * 3,
+    Codec.check(img.rgb.length == img.width * img.height * 3,
       s"rgb length ${img.rgb.length} != ${img.width}x${img.height}x3")
-    require(img.width <= 0xffff && img.height <= 0xffff,
+    Codec.check(img.width <= 0xffff && img.height <= 0xffff,
       s"${img.width}x${img.height} exceeds GIF's u16 descriptor fields")
     val n = img.width * img.height
-    require(n > 0, "empty image")
+    Codec.check(n > 0, "empty image")
     // palette: distinct colors in first-appearance order. Values stay
     // BOXED (java.lang.Integer): with a primitive-typed map, an
     // absent-key null would silently unbox to 0 and corrupt the palette
@@ -97,7 +97,7 @@ object Gif {
         ((img.rgb(3 * i + 1) & 0xff) << 8) | (img.rgb(3 * i + 2) & 0xff)
       val seen = colorIdx.get(Integer.valueOf(c))
       if (seen == null) {
-        require(colorIdx.size < 256, "more than 256 distinct colors")
+        Codec.check(colorIdx.size < 256, "more than 256 distinct colors")
         val idx = colorIdx.size
         indices(i) = idx
         colorIdx.put(Integer.valueOf(c), Integer.valueOf(idx))
@@ -185,13 +185,13 @@ object Gif {
     * streams — honest partial coverage, no silent garbage.
     */
   def decode(bytes: Array[Byte]): Image = {
-    require(isGif(bytes), "not a GIF (missing GIF87a/89a magic)")
+    Codec.check(isGif(bytes), "not a GIF (missing GIF87a/89a magic)")
     val sw = u16le(bytes, 6); val sh = u16le(bytes, 8)
     val packed = bytes(10) & 0xff
-    require((packed & 0x80) != 0, "no global color table (unsupported)")
+    Codec.check((packed & 0x80) != 0, "no global color table (unsupported)")
     val tableSize = 1 << ((packed & 0x07) + 1)
     var off = 13
-    require(off + tableSize * 3 <= bytes.length, "truncated color table")
+    Codec.check(off + tableSize * 3 <= bytes.length, "truncated color table")
     val palette = java.util.Arrays.copyOfRange(bytes, off, off + tableSize * 3)
     off += tableSize * 3
 
@@ -200,31 +200,31 @@ object Gif {
       off += 2 // introducer + label
       var len = -1
       while (len != 0) {
-        require(off < bytes.length, "truncated extension")
+        Codec.check(off < bytes.length, "truncated extension")
         len = bytes(off) & 0xff
         off += 1 + len
       }
     }
-    require(off < bytes.length && (bytes(off) & 0xff) == 0x2c,
+    Codec.check(off < bytes.length && (bytes(off) & 0xff) == 0x2c,
       "no image descriptor")
-    require(off + 10 <= bytes.length, "truncated image descriptor")
+    Codec.check(off + 10 <= bytes.length, "truncated image descriptor")
     val w = u16le(bytes, off + 5); val h = u16le(bytes, off + 7)
     val ipacked = bytes(off + 9) & 0xff
-    require((ipacked & 0x80) == 0, "local color table unsupported")
-    require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
-    require(w > 0 && h > 0 && w <= sw && h <= sh &&
+    Codec.check((ipacked & 0x80) == 0, "local color table unsupported")
+    Codec.check((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+    Codec.check(w > 0 && h > 0 && w <= sw && h <= sh &&
       w.toLong * h * 3 <= Int.MaxValue, s"implausible frame ${w}x$h")
     off += 10
-    require(off < bytes.length, "missing LZW min code size")
+    Codec.check(off < bytes.length, "missing LZW min code size")
     val minCode = bytes(off) & 0xff
-    require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+    Codec.check(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
     off += 1
     val data = new java.io.ByteArrayOutputStream()
     var blockLen = -1
     while (blockLen != 0) {
-      require(off < bytes.length, "truncated image data")
+      Codec.check(off < bytes.length, "truncated image data")
       blockLen = bytes(off) & 0xff
-      require(off + 1 + blockLen <= bytes.length, "truncated sub-block")
+      Codec.check(off + 1 + blockLen <= bytes.length, "truncated sub-block")
       data.write(bytes, off + 1, blockLen)
       off += 1 + blockLen
     }
@@ -248,7 +248,7 @@ object Gif {
       c
     }
     def pushPixel(p: Int): Unit = {
-      require(produced < out.length, "LZW produced more pixels than frame")
+      Codec.check(produced < out.length, "LZW produced more pixels than frame")
       out(produced) = p
       produced += 1
     }
@@ -258,7 +258,7 @@ object Gif {
       while (c >= clear) {
         stack(sp) = suffix(c); sp += 1
         c = prefix(c)
-        require(sp <= 4096, "corrupt LZW prefix chain")
+        Codec.check(sp <= 4096, "corrupt LZW prefix chain")
       }
       val first = c
       stack(sp) = c; sp += 1
@@ -274,11 +274,11 @@ object Gif {
       } else if (code == end) {
         done = true
       } else if (prev == -1) {
-        require(code < clear, "first code after clear must be a literal")
+        Codec.check(code < clear, "first code after clear must be a literal")
         emit(code)
         prev = code
       } else {
-        require(code <= next && code < 4096 && code != clear && code != end,
+        Codec.check(code <= next && code < 4096 && code != clear && code != end,
           s"code $code out of range (next=$next)")
         val first =
           if (code == next) { // prev string + its own first char
@@ -296,14 +296,14 @@ object Gif {
       }
       if (!done && produced == out.length) done = true // frame complete
     }
-    require(produced == out.length,
+    Codec.check(produced == out.length,
       s"LZW produced $produced of ${out.length} pixels")
 
     val rgb = new Array[Byte](w * h * 3)
     var i = 0
     while (i < out.length) {
       val p = out(i)
-      require(p * 3 + 2 < palette.length, s"palette index $p out of range")
+      Codec.check(p * 3 + 2 < palette.length, s"palette index $p out of range")
       rgb(3 * i) = palette(3 * p)
       rgb(3 * i + 1) = palette(3 * p + 1)
       rgb(3 * i + 2) = palette(3 * p + 2)

@@ -108,11 +108,11 @@ object Jpeg {
   {
     val acNeeded = (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
       .toSet + 0x00 + 0xf0
-    require(AcLumVals.toSet == acNeeded && AcChrVals.toSet == acNeeded,
+    Codec.check(AcLumVals.toSet == acNeeded && AcChrVals.toSet == acNeeded,
       "AC Huffman value lists do not cover the RRRRSSSS symbol set")
-    require(AcLumBits.drop(1).sum == AcLumVals.length &&
+    Codec.check(AcLumBits.drop(1).sum == AcLumVals.length &&
       AcChrBits.drop(1).sum == AcChrVals.length, "AC bits/vals mismatch")
-    require(DcLumBits.drop(1).sum == DcLumVals.length &&
+    Codec.check(DcLumBits.drop(1).sum == DcLumVals.length &&
       DcChrBits.drop(1).sum == DcChrVals.length, "DC bits/vals mismatch")
   }
 
@@ -121,7 +121,7 @@ object Jpeg {
     * table.
     */
   private def scaledQ(base: Array[Int], quality: Int): Array[Int] = {
-    require(quality >= 1 && quality <= 100, s"quality $quality")
+    Codec.check(quality >= 1 && quality <= 100, s"quality $quality")
     val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
     base.map(v => math.max(1, math.min(255, (v * scale + 50) / 100)))
   }
@@ -226,7 +226,7 @@ object Jpeg {
         code = (code << 1) | br.bit()
         len += 1
       }
-      require(len <= 16, "invalid Huffman code")
+      Codec.check(len <= 16, "invalid Huffman code")
       vals(valPtr(len) + code - minCode(len))
     }
   }
@@ -268,13 +268,13 @@ object Jpeg {
     private var n = 0
     def bit(): Int = {
       if (n == 0) {
-        require(pos < bytes.length, "entropy stream truncated")
+        Codec.check(pos < bytes.length, "entropy stream truncated")
         val b = bytes(pos) & 0xff
         pos += 1
         if (b == 0xff) {
-          require(pos < bytes.length, "truncated after 0xFF")
+          Codec.check(pos < bytes.length, "truncated after 0xFF")
           val m = bytes(pos) & 0xff
-          require(m == 0x00, f"unexpected marker 0xFF$m%02x in scan")
+          Codec.check(m == 0x00, f"unexpected marker 0xFF$m%02x in scan")
           pos += 1
         }
         acc = b; n = 8
@@ -291,8 +291,8 @@ object Jpeg {
     /** Discard partial bits and consume the expected RSTm marker. */
     def expectRestart(m: Int): Unit = {
       acc = 0; n = 0 // byte-align
-      require(pos + 1 < bytes.length, "truncated at restart")
-      require((bytes(pos) & 0xff) == 0xff &&
+      Codec.check(pos + 1 < bytes.length, "truncated at restart")
+      Codec.check((bytes(pos) & 0xff) == 0xff &&
         (bytes(pos + 1) & 0xff) == 0xd0 + m,
         f"expected RST$m%d, got ${bytes(pos) & 0xff}%02x${bytes(pos + 1) & 0xff}%02x")
       pos += 2
@@ -323,10 +323,10 @@ object Jpeg {
   def encode(img: Image, quality: Int = 90,
              subsample: Boolean = false,
              restartInterval: Int = 0): Array[Byte] = {
-    require(restartInterval >= 0 && restartInterval <= 0xffff,
+    Codec.check(restartInterval >= 0 && restartInterval <= 0xffff,
       s"restartInterval $restartInterval")
-    require(img.comps == 1 || img.comps == 3, s"comps=${img.comps}")
-    require(img.width > 0 && img.height > 0, "empty image")
+    Codec.check(img.comps == 1 || img.comps == 3, s"comps=${img.comps}")
+    Codec.check(img.width > 0 && img.height > 0, "empty image")
     val sub = subsample && img.comps == 3
     // per-component (h, v) sampling factors
     val hv: Array[(Int, Int)] =
@@ -538,7 +538,7 @@ object Jpeg {
   // ---- decoder ----------------------------------------------------
 
   def decode(bytes: Array[Byte]): Image = {
-    require(isJpeg(bytes), "not a JPEG payload")
+    Codec.check(isJpeg(bytes), "not a JPEG payload")
     var pos = 2
     def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
     def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
@@ -557,18 +557,18 @@ object Jpeg {
 
     var scanStart = -1
     while (scanStart < 0) {
-      require(u8() == 0xff, "marker expected")
+      Codec.check(u8() == 0xff, "marker expected")
       var m = u8()
       while (m == 0xff) m = u8() // fill bytes
       m match {
-        case 0xd9 => require(false, "EOI before SOS")
+        case 0xd9 => Codec.check(false, "EOI before SOS")
         case 0xdb => // DQT (possibly several tables)
           val segLen = u16() // read BEFORE touching pos (u16 moves it)
-          require(segLen >= 2, "bad segment length")
+          Codec.check(segLen >= 2, "bad segment length")
           val end = pos + segLen - 2
           while (pos < end) {
             val pq = u8()
-            require((pq >> 4) == 0, "16-bit quant tables unsupported")
+            Codec.check((pq >> 4) == 0, "16-bit quant tables unsupported")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) { t(Zigzag(i)) = u8(); i += 1 }
@@ -576,7 +576,7 @@ object Jpeg {
           }
         case 0xc4 => // DHT (possibly several tables)
           val segLen = u16()
-          require(segLen >= 2, "bad segment length")
+          Codec.check(segLen >= 2, "bad segment length")
           val end = pos + segLen - 2
           while (pos < end) {
             val tcth = u8()
@@ -592,18 +592,18 @@ object Jpeg {
           }
         case 0xc0 | 0xc1 => // SOF0/1 (baseline/extended sequential)
           u16()
-          require(u8() == 8, "only 8-bit precision supported")
+          Codec.check(u8() == 8, "only 8-bit precision supported")
           height = u16(); width = u16()
           // cap BEFORE the plane allocation: a crafted ~100-byte header
           // can declare arbitrary dimensions, and an OutOfMemoryError
           // is not an exception the per-row degrade path may catch.
           // 2^22 px (2048x2048) bounds worst-case decode memory at
           // ~48 MB (3 int planes) — the supported in-pipeline subset
-          require(width > 0 && height > 0 &&
+          Codec.check(width > 0 && height > 0 &&
             width.toLong * height <= (1L << 22),
             "unreasonable dimensions") // garbage behind a JPEG magic
           nComps = u8()
-          require(nComps == 1 || nComps == 3,
+          Codec.check(nComps == 1 || nComps == 3,
             s"unsupported component count $nComps")
           compQ = new Array[Int](nComps)
           compH = new Array[Int](nComps)
@@ -618,15 +618,15 @@ object Jpeg {
           val layout444 = compH.forall(_ == 1) && compV.forall(_ == 1)
           val layout420 = nComps == 3 && compH(0) == 2 && compV(0) == 2 &&
             compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
-          require(layout444 || layout420,
+          Codec.check(layout444 || layout420,
             s"unsupported sampling layout H=${compH.toSeq} V=${compV.toSeq}")
-        case 0xc2 => require(false, "progressive JPEG unsupported")
+        case 0xc2 => Codec.check(false, "progressive JPEG unsupported")
         case 0xdd => // DRI
           u16(); restartInterval = u16()
         case 0xda => // SOS
           u16()
           val ns = u8()
-          require(ns == nComps, "partial scans unsupported")
+          Codec.check(ns == nComps, "partial scans unsupported")
           compDcT = new Array[Int](nComps)
           compAcT = new Array[Int](nComps)
           for (c <- 0 until nComps) {
@@ -638,12 +638,12 @@ object Jpeg {
           scanStart = pos
         case _ => // APPn, COM, others: skip by length
           val segLen = u16()
-          require(segLen >= 2, "bad segment length") // no backward walks
+          Codec.check(segLen >= 2, "bad segment length") // no backward walks
           pos += segLen - 2
       }
     }
 
-    require(width > 0 && height > 0, "SOS before SOF")
+    Codec.check(width > 0 && height > 0, "SOS before SOF")
     val hMax = compH.max
     val vMax = compV.max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -657,9 +657,9 @@ object Jpeg {
 
     def decodeBlock(c: Int, ox: Int, oy: Int): Unit = {
       val qt = quant(compQ(c))
-      require(qt != null, "missing quant table")
+      Codec.check(qt != null, "missing quant table")
       val dc = dcDec(compDcT(c)); val ac = acDec(compAcT(c))
-      require(dc != null && ac != null, "missing Huffman table")
+      Codec.check(dc != null && ac != null, "missing Huffman table")
       java.util.Arrays.fill(coef, 0.0)
       val sMag = dc.decode(br)
       prevDc(c) += extend(br.receive(sMag), sMag)
@@ -671,7 +671,7 @@ object Jpeg {
         else if (rs == 0xf0) k += 16 // ZRL
         else {
           k += rs >> 4
-          require(k < 64, "AC index overflow")
+          Codec.check(k < 64, "AC index overflow")
           val sz = rs & 0xf
           val nat = Zigzag(k)
           coef(nat) = extend(br.receive(sz), sz).toDouble * qt(nat)

@@ -58,7 +58,7 @@ object Png {
 
   /** Encode top-down RGB as a filter-0 (None) truecolor PNG. */
   def encode(img: Image): Array[Byte] = {
-    require(img.rgb.length == img.width * img.height * 3,
+    Codec.check(img.rgb.length == img.width * img.height * 3,
       s"rgb length ${img.rgb.length} != ${img.width}x${img.height}x3")
     val bpr = img.width * 3
     val raw = new Array[Byte]((bpr + 1) * img.height)
@@ -96,35 +96,35 @@ object Png {
     * silent garbage.
     */
   def decode(bytes: Array[Byte]): Image = {
-    require(isPng(bytes), "not a PNG (missing signature)")
+    Codec.check(isPng(bytes), "not a PNG (missing signature)")
     var off = 8
     var width = 0; var height = 0
     var seenIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
-      require(off + 12 <= bytes.length, "truncated chunk framing")
+      Codec.check(off + 12 <= bytes.length, "truncated chunk framing")
       val len = i32be(bytes, off)
-      require(len >= 0 && off + 12 + len <= bytes.length,
+      Codec.check(len >= 0 && off + 12 + len <= bytes.length,
         s"chunk length $len exceeds payload")
       val typ = new String(bytes, off + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(bytes, off + 4, 4 + len)
-      require(crc.getValue.toInt == i32be(bytes, off + 8 + len),
+      Codec.check(crc.getValue.toInt == i32be(bytes, off + 8 + len),
         s"CRC mismatch in $typ chunk")
       typ match {
         case "IHDR" =>
-          require(len == 13, s"IHDR length $len")
+          Codec.check(len == 13, s"IHDR length $len")
           width = i32be(bytes, off + 8); height = i32be(bytes, off + 12)
           val bitDepth = bytes(off + 16); val colorType = bytes(off + 17)
           val comp = bytes(off + 18); val filt = bytes(off + 19)
           val interlace = bytes(off + 20)
-          require(bitDepth == 8 && colorType == 2,
+          Codec.check(bitDepth == 8 && colorType == 2,
             s"unsupported flavor (bitDepth=$bitDepth colorType=$colorType; " +
               "only 8-bit truecolor RGB)")
-          require(comp == 0 && filt == 0 && interlace == 0,
+          Codec.check(comp == 0 && filt == 0 && interlace == 0,
             "unsupported compression/filter/interlace method")
-          require(width > 0 && height > 0 &&
+          Codec.check(width > 0 && height > 0 &&
             width <= (1 << 20) && height <= (1 << 20) &&
             // the FILTERED buffer is (1 + 3w)·h — bound that, not just
             // the pixel array, or its allocation below overflows Int
@@ -137,7 +137,7 @@ object Png {
       }
       off += 12 + len
     }
-    require(seenIhdr && idat.size() > 0, "missing IHDR or IDAT")
+    Codec.check(seenIhdr && idat.size() > 0, "missing IHDR or IDAT")
 
     val bpr = width * 3
     val raw = new Array[Byte]((bpr + 1) * height)
@@ -147,14 +147,14 @@ object Png {
     try {
       while (got < raw.length && !inf.finished()) {
         val k = inf.inflate(raw, got, raw.length - got)
-        require(k > 0 || inf.finished(), "truncated/undecodable IDAT stream")
+        Codec.check(k > 0 || inf.finished(), "truncated/undecodable IDAT stream")
         got += k
       }
     } catch {
       case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException("corrupt DEFLATE stream", e)
     } finally inf.end()
-    require(got == raw.length,
+    Codec.check(got == raw.length,
       s"inflated $got bytes, expected ${raw.length}")
 
     val rgb = new Array[Byte](bpr * height)

@@ -28,7 +28,7 @@ object Wav {
     * chunks).
     */
   def encode(p: Pcm): Array[Byte] = {
-    require(p.channels >= 1, "channels must be >= 1")
+    Codec.check(p.channels >= 1, "channels must be >= 1")
     val dataLen = p.samples.length * 2
     val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -51,14 +51,14 @@ object Wav {
     * untrusted, exactly like the BMP header fields.
     */
   def decode(bytes: Array[Byte]): Pcm = {
-    require(bytes.length >= 12, "truncated RIFF header")
+    Codec.check(bytes.length >= 12, "truncated RIFF header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
       val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
     }
-    require(tag() == "RIFF", "not a RIFF container")
+    Codec.check(tag() == "RIFF", "not a RIFF container")
     buf.getInt                                      // declared size: untrusted
-    require(tag() == "WAVE", "not a WAVE form")
+    Codec.check(tag() == "WAVE", "not a WAVE form")
     var rate = 0
     var channels = 0
     var fmtSeen = false
@@ -66,22 +66,22 @@ object Wav {
     while (samples == null && buf.remaining >= 8) {
       val id = tag()
       val size = buf.getInt
-      require(size >= 0 && size <= buf.remaining, s"chunk $id overruns file")
+      Codec.check(size >= 0 && size <= buf.remaining, s"chunk $id overruns file")
       if (id == "fmt ") {
-        require(size >= 16, "fmt chunk too short")
+        Codec.check(size >= 16, "fmt chunk too short")
         val audioFormat = buf.getShort
-        require(audioFormat == 1, s"not integer PCM (format $audioFormat)")
+        Codec.check(audioFormat == 1, s"not integer PCM (format $audioFormat)")
         channels = buf.getShort.toInt
-        require(channels >= 1, "no channels")
+        Codec.check(channels >= 1, "no channels")
         rate = buf.getInt
-        require(rate > 0, "bad sample rate")
+        Codec.check(rate > 0, "bad sample rate")
         buf.getInt                                  // byte rate (derived)
         buf.getShort                                // block align (derived)
         val bits = buf.getShort
-        require(bits == 16, s"only 16-bit PCM supported (got $bits)")
+        Codec.check(bits == 16, s"only 16-bit PCM supported (got $bits)")
         buf.position(buf.position() + (size - 16))  // fmt extension bytes
       } else if (id == "data") {
-        require(fmtSeen, "data chunk before fmt chunk")
+        Codec.check(fmtSeen, "data chunk before fmt chunk")
         val n = size / 2
         val out = new Array[Short](n)
         var i = 0
@@ -95,7 +95,7 @@ object Wav {
       if (samples == null && (size & 1) == 1 && buf.remaining >= 1)
         buf.position(buf.position() + 1)
     }
-    require(samples != null, "no data chunk")
+    Codec.check(samples != null, "no data chunk")
     Pcm(rate, channels, samples)
   }
 }
