@@ -61,7 +61,10 @@ object Sampling {
     val assign = splits.zip(uppers).init
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), upper), els) =>
-          when(b < (upper * 1e6).toLong, lit(name)).otherwise(els)
+          // round, not truncate: cumulative IEEE sums land a hair BELOW
+          // round fractions as often as above (0.6 + 0.1 = 0.6999…),
+          // and truncation would silently shift the bucket boundary
+          when(b < math.round(upper * 1e6), lit(name)).otherwise(els)
       }
     df.withColumn("split", assign)
   }

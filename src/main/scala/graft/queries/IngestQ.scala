@@ -335,6 +335,40 @@ object IngestQ {
       Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
              CAST(3 AS BIGINT) AS n_notnull""")),
 
+    // stats_table [EXT]: ANALYZE-style column statistics (null counts,
+    // exact NDV, numeric min/max) — every column in ONE aggregate over
+    // ONE scan (k passes is the naive shape); the value-level
+    // generalization of the reference's name/dtype schema report.
+    Q("stats_table",
+      (s, d) => graft.ingest.TableStats.columnStats(
+        t(s, d, "orders"),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        otherCols = Seq("o_orderstatus", "o_orderpriority")),
+      Some("""SELECT * FROM (
+             |SELECT 'o_orderkey' AS "column",
+             |  count(*) - count(o_orderkey) AS n_nulls,
+             |  count(DISTINCT o_orderkey) AS n_distinct,
+             |  round(min(o_orderkey)::DOUBLE, 4) AS min_num,
+             |  round(max(o_orderkey)::DOUBLE, 4) AS max_num FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey', count(*) - count(o_custkey),
+             |  count(DISTINCT o_custkey),
+             |  round(min(o_custkey)::DOUBLE, 4),
+             |  round(max(o_custkey)::DOUBLE, 4) FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice', count(*) - count(o_totalprice),
+             |  count(DISTINCT o_totalprice),
+             |  round(min(o_totalprice)::DOUBLE, 4),
+             |  round(max(o_totalprice)::DOUBLE, 4) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+             |  count(DISTINCT o_orderstatus), NULL::DOUBLE, NULL::DOUBLE
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+             |  count(DISTINCT o_orderpriority), NULL::DOUBLE, NULL::DOUBLE
+             |FROM orders)""".stripMargin)),
+
     // src_json [EXT]: line-delimited JSON read with an EXPLICIT schema
     // (the production posture — inferSchema double-scans the input at
     // 100 TB) over a deterministic fixture exercising nulls, a missing
