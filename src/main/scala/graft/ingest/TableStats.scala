@@ -29,9 +29,13 @@ object TableStats {
                   otherCols: Seq[String]): DataFrame = {
     val all = numericCols ++ otherCols
     require(all.nonEmpty, "no columns requested")
+    require(all.distinct.size == all.size,
+      s"duplicate columns requested: ${all.diff(all.distinct).distinct}")
     val aggs = all.flatMap { c =>
       val base = Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        // count(1) - count(col), NOT sum(when(isNull)): over zero rows
+        // the sum is NULL but the count difference is the correct 0
+        (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
         countDistinct(col(c)).as(s"${c}__nd"))
       if (numericCols.contains(c)) base ++ Seq(
         round(min(col(c)).cast("double"), 4).as(s"${c}__mn"),

@@ -80,12 +80,12 @@ object Gif {
     * compression of the index stream.
     */
   def encode(img: Image): Array[Byte] = {
-    Codec.check(img.rgb.length == img.width * img.height * 3,
+    require(img.rgb.length == img.width * img.height * 3,
       s"rgb length ${img.rgb.length} != ${img.width}x${img.height}x3")
-    Codec.check(img.width <= 0xffff && img.height <= 0xffff,
+    require(img.width <= 0xffff && img.height <= 0xffff,
       s"${img.width}x${img.height} exceeds GIF's u16 descriptor fields")
     val n = img.width * img.height
-    Codec.check(n > 0, "empty image")
+    require(n > 0, "empty image")
     // palette: distinct colors in first-appearance order. Values stay
     // BOXED (java.lang.Integer): with a primitive-typed map, an
     // absent-key null would silently unbox to 0 and corrupt the palette
@@ -97,7 +97,7 @@ object Gif {
         ((img.rgb(3 * i + 1) & 0xff) << 8) | (img.rgb(3 * i + 2) & 0xff)
       val seen = colorIdx.get(Integer.valueOf(c))
       if (seen == null) {
-        Codec.check(colorIdx.size < 256, "more than 256 distinct colors")
+        require(colorIdx.size < 256, "more than 256 distinct colors")
         val idx = colorIdx.size
         indices(i) = idx
         colorIdx.put(Integer.valueOf(c), Integer.valueOf(idx))

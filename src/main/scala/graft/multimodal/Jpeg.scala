@@ -108,11 +108,11 @@ object Jpeg {
   {
     val acNeeded = (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
       .toSet + 0x00 + 0xf0
-    Codec.check(AcLumVals.toSet == acNeeded && AcChrVals.toSet == acNeeded,
+    require(AcLumVals.toSet == acNeeded && AcChrVals.toSet == acNeeded,
       "AC Huffman value lists do not cover the RRRRSSSS symbol set")
-    Codec.check(AcLumBits.drop(1).sum == AcLumVals.length &&
+    require(AcLumBits.drop(1).sum == AcLumVals.length &&
       AcChrBits.drop(1).sum == AcChrVals.length, "AC bits/vals mismatch")
-    Codec.check(DcLumBits.drop(1).sum == DcLumVals.length &&
+    require(DcLumBits.drop(1).sum == DcLumVals.length &&
       DcChrBits.drop(1).sum == DcChrVals.length, "DC bits/vals mismatch")
   }
 
@@ -121,7 +121,7 @@ object Jpeg {
     * table.
     */
   private def scaledQ(base: Array[Int], quality: Int): Array[Int] = {
-    Codec.check(quality >= 1 && quality <= 100, s"quality $quality")
+    require(quality >= 1 && quality <= 100, s"quality $quality")
     val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
     base.map(v => math.max(1, math.min(255, (v * scale + 50) / 100)))
   }
@@ -323,10 +323,10 @@ object Jpeg {
   def encode(img: Image, quality: Int = 90,
              subsample: Boolean = false,
              restartInterval: Int = 0): Array[Byte] = {
-    Codec.check(restartInterval >= 0 && restartInterval <= 0xffff,
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"restartInterval $restartInterval")
-    Codec.check(img.comps == 1 || img.comps == 3, s"comps=${img.comps}")
-    Codec.check(img.width > 0 && img.height > 0, "empty image")
+    require(img.comps == 1 || img.comps == 3, s"comps=${img.comps}")
+    require(img.width > 0 && img.height > 0, "empty image")
     val sub = subsample && img.comps == 3
     // per-component (h, v) sampling factors
     val hv: Array[(Int, Int)] =

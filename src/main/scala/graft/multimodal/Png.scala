@@ -58,7 +58,7 @@ object Png {
 
   /** Encode top-down RGB as a filter-0 (None) truecolor PNG. */
   def encode(img: Image): Array[Byte] = {
-    Codec.check(img.rgb.length == img.width * img.height * 3,
+    require(img.rgb.length == img.width * img.height * 3,
       s"rgb length ${img.rgb.length} != ${img.width}x${img.height}x3")
     val bpr = img.width * 3
     val raw = new Array[Byte]((bpr + 1) * img.height)

@@ -28,7 +28,7 @@ object Wav {
     * chunks).
     */
   def encode(p: Pcm): Array[Byte] = {
-    Codec.check(p.channels >= 1, "channels must be >= 1")
+    require(p.channels >= 1, "channels must be >= 1")
     val dataLen = p.samples.length * 2
     val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)

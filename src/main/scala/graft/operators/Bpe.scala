@@ -47,7 +47,7 @@ object Bpe {
                   localVocabLimit: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (_, merges) = trainCore(docs, textCol, numMerges, localVocabLimit)
+    val (_, merges, _) = trainCore(docs, textCol, numMerges, localVocabLimit)
     merges.toDF("step", "lhs", "rhs", "merged", "pair_freq")
       .select(col("step"), col("lhs"), col("rhs"), col("merged"),
         col("pair_freq"))
@@ -67,11 +67,16 @@ object Bpe {
     */
   def subwordStats(docs: DataFrame, idCol: String, textCol: String,
                    numMerges: Int, localVocabLimit: Long = -1L): DataFrame = {
-    val (vocab, merges) = trainCore(docs, textCol, numMerges, localVocabLimit)
-    val base = vocab.select(col("w"),
-      expr("trim(regexp_replace(w, '(.)', '$1 '))").as("syms"))
-    val applied = merges.foldLeft(base) { case (df, (_, a, b, m, _)) =>
-      df.select(col("w"), expr(mergeExpr(a, b, m)).as("syms"))
+    val (vocab, merges, finalSyms) = trainCore(docs, textCol, numMerges,
+      localVocabLimit)
+    // the distributed trainer already staged the fully-merged
+    // vocabulary — reuse it instead of re-running the merge folds
+    val applied = finalSyms.getOrElse {
+      val base = vocab.select(col("w"),
+        expr("trim(regexp_replace(w, '(.)', '$1 '))").as("syms"))
+      merges.foldLeft(base) { case (df, (_, a, b, m, _)) =>
+        df.select(col("w"), expr(mergeExpr(a, b, m)).as("syms"))
+      }
     }
     val sub = applied.select(col("w"),
       size(split(col("syms"), " ")).cast("long").as("n_sub"))
@@ -92,7 +97,8 @@ object Bpe {
   /** Shared trainer: staged vocabulary + the learned merge list. */
   private def trainCore(docs: DataFrame, textCol: String, numMerges: Int,
                         localVocabLimit: Long)
-      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+      : (DataFrame, Seq[(Int, String, String, String, Long)],
+         Option[DataFrame]) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -108,12 +114,13 @@ object Bpe {
         .groupBy("w").agg(count(lit(1)).as("freq")),
       "bpe_vocab")
 
-    val merges =
-      if (words.count() <= limit) {
-        val vocab = words.as[(String, Long)].collect()
-        localTrain(vocab, numMerges)
-      } else distributedTrain(words, numMerges)
-    (words, merges)
+    if (words.count() <= limit) {
+      val vocab = words.as[(String, Long)].collect()
+      (words, localTrain(vocab, numMerges), None)
+    } else {
+      val (merges, finalSyms) = distributedTrain(words, numMerges)
+      (words, merges, Some(finalSyms))
+    }
   }
 
   /** The greedy left-to-right merge scan as a SQL higher-order fold —
@@ -187,9 +194,10 @@ object Bpe {
     * symbol differs textually from its parts, so it can never re-merge
     * within the round — identical semantics to [[mergeOnce]].
     */
-  private def distributedTrain(words0: DataFrame,
-                               numMerges: Int): Seq[(Int, String, String, String, Long)] = {
-    var cur = words0.select(
+  private def distributedTrain(words0: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // `w` rides along so the apply path can map word → final symbols
+    var cur = words0.select(col("w"),
       expr("trim(regexp_replace(w, '(.)', '$1 '))").as("syms"), col("freq"))
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 1
@@ -215,11 +223,12 @@ object Bpe {
         val f = best(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         val m = a + b
-        cur = staged.select(expr(mergeExpr(a, b, m)).as("syms"), col("freq"))
+        cur = staged.select(col("w"),
+          expr(mergeExpr(a, b, m)).as("syms"), col("freq"))
         out += ((step, a, b, m, f))
         step += 1
       }
     }
-    out.result()
+    (out.result(), cur)
   }
 }

@@ -108,12 +108,10 @@ object Corpus {
   def packChunks(docs: DataFrame, idCol: String, nTokCol: Column,
                  window: Long, shards: Int, seed: Long = 42L,
                  portable: Boolean = false): DataFrame = {
-    // same portable-vs-fast membership hash split as [[Sampling]]:
-    // md5-low-60 replays in any engine, xxhash64 is the 100 TB path
-    val shard =
-      if (portable) pmod(conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(":" + seed))), 1, 15), 16, 10).cast("long"), lit(shards.toLong))
-      else pmod(xxhash64(col(idCol), lit(seed)), lit(shards.toLong))
+    // Sampling's shared content-hash convention: md5-low-60 replays in
+    // any engine, xxhash64 is the 100 TB path
+    val shard = pmod(Sampling.contentHash(col(idCol), seed, portable),
+      lit(shards.toLong))
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), nTokCol.as("n_tokens"), shard.as("shard"))
@@ -228,11 +226,8 @@ object Corpus {
   def capPerGroup(df: DataFrame, groupCol: Column, idCol: Column,
                   maxPerGroup: Int, seed: Long = 42L,
                   portable: Boolean = false): DataFrame = {
-    // same portable-vs-fast priority hash split as [[Sampling]]
-    val pri =
-      if (portable) conv(substring(md5(concat(idCol.cast("string"),
-        lit(":" + seed))), 1, 15), 16, 10).cast("long")
-      else xxhash64(idCol, lit(seed))
+    // Sampling's shared content-hash convention as the priority
+    val pri = Sampling.contentHash(idCol, seed, portable)
     val w = Window.partitionBy(groupCol).orderBy(col("graft_pri"), idCol)
     df.withColumn("graft_pri", pri)
       .withColumn("cap_rank", row_number().over(w))

@@ -302,16 +302,6 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Shared cross-corpus candidate generation with the mega-bucket
-    * guardrail: the big (left/train) side salts oversized buckets into
-    * hash sub-buckets, the tiny (right/bench) side replicates across
-    * them, so the cross path loses NO recall to salting. The sub-bucket
-    * plan is filtered to OVERSIZED buckets only before broadcasting —
-    * by construction those are rare, so the broadcast stays
-    * metadata-scale even when the train side has billions of distinct
-    * buckets (broadcasting every bucket's count would be ~bands×|train|
-    * rows — a driver OOM at the operator's own design target).
-    */
   /** Self-join mega-bucket salt, as an oversize-only aggregate +
     * broadcast join-back (same plan family as [[saltedCrossCandidates]]
     * and FuzzyJoin): `sub = xxhash64(id, blockCols.head) % nsub` for
@@ -340,6 +330,16 @@ object Dedup {
       .drop("nsub")
   }
 
+  /** Shared cross-corpus candidate generation with the mega-bucket
+    * guardrail: the big (left/train) side salts oversized buckets into
+    * hash sub-buckets, the tiny (right/bench) side replicates across
+    * them, so the cross path loses NO recall to salting. The sub-bucket
+    * plan is filtered to OVERSIZED buckets only before broadcasting —
+    * by construction those are rare, so the broadcast stays
+    * metadata-scale even when the train side has billions of distinct
+    * buckets (broadcasting every bucket's count would be ~bands×|train|
+    * rows — a driver OOM at the operator's own design target).
+    */
   private def saltedCrossCandidates(lBand: DataFrame, rBand: DataFrame,
                                     maxBucketSize: Int): DataFrame = {
     val subPlan = lBand.groupBy("band", "bucket")

@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions._
   * skew hazard, and the same guardrail as Dedup's mega-bucket salting
   * applies (Dedup.scala): both sides sub-group by a record-hash salt
   * (key lists stay bounded even for one mega-repeated text) and the
-  * b-side replicates its group rows across the sub-blocks. Every
-  * unordered record pair meets exactly twice (once per text
-  * orientation) and the `a < b` cut keeps exactly one; recall is 1.0
-  * by construction.
+  * b-side replicates its group rows across the sub-blocks. The
+  * `a_txt < b_txt` cut keeps exactly one of a text pair's two join
+  * orientations BEFORE the DP runs, record keys re-orient to
+  * `a_key < b_key` at emission, and every unordered record pair is
+  * emitted exactly once; recall is 1.0 by construction.
   */
 object FuzzyJoin {
 
@@ -114,19 +115,26 @@ object FuzzyJoin {
       .select(col("blk"), col("rsub").as("sub"), col("txt").as("b_txt"),
         col("len").as("b_len"), col("b_ks"))
 
-    a.join(b, Seq("blk", "sub"))
+    // a_txt < b_txt kills the mirror BEFORE the DP: of a text pair's
+    // two join orientations exactly one survives, so each distinct
+    // text pair runs the DP once and explodes once (texts in a pair
+    // always differ — groups collapse equal texts). Record keys are
+    // re-oriented at emission to keep the a_key < b_key contract.
+    val txtPairs = a.join(b, Seq("blk", "sub"))
       .filter(abs(col("a_len") - col("b_len")) <= maxDist &&
-        col("a_txt") =!= col("b_txt"))
+        col("a_txt") < col("b_txt"))
       .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), maxDist))
       .filter(col("dist").between(1, maxDist))
-      // surviving text pairs expand to record pairs; each unordered
-      // record pair meets twice (once per text orientation) and the
-      // a_key < b_key cut keeps exactly one
-      .select(col("blk"), explode(col("a_ks")).as("a_key"), col("b_ks"),
-        col("a_txt"), col("b_txt"), col("dist"))
-      .select(col("blk"), col("a_key"), explode(col("b_ks")).as("b_key"),
-        col("a_txt"), col("b_txt"), col("dist"))
-      .filter(col("a_key") < col("b_key"))
-      .select("blk", "a_key", "b_key", "a_txt", "b_txt", "dist")
+    txtPairs
+      .select(col("blk"), explode(col("a_ks")).as("ka"), col("b_ks"),
+        col("a_txt").as("ta"), col("b_txt").as("tb"), col("dist"))
+      .select(col("blk"), col("ka"), explode(col("b_ks")).as("kb"),
+        col("ta"), col("tb"), col("dist"))
+      .select(col("blk"),
+        least(col("ka"), col("kb")).as("a_key"),
+        greatest(col("ka"), col("kb")).as("b_key"),
+        when(col("ka") < col("kb"), col("ta")).otherwise(col("tb")).as("a_txt"),
+        when(col("ka") < col("kb"), col("tb")).otherwise(col("ta")).as("b_txt"),
+        col("dist"))
   }
 }

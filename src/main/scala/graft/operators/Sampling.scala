@@ -69,16 +69,26 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
-  /** `portable = false`: xxhash64 — the fast path (one multiply-rotate
+  /** THE content-hash convention, shared by every deterministic
+    * sampling/sharding/priority operator (here, `Corpus.packChunks`,
+    * `Corpus.capPerGroup`) — one definition so the portable encoding
+    * can never drift between call sites and silently diverge an
+    * oracle-gated query.
+    *
+    * `portable = false`: xxhash64 — the fast path (one multiply-rotate
     * per row; use at 100 TB). `portable = true`: the low 60 bits of
     * md5(id || ':' || seed) — byte-identical in any engine with md5
     * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`), so a sample
     * drawn by one engine can be reproduced/audited by another. Both are
     * content-addressed and retry/repartition-stable.
     */
-  private def bucket1M(idCol: Column, seed: Long, portable: Boolean): Column =
+  private[operators] def contentHash(idCol: Column, seed: Long,
+                                     portable: Boolean): Column =
     if (portable)
-      pmod(conv(substring(md5(concat(idCol.cast("string"), lit(":" + seed))),
-        1, 15), 16, 10).cast("long"), lit(1000000L))
-    else pmod(xxhash64(idCol, lit(seed)), lit(1000000L))
+      conv(substring(md5(concat(idCol.cast("string"), lit(":" + seed))),
+        1, 15), 16, 10).cast("long")
+    else xxhash64(idCol, lit(seed))
+
+  private def bucket1M(idCol: Column, seed: Long, portable: Boolean): Column =
+    pmod(contentHash(idCol, seed, portable), lit(1000000L))
 }
