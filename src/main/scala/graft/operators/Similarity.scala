@@ -46,6 +46,35 @@ object Similarity {
         col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training data: the top-k
+    * corpus vectors per query whose cosine similarity lies in
+    * [loSim, hiSim] — similar enough to be informative negatives,
+    * dissimilar enough to (by the band's modeling assumption) not be
+    * positives. The standard curriculum for embedding-model training.
+    * Same broadcast-query brute scan as [[bruteTopK]]; the band filter
+    * prunes before the rank window, so WindowGroupLimit sees only
+    * in-band candidates.
+    * @return (qid, vec_id, sim, rank), rank <= k within the band
+    */
+  def bruteHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                         loSim: Double, hiSim: Double,
+                         roundTo: Int = 6): DataFrame = {
+    require(loSim < hiSim, s"need loSim < hiSim, got [$loSim, $hiSim]")
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
+      .filter(col("sim_raw") >= loSim && col("sim_raw") <= hiSim)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
+  }
+
   /** LSH-bucketed approximate top-k. `tables` independent hash tables of
     * `planes` hyperplanes each; a corpus vector is a candidate iff it
     * shares a bucket with the query in at least one table. Recall grows

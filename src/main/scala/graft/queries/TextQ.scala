@@ -321,6 +321,31 @@ object TextQ {
              SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
              FROM r WHERE rk <= 5""")),
 
+    // sim_hardneg [EXT]: hard-negative mining — per query, the top-5
+    // corpus vectors with cosine in [0.2, 0.6] (informative negatives
+    // for contrastive embedding training). Threshold-on-exact-cosine
+    // crosses engines bit-exactly (same IEEE double sums in index
+    // order — the sim_neardup_cos argument); ties rank by vec_id.
+    Q("sim_hardneg",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteHardNegatives(emb, emb.filter(col("vec_id") < 5),
+          k = 5, loSim = 0.2, hiSim = 0.6, roundTo = 3)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+               AS qe FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings),
+             sc AS (SELECT qid, vec_id,
+               list_cosine_similarity(qe, ce) AS sim_raw
+               FROM q CROSS JOIN c WHERE vec_id != qid),
+             b AS (SELECT qid, vec_id, sim_raw FROM sc
+               WHERE sim_raw >= 0.2 AND sim_raw <= 0.6),
+             r AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+               PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk FROM b)
+             SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
+             FROM r WHERE rk <= 5""")),
+
     // sim_ann_lsh [EXT]: hyperplane-LSH bucketed ANN (the scale path;
     // recall vs. brute force asserted in ScalaTest). Independent
     // oracle: DuckDB replays the hyperplane sketch end-to-end from raw

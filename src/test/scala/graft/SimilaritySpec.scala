@@ -56,6 +56,26 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("bruteHardNegatives: band respected, equals banded brute top-k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val r = Similarity.bruteHardNegatives(emb, emb.filter($"vec_id" < 3),
+      k = 5, loSim = 0.1, hiSim = 0.5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x._3 >= 0.1 && x._3 <= 0.5), "sim outside band")
+    // consistency: exactly the in-band prefix of the unbanded ranking
+    val full = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 3),
+      k = Int.MaxValue).as[(Long, Long, Double, Int)].collect()
+    val expect = full.filter(x => x._3 >= 0.1 && x._3 <= 0.5)
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).take(5).map(_._2).toSet)
+    r.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).toSet == expect(qid), s"qid $qid")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bruteHardNegatives(emb, emb, 5, 0.6, 0.2)
+    }
+  }
+
   test("lshTopK recall@5 >= 0.6 vs brute force") {
     // The synthetic embeddings are near-uniform, so neighbor margins are
     // thin — 4 planes / 12 tables (the sim_ann_lsh query's params).
