@@ -166,6 +166,49 @@ object Corpus {
         round(col("h"), 4).as("xent"))
   }
 
+  /** PMI collocation mining — the top-k adjacent word pairs whose
+    * pointwise mutual information `ln(p(ab) / (p(a)·p(b)))` is highest
+    * among pairs seen at least `minCount` times: multiword expressions
+    * ("new york", "machine learning") that tokenizers, stopword lists,
+    * and phrase-aware dedup want to know about.
+    *
+    * Plan shape at scale: bigram and unigram counts are
+    * map-side-combinable aggregates over one tokenized pass each; the
+    * totals are one-row broadcasts; the scoring joins key on the word.
+    * The final rank is a GLOBAL top-k — valid because the `minCount`
+    * filter bounds the ranked stream (a pair must repeat to enter);
+    * the window sees candidate collocations, never the corpus.
+    *
+    * @return (w1, w2, c_ab, pmi, rank), rank 1..k by (pmi desc, pair)
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(expr(
+      s"filter(split(lower($textCol), '[^a-z0-9]+'), x -> x != '')").as("t"))
+    val bigrams = toks.select(explode(expr(
+      """CASE WHEN size(t) < 2 THEN array()
+        |ELSE transform(sequence(1, size(t) - 1),
+        |  j -> struct(element_at(t, j) AS w1, element_at(t, j + 1) AS w2))
+        |END""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nb = bg.agg(sum("c_ab").as("nb"))
+    val nu = uni.agg(sum("c").as("nu"))
+    val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    bg.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi", log((col("c_ab") / col("nb")) /
+        ((col("c_a") / col("nu")) * (col("c_b") / col("nu")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(col("pmi"), 4).as("pmi"), col("rank"))
+  }
+
   /** Fixed-size overlapping text chunking — the RAG / context-window
     * preparation step: each document is cut into `chunkSize`-character
     * windows advancing by `chunkSize - overlap` characters, so

@@ -353,6 +353,36 @@ object CorpusQ {
              |SELECT doc_id, source, cap_rank FROM r
              |WHERE cap_rank <= 10""".stripMargin)),
 
+    // text_colloc [EXT]: PMI collocations — top-20 adjacent word pairs
+    // by ln(p(ab)/(p(a)p(b))) among pairs occurring >= 5 times. Integer
+    // counts on both engines; the PMI formula is written with the same
+    // division/multiplication order on both sides so the doubles agree
+    // bit-for-bit; ties rank by the pair.
+    Q("text_colloc",
+      (s, d) => Corpus.collocations(
+        t(s, d, "documents").select(col("text")), "text",
+        minCount = 5L, k = 20),
+      Some("""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),
+             |    '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+             |bgi AS (SELECT unnest(generate_series(1, len(t) - 1)) AS j, t
+             |  FROM tk),
+             |bgp AS (SELECT t[j] AS w1, t[j + 1] AS w2 FROM bgi),
+             |bg AS (SELECT w1, w2, count(*) AS c_ab FROM bgp GROUP BY 1, 2),
+             |uni AS (SELECT unnest(t) AS w FROM tk),
+             |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+             |nb AS (SELECT sum(c_ab)::BIGINT AS nb FROM bg),
+             |nu AS (SELECT sum(c)::BIGINT AS nu FROM u),
+             |sc AS (SELECT bg.w1, bg.w2, bg.c_ab,
+             |    ln((bg.c_ab / nb.nb) / ((a.c / nu.nu) * (b.c / nu.nu)))
+             |      AS pmi
+             |  FROM bg JOIN u a ON bg.w1 = a.w JOIN u b ON bg.w2 = b.w,
+             |    nb, nu
+             |  WHERE bg.c_ab >= 5),
+             |r AS (SELECT w1, w2, c_ab, pmi, row_number() OVER (
+             |    ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
+             |SELECT w1, w2, c_ab, round(pmi, 4) AS pmi, rank
+             |FROM r WHERE rank <= 20""".stripMargin)),
+
     // corpus_split [EXT]: deterministic 80/10/10 train/val/test
     // assignment by the portable content hash — a doc keeps its split
     // across runs, retries, cluster sizes, engines, and corpus growth.

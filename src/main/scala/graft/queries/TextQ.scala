@@ -515,6 +515,53 @@ object TextQ {
              FROM p a JOIN p b ON a.vec_id < b.vec_id
              WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99""")),
 
+    // dedup_semantic [EXT]: SemDeDup-shape semantic dedup — embedding-
+    // cosine near-dup PAIRS (the sim_neardup_cos machinery, planted
+    // +0.01 perturbed copies) contracted to connected COMPONENTS, every
+    // vector labeled with its component minimum and a keep flag. The
+    // oracle recomputes ALL pairwise cosines exactly, thresholds, and
+    // runs a recursive reachability fixpoint — ground-truth clusters by
+    // an unrelated algorithm family (same posture as dedup_cluster).
+    Q("dedup_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+              .as("embedding")))
+        val pairs = Similarity.cosineNearDupPairs(planted, dim = 64,
+          threshold = 0.99).select(col("id_a"), col("id_b"))
+        val labels = graft.operators.ConnectedComponents
+          .labels(pairs, "id_a", "id_b")
+        planted.select(col("vec_id"))
+          .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster"), col("vec_id")).as("cluster_id"))
+          .withColumn("keep", col("vec_id") === col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE planted AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000,
+             |    list_prepend(CAST(embedding[1] + '0.01'::FLOAT AS FLOAT),
+             |      embedding[2:])
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM planted),
+             |prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+             |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+             |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99),
+             |edges AS (SELECT ia AS a, ib AS b FROM prs
+             |  UNION SELECT ib, ia FROM prs),
+             |reach(src, dst) AS (
+             |  SELECT vec_id, vec_id FROM planted
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+             |SELECT src AS vec_id, min(dst) AS cluster_id,
+             |  src = min(dst) AS keep
+             |FROM reach GROUP BY src""".stripMargin)),
+
     // dedup_contain [EXT]: train/test contamination — which "benchmark"
     // docs (perturbed copies of every 25th doc, simulating leaked eval
     // items) near-duplicate a training doc. Cross-corpus MinHash
