@@ -198,6 +198,49 @@ class FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("extractFeatures survives adversarial payloads: magic + garbage, truncations") {
+    val rnd = new Random(29)
+    import graft.multimodal.Multimodal
+    val magics: Seq[Array[Byte]] = Seq(
+      Array[Byte]('B', 'M'),
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte),
+      "GIF89a".getBytes("ISO-8859-1"),
+      "RIFF".getBytes("ISO-8859-1"),
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte))
+    // (a) every magic followed by random garbage — including bytes that
+    // parse as huge/negative dimensions; (b) real encodes truncated at
+    // random offsets; (c) pure noise. NO row may kill the job: the
+    // per-row degradation contract says every payload yields a Feature.
+    val realOnes: Seq[Array[Byte]] = {
+      val rgb = Array.tabulate(6 * 4 * 3)(i => (i * 7).toByte)
+      Seq(
+        graft.multimodal.Bmp.encode(graft.multimodal.Bmp.Image(6, 4, rgb)),
+        graft.multimodal.Png.encode(graft.multimodal.Png.Image(6, 4, rgb)),
+        graft.multimodal.Gif.encode(graft.multimodal.Gif.Image(6, 4, rgb)),
+        graft.multimodal.Jpeg.encode(
+          graft.multimodal.Jpeg.Image(6, 4, 3, rgb), 90, false, 0),
+        graft.multimodal.Wav.encode(graft.multimodal.Wav.Pcm(8000, 1,
+          Array.tabulate(32)(i => (i * 512).toShort))))
+    }
+    val payloads: Seq[(Long, Array[Byte])] =
+      (0 until 120).map { i =>
+        val p = magics(i % magics.length) ++
+          Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+        (i.toLong, p)
+      } ++ realOnes.zipWithIndex.flatMap { case (b, j) =>
+        (1 to 6).map { t =>
+          (1000L + j * 10 + t, b.take(1 + rnd.nextInt(math.max(1, b.length - 1))))
+        }
+      } ++ (0 until 20).map(i =>
+        (2000L + i, Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)))
+    val df = payloads.toDF("id", "payload")
+    val out = Multimodal.extractFeatures(spark, df).collect()
+    assert(out.length == payloads.length,
+      s"rows lost: ${payloads.length - out.length} payloads killed extraction")
+    assert(out.forall(_.feature.nonEmpty))
+  }
+
   test("ZOrder: random dims/bits agree with the SQL twin and stay injective") {
     val rnd = new Random(23)
     for (trial <- 1 to 10) {
