@@ -240,6 +240,25 @@ class CorpusSpec extends SparkFunSuite {
     assert(out(1)._3.get > out(0)._3.get)
   }
 
+  test("collocations: hand-computed PMI, minCount threshold, tie order") {
+    // 10 docs "new york", 5 docs "of the of the" → bigrams:
+    //   (new,york):10, (of,the):10, (the,of):5 → Nb=25
+    // unigrams: new:10 york:10 of:10 the:10 → Nu=40
+    val docs = (Seq.fill(10)("new york") ++ Seq.fill(5)("of the of the"))
+      .toDF("text")
+    val out = Corpus.collocations(docs, "text", minCount = 5L, k = 10)
+      .as[(String, String, Long, Double, Int)].collect().sortBy(_._5)
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      math.rint(math.log((cab / 25.0) / ((ca / 40.0) * (cb / 40.0))) * 1e4) / 1e4
+    assert(out.length == 3)
+    // (new,york) ties (of,the) on PMI; the (w1, w2) tie-break orders them
+    assert(out(0) == (("new", "york", 10L, pmi(10, 10, 10), 1)))
+    assert(out(1) == (("of", "the", 10L, pmi(10, 10, 10), 2)))
+    assert(out(2) == (("the", "of", 5L, pmi(5, 10, 10), 3)))
+    // minCount prunes: raising it to 6 drops (the,of)
+    assert(Corpus.collocations(docs, "text", 6L, 10).count() == 2L)
+  }
+
   test("capPerGroup: groups below the cap keep every row") {
     val df = (0L until 5L).map(i => (i, "only")).toDF("id", "g")
     val out = Corpus.capPerGroup(df, col("g"), col("id"), 10)
