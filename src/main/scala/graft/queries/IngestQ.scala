@@ -393,6 +393,27 @@ object IngestQ {
       Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
              CAST(3 AS BIGINT) AS n_notnull, CAST(3 AS BIGINT) AS n_tags""")),
 
+    // src_orc [EXT]: ORC round-trip — the other columnar format a lake
+    // ingests; written from a deterministic frame (with nulls and an
+    // array column, schema preserved end-to-end) and read back.
+    // DuckDB reads no ORC, so the oracle is golden VALUES (src_csv
+    // posture).
+    Q("src_orc",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+        import s.implicits._
+        Seq((1L, Some(1.5), Seq("x", "y")), (2L, Some(2.5), Seq.empty[String]),
+          (3L, None, Seq("z")), (4L, Some(4.0), Seq("w")))
+          .toDF("id", "v", "tags")
+          .write.mode("overwrite").orc(dir.toString + "/t")
+        s.read.orc(dir.toString + "/t")
+          .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"),
+            count(col("v")).as("n_notnull"),
+            sum(size(col("tags"))).cast("bigint").as("n_tags"))
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
+             CAST(3 AS BIGINT) AS n_notnull, CAST(4 AS BIGINT) AS n_tags""")),
+
     // src_zip (`assess_changes.qmd:267-275`): zipped-CSV bundles via
     // binaryFile + ZipInputStream flatMap; deterministic fixture zip with
     // two entries sharing a header; golden-VALUES oracle.
