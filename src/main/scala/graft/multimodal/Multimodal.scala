@@ -245,6 +245,38 @@ object Multimodal {
     * are fixed-size regardless of input size — the property downstream
     * batch-inference relies on.
     */
+  /** REAL pixel-space box resample over decoded RGB (the downscale
+    * step of a thumbnail/feature pipeline): every source pixel lands
+    * in output cell `(x·ow/w, y·oh/h)` (integer division — uneven box
+    * boundaries when ow∤w), and each cell is the integer mean of its
+    * box per channel. Deterministic integer arithmetic end to end, so
+    * an oracle can replay it from the source pixel values.
+    */
+  def boxResize(w: Int, h: Int, rgb: Array[Byte],
+                ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0 && ow <= w && oh <= h,
+      s"box resample needs 0 < ow <= w, 0 < oh <= h (got ${w}x$h -> ${ow}x$oh)")
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w}x${h}x3")
+    val sum = new Array[Long](ow * oh * 3)
+    val cnt = new Array[Int](ow * oh)
+    var y = 0
+    while (y < h) {
+      val oy = y * oh / h
+      var x = 0
+      while (x < w) {
+        val o = oy * ow + x * ow / w
+        cnt(o) += 1
+        var c = 0
+        while (c < 3) {
+          sum(o * 3 + c) += rgb((y * w + x) * 3 + c) & 0xff; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(ow * oh * 3)(i => (sum(i) / cnt(i / 3)).toByte)
+  }
+
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
     if (bytes.nonEmpty) {

@@ -1111,6 +1111,64 @@ object TextQ {
              lower(hex(encode(substring(text, 1, 4)))) AS header_hex
              FROM documents""")),
 
+    // multimodal_thumb [EXT]: decode → REAL box resample — the
+    // thumbnail step on decoded pixels (replacing the byte-stub resize
+    // for the decoded path): 5x3 formula BMPs decode and downscale to
+    // 2x2 with UNEVEN integer box boundaries (5 and 3 are not
+    // divisible by 2 — both split paths exercised). The oracle
+    // recomputes every cell straight from the pixel formula with the
+    // same x*ow//w assignment and integer-mean arithmetic.
+    Q("multimodal_thumb",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Bmp, Multimodal}
+        val imgs = t(s, d, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val (w, h) = (5, 3)
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+                rgb(i + 1) = ((id * 17 + x * 5 + y * 3) % 256).toByte
+                rgb(i + 2) = ((id * 29 + x * 11 + y * 19) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Bmp.encode(Bmp.Image(w, h, rgb)))
+          }.toDF("id", "payload")
+        imgs.as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) =>
+            val img = Bmp.decode(bytes)
+            val t = Multimodal.boxResize(img.width, img.height, img.rgb, 2, 2)
+            for (oy <- 0 until 2; ox <- 0 until 2) yield {
+              val i = (oy * 2 + ox) * 3
+              (id, oy, ox, (t(i) & 0xff).toLong, (t(i + 1) & 0xff).toLong,
+                (t(i + 2) & 0xff).toLong)
+            }
+          })
+          .toDF("id", "oy", "ox", "r", "g", "b")
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             |  WHERE doc_id < 40),
+             |px AS (SELECT id, gx.x AS x, gy.y AS y
+             |  FROM ids, generate_series(0, 4) AS gx(x),
+             |       generate_series(0, 2) AS gy(y)),
+             |m AS (SELECT id, (y * 2) // 3 AS oy, (x * 2) // 5 AS ox,
+             |    (id*31 + x*7 + y*13) % 256 AS r,
+             |    (id*17 + x*5 + y*3) % 256 AS g,
+             |    (id*29 + x*11 + y*19) % 256 AS b
+             |  FROM px)
+             |SELECT id, oy::INT AS oy, ox::INT AS ox,
+             |  (sum(r) // count(*))::BIGINT AS r,
+             |  (sum(g) // count(*))::BIGINT AS g,
+             |  (sum(b) // count(*))::BIGINT AS b
+             |FROM m GROUP BY id, oy, ox""".stripMargin)),
+
     // multimodal_features [EXT]: partition-parallel decode/feature-extract
     // over opaque binary payloads. The RIFF/WAVE branch is REAL — the
     // dependency-free 16-bit-PCM codec (multimodal.Wav) decodes planted

@@ -70,6 +70,28 @@ class MultimodalSpec extends SparkFunSuite {
     assert(again === feats.view.mapValues(_.feature.toSeq).toMap)
   }
 
+  test("boxResize: hand-computed uneven boxes; identity resize; guards") {
+    import graft.multimodal.Multimodal
+    // 3x2 → 2x1: columns {0,1}→ox0, {2}→ox1; both rows →oy0
+    // pixels r-channel = 10*(y*3+x), g=b=0
+    val rgb = Array.tabulate(3 * 2 * 3)(i =>
+      if (i % 3 == 0) (10 * (i / 3)).toByte else 0.toByte)
+    val t = Multimodal.boxResize(3, 2, rgb, 2, 1)
+    // ox0 box: pixels (0,0),(1,0),(0,1),(1,1) → r mean (0+10+30+40)/4=20
+    // ox1 box: pixels (2,0),(2,1) → (20+50)/2=35
+    assert((t(0) & 0xff) == 20 && (t(3) & 0xff) == 35)
+    assert(t(1) == 0 && t(2) == 0 && t(4) == 0 && t(5) == 0)
+    // identity: ow=w, oh=h returns the source values
+    val id3 = Multimodal.boxResize(3, 2, rgb, 3, 2)
+    assert(id3.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.boxResize(3, 2, rgb, 4, 1) // upscale unsupported
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.boxResize(3, 2, rgb.take(5), 2, 1)
+    }
+  }
+
   test("Bmp round-trips RGB through padding, bottom-up storage, BGR order") {
     // width 5 → 15-byte rows padded to 16; asymmetric pixels catch
     // row-order or channel-order mistakes
