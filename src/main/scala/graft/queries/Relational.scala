@@ -91,6 +91,56 @@ object Relational {
              JOIN region ON n_regionkey = r_regionkey
              GROUP BY ROLLUP(r_name, n_name)""")),
 
+    // win_moving_avg [EXT]: a RANGE frame over event time — the moving
+    // average "everything in the last hour" shape. RANGE frames bound
+    // by VALUE, not row count (ties and gaps behave differently from
+    // ROWS); computed over epoch seconds so both engines frame
+    // identically at integer precision.
+    Q("win_moving_avg",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("v_events")
+        s.sql("""SELECT event_id, user_id,
+                round(avg(value) OVER (PARTITION BY user_id ORDER BY es
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+                  AS avg_1h,
+                count(*) OVER (PARTITION BY user_id ORDER BY es
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+                FROM (SELECT event_id, user_id, value,
+                  CAST(ts AS LONG) AS es FROM v_events)""")
+      },
+      Some("""SELECT event_id, user_id,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+               AS avg_1h,
+             count(*) OVER (PARTITION BY user_id ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+             FROM (SELECT event_id, user_id, value,
+               -- floor, not CAST: DuckDB casts double→int by ROUNDING,
+               -- Spark's timestamp→long floors
+               CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)""")),
+
+    // join_lateral [EXT]: correlated LATERAL subquery — per customer,
+    // their two most expensive orders. Catalyst decorrelates the
+    // lateral into a ranked join (no per-row re-execution); DuckDB runs
+    // the same ANSI shape.
+    Q("join_lateral",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("v_customer")
+        t(s, d, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+                FROM v_customer,
+                LATERAL (SELECT o_orderkey, o_totalprice FROM v_orders
+                         WHERE o_custkey = c_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey
+                         LIMIT 2) t""")
+      },
+      Some("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+             FROM customer,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t""")),
+
     // win_distribution [EXT]: the distribution-function window family
     // (percent_rank / cume_dist / ntile) over a deterministic total
     // order — identical definitions in Spark and DuckDB, ties broken
