@@ -207,6 +207,15 @@ class PlanSpec extends SparkFunSuite {
       "fuzzy join degraded to all-pairs:\n" + p.take(1500))
   }
 
+  test("join_lateral: decorrelated to a ranked join, no nested-loop re-execution") {
+    val p = plan("join_lateral")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "lateral subquery fell back to per-row nested loop:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "expected the LIMIT-in-lateral to plan as a ranked window")
+  }
+
   test("corpus_cap: rank filter plans WindowGroupLimit; one group exchange") {
     val p = plan("corpus_cap")
     assert(p.contains("WindowGroupLimit"),
