@@ -150,6 +150,44 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination probe: arriving batches check the static MinHash index") {
+    // the production daily-ingest shape: the corpus index is built ONCE
+    // (staged postings); each arriving micro-batch sketches only itself
+    // inside foreachBatch and probes the same staged index — across
+    // triggers, with no re-sketch of the corpus
+    implicit val sq = spark.sqlContext
+    val t1 = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away while the sun sets slowly behind the tall green hills tonight"
+    val t2 = "completely different text about spark query engines and " +
+      "distributed columnar execution at terabyte scale with shuffles"
+    val corpus = Seq((10L, t1), (20L, t2)).toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.buildMinhashIndex(
+      corpus, "doc_id", "text")
+    val hits = scala.collection.mutable.Set.empty[(Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF()
+      .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.probeMinhashIndex(idx, batch,
+            "doc_id", "text", threshold = 0.35)
+          .select("corpus_id", "batch_id")
+          .collect().foreach(r => hits.synchronized {
+            hits += ((r.getLong(0), r.getLong(1)))
+          })
+        ()
+      }.start()
+    try {
+      in.addData((100L, t1 + " zz")) // contaminates corpus doc 10
+      q.processAllAvailable()
+      assert(hits.toSet == Set((10L, 100L)), s"got $hits")
+      in.addData((200L, t2 + " yy"), (300L, "unrelated fresh content " +
+        "nothing matches here at all in any shingle"))
+      q.processAllAvailable()
+      assert(hits.toSet == Set((10L, 100L), (20L, 200L)), s"got $hits")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: mega-bucket burst honors the state cap, match count is closed-form") {
     implicit val sq = spark.sqlContext
     // identical text → identical sketch → every doc lands in the SAME
