@@ -164,6 +164,24 @@ object Relational {
              WINDOW w AS (PARTITION BY c_mktsegment
                ORDER BY c_acctbal, c_custkey)""")),
 
+    // agg_corr [EXT]: the covariance/correlation aggregate family over
+    // a grouped frame — single-pass partially-aggregatable moments on
+    // both engines; rounded to 4 decimals (the moment sums agree far
+    // below that).
+    Q("agg_corr",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+            .as("cov_qd"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_q")),
+      Some("""SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+             round(stddev_samp(l_quantity), 4) AS sd_q
+             FROM lineitem GROUP BY l_returnflag""")),
+
     // agg_cube [EXT]: all grouping-set combinations (status × priority
     // marginals + grand total) in one pass — Spark expands the sets
     // inside a single Expand + aggregate, no per-set rescan.

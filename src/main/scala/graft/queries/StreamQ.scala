@@ -15,6 +15,56 @@ object StreamQ {
 
   val all: Seq[Q] = Seq(
 
+    // ts_fill [EXT]: time-series gap fill — every user gets a row for
+    // EVERY hour of the corpus span, missing hours carry the user's
+    // last observed hourly sum forward (0 before the first
+    // observation). The dense grid explodes from one sequence per
+    // user (scalars), and the carry-forward is one last(ignoreNulls)
+    // window over the user's own rows — the standard
+    // gaps-and-islands fill, replayed by the oracle with
+    // generate_series + a windowed last_value.
+    Q("ts_fill",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .select(col("user_id"),
+            (floor(col("ts").cast("long") / 3600) * 3600).as("hs"),
+            col("value"))
+          .groupBy("user_id", "hs")
+          .agg(round(sum("value"), 2).as("v"))
+        val span = hourly.agg(min("hs").as("lo"), max("hs").as("hi"))
+        val grid = hourly.select(col("user_id")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("hs")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        grid.join(hourly, Seq("user_id", "hs"), "left")
+          .withColumn("filled",
+            coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)))
+          .select(col("user_id"), col("hs"),
+            col("v").isNotNull.as("observed"),
+            round(col("filled"), 2).as("filled"))
+      },
+      Some("""WITH hourly AS (SELECT user_id,
+             |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hs,
+             |    round(sum(value), 2) AS v
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM hourly),
+             |grid AS (SELECT u.user_id, g.hs
+             |  FROM (SELECT DISTINCT user_id FROM hourly) u,
+             |       span, unnest(generate_series(span.lo, span.hi, 3600))
+             |         AS g(hs)),
+             |j AS (SELECT grid.user_id, grid.hs, hourly.v
+             |  FROM grid LEFT JOIN hourly
+             |    ON grid.user_id = hourly.user_id AND grid.hs = hourly.hs)
+             |SELECT user_id, hs, v IS NOT NULL AS observed,
+             |  round(coalesce(last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY hs
+             |    ROWS UNBOUNDED PRECEDING), 0.0), 2) AS filled
+             |FROM j""".stripMargin)),
+
     // stream_tumble: 1h tumbling window counts/sums per event_type.
     Q("stream_tumble",
       (s, d) => t(s, d, "events")
