@@ -31,19 +31,35 @@ object Similarity {
     * @return (qid, vec_id, sim, rank), rank <= k.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                roundTo: Int = 6): DataFrame = {
+                roundTo: Int = 6): DataFrame =
+    rankedCosine(corpus, queries, k, roundTo, band = None)
+
+  /** Shared brute scorer behind [[bruteTopK]] and
+    * [[bruteHardNegatives]]: broadcast-query cross scan, self-pair
+    * exclusion, optional raw-cosine band filter ahead of the rank
+    * window, deterministic (sim desc, vec_id asc) tie-break. One
+    * definition so the two public shapes cannot drift apart.
+    */
+  private def rankedCosine(corpus: DataFrame, queries: DataFrame, k: Int,
+                           roundTo: Int,
+                           band: Option[(Double, Double)]): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qvec")))
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+    val scored0 = corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(q)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
+    val scored = band match {
+      case Some((lo, hi)) =>
+        scored0.filter(col("sim_raw") >= lo && col("sim_raw") <= hi)
+      case None => scored0
+    }
     val w = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), round(col("sim_raw"), roundTo).as("sim"),
-        col("rk"))
+      .select(col("qid"), col("vec_id"),
+        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
   }
 
   /** Hard-negative mining for contrastive training data: the top-k
@@ -60,19 +76,7 @@ object Similarity {
                          loSim: Double, hiSim: Double,
                          roundTo: Int = 6): DataFrame = {
     require(loSim < hiSim, s"need loSim < hiSim, got [$loSim, $hiSim]")
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec")))
-    val scored = corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(q)
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        VecFns.cosine(col("qvec"), col("embedding")).as("sim_raw"))
-      .filter(col("sim_raw") >= loSim && col("sim_raw") <= hiSim)
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim_raw").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"),
-        round(col("sim_raw"), roundTo).as("sim"), col("rk"))
+    rankedCosine(corpus, queries, k, roundTo, band = Some((loSim, hiSim)))
   }
 
   /** LSH-bucketed approximate top-k. `tables` independent hash tables of

@@ -25,12 +25,18 @@ object StreamQ {
     // generate_series + a windowed last_value.
     Q("ts_fill",
       (s, d) => {
-        val hourly = t(s, d, "events")
-          .select(col("user_id"),
-            (floor(col("ts").cast("long") / 3600) * 3600).as("hs"),
-            col("value"))
-          .groupBy("user_id", "hs")
-          .agg(round(sum("value"), 2).as("v"))
+        // staged: the hourly aggregate feeds THREE plan branches (span
+        // min/max, the distinct-user grid, and the join probe) — one
+        // events scan + aggregate instead of three (Stage.materialize,
+        // the same discipline as the sketch operators)
+        val hourly = graft.operators.Stage.materialize(
+          t(s, d, "events")
+            .select(col("user_id"),
+              (floor(col("ts").cast("long") / 3600) * 3600).as("hs"),
+              col("value"))
+            .groupBy("user_id", "hs")
+            .agg(round(sum("value"), 2).as("v")),
+          "ts_fill_hourly")
         val span = hourly.agg(min("hs").as("lo"), max("hs").as("hi"))
         val grid = hourly.select(col("user_id")).distinct()
           .crossJoin(broadcast(span))

@@ -212,8 +212,9 @@ class PlanSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "lateral subquery fell back to per-row nested loop:\n" + p.take(1500))
-    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
-      "expected the LIMIT-in-lateral to plan as a ranked window")
+    assert(p.contains("WindowGroupLimit"),
+      "expected the LIMIT-in-lateral to plan as a map-side-pruned " +
+        "ranked window (WindowGroupLimit)")
   }
 
   test("corpus_cap: rank filter plans WindowGroupLimit; one group exchange") {

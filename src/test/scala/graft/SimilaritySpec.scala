@@ -63,13 +63,18 @@ class SimilaritySpec extends SparkFunSuite {
       .as[(Long, Long, Double, Int)].collect()
     assert(r.nonEmpty)
     assert(r.forall(x => x._3 >= 0.1 && x._3 <= 0.5), "sim outside band")
-    // consistency: exactly the in-band prefix of the unbanded ranking
+    // consistency: exactly the in-band prefix of the unbanded ranking.
+    // Band the comparison on a 12-decimal sim (the implementation bands
+    // on the RAW cosine; the default 6-decimal rounding could move a
+    // boundary-adjacent sim across the band edge and fail a correct
+    // implementation). Iterate EXPECTED qids so a dropped query fails.
     val full = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 3),
-      k = Int.MaxValue).as[(Long, Long, Double, Int)].collect()
+      k = Int.MaxValue, roundTo = 12).as[(Long, Long, Double, Int)].collect()
     val expect = full.filter(x => x._3 >= 0.1 && x._3 <= 0.5)
       .groupBy(_._1).view.mapValues(_.sortBy(_._4).take(5).map(_._2).toSet)
-    r.groupBy(_._1).foreach { case (qid, rows) =>
-      assert(rows.map(_._2).toSet == expect(qid), s"qid $qid")
+    val got = r.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    expect.foreach { case (qid, want) =>
+      assert(got.getOrElse(qid, Set.empty) == want, s"qid $qid")
     }
     intercept[IllegalArgumentException] {
       Similarity.bruteHardNegatives(emb, emb, 5, 0.6, 0.2)
