@@ -233,6 +233,26 @@ class PlanSpec extends SparkFunSuite {
     assert(p.contains("Generate"), "explode-based chunk expansion missing")
   }
 
+  test("corpus_split: pure narrow projection — no exchange") {
+    val p = plan("corpus_split")
+    assert(!p.contains("Exchange"),
+      "split assignment introduced a shuffle:\n" + p.take(1200))
+  }
+
+  test("agg_cube: grouping sets plan ONE Expand over one scan, not per-set rescans") {
+    val p = plan("agg_cube")
+    assert(p.linesIterator.count(_.contains("Expand [")) == 1,
+      "expected exactly one Expand:\n" + p.take(1200))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      "cube re-scanned the table per grouping set")
+  }
+
+  test("stats_table: every column's statistics from ONE scan") {
+    val p = plan("stats_table")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      "column stats re-scanned the table:\n" + p.take(1200))
+  }
+
   test("win_session: both windows and aggregates share ONE user exchange") {
     val p = plan("win_session")
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
