@@ -69,6 +69,27 @@ class BpeSpec extends SparkFunSuite {
     assert(out(2) == ((3L, 1L, 2L, Some(2.0))))
   }
 
+  test("fuzz: 8 random corpora — distributed and local trainers agree") {
+    // the riskiest equivalence in the operator: the SQL higher-order
+    // merge fold vs the driver-side array scan, including tie-breaks
+    // and early exhaustion, across corpora nobody hand-picked
+    val rnd = new scala.util.Random(37)
+    val lexicon = Vector("aa", "ab", "abc", "bca", "cab", "a", "b",
+      "aab", "bb", "abab")
+    for (trial <- 1 to 8) {
+      val docs = (0 until (2 + rnd.nextInt(4))).map(_ =>
+        Seq.fill(1 + rnd.nextInt(15))(
+          lexicon(rnd.nextInt(lexicon.length))).mkString(" "))
+        .toDF("text")
+      val n = 1 + rnd.nextInt(6)
+      val local = Bpe.trainMerges(docs, "text", n)
+        .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+      val dist = Bpe.trainMerges(docs, "text", n, localVocabLimit = 0L)
+        .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+      assert(local == dist, s"trial $trial (n=$n): local=$local dist=$dist")
+    }
+  }
+
   test("vocabulary exhaustion stops early with fewer rows") {
     // single char per word → one pair-less round after 0 merges? No:
     // "a b" has two single-char words, no adjacent pairs at all
