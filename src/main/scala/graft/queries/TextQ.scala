@@ -515,6 +515,49 @@ object TextQ {
              FROM p a JOIN p b ON a.vec_id < b.vec_id
              WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99""")),
 
+    // text_novelty [EXT]: per-doc memorization/self-containment score —
+    // the fraction of a document's distinct 3-gram shingles that occur
+    // in at least one OTHER document (planted corpus, so the perturbed
+    // copies score near 1.0 shared). One shingle pass; the (doc, sh)
+    // stream repartitions by shingle ONCE and both the doc-frequency
+    // aggregate and the join-back ride that exchange (the tfidf
+    // single-exchange shape). The 31-bit shingle hash is the
+    // production key (8 B shuffles, not n-gram strings); the oracle
+    // replays with exact STRING shingles — equal up to 31-bit hash
+    // collisions, which the gate empirically has none of (the same
+    // exactness regime dedup_jaccard's SortedJaccard gate rests on).
+    Q("text_novelty",
+      (s, d) => {
+        val sh = plantedDocs(s, d).select(col("doc_id"),
+          explode(Dedup.shingleHashes(col("text"))).as("sh"))
+          .repartition(col("sh"))
+        val dfq = sh.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+        sh.join(dfq, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            round(avg(when(col("ndocs") >= 2, 1.0).otherwise(0.0)), 4)
+              .as("shared_frac"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text || ' zz'
+             |  FROM documents WHERE doc_id % 50 = 0),
+             |toks AS (SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text),
+             |      '[^a-z0-9]+', ' ', 'g')), ' ') AS tk FROM planted),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS s
+             |  FROM (SELECT doc_id, tk,
+             |      unnest(generate_series(1, len(tk) - 2)) AS i
+             |    FROM toks)),
+             |dfq AS (SELECT s, count(*) AS ndocs FROM sh GROUP BY s)
+             |SELECT sh.doc_id, count(*) AS n_shingles,
+             |  round(avg(CASE WHEN dfq.ndocs >= 2 THEN 1.0 ELSE 0.0 END), 4)
+             |    AS shared_frac
+             |FROM sh JOIN dfq ON sh.s = dfq.s
+             |GROUP BY sh.doc_id""".stripMargin)),
+
     // dedup_semantic [EXT]: SemDeDup-shape semantic dedup — embedding-
     // cosine near-dup PAIRS (the sim_neardup_cos machinery, planted
     // +0.01 perturbed copies) contracted to connected COMPONENTS, every
