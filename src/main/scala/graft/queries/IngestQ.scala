@@ -335,6 +335,70 @@ object IngestQ {
       Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
              CAST(3 AS BIGINT) AS n_notnull""")),
 
+    // dq_check [EXT]: declarative data-quality report (deequ-style
+    // "unit tests for data") — null rate, key uniqueness, referential
+    // integrity, and domain range as violation FRACTIONS with
+    // per-rule tolerances. The planted orphan rows make the FK rule
+    // genuinely fail (no vacuous all-pass report). Oracle replays
+    // every metric from the raw tables.
+    Q("dq_check",
+      (s, d) => {
+        import graft.ingest.DataQuality._
+        val orders = t(s, d, "orders")
+        val customer = t(s, d, "customer")
+        val li = t(s, d, "lineitem")
+        // plant orphans: order rows whose custkey points nowhere
+        val withOrphans = orders.unionByName(
+          orders.filter(col("o_orderkey") % 100 === 0)
+            .withColumn("o_custkey", col("o_custkey") + 90000000L))
+        report(
+          nullCheck(orders, "orders", "o_totalprice"),
+          uniqueCheck(orders, "orders", "o_orderkey"),
+          uniqueCheck(li, "lineitem", "l_orderkey", maxFraction = 1.0),
+          fkCheck(withOrphans, "orders_planted", "o_custkey",
+            customer, "c_custkey", maxFraction = 0.005),
+          rangeCheck(li, "lineitem", "l_quantity", 1.0, 50.0))
+      },
+      Some("""SELECT 'orders.o_totalprice.not_null' AS rule,
+             |  round((count(*) - count(o_totalprice)) /
+             |    greatest(count(*), 1), 6) AS metric,
+             |  (count(*) - count(o_totalprice)) /
+             |    greatest(count(*), 1) <= 0.0 AS pass FROM orders
+             |UNION ALL
+             |SELECT 'orders.o_orderkey.unique',
+             |  round((count(o_orderkey) - count(DISTINCT o_orderkey)) /
+             |    greatest(count(*), 1), 6),
+             |  (count(o_orderkey) - count(DISTINCT o_orderkey)) /
+             |    greatest(count(*), 1) <= 0.0 FROM orders
+             |UNION ALL
+             |SELECT 'lineitem.l_orderkey.unique',
+             |  round((count(l_orderkey) - count(DISTINCT l_orderkey)) /
+             |    greatest(count(*), 1), 6),
+             |  (count(l_orderkey) - count(DISTINCT l_orderkey)) /
+             |    greatest(count(*), 1) <= 1.0 FROM lineitem
+             |UNION ALL
+             |SELECT 'orders_planted.o_custkey.fk', round(b.bad / n.n, 6),
+             |  b.bad / n.n <= 0.005
+             |FROM (SELECT count(*)::DOUBLE AS n FROM (
+             |    SELECT o_custkey FROM orders
+             |    UNION ALL
+             |    SELECT o_custkey + 90000000 FROM orders
+             |    WHERE o_orderkey % 100 = 0)) n,
+             |  (SELECT count(*)::DOUBLE AS bad FROM (
+             |    SELECT o_custkey FROM orders
+             |    UNION ALL
+             |    SELECT o_custkey + 90000000 FROM orders
+             |    WHERE o_orderkey % 100 = 0) p
+             |   WHERE NOT EXISTS (SELECT 1 FROM customer
+             |     WHERE c_custkey = p.o_custkey)) b
+             |UNION ALL
+             |SELECT 'lineitem.l_quantity.range',
+             |  round(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+             |    THEN 1 ELSE 0 END) / greatest(count(*), 1), 6),
+             |  sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+             |    THEN 1 ELSE 0 END) / greatest(count(*), 1) <= 0.0
+             |FROM lineitem WHERE l_quantity IS NOT NULL""".stripMargin)),
+
     // stats_table [EXT]: ANALYZE-style column statistics (null counts,
     // exact NDV, numeric min/max) — every column in ONE aggregate over
     // ONE scan (k passes is the naive shape); the value-level

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.DataQuality._
+
+class DataQualitySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("null/unique/range checks: hand-computed fractions and tolerances") {
+    val df = Seq(
+      (Some(1L), 5.0), (Some(1L), 60.0), (Some(2L), 10.0), (None, 20.0)
+    ).toDF("k", "v")
+    val rep = report(
+      nullCheck(df, "t", "k", maxFraction = 0.3),
+      uniqueCheck(df, "t", "k"),
+      rangeCheck(df, "t", "v", 1.0, 50.0, maxFraction = 0.25))
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep("t.k.not_null") == ((0.25, true)))     // 1 of 4 null, tol .3
+    // k has 3 non-null values, 2 distinct → 1 duplicated row
+    assert(rep("t.k.unique") == ((0.25, false)))
+    assert(rep("t.v.range") == ((0.25, true)))        // 60 of 4 values out
+  }
+
+  test("fkCheck: orphan fraction against the parent's key set") {
+    val child = Seq(1L, 1L, 2L, 99L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = fkCheck(child, "c", "fk", parent, "pk", maxFraction = 0.2)
+      .as[(String, Double, Boolean)].head()
+    assert(r == (("c.fk.fk", 0.25, false)))
+  }
+
+  test("empty table: every check reports 0 and passes") {
+    val df = Seq((1L, 1.0)).toDF("k", "v").filter(lit(false))
+    val rep = report(
+      nullCheck(df, "t", "k"), uniqueCheck(df, "t", "k"),
+      rangeCheck(df, "t", "v", 0, 1))
+      .as[(String, Double, Boolean)].collect()
+    assert(rep.forall(r => r._2 == 0.0 && r._3), rep.mkString(","))
+  }
+}
