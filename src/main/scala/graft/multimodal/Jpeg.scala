@@ -569,6 +569,8 @@ object Jpeg {
           while (pos < end) {
             val pq = u8()
             Codec.check((pq >> 4) == 0, "16-bit quant tables unsupported")
+            // 4-bit id, but only 0-3 are valid table slots (T.81 B.2.4.1)
+            Codec.check((pq & 0xf) < 4, s"bad quant table id ${pq & 0xf}")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) { t(Zigzag(i)) = u8(); i += 1 }
@@ -580,6 +582,8 @@ object Jpeg {
           val end = pos + segLen - 2
           while (pos < end) {
             val tcth = u8()
+            Codec.check((tcth >> 4) <= 1 && (tcth & 0xf) < 4,
+              s"bad Huffman table spec ${tcth}") // T.81 B.2.4.2: Tc 0/1, Th 0-3
             val bits = new Array[Int](17)
             var total = 0
             for (l <- 1 to 16) { bits(l) = u8(); total += bits(l) }
@@ -613,6 +617,7 @@ object Jpeg {
             val hvByte = u8()
             compH(c) = hvByte >> 4; compV(c) = hvByte & 0xf
             compQ(c) = u8()
+            Codec.check(compQ(c) < 4, s"bad quant table ref ${compQ(c)}")
           }
           if (nComps == 1) { compH(0) = 1; compV(0) = 1 } // single-comp
           val layout444 = compH.forall(_ == 1) && compV.forall(_ == 1)
@@ -633,6 +638,8 @@ object Jpeg {
             u8()
             val tdta = u8()
             compDcT(c) = tdta >> 4; compAcT(c) = tdta & 0xf
+            Codec.check(compDcT(c) < 4 && compAcT(c) < 4,
+              s"bad Huffman table ref $tdta")
           }
           pos += 3 // Ss, Se, AhAl
           scanStart = pos

@@ -261,10 +261,12 @@ object Multimodal {
     val cnt = new Array[Int](ow * oh)
     var y = 0
     while (y < h) {
-      val oy = y * oh / h
+      // Long products: decoded planes admit up to 2^20 px per side, so
+      // y*oh / x*ow overflow Int and would corrupt the cell index
+      val oy = (y.toLong * oh / h).toInt
       var x = 0
       while (x < w) {
-        val o = oy * ow + x * ow / w
+        val o = oy * ow + (x.toLong * ow / w).toInt
         cnt(o) += 1
         var c = 0
         while (c < 3) {

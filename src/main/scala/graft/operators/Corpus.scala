@@ -175,9 +175,14 @@ object Corpus {
     * Plan shape at scale: bigram and unigram counts are
     * map-side-combinable aggregates over one tokenized pass each; the
     * totals are one-row broadcasts; the scoring joins key on the word.
-    * The final rank is a GLOBAL top-k — valid because the `minCount`
-    * filter bounds the ranked stream (a pair must repeat to enter);
-    * the window sees candidate collocations, never the corpus.
+    * The final rank is a GLOBAL top-k planned as
+    * `TakeOrderedAndProject` — every partition keeps its local top k
+    * and only k-row partials meet at the driver, so no task ever sorts
+    * the full candidate stream (a global `row_number` window here
+    * would serialize billions of ≥minCount pairs into one task at web
+    * scale). Rank is then derived from the ≤k-row result by a single
+    * bounded pack-sort-explode aggregate — no WindowExec anywhere in
+    * the plan (PlanGuardSpec asserts this repo-wide).
     *
     * @return (w1, w2, c_ab, pmi, rank), rank 1..k by (pmi desc, pair)
     */
@@ -196,17 +201,26 @@ object Corpus {
       .groupBy("w").agg(count(lit(1)).as("c"))
     val nb = bg.agg(sum("c_ab").as("nb"))
     val nu = uni.agg(sum("c").as("nu"))
-    val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
-    bg.filter(col("c_ab") >= minCount)
+    val top = bg.filter(col("c_ab") >= minCount)
       .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
       .withColumn("pmi", log((col("c_ab") / col("nb")) /
         ((col("c_a") / col("nu")) * (col("c_b") / col("nu")))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("w1"), col("w2"), col("c_ab"),
-        round(col("pmi"), 4).as("pmi"), col("rank"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+    // rank without a window: pack the ≤k winners into one array,
+    // sort_array on (-pmi, pair) replays the top-k order (pmi is a
+    // finite log — no NaN; -0.0 sorts equal to 0.0 and the unique
+    // (w1, w2) tiebreak resolves it), posexplode numbers them
+    top
+      .agg(sort_array(collect_list(struct(
+        (col("pmi") * -1d).as("np"), col("w1"), col("w2"),
+        col("c_ab"), col("pmi")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("i", "x")))
+      .select(col("x.w1").as("w1"), col("x.w2").as("w2"),
+        col("x.c_ab").as("c_ab"), round(col("x.pmi"), 4).as("pmi"),
+        (col("i") + 1).cast("int").as("rank"))
   }
 
   /** Fixed-size overlapping text chunking — the RAG / context-window

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global rank / ntile WITHOUT a global window.
+  *
+  * `row_number().over(Window.orderBy(...))` — an empty partition spec —
+  * plans a single-partition WindowExec: one task sorts the entire
+  * input, which is the canonical 100 TB scale-killer (and the warning
+  * Spark prints as "No Partition Defined ... serious performance
+  * degradation"). But exact global ranking doesn't need a global sort
+  * in one task; the classic two-phase shape distributes it:
+  *
+  *  1. `repartitionByRange(p, sortCols)` — each partition holds one
+  *     contiguous key range (a sampled-boundary range shuffle, the
+  *     same machinery as a distributed ORDER BY);
+  *  2. freeze each row's range-partition id AS DATA
+  *     (`spark_partition_id()` + [[Stage.materialize]] — boundaries
+  *     come from sampling, so the id must be pinned before two
+  *     downstream jobs read the frame);
+  *  3. per-partition row counts → driver (p rows — metadata-scale,
+  *     bounded by the shuffle partition count, the same posture as
+  *     AQE's per-partition stats) → prefix-sum offsets, broadcast
+  *     back;
+  *  4. `row_number()` over a window PARTITIONED by the frozen id
+  *     (parallel, one range per task) + the partition's offset
+  *     = the exact global rank.
+  *
+  * The result is identical to the global-window answer for any TOTAL
+  * ordering (pass a tiebreak column — ranks among exact duplicates are
+  * otherwise tie-broken by partition placement), but every stage is
+  * parallel: the only single-point work is the p-row offset scan.
+  *
+  * Callers should project to the scalar columns they need before
+  * calling — step 2 stages the full frame to parquet.
+  */
+object GlobalRank {
+
+  /** `df` plus a `rankCol` (1-based, long) giving each row's exact
+    * global rank under `sortCols`. See object doc for the plan shape.
+    *
+    * @param sortCols total ordering (include a tiebreak column);
+    *                 `.desc` columns are honored
+    * @param numPartitions range partitions; <= 0 uses
+    *                      `spark.sql.shuffle.partitions`
+    */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+                     rankCol: String = "rank",
+                     numPartitions: Int = 0): DataFrame =
+    rankedWithTotal(df, sortCols, rankCol, numPartitions)._1
+
+  /** `df` plus a `bucketCol` (1-based, long) replaying EXACT
+    * `ntile(buckets)` semantics over the global `sortCols` order: with
+    * n rows, the first n % buckets buckets hold n/buckets + 1 rows,
+    * the rest n/buckets — bit-identical to the window function, minus
+    * its single-partition sort. Bucket assignment is pure integer
+    * arithmetic over the global rank (`div`, no doubles — safe past
+    * 2^53 rows).
+    */
+  def withNtile(df: DataFrame, sortCols: Seq[Column], buckets: Int,
+                bucketCol: String = "bucket",
+                numPartitions: Int = 0): DataFrame = {
+    require(buckets >= 1, s"ntile needs >= 1 bucket, got $buckets")
+    val (ranked, n) = rankedWithTotal(df, sortCols, "__gr_rank", numPartitions)
+    val q = n / buckets
+    val rem = n % buckets
+    val cut = rem * (q + 1) // ranks 1..cut land in the q+1-sized buckets
+    val bucket = when(col("__gr_rank") <= cut,
+        expr(s"(__gr_rank - 1) div ${q + 1} + 1"))
+      .otherwise( // q = 0 only when n < buckets, where every rank <= cut
+        expr(s"$rem + (__gr_rank - 1 - $cut) div ${math.max(q, 1L)} + 1"))
+    ranked.withColumn(bucketCol, bucket.cast("long")).drop("__gr_rank")
+  }
+
+  private def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
+                              rankCol: String,
+                              numPartitions: Int): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = Stage.materialize(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn("__gr_pid", spark_partition_id()),
+      "global_rank")
+    val counts = ranged.groupBy("__gr_pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) =>
+      val o = (pid, acc); acc += cnt; o
+    }.toSeq
+    val offDf = offsets.toDF("__gr_pid", "__gr_off")
+    val w = Window.partitionBy("__gr_pid").orderBy(sortCols: _*)
+    val ranked = ranged
+      .join(broadcast(offDf), "__gr_pid")
+      .withColumn(rankCol,
+        (row_number().over(w).cast("long") + col("__gr_off")))
+      .drop("__gr_pid", "__gr_off")
+    (ranked, acc)
+  }
+}

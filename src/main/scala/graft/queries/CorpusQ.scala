@@ -268,20 +268,26 @@ object CorpusQ {
     // reports its chunk range (a doc straddling a boundary has
     // last_chunk > first_chunk). One ordered window over scalars per
     // shard — deterministic, parallel across shards, replayed exactly
-    // by the oracle's windowed cumulative sum.
+    // by the oracle's windowed cumulative sum. Oracle gotchas: DuckDB's
+    // windowed sum(BIGINT) returns HUGEINT (pandas → float64, breaking
+    // the driver hash on 768.0 vs 768) → cast the cum ::BIGINT; and
+    // DuckDB trim() strips only SPACES, so the token count filters
+    // empty split tokens instead (matches TextSignals n_words on
+    // tab/newline-led text), with the same empty→1 floor.
     Q("corpus_pack",
       (s, d) => graft.operators.Corpus.packChunks(
         t(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", graft.functions.TextFns.wsTokenCount(col("text")),
         window = 256L, shards = 4, portable = true),
       Some("""WITH tkn AS (SELECT doc_id,
-             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    greatest(len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x <> '')), 1) AS n_tokens,
              |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
              |      ::BIGINT % 4 AS shard
              |  FROM documents),
              |c AS (SELECT doc_id, shard, n_tokens,
-             |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-             |      ROWS UNBOUNDED PRECEDING) AS cum FROM tkn)
+             |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tkn)
              |SELECT doc_id, shard, n_tokens,
              |  cum - n_tokens AS start_off,
              |  (cum - n_tokens) // 256 AS first_chunk,

@@ -45,9 +45,13 @@ object ScaleQ {
           .select((col("k") + 10000000L).as("k"),
             concat(substring(col("txt"), 1, 1),
               col("txt").substr(lit(3), length(col("txt")))).as("txt"))
+        // coalesce the 2nd token: concat_ws SKIPS a null element while
+        // the oracle's split_part yields '' — a one-token name would
+        // otherwise build "a" here vs "|a" there
         FuzzyJoin.selfPairs(base.unionByName(typos),
             col("k"), col("txt"),
-            concat_ws("|", split(col("txt"), " ").getItem(1),
+            concat_ws("|",
+              coalesce(split(col("txt"), " ").getItem(1), lit("")),
               substring(col("txt"), 1, 1)),
             maxDist = 3)
           .groupBy("blk")
@@ -146,28 +150,34 @@ object ScaleQ {
     // layout_zorder [EXT]: Morton-interleave (o_custkey, order-day) and
     // report each 1/32nd z-range's bounding box in BOTH dimensions —
     // the per-file min/max stats that drive parquet row-group pruning
-    // after a z-ordered write. The gate query pins the layout MATH
-    // (ntile over a deterministic total order, oracle replays the bit
-    // formula via ZOrder.zvalueSql); the production write path is
-    // ZOrder.layoutBy — a distributed repartitionByRange sort with no
-    // global-window task (asserted in ZOrderSpec).
+    // after a z-ordered write. The day offset counts from 1992-01-01,
+    // at/below the corpus minimum (TPC-H orders start 1992), so every
+    // dimension is >= 0 per zvalue's contract — a later epoch would
+    // wrap negative days to the top of the 16-bit Morton range and
+    // destroy the locality the layout exists for. Bucketing is
+    // GlobalRank.withNtile — exact ntile(32) semantics via distributed
+    // two-phase ranking, no single-partition window anywhere
+    // (PlanGuardSpec); the DuckDB oracle replays the same layout with
+    // its ntile window, which is exactly equivalent at any SF. The
+    // production write path is ZOrder.layoutBy — repartitionByRange,
+    // asserted in ZOrderSpec.
     Q("layout_zorder",
       (s, d) => {
-        val w = Window.orderBy("zval", "o_orderkey")
-        t(s, d, "orders")
+        val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             datediff(to_date(col("o_orderdate")),
-              to_date(lit("1995-01-01"))).cast("long").as("d"))
+              to_date(lit("1992-01-01"))).cast("long").as("d"))
           .withColumn("zval",
             ZOrder.zvalue(Seq(col("o_custkey"), col("d")), 16))
-          .withColumn("bucket", ntile(32).over(w).cast("long"))
+        graft.operators.GlobalRank.withNtile(base,
+            Seq(col("zval"), col("o_orderkey")), 32, "bucket")
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
             min("d").as("d_min"), max("d").as("d_max"))
       },
       Some(s"""WITH o AS (SELECT o_orderkey, o_custkey,
-                    date_diff('day', DATE '1995-01-01',
+                    date_diff('day', DATE '1992-01-01',
                       CAST(o_orderdate AS DATE)) AS d FROM orders),
              z AS (SELECT o_orderkey, o_custkey, d,
                    ${ZOrder.zvalueSql(Seq("o_custkey", "d"), 16)} AS zval
@@ -179,6 +189,23 @@ object ScaleQ {
                     min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
                     min(d) AS d_min, max(d) AS d_max
              FROM b GROUP BY bucket""")),
+
+    // win_global_rank [EXT]: EXACT global row_number over the whole
+    // table — the op behind "take the top-p% by score" curation cuts
+    // and percentile exports — via GlobalRank's two-phase distributed
+    // shape (range shuffle → frozen partition ids → metadata-scale
+    // offset scan → partitioned window). The oracle is the literal
+    // single-window SQL; parity IS the contract (GlobalRankSpec), and
+    // the Spark plan carries no unpartitioned window (PlanGuardSpec).
+    Q("win_global_rank",
+      (s, d) => graft.operators.GlobalRank.withGlobalRank(
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "rnk")
+        .select(col("o_orderkey"), col("rnk")),
+      Some("""SELECT o_orderkey, row_number() OVER (
+             |  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |FROM orders""".stripMargin)),
 
     // agg_histogram [EXT]: equi-width histogram per group — pure
     // map-side bucketing (floor division, no sort, no window) feeding

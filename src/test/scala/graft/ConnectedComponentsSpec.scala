@@ -74,6 +74,25 @@ class ConnectedComponentsSpec extends SparkFunSuite {
     assert(m.filter { case (id, c) => id == c }.keySet == m.values.toSet)
   }
 
+  test("exhausted maxIter degrades loudly to one MIN label per node") {
+    // star contraction needs ~log rounds; maxIter = 1 on a deep chain
+    // cannot converge. The contract: warn on stderr, still emit exactly
+    // ONE row per node (min provisional label) — never conflicting
+    // duplicate labels — and stay a coarsening-consistent labeling
+    // (every label is a node id <= its member).
+    val edges = (0L until 60L).map(i => (i, i + 1))
+    val df = ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b",
+      maxIter = 1, localEdgeLimit = 0L)
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "non-converged output emitted conflicting labels for a node")
+    assert(rows.map(_._1).toSet == (0L to 60L).toSet)
+    assert(rows.forall { case (id, c) => c <= id })
+    // same input, enough rounds: converges to the exact answer
+    val ok = labelMap(edges, localEdgeLimit = 0L)
+    assert(ok.size == 61 && ok.values.forall(_ == 0L))
+  }
+
   test("non-long node ids fall back to the distributed path") {
     val edges = Seq(("x", "y"), ("y", "z"), ("p", "q"))
       .toDF("a", "b")

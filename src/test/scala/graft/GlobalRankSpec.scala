@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalRank
+
+/** GlobalRank: the distributed two-phase rank/ntile must be
+  * bit-identical to the single-partition window answer (that's its
+  * whole contract) while planning ZERO unpartitioned windows. Parity
+  * runs with a partition count that does NOT divide the row count, so
+  * range boundaries fall mid-bucket and offsets are exercised.
+  */
+class GlobalRankSpec extends SparkFunSuite {
+
+  // heavy ties (k has 7 distinct values) force the id tiebreak to
+  // matter and make equal keys straddle sampled range boundaries
+  private def data(n: Long) = spark.range(n)
+    .select(col("id"), pmod(xxhash64(col("id")), lit(7)).as("k"))
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Unit = {
+    val cols = a.columns.sorted.map(col(_))
+    val (x, y) = (a.select(cols: _*), b.select(cols: _*))
+    assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+      s"rank mismatch:\n${x.exceptAll(y).take(5).mkString("\n")}")
+  }
+
+  test("withGlobalRank == global row_number window, ties included") {
+    val df = data(1000)
+    val got = GlobalRank.withGlobalRank(df,
+      Seq(col("k"), col("id")), "r", numPartitions = 7)
+    val want = df.withColumn("r",
+      row_number().over(W.orderBy(col("k"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("descending sort columns are honored end-to-end") {
+    val df = data(300)
+    val got = GlobalRank.withGlobalRank(df,
+      Seq(col("k").desc, col("id").desc), "r", numPartitions = 5)
+    val want = df.withColumn("r",
+      row_number().over(W.orderBy(col("k").desc, col("id").desc))
+        .cast("long"))
+    sameRows(got, want)
+  }
+
+  test("withNtile == ntile window when buckets don't divide n") {
+    val df = data(1000) // 1000 % 32 = 8: first 8 buckets get 32 rows
+    val got = GlobalRank.withNtile(df,
+      Seq(col("k"), col("id")), 32, "bucket", numPartitions = 7)
+    val want = df.withColumn("bucket",
+      ntile(32).over(W.orderBy(col("k"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("withNtile with fewer rows than buckets (q = 0 branch)") {
+    val df = data(3)
+    val got = GlobalRank.withNtile(df,
+      Seq(col("k"), col("id")), 5, "bucket", numPartitions = 4)
+    val want = df.withColumn("bucket",
+      ntile(5).over(W.orderBy(col("k"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("the plan carries no unpartitioned window") {
+    val got = GlobalRank.withNtile(data(100),
+      Seq(col("k"), col("id")), 8, "bucket", numPartitions = 4)
+    val bad = got.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "GlobalRank leaked a single-partition window")
+  }
+}
