@@ -91,12 +91,11 @@ class PlanSpec extends SparkFunSuite {
       "embedding column leaked into the IVF-PQ code scan")
   }
 
-  test("sim_ann_ivf: no aggregate between the cell join and the rank window") {
-    val p = plan("sim_ann_ivf")
-    // each corpus vector lives in exactly one IVF cell and the probed
-    // (qid, cell) set is distinct, so the candidate stream is already
-    // duplicate-free — a groupBy(qid, vec_id) here is a wasted full
-    // shuffle of every candidate (round-3 carried one)
+  // each corpus vector lives in exactly one IVF cell and the probed
+  // (qid, cell) set is distinct, so the candidate stream is already
+  // duplicate-free — a groupBy(qid, vec_id) here is a wasted full
+  // shuffle of every candidate (round-3 carried one)
+  private def assertNoAggBetweenCellJoinAndWindow(p: String): Unit = {
     val lines = p.linesIterator.toIndexedSeq
     // anchor on the join whose condition references the IVF cell id —
     // NOT the first Join in the text (AQE/centroid-assignment reorder
@@ -111,6 +110,25 @@ class PlanSpec extends SparkFunSuite {
         || l.contains("ObjectHashAggregate"))
     assert(!aggBetween,
       "aggregate between cell join and rank window (redundant dedup shuffle)")
+  }
+
+  test("sim_ann_ivf: no aggregate between the cell join and the rank window") {
+    assertNoAggBetweenCellJoinAndWindow(plan("sim_ann_ivf"))
+  }
+
+  test("sim_ann_ivf: the cell-join anchor survives an AQE plan-shape flip") {
+    // prove the anchor is not coupled to one optimizer mode: the same
+    // assertion must hold on the non-adaptive plan text, whose node
+    // ordering/wrapping differs (no AdaptiveSparkPlan shells)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      assertNoAggBetweenCellJoinAndWindow(plan("sim_ann_ivf"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("stream_neardup: grouped state payload is (band, bucket, id, sig) — no text") {
