@@ -74,6 +74,43 @@ object GlobalRank {
     ranked.withColumn(bucketCol, bucket.cast("long")).drop("__gr_rank")
   }
 
+  /** EXACT top-fraction selection — the "keep the best p% by score"
+    * curation cut (quality-percentile corpus filtering): rows whose
+    * global rank under `sortCols` is <= round(frac * n). Exact where
+    * an `approxQuantile` threshold is fuzzy at the boundary, and still
+    * fully distributed (the only extra work over [[withGlobalRank]] is
+    * a codegen'd filter). `round` (not ceil) on the boundary: IEEE
+    * makes 0.1 * 500 land at 50.000000000000003, which `ceil` turns
+    * into an off-by-one surprise on BOTH engines.
+    */
+  def topFraction(df: DataFrame, sortCols: Seq[Column], frac: Double,
+                  rankCol: String = "rank",
+                  numPartitions: Int = 0): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"need 0 < frac <= 1, got $frac")
+    val (ranked, n) = rankedWithTotal(df, sortCols, rankCol, numPartitions)
+    ranked.filter(col(rankCol) <= math.round(frac * n))
+  }
+
+  /** Deterministic epoch shuffle — the training-order permutation of a
+    * corpus for one epoch, as an explicit `pos` (1..n): order by the
+    * content hash of (id, epoch seed). Content-addressed, so the
+    * permutation is reproducible across runs, retries, cluster sizes,
+    * and (with `portable = true`, the md5 path the oracle replays)
+    * engines — a `rand()` shuffle is none of those. A new seed per
+    * epoch gives independent permutations without materializing any
+    * shuffle state.
+    *
+    * The hash is evaluated as a sort EXPRESSION (twice: range shuffle +
+    * in-partition window) rather than a materialized column — fine
+    * because it is deterministic per row, which is the whole point.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+                   posCol: String = "pos", portable: Boolean = false,
+                   numPartitions: Int = 0): DataFrame =
+    withGlobalRank(df,
+      Seq(Sampling.contentHash(col(idCol), seed, portable), col(idCol)),
+      posCol, numPartitions)
+
   private def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
                               rankCol: String,
                               numPartitions: Int): (DataFrame, Long) = {

@@ -389,6 +389,43 @@ object CorpusQ {
              |SELECT w1, w2, c_ab, round(pmi, 4) AS pmi, rank
              |FROM r WHERE rank <= 20""".stripMargin)),
 
+    // corpus_topfrac [EXT]: EXACT "keep the best p% by score"
+    // curation cut (the FineWeb-style quality-percentile filter) —
+    // top 10% of documents by (n_chars desc, doc_id) via
+    // GlobalRank.topFraction: distributed two-phase rank + a codegen'd
+    // boundary filter, no approxQuantile fuzz at the cut line and no
+    // single-partition window. The oracle replays the literal window
+    // SQL with the same round()-based boundary.
+    Q("corpus_topfrac",
+      (s, d) => graft.operators.GlobalRank.topFraction(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id")), 0.10, "rnk")
+        .select(col("doc_id"), col("n_chars"), col("rnk")),
+      Some("""WITH r AS (SELECT doc_id, n_chars, row_number() OVER (
+             |    ORDER BY n_chars DESC, doc_id) AS rnk FROM documents),
+             |n AS (SELECT count(*) AS cnt FROM documents)
+             |SELECT doc_id, n_chars, rnk FROM r, n
+             |WHERE rnk <= CAST(round(0.10 * cnt) AS BIGINT)""".stripMargin)),
+
+    // corpus_shuffle [EXT]: deterministic epoch shuffle — the
+    // training-order permutation for one epoch as an explicit pos
+    // (1..n), ordered by the portable content hash of (doc_id, epoch
+    // seed). Content-addressed: reproducible across runs, retries,
+    // cluster sizes, and engines (the oracle replays the md5-low-60
+    // hash and the same window order); a new seed is a fresh
+    // independent permutation. Distributed via GlobalRank — no
+    // single-partition window, no rand().
+    Q("corpus_shuffle",
+      (s, d) => graft.operators.GlobalRank.epochShuffle(
+          t(s, d, "documents").select(col("doc_id")), "doc_id",
+          seed = 7L, "pos", portable = true)
+        .select(col("doc_id"), col("pos")),
+      Some("""WITH h AS (SELECT doc_id,
+             |    ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))
+             |      ::BIGINT AS hk FROM documents)
+             |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS pos
+             |FROM h""".stripMargin)),
+
     // corpus_split [EXT]: deterministic 80/10/10 train/val/test
     // assignment by the portable content hash — a doc keeps its split
     // across runs, retries, cluster sizes, engines, and corpus growth.

@@ -63,6 +63,34 @@ class GlobalRankSpec extends SparkFunSuite {
     sameRows(got, want)
   }
 
+  test("topFraction keeps exactly round(frac*n) rows — the window top") {
+    val df = data(500)
+    val got = GlobalRank.topFraction(df,
+      Seq(col("k").desc, col("id")), 0.10, "rnk", numPartitions = 7)
+    // 0.1 * 500 = 50.000000000000003 in IEEE; round (not ceil) → 50
+    assert(got.count() == 50)
+    val want = df.withColumn("rnk",
+        row_number().over(W.orderBy(col("k").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= 50)
+    sameRows(got, want)
+  }
+
+  test("epochShuffle is a deterministic permutation; seeds differ") {
+    val df = spark.range(400).toDF("id")
+    val a = GlobalRank.epochShuffle(df, "id", seed = 7L, "pos",
+      portable = true, numPartitions = 5)
+    val b = GlobalRank.epochShuffle(df, "id", seed = 7L, "pos",
+      portable = true, numPartitions = 3) // partition count must not matter
+    sameRows(a, b)
+    // a full permutation: positions are exactly 1..n
+    assert(a.agg(min(col("pos")), max(col("pos")),
+      countDistinct(col("pos"))).head().toSeq == Seq(1L, 400L, 400L))
+    // a different epoch seed reorders (not the identity relabeling)
+    val c = GlobalRank.epochShuffle(df, "id", seed = 8L, "pos",
+      portable = true, numPartitions = 5)
+    assert(a.join(c, "id").filter(a("pos") =!= c("pos")).count() > 0)
+  }
+
   test("the plan carries no unpartitioned window") {
     val got = GlobalRank.withNtile(data(100),
       Seq(col("k"), col("id")), 8, "bucket", numPartitions = 4)
