@@ -241,6 +241,30 @@ class FuzzSpec extends SparkFunSuite {
     assert(out.forall(_.feature.nonEmpty))
   }
 
+  test("Jpeg.decode rejects out-of-range table ids, never AIOOBE") {
+    // T.81 table ids are 4-bit fields but only slots 0-3 exist; a
+    // crafted header with id 4-15 must hit the codec's honest-rejection
+    // contract (FormatException IS-A IllegalArgumentException), not an
+    // ArrayIndexOutOfBoundsException from the fixed 4-slot arrays
+    val rgb = Array.tabulate(6 * 4 * 3)(i => (i * 7).toByte)
+    val good = graft.multimodal.Jpeg.encode(
+      graft.multimodal.Jpeg.Image(6, 4, 3, rgb), 90, false, 0)
+    // corrupt the first DQT (0xffdb) table-id byte: len(2) then Pq|Tq
+    val dqt = good.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
+    assert(dqt >= 0, "no DQT marker in encoder output")
+    val bad = good.clone(); bad(dqt + 4) = 0x0f // Pq=0, Tq=15
+    val e = intercept[IllegalArgumentException](
+      graft.multimodal.Jpeg.decode(bad))
+    assert(e.getMessage.contains("quant table id"), e.getMessage)
+    // same for a DHT (0xffc4) Tc|Th byte: Th=15
+    val dht = good.indexOfSlice(Seq(0xff.toByte, 0xc4.toByte))
+    assert(dht >= 0, "no DHT marker in encoder output")
+    val bad2 = good.clone(); bad2(dht + 4) = 0x0f
+    val e2 = intercept[IllegalArgumentException](
+      graft.multimodal.Jpeg.decode(bad2))
+    assert(e2.getMessage.contains("Huffman table"), e2.getMessage)
+  }
+
   test("ZOrder: random dims/bits agree with the SQL twin and stay injective") {
     val rnd = new Random(23)
     for (trial <- 1 to 10) {
