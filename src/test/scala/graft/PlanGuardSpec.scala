@@ -1,45 +1,107 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.expressions.{Rand, Randn, Uuid}
+import org.apache.spark.sql.catalyst.expressions.Shuffle
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window,
+  WindowGroupLimit}
 
-/** Repo-wide scale guard: NO registered query may plan a window with an
-  * empty partition spec. An unpartitioned window ("WindowExec: No
-  * Partition Defined" at runtime) funnels the ENTIRE input through one
-  * task's sort — the canonical silent 100 TB scale-killer, invisible at
-  * gate SF. The two historical offenders were restructured instead of
-  * allowlisted: text_colloc now ranks via TakeOrderedAndProject + a
-  * bounded pack-sort-explode (operators/Corpus.collocations), and
-  * layout_zorder buckets via GlobalRank.withNtile (distributed
-  * two-phase ranking). The allowlist below must stay empty or carry an
-  * inline justification proving the window's input is bounded
-  * independent of data scale.
+/** Repo-wide scale-conformance sweeps over EVERY registered query's
+  * optimized plan (built once, shared by all checks):
+  *
+  *  1. **No unpartitioned windows.** An empty-partition-spec window
+  *     ("WindowExec: No Partition Defined" at runtime) funnels the
+  *     entire input through one task's sort — the canonical silent
+  *     100 TB scale-killer, invisible at gate SF. The two historical
+  *     offenders were restructured instead of allowlisted: text_colloc
+  *     ranks via TakeOrderedAndProject + a bounded pack-sort-explode
+  *     (operators/Corpus.collocations), layout_zorder buckets via
+  *     GlobalRank.withNtile (distributed two-phase ranking).
+  *  2. **Every condition-less join is bounded.** A cross join (plans
+  *     as CartesianProduct/BroadcastNestedLoopJoin) is quadratic
+  *     unless one side is provably tiny; the only legitimate shape in
+  *     this repo is broadcasting a grand-total/one-row aggregate
+  *     (text_colloc's nb/nu, perplexity's total). Enforced
+  *     structurally via `LogicalPlan.maxRows` — a global aggregate or
+  *     limit proves the bound, data luck doesn't.
+  *  3. **No rand()-family expressions.** The repo rule is
+  *     content-hash determinism (Sampling.contentHash) so task
+  *     retries and repartitioning can never change results; a stray
+  *     rand()/uuid()/shuffle() silently breaks that and every oracle.
+  *
+  * Allowlists below must stay empty or carry an inline justification.
   */
 class PlanGuardSpec extends SparkFunSuite {
 
-  private val allowlist: Set[String] = Set.empty
+  private val windowAllowlist: Set[String] = Set.empty
+  private val crossJoinAllowlist: Set[String] = Set.empty
+  private val nondetAllowlist: Set[String] = Set.empty
+
+  // a condition-less join side is "bounded" when the plan itself proves
+  // a row ceiling (global aggregate → 1, limit k → k); 1000 rows ≈ the
+  // scale at which a broadcast cross product is still free
+  private val BoundedSideMax = 1000L
+
+  private lazy val plans: Seq[(String, LogicalPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.optimizedPlan
+        catch {
+          case e: Throwable =>
+            fail(s"$name failed to build/plan at $sfDir: $e")
+        }
+      (name, plan)
+    }
 
   test("no registered query plans an unpartitioned window") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        if (allowlist(name)) None
-        else {
-          val plan =
-            try fn(spark, sfDir).queryExecution.optimizedPlan
-            catch {
-              case e: Throwable =>
-                fail(s"$name failed to build/plan at $sfDir: $e")
-            }
-          val bad = plan.collect {
-            case w: Window if w.partitionSpec.isEmpty =>
-              w.nodeName
-            case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
-              w.nodeName
-          }
-          if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (windowAllowlist(name)) None
+      else {
+        val bad = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w.nodeName
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w.nodeName
         }
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+      }
     }
     assert(offenders.isEmpty,
       "unpartitioned windows (ONE task sorts the full input at scale):\n" +
         offenders.mkString("\n"))
+  }
+
+  test("every condition-less join proves a bounded side (maxRows)") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (crossJoinAllowlist(name)) None
+      else {
+        val bad = plan.collect {
+          case j: Join if j.condition.isEmpty &&
+            !Seq(j.left, j.right)
+              .exists(_.maxRows.exists(_ <= BoundedSideMax)) =>
+            s"${j.joinType} join, maxRows " +
+              s"${j.left.maxRows}/${j.right.maxRows}"
+        }
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString("; ")}") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      "unbounded cross joins (quadratic blowup at scale):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("no registered query plans a rand()-family expression") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (nondetAllowlist(name)) None
+      else {
+        val bad = plan.flatMap(_.expressions.flatMap(_.collect {
+          case e: Rand => e.prettyName
+          case e: Randn => e.prettyName
+          case e: Uuid => e.prettyName
+          case e: Shuffle => e.prettyName
+        })).distinct
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      "nondeterministic sampling (breaks retry/repartition stability " +
+        "and every oracle):\n" + offenders.mkString("\n"))
   }
 }
