@@ -63,6 +63,8 @@ object GlobalRank {
                 bucketCol: String = "bucket",
                 numPartitions: Int = 0): DataFrame = {
     require(buckets >= 1, s"ntile needs >= 1 bucket, got $buckets")
+    require(!df.columns.contains(bucketCol),
+      s"input already has a '$bucketCol' column")
     val (ranked, n) = rankedWithTotal(df, sortCols, "__gr_rank", numPartitions)
     val q = n / buckets
     val rem = n % buckets
@@ -114,6 +116,13 @@ object GlobalRank {
   private def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
                               rankCol: String,
                               numPartitions: Int): (DataFrame, Long) = {
+    // withColumn REPLACES silently — a caller column named like the
+    // rank output or the internal pid/offset scratch would corrupt the
+    // result without a trace
+    val taken = df.columns.toSet
+    require(!taken(rankCol), s"input already has a '$rankCol' column")
+    require(!taken("__gr_pid") && !taken("__gr_off"),
+      "input uses GlobalRank's reserved __gr_pid/__gr_off names")
     val spark = df.sparkSession
     import spark.implicits._
     val p =
