@@ -91,6 +91,31 @@ class GlobalRankSpec extends SparkFunSuite {
     assert(a.join(c, "id").filter(a("pos") =!= c("pos")).count() > 0)
   }
 
+  test("randomized parity: sizes × partitions × fracs × buckets") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 8) {
+      val n = 50 + rnd.nextInt(800)
+      val p = 1 + rnd.nextInt(9)
+      val df = data(n)
+      val gotR = GlobalRank.withGlobalRank(df,
+        Seq(col("k"), col("id")), "r", numPartitions = p)
+      val wantR = df.withColumn("r",
+        row_number().over(W.orderBy(col("k"), col("id"))).cast("long"))
+      sameRows(gotR, wantR)
+      val m = 1 + rnd.nextInt(40)
+      val gotN = GlobalRank.withNtile(df,
+        Seq(col("k"), col("id")), m, "b", numPartitions = p)
+      val wantN = df.withColumn("b",
+        ntile(m).over(W.orderBy(col("k"), col("id"))).cast("long"))
+      sameRows(gotN, wantN)
+      val frac = 0.05 + rnd.nextDouble() * 0.9
+      val gotF = GlobalRank.topFraction(df,
+        Seq(col("k"), col("id")), frac, "r", numPartitions = p)
+      assert(gotF.count() == math.round(frac * n),
+        s"topFraction($frac) of $n rows")
+    }
+  }
+
   test("the plan carries no unpartitioned window") {
     val got = GlobalRank.withNtile(data(100),
       Seq(col("k"), col("id")), 8, "bucket", numPartitions = 4)
