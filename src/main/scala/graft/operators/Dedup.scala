@@ -128,6 +128,18 @@ object Dedup {
     * so recall is guaranteed for maxDist <= 7. The sketch is one long per
     * doc, so it rides along with the (chunk, key) shuffle for free and
     * pairs are Hamming-filtered before the dedup shuffle.
+    *
+    * Unlike the probabilistic MinHash bands (where a salt split re-rolls
+    * per band), the pigeonhole guarantee is DETERMINISTIC and the oracle
+    * asserts exact all-pairs output — so the oversize-bucket guardrail
+    * must not lose cross-sub pairs. Oversized buckets therefore use a
+    * grid cover: each member with home sub s replicates into every
+    * unordered cell {s, j}, so members with homes s and t always meet in
+    * cell {min(s,t), max(s,t)}. Zero recall loss; a cell holds members
+    * of at most two subs, bounding per-task pair work at ~4·cap². Total
+    * work in a mega-bucket stays Θ(n²) — inherent to exact d<=7
+    * semantics once n docs share a chunk byte — but it is spread over
+    * (n/cap)² tasks instead of one straggler.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 7, maxBucketSize: Int = 1000): DataFrame = {
@@ -140,9 +152,6 @@ object Dedup {
         i => call_function("shiftrightunsigned", col("sh"), i * 8)
           .bitwiseAND(lit(0xffL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
-    // same sub-bucket guardrail as minhashPairs: bounded per-task n²
-    // instead of a whole-bucket recall cliff; salt by (id, chunk) so
-    // splits decorrelate across the 8 pigeonhole chunks.
     // NOTE: unlike the MinHash band buckets, the chunk keyspace is only
     // 256 values wide — at corpus scale EVERY (chunk, key) block is
     // populated and many exceed the cap, so the oversize-only
@@ -153,16 +162,20 @@ object Dedup {
     // groups, counts computed in the same pass the join will reuse.
     val capped = chunked
       .withColumn("n", count(lit(1)).over(Window.partitionBy("chunk", "key")))
-      .withColumn("sub",
-        when(col("n") <= maxBucketSize, lit(0L))
-          .otherwise(pmod(xxhash64(col("id"), col("chunk")),
-            ceil(col("n") / maxBucketSize).cast("long"))))
-      .drop("n")
-    val a = capped.select(col("chunk"), col("key"), col("sub"),
+      .withColumn("nsub", ceil(col("n") / maxBucketSize).cast("long"))
+      .withColumn("home",
+        when(col("nsub") <= 1L, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), col("chunk")), col("nsub"))))
+      // grid cover {home, j}: sequence is ascending here (nsub >= 1)
+      .withColumn("j", explode(sequence(lit(0L), col("nsub") - 1L)))
+      .withColumn("c1", least(col("home"), col("j")))
+      .withColumn("c2", greatest(col("home"), col("j")))
+      .drop("n", "nsub", "home", "j")
+    val a = capped.select(col("chunk"), col("key"), col("c1"), col("c2"),
       col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("chunk"), col("key"), col("sub"),
+    val b = capped.select(col("chunk"), col("key"), col("c1"), col("c2"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "key", "sub"))
+    a.join(b, Seq("chunk", "key", "c1", "c2"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

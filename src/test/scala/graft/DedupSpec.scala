@@ -157,6 +157,26 @@ class DedupSpec extends SparkFunSuite {
       s"mega-bucket recall collapsed: $found of $all pairs")
   }
 
+  test("simhash grid cover: mega-bucket capping loses ZERO pairs") {
+    // 90 identical docs — every (chunk, key) bucket holds all 90 rows,
+    // so cap 16 forces nsub = 6 grid cells. SimHash's pigeonhole recall
+    // is deterministic (unlike MinHash's per-band re-roll), so the
+    // capped output must EQUAL the uncapped all-pairs output exactly.
+    val docs = (0L until 90L).map((_, base)).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxBucketSize = 16).as[(Long, Long, Int)].collect()
+    assert(capped.length === 90 * 89 / 2,
+      s"grid cover lost ${90 * 89 / 2 - capped.length} pairs")
+    assert(capped.forall(_._3 === 0))
+    // mixed corpus (near-dups + disjoint docs), pathological cap 1:
+    // output set identical to the effectively-uncapped run.
+    val loose = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    val tight = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxBucketSize = 1).as[(Long, Long, Int)].collect().toSet
+    assert(tight === loose)
+  }
+
   test("exactByKey keeps min id and counts dups") {
     val df = Seq((10L, "x"), (7L, "x"), (3L, "y")).toDF("id", "t")
     val r = Dedup.exactByKey(df, "id", col("t")).orderBy("dedup_key")

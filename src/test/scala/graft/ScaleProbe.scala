@@ -221,6 +221,23 @@ object ScaleProbe {
       println(f"TOPK   tokens=$n%9d distinct~2M cap=4096 hot=$hotFound/10 " +
         f"bounds_ok=$boundsOk time=$dt%6.1fs")
     }
+    // SIMHASH grid cover at mega-bucket scale: n IDENTICAL docs put
+    // every (chunk, key) bucket at size n — the worst case for the
+    // oversize guardrail (nsub = n/1000 grid per chunk). SimHash's
+    // pigeonhole recall is deterministic, so unlike the probabilistic
+    // MinHash paths the capped output must stay EXACT: all n(n-1)/2
+    // pairs at hamming 0, per-task pair work bounded at ~4·cap².
+    for (n <- Seq(2000L, 6000L)) {
+      val docs = spark.range(n)
+        .select(col("id").as("doc_id"), lit(boiler).as("text"))
+      val t0 = System.nanoTime()
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(pairs == n * (n - 1) / 2,
+        s"simhash grid cover lost pairs: $pairs of ${n * (n - 1) / 2}")
+      println(f"SIMHASH docs=$n%6d (8 mega-buckets) pairs=$pairs%9d " +
+        f"exact time=$dt%6.1fs")
+    }
     spark.stop()
   }
 }
