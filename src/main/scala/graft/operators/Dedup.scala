@@ -454,4 +454,41 @@ object Dedup {
   def exactByKey(df: DataFrame, idCol: String, key: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact word-n-gram eval-set decontamination: a training doc is
+    * contaminated if it shares ANY exact n-token gram with a benchmark
+    * doc — the collision rule used to scrub eval sets out of LLM
+    * training corpora (a partial quote trips it even when whole-doc
+    * Jaccard sits far below any near-dup threshold, which is exactly
+    * the case `crossVerifiedPairs` is not meant to catch).
+    *
+    * Scale shape: each side's grams are deduplicated PER DOC on the map
+    * side (`array_distinct` before the explode — no global distinct, so
+    * the train side never shuffles), and the bench side is tiny by
+    * definition, so the gram join is a broadcast hash join streamed by
+    * the train scan. The only exchange is the final groupBy over
+    * (train, bench) pairs that actually collided — contamination-sized,
+    * not corpus-sized. Output: (left_id, right_id, n_shared) with
+    * n_shared = the number of distinct shared grams.
+    */
+  def ngramContamination(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    def grams(df: DataFrame, outId: String) = {
+      val tk = normTokens(col(textCol))
+      df.select(col(idCol).as(outId), tk.as("tk"))
+        // guard: sequence(0, size-n) is DESCENDING when size < n
+        .withColumn("g", explode(array_distinct(
+          when(size(col("tk")) >= n,
+            transform(sequence(lit(0), size(col("tk")) - n),
+              i => array_join(slice(col("tk"), i + 1, lit(n)), " ")))
+            .otherwise(array().cast("array<string>")))))
+        .select(col(outId), col("g"))
+    }
+    grams(train, "left_id")
+      .join(broadcast(grams(bench, "right_id")), "g")
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -654,6 +654,54 @@ object TextQ {
              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""")),
 
+    // decontam_ngram [EXT]: exact 13-gram eval-set decontamination —
+    // the collision rule used to scrub benchmarks out of LLM training
+    // corpora. The planted "benchmark" is a PARTIAL quote (tokens 4-23
+    // of every 25th doc), so whole-doc Jaccard sits far below the 0.5
+    // near-dup threshold (~20 of ~54 tokens) and dedup_contain would
+    // stay silent — but every 13-token window of the quote collides
+    // exactly. Independent oracle: DuckDB rebuilds both gram sets from
+    // raw text (list comprehension over token slices) and joins on the
+    // gram STRING — no hashes anywhere, so the gate is collision-free
+    // exact. Train side never shuffles: per-doc array_distinct before
+    // the explode, bench grams broadcast.
+    Q("decontam_ngram",
+      (s, d) => {
+        val train = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val bench = train.filter(col("doc_id") % 25 === 0).select(
+          (col("doc_id") + 5000000L).as("doc_id"),
+          array_join(slice(Dedup.normTokens(col("text")), 4, 20), " ")
+            .as("text"))
+        Dedup.ngramContamination(train, bench, "doc_id", "text", n = 13)
+      },
+      Some("""WITH norm AS (
+               SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+               FROM documents
+             ),
+             bench AS (
+               SELECT doc_id + 5000000 AS doc_id, tk[4:23] AS tk
+               FROM norm WHERE doc_id % 25 = 0
+             ),
+             tg AS (
+               SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tk[i:i+12], ' ')
+                  FOR i IN generate_series(1, greatest(len(tk) - 12, 0))]))
+                 AS g
+               FROM norm
+             ),
+             bg AS (
+               SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tk[i:i+12], ' ')
+                  FOR i IN generate_series(1, greatest(len(tk) - 12, 0))]))
+                 AS g
+               FROM bench
+             )
+             SELECT t.doc_id AS left_id, b.doc_id AS right_id,
+               count(*) AS n_shared
+             FROM tg t JOIN bg b ON t.g = b.g
+             GROUP BY 1, 2""")),
+
     // dedup_cluster [EXT]: the clustering stage of the dedup pipeline —
     // MinHash candidate PAIRS contracted to connected COMPONENTS
     // (alternating large-star/small-star, O(log n) rounds), every doc

@@ -177,6 +177,32 @@ class DedupSpec extends SparkFunSuite {
     assert(tight === loose)
   }
 
+  test("ngramContamination flags partial quotes that Jaccard misses") {
+    val words = (1 to 40).map(i => s"tok$i")
+    val train = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (100 to 140).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // bench 100 quotes train tokens 10..24 behind a prefix: 16 tokens,
+    // whole-doc jaccard 15/41 ≈ 0.37 — below any near-dup threshold —
+    // but 3 of its 4 13-grams collide exactly. bench 101 is novel.
+    val bench = Seq(
+      (100L, "question " + words.slice(9, 24).mkString(" ")),
+      (101L, (200 to 240).map(i => s"novel$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, bench, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L, 3L)))
+    // the Jaccard pipeline stays silent on the same plant — this op
+    // exists precisely for that gap
+    assert(Dedup.crossVerifiedPairs(train, bench, "doc_id", "text",
+      finalThreshold = 0.5).count() === 0)
+    // short docs (< n tokens) produce no grams and cannot collide
+    val tiny = Seq((3L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.ngramContamination(tiny, bench, "doc_id", "text")
+      .count() === 0)
+  }
+
   test("exactByKey keeps min id and counts dups") {
     val df = Seq((10L, "x"), (7L, "x"), (3L, "y")).toDF("id", "t")
     val r = Dedup.exactByKey(df, "id", col("t")).orderBy("dedup_key")
