@@ -244,6 +244,18 @@ class PlanSpec extends SparkFunSuite {
       s"cap should shuffle once on the group key ($exchanges exchanges)")
   }
 
+  test("decontam_ngram: bench grams broadcast; train side shuffles once") {
+    val p = plan("decontam_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench gram set must broadcast — a shuffled gram join moves the " +
+        "full train gram stream at 100 TB:\n" + p.take(1500))
+    // the single exchange is the contamination-sized pair groupBy (its
+    // partial aggregate runs map-side on the join output)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1,
+      s"train grams should only shuffle post-collision ($exchanges exchanges)")
+  }
+
   test("text_chunk: pure narrow projection — no exchange at all") {
     val p = plan("text_chunk")
     assert(!p.contains("Exchange"),
