@@ -468,6 +468,56 @@ object CorpusQ {
              |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
              |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 15))
              |    ::BIGINT % 1000000
-             |  < CAST(floor(frac * 1e6) AS BIGINT)""".stripMargin))
+             |  < CAST(floor(frac * 1e6) AS BIGINT)""".stripMargin)),
+
+    // class_nb [EXT]: multinomial Naive Bayes classifier — the
+    // fastText/CCNet-style quality/domain filter (train on the labeled
+    // half, score the held-out half). Spark side pivots the vocabulary
+    // into word -> per-class log-prob arrays so scoring joins 1x the
+    // token stream (operators/Classify.scala); the oracle replays the
+    // identical Laplace math in long form (token x class) and breaks
+    // argmax ties identically (score DESC, class DESC). Scores rounded
+    // to 4 decimals; both engines sum doubles, so the last-ulp
+    // summation-order jitter is far inside the rounding.
+    Q("class_nb",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val model = graft.operators.Classify.trainNb(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "source")
+        graft.operators.Classify.scoreNb(
+          docs.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source, unnest(string_split(trim(
+             |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+             |    AS w
+             |  FROM documents),
+             |tok2 AS (SELECT * FROM tok WHERE len(w) > 0),
+             |trn AS (SELECT * FROM tok2 WHERE doc_id % 2 = 0),
+             |wc AS (SELECT source AS cls, w, count(*) AS c
+             |       FROM trn GROUP BY 1, 2),
+             |cstat AS (SELECT cls, sum(c) AS n_tok FROM wc GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w) AS v FROM trn),
+             |pri AS (SELECT source AS cls, ln(count(*) * 1.0 /
+             |          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0))
+             |          AS prior_lp
+             |        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |lp AS (SELECT wc.cls, wc.w,
+             |         ln((wc.c + 1.0) / (cs.n_tok + v.v)) AS lp
+             |       FROM wc JOIN cstat cs ON wc.cls = cs.cls CROSS JOIN v),
+             |sc AS (SELECT tt.doc_id, cs.cls,
+             |         any_value(p.prior_lp) + sum(coalesce(l.lp,
+             |           ln(1.0 / (cs.n_tok + (SELECT v FROM v))))) AS score,
+             |         count(*) AS n_tok
+             |       FROM (SELECT doc_id, w FROM tok2 WHERE doc_id % 2 = 1) tt
+             |       CROSS JOIN cstat cs
+             |       LEFT JOIN lp l ON l.cls = cs.cls AND l.w = tt.w
+             |       JOIN pri p ON p.cls = cs.cls
+             |       GROUP BY 1, 2)
+             |SELECT doc_id, cls AS pred, n_tok, round(score, 4) AS score
+             |FROM sc
+             |QUALIFY row_number() OVER (PARTITION BY doc_id
+             |  ORDER BY score DESC, cls DESC) = 1""".stripMargin))
   )
 }
