@@ -323,4 +323,40 @@ object Corpus {
     }
     Sampling.stratifiedSample(df, strataCol, idCol, fracs, seed, portable)
   }
+
+  /** Temperature-based source rebalancing (the mT5/XLM-R alpha-sampling
+    * stage): stratum s keeps fraction (n_min / n_s)^alpha of its rows,
+    * so alpha = 1 preserves the natural distribution's SHAPE scaled to
+    * the smallest stratum and alpha -> 0 flattens toward uniform. The
+    * smallest stratum always keeps everything; membership is the shared
+    * content-hash convention (retry/repartition-stable, and with
+    * `portable` replayable in any engine with md5).
+    *
+    * Scale shape: the stratum-count aggregate is metadata-sized, its
+    * single-row min cross-joins back (broadcast), and the per-row
+    * decision is a narrow filter on the broadcast fraction — the corpus
+    * itself is scanned once and never shuffled.
+    *
+    * alpha = 0.5 (the default, and the common published setting) is
+    * computed as sqrt(n_min/n) — IEEE-correctly-rounded on every
+    * engine, so the sampled set is BIT-IDENTICAL cross-engine. Other
+    * alphas go through pow(), where engines may differ by 1 ulp — fine
+    * for training mixes, but an exactness-gated replay should use 0.5.
+    *
+    * @return kept rows with their stratum's `frac` appended
+    */
+  def temperatureMix(df: DataFrame, strataCol: Column, idCol: Column,
+                     alpha: Double = 0.5, seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(strataCol.as("__s")).agg(count(lit(1)).as("__n"))
+    val ratio = counts.crossJoin(counts.agg(min("__n").as("__nmin")))
+      .withColumn("frac",
+        if (alpha == 0.5) sqrt(col("__nmin") / col("__n"))
+        else pow(col("__nmin") / col("__n"), lit(alpha)))
+      .select(col("__s"), col("frac"))
+    df.join(broadcast(ratio), strataCol === col("__s"))
+      .filter(Sampling.keepByFraction(idCol, col("frac"), seed, portable))
+      .drop("__s")
+  }
 }

@@ -509,4 +509,57 @@ object Dedup {
       .groupBy("left_id", "right_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Cross-document repeated-passage profile (the RefinedWeb/MassiveText
+    * exact-substring filter signal): for every document, how much of it
+    * is covered by word n-grams that also occur in at least `minDocs`
+    * OTHER-or-same distinct documents, and in how many maximal
+    * contiguous spans that coverage falls. Downstream curation drops or
+    * trims documents whose `dup_frac` crosses a threshold (SEO
+    * boilerplate, licence blocks, templated pages).
+    *
+    * Scale shape: gram positions are a narrow exploding projection; the
+    * duplicated-gram set is one `(gram)` hash aggregate (map-side
+    * partial count-distinct via the (gram, doc) pre-distinct); marking
+    * positions is a semi join on the gram key; span/run statistics are
+    * per-document windows (partitioned by doc id — never global). Four
+    * key-bounded exchanges, no pair enumeration, nothing quadratic.
+    *
+    * Output: (id, n_grams, n_dup, n_spans, dup_frac) for every document
+    * with at least one n-gram; zero-duplication documents report 0/0/0.0.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val tk = normTokens(col(textCol))
+    val base = docs.select(col(idCol), tk.as("tk"))
+      .withColumn("n_grams",
+        greatest(size(col("tk")) - (n - 1), lit(0)).cast("long"))
+      .filter(col("n_grams") > 0)
+    // guard: sequence hi < lo is DESCENDING, hence the n_grams filter
+    val posClean = base.select(col(idCol),
+        explode(transform(sequence(lit(1), col("n_grams")),
+          i => struct(i.as("pos"),
+            array_join(slice(col("tk"), i, lit(n)), " ").as("g"))))
+          .as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val dupGrams = posClean.select(col("g"), col(idCol)).distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("g")
+    val dupPos = posClean.join(dupGrams, "g")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup"),
+        countDistinct(col("grp")).as("n_spans"))
+    base.select(col(idCol), col("n_grams"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("n_dup"), lit(0L)) /
+          col("n_grams").cast("double"), 4).as("dup_frac"))
+  }
 }

@@ -37,6 +37,17 @@ object Sampling {
       bucket1M(idCol, seed, portable) < (frac * 1e6).cast("long"))
   }
 
+  /** Membership predicate for a per-row COLUMN fraction (the
+    * stratified/temperature mixers compute fractions in-frame): keep a
+    * row iff hash(id, seed) mod 1e6 < floor(frac·1e6) — the same
+    * truncation `stratifiedSample` applies to its literal fractions, so
+    * column-valued and literal-valued sampling can never disagree on a
+    * boundary bucket.
+    */
+  def keepByFraction(idCol: Column, fracCol: Column, seed: Long = 42L,
+                     portable: Boolean = false): Column =
+    bucket1M(idCol, seed, portable) < (fracCol * 1e6).cast("long")
+
   /** Deterministic multi-way split assignment — the train/val/test
     * partitioning step of a training-data pipeline: each row gets the
     * first split whose cumulative fraction bound exceeds the row's

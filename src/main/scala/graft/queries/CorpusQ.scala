@@ -470,6 +470,43 @@ object CorpusQ {
              |    ::BIGINT % 1000000
              |  < CAST(floor(frac * 1e6) AS BIGINT)""".stripMargin)),
 
+    // corpus_temp_mix [EXT]: temperature-based source rebalancing
+    // (mT5/XLM-R alpha sampling) at alpha = 0.5 — stratum s keeps
+    // sqrt(n_min/n_s) of its rows by content-hash membership. Output is
+    // the per-source audit (full size, kept size, fraction); n_kept
+    // depends on every membership decision, so the gate verifies the
+    // sampled SET, not just the fractions. sqrt and double division
+    // are IEEE-correctly-rounded in both engines, making the threshold
+    // bit-identical; the oracle floors explicitly because DuckDB's
+    // double->BIGINT cast rounds while Spark's truncates.
+    Q("corpus_temp_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val kept = graft.operators.Corpus.temperatureMix(
+          docs, col("source"), col("doc_id"), alpha = 0.5, portable = true)
+        val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val f = c.crossJoin(c.agg(min("n").as("n_min")))
+          .withColumn("frac", sqrt(col("n_min") / col("n")))
+        f.join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+            Seq("source"), "left")
+          .select(col("source"), col("n"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            round(col("frac"), 6).as("frac"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents
+             |           GROUP BY 1),
+             |m AS (SELECT min(n) AS n_min FROM c),
+             |f AS (SELECT source, n, sqrt(m.n_min / c.n) AS frac
+             |      FROM c, m),
+             |k AS (SELECT d.source FROM documents d JOIN f USING (source)
+             |      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'),
+             |          1, 15))::BIGINT % 1000000
+             |        < CAST(floor(frac * 1e6) AS BIGINT)),
+             |kc AS (SELECT source, count(*) AS n_kept FROM k GROUP BY 1)
+             |SELECT f.source, f.n, coalesce(kc.n_kept, 0) AS n_kept,
+             |  round(f.frac, 6) AS frac
+             |FROM f LEFT JOIN kc USING (source)""".stripMargin)),
+
     // class_nb [EXT]: multinomial Naive Bayes classifier — the
     // fastText/CCNet-style quality/domain filter (train on the labeled
     // half, score the held-out half). Spark side pivots the vocabulary

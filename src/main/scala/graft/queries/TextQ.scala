@@ -702,6 +702,44 @@ object TextQ {
              FROM tg t JOIN bg b ON t.g = b.g
              GROUP BY 1, 2""")),
 
+    // dedup_span [EXT]: cross-document repeated-passage profile — the
+    // RefinedWeb/MassiveText exact-substring filter signal. Per doc:
+    // how many 8-gram positions are covered by grams occurring in >= 2
+    // distinct documents, and in how many maximal contiguous spans
+    // (pos - row_number run-grouping, window partitioned per doc).
+    // Fires non-vacuously on the raw corpus (1015 naturally duplicated
+    // 8-grams at sf0.01). Oracle rebuilds positions and runs from raw
+    // text with the identical run-grouping — gram strings joined
+    // directly, no hashes.
+    Q("dedup_span",
+      (s, d) => graft.operators.Dedup.duplicatedSpans(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 8, minDocs = 2),
+      Some("""WITH norm AS (
+             |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+             |    '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+             |  FROM documents),
+             |base AS (SELECT doc_id, tk, len(tk) - 7 AS n_grams FROM norm
+             |         WHERE len(tk) - 7 > 0),
+             |p AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+             |        SELECT doc_id,
+             |          unnest([{'pos': i,
+             |                   'g': array_to_string(tk[i:i+7], ' ')}
+             |            FOR i IN generate_series(1, n_grams)]) AS u
+             |        FROM base)),
+             |dup AS (SELECT g FROM (SELECT g, doc_id FROM p GROUP BY 1, 2)
+             |        GROUP BY g HAVING count(*) >= 2),
+             |sp AS (SELECT doc_id, count(*) AS n_dup,
+             |         count(DISTINCT pos - rn) AS n_spans
+             |       FROM (SELECT p.doc_id, p.pos, row_number() OVER
+             |               (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
+             |             FROM p JOIN dup ON p.g = dup.g)
+             |       GROUP BY 1)
+             |SELECT b.doc_id, b.n_grams, coalesce(sp.n_dup, 0) AS n_dup,
+             |  coalesce(sp.n_spans, 0) AS n_spans,
+             |  round(coalesce(sp.n_dup, 0) * 1.0 / b.n_grams, 4) AS dup_frac
+             |FROM base b LEFT JOIN sp ON b.doc_id = sp.doc_id""".stripMargin)),
+
     // dedup_cluster [EXT]: the clustering stage of the dedup pipeline —
     // MinHash candidate PAIRS contracted to connected COMPONENTS
     // (alternating large-star/small-star, O(log n) rounds), every doc

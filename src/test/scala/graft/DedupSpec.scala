@@ -209,4 +209,45 @@ class DedupSpec extends SparkFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(r === Seq(("x", 7L, 2L), ("y", 3L, 1L)))
   }
+
+  test("duplicatedSpans: positions, run merging, and edge docs") {
+    // doc 1: tokens 1..20; doc 2 quotes tokens 3..12 then diverges,
+    // and ALSO quotes tokens 15..18 (too short for an 8-gram alone —
+    // must contribute nothing). doc 3 is fully novel. doc 4 is shorter
+    // than n and must not appear at all.
+    val w = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, (w.slice(2, 12) ++ (1 to 10).map(i => s"x$i")).mkString(" ")),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" ")),
+      (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // shared gram run in doc 1: grams starting at 3..5 (w3..w12 window)
+    // -> 3 positions, ONE maximal span; 13 grams total
+    assert(got(1L) === ((13L, 3L, 1L, 0.2308)))
+    assert(got(2L) === ((13L, 3L, 1L, 0.2308)))
+    assert(got(3L) === ((13L, 0L, 0L, 0.0)))
+    assert(!got.contains(4L))
+  }
+
+  test("duplicatedSpans: disjoint repeats count as separate spans") {
+    // doc 10 and 11 share two NON-adjACENT 8-gram passages; the run
+    // grouping must report 2 spans, not 1
+    val a = (1 to 8).map(i => s"p$i")
+    val b = (1 to 8).map(i => s"q$i")
+    val docs = Seq(
+      (10L, (a ++ Seq("u1", "u2", "u3") ++ b).mkString(" ")),
+      (11L, (a ++ Seq("v1", "v2", "v3") ++ b).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r._3 === 2L, s"expected 2 dup positions, got $r")
+      assert(r._4 === 2L, s"expected 2 separate spans, got $r")
+    }
+  }
 }
