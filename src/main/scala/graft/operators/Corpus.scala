@@ -359,4 +359,93 @@ object Corpus {
       .filter(Sampling.keepByFraction(idCol, col("frac"), seed, portable))
       .drop("__s")
   }
+
+  /** Okapi BM25 relevance scoring of every document against a fixed
+    * term query — the retrieval scorer behind corpus search, RAG
+    * candidate generation, and targeted-subset mining ("find the docs
+    * about X to upsample"). Per matched document:
+    * `sum_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))` with
+    * the Lucene idf `ln(1 + (N-df+0.5)/(df+0.5))` (always positive).
+    *
+    * Plan shape at scale: document length is a NARROW projection (no
+    * tokenize shuffle — `dl` rides alongside the id), corpus stats
+    * (N, Σdl) are one metadata-sized aggregate broadcast back, the
+    * token stream is filtered to the query's terms BEFORE its only
+    * exchange (so the shuffled volume is proportional to query-term
+    * occurrences, not the corpus), and df is an aggregate of that
+    * already-tiny tf frame, broadcast into the scoring join. Nothing
+    * corpus-sized ever shuffles.
+    *
+    * Float parity: avgdl is computed as `Σdl / N` — ONE division of
+    * exactly-summed integers — and every scoring step is written in
+    * the same operation order as the SQL oracle, so both engines walk
+    * identical IEEE doubles into the final ≤|query|-term sum.
+    *
+    * @return (idCol, dl, n_hit, bm25) for documents matching ≥1 term
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase)
+    val base = docs.select(col(idCol),
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "").as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = base.select(col(idCol), col("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("s",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_hit"), round(sum("s"), 4).as("bm25"))
+      .select(col(idCol), col("dl"), col("n_hit"), col("bm25"))
+  }
+
+  /** Per-document unigram (token) Shannon entropy in nats — the
+    * lexical-diversity / gibberish signal of a Gopher-style quality
+    * suite: near-zero entropy flags keyword-stuffed or looping text,
+    * abnormally high entropy flags random-token noise. Computed as
+    * `ln(n) - Σ tf·ln(tf) / n`, which is algebraically
+    * `-Σ p·ln(p)` but needs no per-term probability pass — one
+    * aggregate over the (doc, term) frequencies suffices, and the
+    * oracle can replay the exact same operation order.
+    *
+    * Plan shape at scale: the token stream is repartitioned on the
+    * document id ONCE; both the (doc, term) frequency aggregate and
+    * the per-doc entropy aggregate run on that partitioning without
+    * further exchange (subset-key clustering). Nothing is broadcast,
+    * no vocabulary is materialized.
+    *
+    * @return (idCol, n_tokens, n_types, entropy); entropy is NULL for
+    *         token-free documents (same posture as unigramCrossEntropy)
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.repartition(col(idCol))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val h = tf.groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_types"),
+        (log(sum("tf")) -
+          sum(col("tf") * log(col("tf"))) / sum("tf")).as("h"))
+    docs.select(col(idCol))
+      .join(h, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(col("h"), 4).as("entropy"))
+  }
 }

@@ -507,6 +507,63 @@ object CorpusQ {
              |  round(f.frac, 6) AS frac
              |FROM f LEFT JOIN kc USING (source)""".stripMargin)),
 
+    // rank_bm25 [EXT]: Okapi BM25 scoring of the corpus against the
+    // fixed term query (scan, vector, dup) — mixed document
+    // frequencies (398/382/25 of 500 at sf0.01) so idf genuinely
+    // differentiates. Both engines compute avgdl as one division of
+    // exactly-summed integers and walk the scoring formula in the
+    // same operation order; the per-doc sum has <= 3 terms, so the
+    // 4-decimal rounding is stable cross-engine.
+    Q("rank_bm25",
+      (s, d) => graft.operators.Corpus.bm25(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("scan", "vector", "dup")),
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text),
+             |      '[^a-z0-9]+'), x -> x <> '') AS tk
+             |  FROM documents),
+             |dd AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM base),
+             |st AS (SELECT count(*)::BIGINT AS n_docs,
+             |    sum(dl)::BIGINT AS sum_dl FROM dd),
+             |tok AS (SELECT doc_id, unnest(tk) AS term FROM base),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |  FROM tok WHERE term IN ('scan', 'vector', 'dup')
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+             |SELECT tf.doc_id, dd.dl, count(*)::BIGINT AS n_hit,
+             |  round(sum(
+             |    ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             |    (tf.tf * 2.2) /
+             |    (tf.tf + 1.2 * (0.25 + 0.75 * dd.dl /
+             |      (st.sum_dl::DOUBLE / st.n_docs)))), 4) AS bm25
+             |FROM tf
+             |JOIN dfq USING (term)
+             |JOIN dd ON tf.doc_id = dd.doc_id, st
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // text_entropy [EXT]: per-doc unigram Shannon entropy in nats —
+    // the lexical-diversity / gibberish quality signal. Both engines
+    // compute ln(n) - sum(tf*ln(tf))/n: integer tf/n, identical ln
+    // inputs, and a <= 31-term sum whose reordering error sits ~1e-13
+    // from any 4-decimal boundary (same posture as text_perplexity).
+    Q("text_entropy",
+      (s, d) => graft.operators.Corpus.tokenEntropy(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(
+             |    lower(text), '[^a-z0-9]+')) AS term FROM documents),
+             |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |  FROM tok2 GROUP BY doc_id, term),
+             |h AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+             |    count(*)::BIGINT AS n_types,
+             |    round(ln(sum(tf)::BIGINT) -
+             |      sum(tf * ln(tf)) / sum(tf)::BIGINT, 4) AS entropy
+             |  FROM tf GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(h.n_tokens, 0) AS n_tokens,
+             |  coalesce(h.n_types, 0) AS n_types, h.entropy
+             |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin)),
+
     // class_nb [EXT]: multinomial Naive Bayes classifier — the
     // fastText/CCNet-style quality/domain filter (train on the labeled
     // half, score the held-out half). Spark side pivots the vocabulary

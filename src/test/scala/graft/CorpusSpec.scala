@@ -264,4 +264,46 @@ class CorpusSpec extends SparkFunSuite {
     val out = Corpus.capPerGroup(df, col("g"), col("id"), 10)
     assert(out.count() == 5L)
   }
+
+  test("bm25: hand-computed scores, df/dl normalization, no-match docs absent") {
+    // N=3, sum_dl=9, avgdl=3; df(x)=df(y)=2 → idf = ln(1.6)
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y z"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bm25(docs, "doc_id", "text", Seq("x", "y"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val idf = math.log(1.6)
+    def s(tf: Long, dl: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r4(d: Double): Double = math.rint(d * 1e4) / 1e4
+    assert(got(1L) === ((3L, 2L, r4(s(2, 3) + s(1, 3)))))
+    assert(got(2L) === ((2L, 1L, r4(s(1, 2)))))
+    assert(got(3L) === ((4L, 1L, r4(s(3, 4)))))
+  }
+
+  test("bm25: query term casing folds; absent term contributes no df row") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val got = Corpus.bm25(docs, "doc_id", "text", Seq("ALPHA", "nosuch"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).sorted === Array(1L, 2L))
+    assert(got.forall(_._3 == 1L)) // n_hit counts only the matched term
+  }
+
+  test("tokenEntropy: uniform, degenerate, and empty documents") {
+    val docs = Seq(
+      (1L, "a b a b"),   // H = ln 2
+      (2L, "a a a"),     // single type → 0
+      (3L, "a b c d"),   // uniform over 4 → ln 4
+      (4L, "--- !!!")    // no tokens → null entropy
+    ).toDF("doc_id", "text")
+    val got = Corpus.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    def r4(d: Double): Double = math.rint(d * 1e4) / 1e4
+    assert(got(1L) === ((4L, 2L, Some(r4(math.log(2))))))
+    assert(got(2L) === ((3L, 1L, Some(0.0))))
+    assert(got(3L) === ((4L, 4L, Some(r4(math.log(4))))))
+    assert(got(4L) === ((0L, 0L, None)))
+  }
 }
