@@ -222,6 +222,56 @@ object ScaleQ {
                     count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
              FROM orders GROUP BY 1, 2""")),
 
+    // graph_pagerank [EXT]: link-authority scoring — 5 power-iteration
+    // rounds over the undirected customer–supplier co-purchase graph
+    // (mirrored edges: no dangling mass, total rank exactly 1). The
+    // oracle unrolls the same 5 rounds as chained CTEs; both engines
+    // compute teleport as the literal (1 - 0.85)/N and each round as
+    // teleport + 0.85 * sum(r/outdeg) in the same operation order, so
+    // the only divergence is sum reordering (~1e-13 after 5 rounds)
+    // against a 4-decimal rounding. Ranks are scaled by N (mean 1) —
+    // raw O(1/N) ranks would vanish under the rounding.
+    Q("graph_pagerank",
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+        // no distinct here: the operator's single edge-prep exchange
+        // dedups the mirrored pairs anyway
+        graft.operators.PageRank.ranks(e, "a", "b", iters = 5)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
+             |    's' || l_suppkey::VARCHAR AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |ed AS (SELECT a AS src, b AS dst FROM e0
+             |       UNION ALL SELECT b AS src, a AS dst FROM e0),
+             |dg AS (SELECT src, count(*)::BIGINT AS outdeg
+             |       FROM ed GROUP BY 1),
+             |e AS (SELECT ed.src, ed.dst, dg.outdeg
+             |      FROM ed JOIN dg USING (src)),
+             |v AS (SELECT DISTINCT src AS id FROM ed),
+             |n AS (SELECT count(*)::BIGINT AS n FROM v),
+             |r0 AS (SELECT id, 1.0 / n.n AS r FROM v, n),
+             |r1 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |    0.85 * sum(p.r / e.outdeg) AS r
+             |  FROM e JOIN r0 p ON e.src = p.id, n GROUP BY e.dst, n.n),
+             |r2 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |    0.85 * sum(p.r / e.outdeg) AS r
+             |  FROM e JOIN r1 p ON e.src = p.id, n GROUP BY e.dst, n.n),
+             |r3 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |    0.85 * sum(p.r / e.outdeg) AS r
+             |  FROM e JOIN r2 p ON e.src = p.id, n GROUP BY e.dst, n.n),
+             |r4 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |    0.85 * sum(p.r / e.outdeg) AS r
+             |  FROM e JOIN r3 p ON e.src = p.id, n GROUP BY e.dst, n.n),
+             |r5 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |    0.85 * sum(p.r / e.outdeg) AS r
+             |  FROM e JOIN r4 p ON e.src = p.id, n GROUP BY e.dst, n.n)
+             |SELECT r5.id, round(r5.r * n.n, 4) AS rank
+             |FROM r5, n""".stripMargin)),
+
     // dedup_incr [EXT]: incremental ingest dedup — the corpus's MinHash
     // posting index is built ONCE per (session, corpus) and the new
     // batch (the same every-50th perturbed docs the other dedup oracles
