@@ -670,6 +670,73 @@ object IngestQ {
              (39, '| species | removed | herring |'),
              (40, '')) AS t(line_no, line)""")),
 
+    // scd2_merge [EXT]: slowly-changing-dimension type-2 snapshot merge
+    // — the reference's release-over-release comparison
+    // (assess_changes.qmd:97-179) PERSISTED as versioned rows instead
+    // of a report. Planted snapshot deltas: every 10th supplier's
+    // balance +100 (changed), every 17th dropped (soft delete), every
+    // 25th re-entered under a new key (insert), every 20th carrying a
+    // pre-closed history row (pass-through). One key-keyed full-outer
+    // join; the oracle replays the same classification with
+    // IS DISTINCT FROM.
+    Q("scd2_merge",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val cur = sup.select(col("s_suppkey"), col("s_name"),
+            col("s_acctbal"),
+            to_date(lit("2025-01-01")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+          .unionByName(sup.filter(col("s_suppkey") % 20 === 0)
+            .select(col("s_suppkey"),
+              concat(lit("OLD-"), col("s_suppkey")).as("s_name"),
+              lit(0.0).as("s_acctbal"),
+              to_date(lit("2024-01-01")).as("valid_from"),
+              to_date(lit("2025-01-01")).as("valid_to")))
+        val upd = sup.filter(col("s_suppkey") % 17 =!= 0)
+          .select(col("s_suppkey"), col("s_name"),
+            when(col("s_suppkey") % 10 === 0, col("s_acctbal") + 100.0)
+              .otherwise(col("s_acctbal")).as("s_acctbal"))
+          .unionByName(sup.filter(col("s_suppkey") % 25 === 0)
+            .select((col("s_suppkey") + 100000L).as("s_suppkey"),
+              concat(lit("NEW-"), col("s_suppkey")).as("s_name"),
+              lit(0.0).as("s_acctbal")))
+        graft.operators.Scd.merge2(cur, upd, Seq("s_suppkey"),
+          Seq("s_name", "s_acctbal"), to_date(lit("2025-06-01")))
+      },
+      Some("""WITH cur AS (SELECT s_suppkey, s_name, s_acctbal,
+             |    DATE '2025-01-01' AS valid_from,
+             |    CAST(NULL AS DATE) AS valid_to FROM supplier),
+             |hist AS (SELECT s_suppkey, 'OLD-' || s_suppkey AS s_name,
+             |    0.0 AS s_acctbal, DATE '2024-01-01' AS valid_from,
+             |    DATE '2025-01-01' AS valid_to
+             |  FROM supplier WHERE s_suppkey % 20 = 0),
+             |upd AS (
+             |  SELECT s_suppkey, s_name,
+             |    CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100.0
+             |         ELSE s_acctbal END AS s_acctbal
+             |  FROM supplier WHERE s_suppkey % 17 <> 0
+             |  UNION ALL
+             |  SELECT s_suppkey + 100000, 'NEW-' || s_suppkey, 0.0
+             |  FROM supplier WHERE s_suppkey % 25 = 0),
+             |j AS (SELECT c.s_suppkey AS ck, c.s_name AS cn,
+             |    c.s_acctbal AS ca, c.valid_from AS cvf,
+             |    u.s_suppkey AS uk, u.s_name AS un, u.s_acctbal AS ua
+             |  FROM cur c FULL OUTER JOIN upd u
+             |    ON c.s_suppkey = u.s_suppkey)
+             |SELECT * FROM (
+             |  SELECT s_suppkey, s_name, s_acctbal, valid_from, valid_to
+             |  FROM hist
+             |  UNION ALL
+             |  SELECT ck, cn, ca, cvf,
+             |    CASE WHEN uk IS NULL OR cn IS DISTINCT FROM un
+             |           OR ca IS DISTINCT FROM ua
+             |         THEN DATE '2025-06-01' END
+             |  FROM j WHERE ck IS NOT NULL
+             |  UNION ALL
+             |  SELECT uk, un, ua, DATE '2025-06-01', NULL
+             |  FROM j WHERE uk IS NOT NULL AND (ck IS NULL
+             |    OR cn IS DISTINCT FROM un OR ca IS DISTINCT FROM ua))""".stripMargin)),
+
     // src_html + xpath_extract + the full scrape chain
     // (`scrape_newest_baci_data.R:20-41`): XPath anchor extraction →
     // NA filter → regex filter → absolutize → dedup; golden oracle.
