@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** k-anonymity / ℓ-diversity risk report — the privacy-side quality
+    * check a curation pipeline runs before releasing tabular data:
+    * every quasi-identifier combination shared by fewer than `k` rows
+    * re-identifies its members ("size" risk), and a combination whose
+    * rows carry fewer than `minL` distinct sensitive values leaks the
+    * sensitive attribute even at size ≥ k ("diversity" risk, the
+    * homogeneity attack). Returns only the failing groups with their
+    * size `n`, diversity `l`, and dominant risk tag (size first when
+    * both fail — the stronger condition).
+    *
+    * One quasi-identifier-keyed aggregate (map-side partial counts;
+    * the distinct-count expands per sensitive value before the same
+    * single exchange) — no second scan, no join, output bounded by
+    * the failing-group count.
+    */
+  def kAnonymity(df: DataFrame, qi: Seq[String], sensitive: Column,
+                 k: Long, minL: Long): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && minL >= 1, s"k and minL must be >= 1 (got $k, $minL)")
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("l"))
+      .filter(col("n") < k || col("l") < minL)
+      .withColumn("risk",
+        when(col("n") < k, lit("size")).otherwise(lit("diversity")))
+  }
+
   /** Fraction of rows where `c` is NULL. */
   def nullCheck(df: DataFrame, table: String, c: String,
                 maxFraction: Double = 0.0): DataFrame =

@@ -341,6 +341,34 @@ object IngestQ {
     // per-rule tolerances. The planted orphan rows make the FK rule
     // genuinely fail (no vacuous all-pass report). Oracle replays
     // every metric from the raw tables.
+    // dq_kanon [EXT]: k-anonymity / ℓ-diversity privacy risk report —
+    // quasi-identifier (nation, segment) groups smaller than k=10
+    // re-identify members; groups with fewer than 4 distinct balance
+    // buckets leak the sensitive attribute (homogeneity attack). Both
+    // branches fire non-vacuously at EVERY SF: the QI includes a
+    // fixed-width 1500-key custkey block, so the average group size
+    // (~12) — and hence the risky mix — is SF-invariant (35 size /
+    // 6 diversity groups at sf0.01, 281/92 at sf0.1). One QI-keyed
+    // aggregate; DuckDB floor replay with the repo's standard
+    // explicit ::BIGINT cast.
+    Q("dq_kanon",
+      (s, d) => graft.ingest.DataQuality.kAnonymity(
+        t(s, d, "customer").withColumn("blk",
+          floor(col("c_custkey") / 1500).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "blk"),
+        floor(col("c_acctbal") / 3000).cast("long"),
+        k = 10L, minL = 4L),
+      Some("""SELECT c_nationkey, c_mktsegment, blk, n, l,
+             |  CASE WHEN n < 10 THEN 'size' ELSE 'diversity' END AS risk
+             |FROM (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    floor(c_custkey / 1500)::BIGINT AS blk,
+             |    count(*)::BIGINT AS n,
+             |    count(DISTINCT floor(c_acctbal / 3000)::BIGINT)::BIGINT
+             |      AS l
+             |  FROM customer GROUP BY 1, 2, 3)
+             |WHERE n < 10 OR l < 4""".stripMargin)),
+
     Q("dq_check",
       (s, d) => {
         import graft.ingest.DataQuality._

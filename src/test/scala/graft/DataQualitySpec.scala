@@ -30,6 +30,21 @@ class DataQualitySpec extends SparkFunSuite {
     assert(r == (("c.fk.fk", 0.25, false)))
   }
 
+  test("kAnonymity: size risk, diversity risk, and passing groups") {
+    // group (a): 2 rows < k=3 → size risk (even though l also low)
+    // group (b): 3 rows, sensitive all equal → diversity risk at minL=2
+    // group (c): 3 rows, 2 distinct sensitive values → passes
+    val df = Seq(
+      ("a", 1), ("a", 2),
+      ("b", 7), ("b", 7), ("b", 7),
+      ("c", 1), ("c", 1), ("c", 2)
+    ).toDF("qi", "s")
+    val got = kAnonymity(df, Seq("qi"), col("s"), k = 3L, minL = 2L)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map("a" -> ((2L, 2L, "size")), "b" -> ((3L, 1L, "diversity"))))
+  }
+
   test("empty table: every check reports 0 and passes") {
     val df = Seq((1L, 1.0)).toDF("k", "v").filter(lit(false))
     val rep = report(
