@@ -130,6 +130,24 @@ object MinhashOracle {
        |  src = min(dst) AS keep
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Oracle for `corpus_split_safe`: ground-truth components (same
+    * recursive reachability as [[clusterSql]]), then the 80/10/10
+    * portable-hash split assignment computed on the CLUSTER id — the
+    * leakage-free guarantee is structural: two docs in one component
+    * share the hash input, hence the split.
+    */
+  val splitSafeSql: String =
+    s"""$clusterCtes,
+       |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN b < 800000 THEN 'train'
+       |       WHEN b < 900000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_id,
+       |  ('0x' || substr(md5(cluster_id::VARCHAR || ':42'), 1, 15))
+       |    ::BIGINT % 1000000 AS b FROM lab)""".stripMargin
+
   /** Oracle for `dedup_best`: same ground-truth components as
     * [[clusterSql]], but the canonical member is the LONGEST document
     * (ties → lowest doc_id) — the keep-the-most-complete-version

@@ -764,6 +764,32 @@ object TextQ {
       },
       Some(MinhashOracle.clusterSql)),
 
+    // corpus_split_safe [EXT]: leakage-free train/val/test split — the
+    // assignment hash runs on the near-dup CLUSTER id, not the doc id,
+    // so a document and its near-duplicates can never straddle the
+    // train/test boundary (the eval-contamination failure corpus_split
+    // alone cannot prevent). Same sketch → pairs → components pipeline
+    // as dedup_cluster, then one narrow split projection; the oracle
+    // replays the full sketch + recursive-CTE ground-truth components
+    // + the md5 membership on the cluster id.
+    Q("corpus_split_safe",
+      (s, d) => {
+        val docs = plantedDocs(s, d)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          threshold = 0.35).select(col("id_a"), col("id_b"))
+        val labels = graft.operators.ConnectedComponents
+          .labels(pairs, "id_a", "id_b")
+        val labeled = docs.select(col("doc_id"))
+          .join(labels.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+        graft.operators.Sampling.assignSplits(labeled, col("cluster_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          portable = true)
+      },
+      Some(MinhashOracle.splitSafeSql)),
+
     // corpus_sample [EXT]: deterministic content-hash stratified sampling
     // for corpus balancing — unlike rand()-based sampleBy, the same rows
     // are kept on every run/retry/cluster size. Uses the PORTABLE md5

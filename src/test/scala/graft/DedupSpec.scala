@@ -233,6 +233,40 @@ class DedupSpec extends SparkFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("leakage-safe split: near-duplicates never straddle the boundary") {
+    // 40 distinct docs; every 4th re-entered verbatim under id+1000 —
+    // the near-dup pair MUST land in one split, whatever the split is
+    val base = (0L until 40L).map(i =>
+      (i, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val docs = (base ++ base.filter(_._1 % 4 == 0)
+      .map { case (i, t) => (i + 1000L, t) }).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.35)
+      .select($"id_a", $"id_b")
+    val labels = graft.operators.ConnectedComponents
+      .labels(pairs, "id_a", "id_b")
+    val labeled = docs.select($"doc_id")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster", $"doc_id").as("cluster_id"))
+    val split = graft.operators.Sampling.assignSplits(labeled,
+      $"cluster_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      portable = true)
+    // identical copies must cluster, and every cluster gets ONE split
+    val rows = split.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.exists(_._2.length == 2), "no near-dup clustered")
+    byCluster.values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1,
+        s"cluster straddles splits: ${g.mkString(",")}")
+    }
+    // and the verbatim copies specifically share their original's split
+    val m = rows.map(r => r._1 -> r._3).toMap
+    (0L until 40L by 4).foreach { i =>
+      assert(m(i) === m(i + 1000L), s"doc $i and its copy split apart")
+    }
+  }
+
   test("duplicatedSpans: disjoint repeats count as separate spans") {
     // doc 10 and 11 share two NON-adjACENT 8-gram passages; the run
     // grouping must report 2 spans, not 1
