@@ -222,6 +222,38 @@ object ScaleQ {
                     count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
              FROM orders GROUP BY 1, 2""")),
 
+    // funnel_conv [EXT]: ordered view→click→purchase funnel — per-user
+    // conversion depth with strict-after semantics, counted per depth.
+    // One user-keyed exchange + codegen'd HOF scan on the Spark side;
+    // the oracle reaches the same depths by a structurally different
+    // algorithm (cascaded min-ts joins per step).
+    Q("funnel_conv",
+      (s, d) => graft.operators.Funnel.report(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase")),
+      Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |u AS (SELECT DISTINCT user_id FROM ev),
+             |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+             |  JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+             |  JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |  GROUP BY 1),
+             |dp AS (SELECT u.user_id,
+             |    CASE WHEN t3 IS NOT NULL THEN 3
+             |         WHEN t2 IS NOT NULL THEN 2
+             |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+             |  FROM u LEFT JOIN s1 USING (user_id)
+             |    LEFT JOIN s2 USING (user_id)
+             |    LEFT JOIN s3 USING (user_id))
+             |SELECT depth, count(*)::BIGINT AS n_users
+             |FROM dp GROUP BY 1""".stripMargin)),
+
     // graph_pagerank [EXT]: link-authority scoring — 5 power-iteration
     // rounds over the undirected customer–supplier co-purchase graph
     // (mirrored edges: no dangling mass, total rank exactly 1). The
