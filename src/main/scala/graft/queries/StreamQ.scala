@@ -214,6 +214,40 @@ object StreamQ {
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v
              FROM events GROUP BY user_id""")),
 
+    // stream_funnel [EXT]: ONLINE ordered-funnel tracking — the
+    // incremental twin of funnel_conv (operators.Funnel). Per-user
+    // state is TWO scalars (depth, last-match ts) advanced by
+    // flatMapGroupsWithState; batch mode (empty state store, one
+    // (ts, event_id)-sorted group per user) reproduces Funnel.depths
+    // exactly, which the oracle replays by the structurally different
+    // cascaded min-ts algorithm. StreamingSpec drives the true
+    // incremental path: depth carried across triggers, and a
+    // late-arriving out-of-order event cannot retroactively advance
+    // a funnel that already matched a later timestamp.
+    Q("stream_funnel",
+      (s, d) => graft.streaming.EventStreams.funnelDepths(
+        s, t(s, d, "events"), Seq("view", "click", "purchase")).toDF(),
+      Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |u AS (SELECT DISTINCT user_id FROM ev),
+             |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+             |  JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+             |  JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |  GROUP BY 1)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+             |       WHEN t2 IS NOT NULL THEN 2
+             |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+             |FROM u LEFT JOIN s1 USING (user_id)
+             |  LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
     // stream_topterms: per-window top-3 event types via the
     // Space-Saving aggregate — streaming state per window is one
     // capacity-bounded sketch, not a per-distinct-term map. The events

@@ -109,6 +109,58 @@ object EventStreams {
   /** One emitted update per user per trigger. */
   final case class UserUpdate(user_id: Long, n: Long, sum_v: Double)
 
+  /** Per-user funnel progress: current depth + timestamp of the last
+    * matched step. TWO fields per user regardless of event volume —
+    * the bounded-state counterexample to "sessionization needs the
+    * whole history".
+    */
+  final case class FunnelState(depth: Int, lastTs: Long)
+  /** One progress row per user per trigger. */
+  final case class FunnelProgress(user_id: Long, depth: Int)
+
+  /** ONLINE ordered-funnel tracking (the incremental twin of
+    * `operators.Funnel`): per-user state advances through `steps` with
+    * strict-after semantics as events arrive; each trigger emits the
+    * user's current depth. Within a trigger the group's rows are
+    * sorted by (ts, event_id), so batch-mode execution (empty state
+    * store, one group per user) reproduces `Funnel.depths` exactly —
+    * which is what the gate's oracle checks. Across triggers the scan
+    * is online: an event arriving AFTER a later-timestamped match has
+    * already advanced the funnel cannot retroactively insert itself —
+    * the standard latency/exactness trade of streaming funnels (replay
+    * through the batch operator for the exact answer).
+    *
+    * State is (depth, lastTs) — two scalars per user, no event
+    * retention, no watermark needed for correctness (only for state
+    * eviction policy if users are unbounded).
+    */
+  def funnelDepths(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var d = prev.depth
+          var last = prev.lastTs
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, _, e) =>
+            if (d < steps.size && e == steps(d) && (d == 0 || t > last)) {
+              d += 1
+              last = t
+            }
+          }
+          state.update(FunnelState(d, last))
+          Iterator(FunnelProgress(uid, d))
+      }
+  }
+
   /** Custom per-key state via flatMapGroupsWithState: maintains a running
     * (count, sum) per user and emits the updated totals each trigger. In
     * batch mode the state store is empty and this degenerates to a plain

@@ -123,6 +123,41 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances depth across triggers; out-of-order events cannot rewind") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.funnelDepths(spark, in.toDF(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      def lastDepth(): Int = spark.table(name)
+        .filter(col("user_id") === 7).select("depth")
+        .as[Int].collect().last
+      in.addData(Ev(ts(0), 1, 7, "view", 1.0))
+      q.processAllAvailable()
+      assert(lastDepth() === 1)
+      // click at minute 4 advances state carried from the first trigger
+      in.addData(Ev(ts(4), 2, 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(lastDepth() === 2)
+      // LATE purchase at minute 2 — before the click the funnel already
+      // matched — must NOT advance (online strict-after semantics)
+      in.addData(Ev(ts(2), 3, 7, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(lastDepth() === 2)
+      in.addData(Ev(ts(9), 4, 7, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(lastDepth() === 3)
+      // non-step and wrong-order events never created state for user 8
+      in.addData(Ev(ts(9), 5, 8, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).filter(col("user_id") === 8)
+        .select("depth").as[Int].collect().forall(_ === 0))
+    } finally q.stop()
+  }
+
   test("streaming near-dup: a later batch's doc matches state from an earlier batch") {
     implicit val sq = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and runs far " +
