@@ -85,6 +85,109 @@ object DataQuality {
         .agg((sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)) /
           greatest(count(lit(1)), lit(1L))).as("metric")), maxFraction)
 
+  /** Population-Stability-Index drift report between two versions of a
+    * table — the distribution-level companion to the reference's
+    * schema/row-delta drift checks (`assess_changes.qmd:148-174`): a
+    * column can keep its name, type, and row count while its VALUES
+    * shift (price inflation, a new category code), which only a
+    * distribution compare catches. Numeric columns bucket by fixed
+    * width over the min/max of the union (both versions, so the two
+    * sides share boundaries); categorical columns use the raw value.
+    * PSI per column = Σ (p−q)·ln(p/q) over cells with Laplace-0.5
+    * smoothing (p, q = smoothed cell fractions of version a / b);
+    * empty numeric buckets still contribute whenever the two sides'
+    * totals differ, so the grid enumerates all `buckets` cells. The
+    * usual reading: < 0.1 stable, > 0.2 drifted.
+    *
+    * Plan shape at scale: column count never multiplies scans — TWO
+    * aggregates per side total (one for all numeric bounds, one
+    * exploding (column, cell) pairs for all counts), then everything
+    * downstream is cell-cardinality-sized (≤ buckets + distinct
+    * categories per column) with one-row bounds frames broadcast into
+    * the scans. The per-(column, cell) count shuffle is the only
+    * data-sized exchange.
+    *
+    * @return one row per column: (col_name, kind, psi, drifted)
+    */
+  def drift(a: DataFrame, b: DataFrame, numericCols: Seq[String],
+            categoricalCols: Seq[String], buckets: Int = 16,
+            threshold: Double = 0.2): DataFrame = {
+    require(numericCols.nonEmpty || categoricalCols.nonEmpty,
+      "drift needs at least one column")
+    require(buckets >= 2, s"need >= 2 buckets (got $buckets)")
+    val spark = a.sparkSession
+
+    // one-row frame of shared bucket bounds per numeric column: per-side
+    // min/max aggregates (one scan each) combined elementwise — never a
+    // union re-scan of both versions
+    def sideBounds(df: DataFrame, tag: String) =
+      df.agg(lit(1).as(s"one_$tag"),
+        numericCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"lo_${tag}_$c"),
+          max(col(c).cast("double")).as(s"hi_${tag}_$c"))): _*)
+    val bounds = sideBounds(a, "a").crossJoin(sideBounds(b, "b"))
+      .select(numericCols.flatMap(c => Seq(
+        least(col(s"lo_a_$c"), col(s"lo_b_$c")).as(s"lo_$c"),
+        greatest(col(s"hi_a_$c"), col(s"hi_b_$c")).as(s"hi_$c"))): _*)
+
+    // one exploding scan per side: every row contributes one
+    // (col_name, kind, cell) per drift column; cells count in one
+    // (column, cell)-keyed aggregate
+    def cellCounts(df: DataFrame, tag: String) = {
+      val numCells = numericCols.map { c =>
+        val x = col(c).cast("double")
+        val cell = when(col(s"hi_$c") <= col(s"lo_$c"), lit(0L))
+          .otherwise(least(floor((x - col(s"lo_$c")) /
+            ((col(s"hi_$c") - col(s"lo_$c")) / buckets)),
+            lit((buckets - 1).toLong)))
+        struct(lit(c).as("col_name"), lit("numeric").as("kind"),
+          when(x.isNotNull, cell.cast("string")).as("cell"))
+      }
+      val catCells = categoricalCols.map(c =>
+        struct(lit(c).as("col_name"), lit("categorical").as("kind"),
+          col(c).cast("string").as("cell")))
+      df.crossJoin(broadcast(bounds))
+        .select(explode(array(numCells ++ catCells: _*)).as("e"))
+        .select(col("e.col_name"), col("e.kind"), col("e.cell"))
+        .filter(col("cell").isNotNull) // null values sit out, per column
+        .groupBy("col_name", "kind", "cell")
+        .agg(count(lit(1)).cast("double").as(tag))
+    }
+
+    // all-cells key frame: the fixed numeric grid (empty buckets count)
+    // plus every observed categorical value from either side
+    val grid = spark.range(buckets).crossJoin(
+        spark.createDataFrame(numericCols.map(Tuple1(_)))
+          .toDF("col_name"))
+      .select(col("col_name"), lit("numeric").as("kind"),
+        col("id").cast("string").as("cell"))
+    val ca = cellCounts(a, "ca")
+    val cb = cellCounts(b, "cb")
+    val keys = grid
+      .unionByName(ca.select("col_name", "kind", "cell"))
+      .unionByName(cb.select("col_name", "kind", "cell"))
+      .distinct()
+    val cells = keys
+      .join(ca, Seq("col_name", "kind", "cell"), "left")
+      .join(cb, Seq("col_name", "kind", "cell"), "left")
+      .select(col("col_name"), col("kind"),
+        coalesce(col("ca"), lit(0.0)).as("ca"),
+        coalesce(col("cb"), lit(0.0)).as("cb"))
+
+    val tot = cells.groupBy("col_name")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).cast("double").as("k"))
+    val p = (col("ca") + 0.5) / (col("na") + lit(0.5) * col("k"))
+    val q = (col("cb") + 0.5) / (col("nb") + lit(0.5) * col("k"))
+    cells.join(broadcast(tot), Seq("col_name"))
+      .select(col("col_name"), col("kind"),
+        ((p - q) * log(p / q)).as("term"))
+      .groupBy("col_name", "kind")
+      .agg(round(sum("term"), 4).as("psi"))
+      .select(col("col_name"), col("kind"), col("psi"),
+        (col("psi") > threshold).as("drifted"))
+  }
+
   /** Stack any number of checks into one report frame. */
   def report(checks: DataFrame*): DataFrame =
     checks.reduce(_ unionByName _)

@@ -341,6 +341,127 @@ object IngestQ {
     // per-rule tolerances. The planted orphan rows make the FK rule
     // genuinely fail (no vacuous all-pass report). Oracle replays
     // every metric from the raw tables.
+    // dq_drift [EXT]: PSI distribution-drift report between two table
+    // versions — the value-level companion to the reference's
+    // schema/row-count drift gates (assess_changes.qmd:148-174).
+    // Version b plants real drift: a third of its prices inflate 1.5×
+    // and half its status codes collapse to a NEW category 'X'
+    // (exercising the unseen-category cell path); o_custkey and
+    // o_orderpriority stay untouched as the no-drift controls, so the
+    // report shows both verdicts non-vacuously. Oracle replays the
+    // bucketing, Laplace smoothing, and Σ(p−q)·ln(p/q) per column.
+    Q("dq_drift",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val va = o.filter(col("o_orderkey") % 2 === 0)
+        val vb = o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.5)
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 4 === 1, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        graft.ingest.DataQuality.drift(va, vb,
+          numericCols = Seq("o_totalprice", "o_custkey"),
+          categoricalCols = Seq("o_orderstatus", "o_orderpriority"))
+      },
+      Some("""WITH
+             |a_tp AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+             |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+             |b_tp AS (SELECT (CASE WHEN o_orderkey % 3 = 0
+             |    THEN o_totalprice * 1.5 ELSE o_totalprice END)::DOUBLE
+             |    AS x FROM orders
+             |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+             |a_ck AS (SELECT o_custkey::DOUBLE AS x FROM orders
+             |  WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL),
+             |b_ck AS (SELECT o_custkey::DOUBLE AS x FROM orders
+             |  WHERE o_orderkey % 2 = 1 AND o_custkey IS NOT NULL),
+             |grid AS (SELECT CAST(g AS BIGINT) AS cell
+             |  FROM generate_series(0, 15) t(g)),
+             |bd_tp AS (SELECT min(x) AS lo, max(x) AS hi FROM
+             |  (SELECT x FROM a_tp UNION ALL SELECT x FROM b_tp)),
+             |ca_tp AS (SELECT CAST(CASE WHEN hi <= lo THEN 0
+             |    ELSE least(floor((x - lo) / ((hi - lo) / 16)), 15) END
+             |    AS BIGINT) AS cell, count(*)::DOUBLE AS c
+             |  FROM a_tp, bd_tp GROUP BY 1),
+             |cb_tp AS (SELECT CAST(CASE WHEN hi <= lo THEN 0
+             |    ELSE least(floor((x - lo) / ((hi - lo) / 16)), 15) END
+             |    AS BIGINT) AS cell, count(*)::DOUBLE AS c
+             |  FROM b_tp, bd_tp GROUP BY 1),
+             |j_tp AS (SELECT grid.cell, coalesce(ca_tp.c, 0.0) AS ca,
+             |    coalesce(cb_tp.c, 0.0) AS cb
+             |  FROM grid LEFT JOIN ca_tp USING (cell)
+             |    LEFT JOIN cb_tp USING (cell)),
+             |r_tp AS (SELECT round(sum((p - q) * ln(p / q)), 4) AS psi
+             |  FROM (SELECT (ca + 0.5) / (t.na + 0.5 * t.k) AS p,
+             |      (cb + 0.5) / (t.nb + 0.5 * t.k) AS q
+             |    FROM j_tp, (SELECT sum(ca) AS na, sum(cb) AS nb,
+             |      count(*)::DOUBLE AS k FROM j_tp) t)),
+             |bd_ck AS (SELECT min(x) AS lo, max(x) AS hi FROM
+             |  (SELECT x FROM a_ck UNION ALL SELECT x FROM b_ck)),
+             |ca_ck AS (SELECT CAST(CASE WHEN hi <= lo THEN 0
+             |    ELSE least(floor((x - lo) / ((hi - lo) / 16)), 15) END
+             |    AS BIGINT) AS cell, count(*)::DOUBLE AS c
+             |  FROM a_ck, bd_ck GROUP BY 1),
+             |cb_ck AS (SELECT CAST(CASE WHEN hi <= lo THEN 0
+             |    ELSE least(floor((x - lo) / ((hi - lo) / 16)), 15) END
+             |    AS BIGINT) AS cell, count(*)::DOUBLE AS c
+             |  FROM b_ck, bd_ck GROUP BY 1),
+             |j_ck AS (SELECT grid.cell, coalesce(ca_ck.c, 0.0) AS ca,
+             |    coalesce(cb_ck.c, 0.0) AS cb
+             |  FROM grid LEFT JOIN ca_ck USING (cell)
+             |    LEFT JOIN cb_ck USING (cell)),
+             |r_ck AS (SELECT round(sum((p - q) * ln(p / q)), 4) AS psi
+             |  FROM (SELECT (ca + 0.5) / (t.na + 0.5 * t.k) AS p,
+             |      (cb + 0.5) / (t.nb + 0.5 * t.k) AS q
+             |    FROM j_ck, (SELECT sum(ca) AS na, sum(cb) AS nb,
+             |      count(*)::DOUBLE AS k FROM j_ck) t)),
+             |a_st AS (SELECT o_orderstatus AS cell FROM orders
+             |  WHERE o_orderkey % 2 = 0 AND o_orderstatus IS NOT NULL),
+             |b_st AS (SELECT cell FROM (SELECT CASE WHEN o_orderkey % 4 = 1
+             |    THEN 'X' ELSE o_orderstatus END AS cell FROM orders
+             |    WHERE o_orderkey % 2 = 1) WHERE cell IS NOT NULL),
+             |ca_st AS (SELECT cell, count(*)::DOUBLE AS c FROM a_st
+             |  GROUP BY 1),
+             |cb_st AS (SELECT cell, count(*)::DOUBLE AS c FROM b_st
+             |  GROUP BY 1),
+             |k_st AS (SELECT cell FROM ca_st UNION SELECT cell FROM cb_st),
+             |j_st AS (SELECT k_st.cell, coalesce(ca_st.c, 0.0) AS ca,
+             |    coalesce(cb_st.c, 0.0) AS cb
+             |  FROM k_st LEFT JOIN ca_st USING (cell)
+             |    LEFT JOIN cb_st USING (cell)),
+             |r_st AS (SELECT round(sum((p - q) * ln(p / q)), 4) AS psi
+             |  FROM (SELECT (ca + 0.5) / (t.na + 0.5 * t.k) AS p,
+             |      (cb + 0.5) / (t.nb + 0.5 * t.k) AS q
+             |    FROM j_st, (SELECT sum(ca) AS na, sum(cb) AS nb,
+             |      count(*)::DOUBLE AS k FROM j_st) t)),
+             |a_pr AS (SELECT o_orderpriority AS cell FROM orders
+             |  WHERE o_orderkey % 2 = 0 AND o_orderpriority IS NOT NULL),
+             |b_pr AS (SELECT o_orderpriority AS cell FROM orders
+             |  WHERE o_orderkey % 2 = 1 AND o_orderpriority IS NOT NULL),
+             |ca_pr AS (SELECT cell, count(*)::DOUBLE AS c FROM a_pr
+             |  GROUP BY 1),
+             |cb_pr AS (SELECT cell, count(*)::DOUBLE AS c FROM b_pr
+             |  GROUP BY 1),
+             |k_pr AS (SELECT cell FROM ca_pr UNION SELECT cell FROM cb_pr),
+             |j_pr AS (SELECT k_pr.cell, coalesce(ca_pr.c, 0.0) AS ca,
+             |    coalesce(cb_pr.c, 0.0) AS cb
+             |  FROM k_pr LEFT JOIN ca_pr USING (cell)
+             |    LEFT JOIN cb_pr USING (cell)),
+             |r_pr AS (SELECT round(sum((p - q) * ln(p / q)), 4) AS psi
+             |  FROM (SELECT (ca + 0.5) / (t.na + 0.5 * t.k) AS p,
+             |      (cb + 0.5) / (t.nb + 0.5 * t.k) AS q
+             |    FROM j_pr, (SELECT sum(ca) AS na, sum(cb) AS nb,
+             |      count(*)::DOUBLE AS k FROM j_pr) t))
+             |SELECT 'o_totalprice' AS col_name, 'numeric' AS kind, psi,
+             |  psi > 0.2 AS drifted FROM r_tp
+             |UNION ALL SELECT 'o_custkey', 'numeric', psi, psi > 0.2
+             |  FROM r_ck
+             |UNION ALL SELECT 'o_orderstatus', 'categorical', psi,
+             |  psi > 0.2 FROM r_st
+             |UNION ALL SELECT 'o_orderpriority', 'categorical', psi,
+             |  psi > 0.2 FROM r_pr""".stripMargin)),
+
     // dq_kanon [EXT]: k-anonymity / ℓ-diversity privacy risk report —
     // quasi-identifier (nation, segment) groups smaller than k=10
     // re-identify members; groups with fewer than 4 distinct balance

@@ -45,6 +45,35 @@ class DataQualitySpec extends SparkFunSuite {
     assert(got === Map("a" -> ((2L, 2L, "size")), "b" -> ((3L, 1L, "diversity"))))
   }
 
+  test("drift: planted shift flags, identical distributions don't") {
+    val a = (1 to 400).map(i => (i.toDouble % 20, "c" + (i % 3), i.toDouble))
+      .toDF("num_shift", "cat_shift", "num_same")
+    // numeric values jump by +100, categories collapse to one NEW code
+    val b = (1 to 400).map(i => (i.toDouble % 20 + 100, "zz", i.toDouble))
+      .toDF("num_shift", "cat_shift", "num_same")
+    val got = drift(a, b, Seq("num_shift", "num_same"), Seq("cat_shift"))
+      .as[(String, String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("num_shift")._1 == "numeric" && got("num_shift")._3,
+      s"shifted numeric must drift: $got")
+    assert(got("cat_shift")._1 == "categorical" && got("cat_shift")._3,
+      s"new-category collapse must drift: $got")
+    assert(!got("num_same")._3 && got("num_same")._2 < 0.01,
+      s"identical column must not drift: $got")
+  }
+
+  test("drift: constant column and nulls don't crash; nulls sit out") {
+    val a = Seq((5.0, Some("x")), (5.0, None)).toDF("c", "v")
+    val b = Seq((5.0, Some("x")), (5.0, Some("x"))).toDF("c", "v")
+    val got = drift(a, b, Seq("c"), Seq("v"))
+      .as[(String, String, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // constant numeric: all mass in bucket 0 both sides (hi == lo guard)
+    assert(!got("c"))
+    // v: a has 1 non-null 'x', b has 2 — small totals diff, no drift flag
+    assert(!got("v"))
+  }
+
   test("empty table: every check reports 0 and passes") {
     val df = Seq((1L, 1.0)).toDF("k", "v").filter(lit(false))
     val rep = report(
