@@ -232,6 +232,60 @@ object CorpusQ {
               |  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j)
               |SELECT vec_id, j, round(pr, 4) AS proj FROM p""".stripMargin)),
 
+    // cluster_kmeans [EXT]: distributed Lloyd k-means over the FULL
+    // embedding corpus (curation clustering — topic bucketing,
+    // cluster-balanced sampling), k=4, 2 rounds. Deterministic
+    // contract: lowest-id init, ties to lowest cluster, float32
+    // centroid snap each round (kills partial-agg sum-order jitter).
+    // The oracle unrolls both rounds as CTEs — assignment by
+    // row_number over (d2, cid), update by CAST(avg AS REAL) — and
+    // replays the final assignment + 4-decimal centroid coordinates.
+    // Sum-order d2 differences (~1e-15) cannot flip an argmin whose
+    // real gaps are O(1).
+    Q("cluster_kmeans",
+      (s, d) => graft.operators.Cluster.kmeans(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 2),
+      Some("""WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             |    generate_subscripts(embedding, 1) - 1 AS i
+             |  FROM embeddings),
+             |sel AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id)
+             |    - 1 AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+             |c0 AS (SELECT sel.cid, ev.i, ev.x AS c
+             |  FROM sel JOIN ev USING (vec_id)),
+             |d1 AS (SELECT ev.vec_id, c0.cid,
+             |    sum((ev.x - c0.c) * (ev.x - c0.c)) AS d2
+             |  FROM ev JOIN c0 ON ev.i = c0.i GROUP BY 1, 2),
+             |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+             |u1 AS (SELECT a1.cid, ev.i,
+             |    CAST(CAST(avg(ev.x) AS REAL) AS DOUBLE) AS c
+             |  FROM a1 JOIN ev USING (vec_id) GROUP BY 1, 2),
+             |c1 AS (SELECT c0.cid, c0.i, coalesce(u1.c, c0.c) AS c
+             |  FROM c0 LEFT JOIN u1 ON c0.cid = u1.cid AND c0.i = u1.i),
+             |d2r AS (SELECT ev.vec_id, c1.cid,
+             |    sum((ev.x - c1.c) * (ev.x - c1.c)) AS d2
+             |  FROM ev JOIN c1 ON ev.i = c1.i GROUP BY 1, 2),
+             |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d2, cid) AS rn FROM d2r) WHERE rn = 1),
+             |u2 AS (SELECT a2.cid, ev.i,
+             |    CAST(CAST(avg(ev.x) AS REAL) AS DOUBLE) AS c
+             |  FROM a2 JOIN ev USING (vec_id) GROUP BY 1, 2),
+             |c2 AS (SELECT c1.cid, c1.i, coalesce(u2.c, c1.c) AS c
+             |  FROM c1 LEFT JOIN u2 ON c1.cid = u2.cid AND c1.i = u2.i),
+             |d3 AS (SELECT ev.vec_id, c2.cid,
+             |    sum((ev.x - c2.c) * (ev.x - c2.c)) AS d2
+             |  FROM ev JOIN c2 ON ev.i = c2.i GROUP BY 1, 2),
+             |a3 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d2, cid) AS rn FROM d3) WHERE rn = 1),
+             |n3 AS (SELECT cid, count(*)::BIGINT AS n FROM a3
+             |  GROUP BY 1)
+             |SELECT c2.cid::BIGINT AS cluster_id, c2.i::BIGINT AS dim,
+             |  round(c2.c, 4) AS c, n3.n
+             |FROM c2 JOIN n3 USING (cid)""".stripMargin)),
+
     // text_topterms [EXT]: corpus-wide top-20 terms via the native
     // Space-Saving aggregate — ONE pass, capacity-bounded partial
     // sketches merged at the exchange (the vocabulary never shuffles;
