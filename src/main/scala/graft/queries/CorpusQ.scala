@@ -595,6 +595,75 @@ object CorpusQ {
              |JOIN dd ON tf.doc_id = dd.doc_id, st
              |GROUP BY 1, 2""".stripMargin)),
 
+    // rank_rrf [EXT]: hybrid retrieval — Reciprocal Rank Fusion of the
+    // BM25 lexical top-50 and the embedding-cosine top-50 (query =
+    // vec 0, self excluded), the RAG serving-side combiner. Ranks are
+    // integers, so the fused score (two 1/(60+rk) reciprocals) is
+    // bit-identical cross-engine; the BM25 list orders on the
+    // 4-decimal-rounded score with doc_id tiebreak so its ranks are
+    // stable too. Window-free on the Spark side: TakeOrderedAndProject
+    // top-50s + pack-sort-explode ranks (the text_colloc shape).
+    Q("rank_rrf",
+      (s, d) => {
+        import graft.operators.{Corpus, Retrieval}
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val emb = t(s, d, "embeddings")
+        val textRank = Retrieval.topKRanked(
+          Corpus.bm25(docs, "doc_id", "text", Seq("scan", "vector", "dup")),
+          "doc_id", "bm25", k = 50)
+        val qv = emb.filter(col("vec_id") === 0).limit(1)
+        val cos = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv.select(col("embedding").as("qvec"))))
+          .select(col("vec_id").as("doc_id"),
+            graft.functions.VecFns.cosine(col("qvec"), col("embedding"))
+              .as("s"))
+        Retrieval.rrfFuse(
+          Seq("text" -> textRank,
+            "vec" -> Retrieval.topKRanked(cos, "doc_id", "s", k = 50)),
+          "doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text),
+             |      '[^a-z0-9]+'), x -> x <> '') AS tk FROM documents),
+             |dd AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM base),
+             |st AS (SELECT count(*)::BIGINT AS n_docs,
+             |    sum(dl)::BIGINT AS sum_dl FROM dd),
+             |tok AS (SELECT doc_id, unnest(tk) AS term FROM base),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+             |  WHERE term IN ('scan', 'vector', 'dup') GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+             |  GROUP BY 1),
+             |bm AS (SELECT tf.doc_id, round(sum(
+             |    ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dd.dl /
+             |      (st.sum_dl::DOUBLE / st.n_docs)))), 4) AS bm25
+             |  FROM tf JOIN dfq USING (term)
+             |    JOIN dd ON tf.doc_id = dd.doc_id, st
+             |  GROUP BY 1),
+             |tr AS (SELECT doc_id, rk FROM (SELECT doc_id,
+             |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+             |  FROM bm) WHERE rk <= 50),
+             |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+             |  FROM embeddings WHERE vec_id = 0),
+             |sc AS (SELECT vec_id, list_cosine_similarity(q.qe,
+             |    CAST(embedding AS DOUBLE[])) AS s
+             |  FROM embeddings, q WHERE vec_id != 0),
+             |vr AS (SELECT vec_id AS doc_id, rk FROM (SELECT vec_id,
+             |    row_number() OVER (ORDER BY s DESC, vec_id) AS rk
+             |  FROM sc) WHERE rk <= 50),
+             |f AS (SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+             |    tr.rk AS r_text, vr.rk AS r_vec,
+             |    coalesce(1.0::DOUBLE / (60 + tr.rk), 0.0) +
+             |    coalesce(1.0::DOUBLE / (60 + vr.rk), 0.0) AS rrf
+             |  FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id)
+             |SELECT doc_id, CAST(r_text AS INT) AS r_text,
+             |  CAST(r_vec AS INT) AS r_vec, round(rrf, 6) AS rrf,
+             |  CAST(rank AS INT) AS rank
+             |FROM (SELECT doc_id, r_text, r_vec, rrf,
+             |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+             |  FROM f)
+             |WHERE rank <= 10""".stripMargin)),
+
     // text_entropy [EXT]: per-doc unigram Shannon entropy in nats —
     // the lexical-diversity / gibberish quality signal. Both engines
     // compute ln(n) - sum(tf*ln(tf))/n: integer tf/n, identical ln
