@@ -286,6 +286,47 @@ object Relational {
                AND b.ts <= a.ts + INTERVAL 5 MINUTE
              GROUP BY a.event_type""")),
 
+    // join_overlap [EXT]: interval-overlap join with NO equi key —
+    // order-date spans (length keyed off the order key) from two
+    // disjoint key sets, joined where the spans intersect. Spark side
+    // runs the grid-cell algorithm (explode into 16-day cells,
+    // cell-equi join, emit once in the first shared cell — see
+    // operators/IntervalJoin.scala); the oracle runs the plain
+    // quadratic overlap predicate, a genuinely different algorithm.
+    // The a side subsamples to keys %100==0 to keep the pair count
+    // bench-sized at every SF.
+    Q("join_overlap",
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_orderdate").isNotNull)
+          .withColumn("day", datediff(to_date(col("o_orderdate")),
+            to_date(lit("1995-01-01"))).cast("long"))
+        val a = o.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderstatus").as("a_st"), col("day").as("a_lo"),
+            (col("day") + col("o_orderkey") % 20).as("a_hi"))
+        val b = o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderstatus").as("b_st"),
+            col("o_totalprice").as("b_price"), col("day").as("b_lo"),
+            (col("day") + col("o_orderkey") % 15).as("b_hi"))
+        graft.operators.IntervalJoin.overlap(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", cellWidth = 16L)
+          .groupBy("a_st", "b_st")
+          .agg(count(lit(1)).as("n"), round(sum("b_price"), 2).as("sum_p"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    date_diff('day', DATE '1995-01-01',
+             |      o_orderdate)::BIGINT AS day
+             |  FROM orders WHERE o_orderdate IS NOT NULL),
+             |a AS (SELECT o_orderstatus AS a_st, day AS a_lo,
+             |    day + o_orderkey % 20 AS a_hi FROM o
+             |  WHERE o_orderkey % 100 = 0),
+             |b AS (SELECT o_orderstatus AS b_st, o_totalprice AS b_price,
+             |    day AS b_lo, day + o_orderkey % 15 AS b_hi FROM o
+             |  WHERE o_orderkey % 2 = 1)
+             |SELECT a_st, b_st, count(*)::BIGINT AS n,
+             |  round(sum(b_price), 2) AS sum_p
+             |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+             |GROUP BY 1, 2""".stripMargin)),
+
     // join_bucketed [EXT]: the write-once-shuffle-never pattern for a
     // fact table joined on the same key every run — both sides bucketed
     // by custkey at write time (paying the shuffle once), the join then
