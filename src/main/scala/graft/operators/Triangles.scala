@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting (per-vertex — the clustering-
+  * coefficient numerator, the standard community/spam signal on
+  * co-occurrence graphs) by DEGREE ORIENTATION: orient every
+  * undirected edge from its (degree, id)-smaller endpoint to the
+  * larger, enumerate wedges only among each vertex's ORIENTED
+  * out-neighbors, and close them against the oriented edge set.
+  *
+  * Why orientation is the scale trick: wedge count is
+  * Σ_v outdeg(v)², and degree-ordering bounds every oriented
+  * out-degree by O(√m) (a vertex of degree d only keeps neighbors of
+  * degree ≥ d, and there are ≤ 2m/d of those) — so a celebrity hub
+  * with 10M followers contributes almost no wedges, where the naive
+  * Σ deg² explodes. Each triangle {a,b,c} has exactly one vertex with
+  * out-edges to the other two in the orientation's total order, so
+  * every triangle is found exactly once — no /3 correction, no dedup
+  * shuffle.
+  *
+  * Plan shape: one exchange to canonicalize+distinct edges, one
+  * degree aggregate, two joins keyed on vertices (degree attach), one
+  * self-join on the wedge apex, one join closing wedges against
+  * edges. All equi joins; nothing quadratic in any vertex's raw
+  * degree.
+  */
+object Triangles {
+
+  /** @return (node, n_tri): triangles incident to each vertex (each
+    *         triangle credits all three corners); vertices on no
+    *         triangle are absent. Self-loops are dropped; parallel
+    *         edges collapse.
+    */
+  def perVertex(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient from (deg, id)-smaller to larger endpoint
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // wedges at apex s: out-neighbor pairs in canonical id order, so
+    // they close directly against the canonical undirected edge set
+    val o1 = oriented.select(col("s"), col("t").as("t1"))
+    val o2 = oriented.select(col("s"), col("t").as("t2"))
+    val wedges = o1.join(o2, Seq("s")).filter(col("t1") < col("t2"))
+    val tris = wedges.join(und,
+      col("t1") === col("u") && col("t2") === col("v"))
+    tris.select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+}

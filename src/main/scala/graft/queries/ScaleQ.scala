@@ -304,6 +304,40 @@ object ScaleQ {
              |SELECT r5.id, round(r5.r * n.n, 4) AS rank
              |FROM r5, n""".stripMargin)),
 
+    // graph_triangles [EXT]: per-vertex triangle counts (clustering-
+    // coefficient numerator) on the supplier co-purchase graph —
+    // suppliers are connected when they ship lines of the same order
+    // (sampled orders, first 3 lines, so the projection stays sparse
+    // at every SF: 1.8k triangles at sf0.01, 8.4k at sf0.1). Spark
+    // runs DEGREE ORIENTATION (wedges only among oriented
+    // out-neighbors, outdeg bounded O(sqrt(m)) — a hub contributes no
+    // wedge blowup); the oracle runs the canonical sorted-triple
+    // 3-way self-join — different algorithm, identical counts.
+    Q("graph_triangles",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          Seq("l_orderkey"))
+          .filter(col("l_suppkey") < col("s2"))
+        graft.operators.Triangles.perVertex(pairs, "l_suppkey", "s2")
+          .withColumnRenamed("node", "suppkey")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem
+             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+             |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_suppkey < b.l_suppkey),
+             |tri AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+             |  JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |v AS (SELECT unnest([a, b, c]) AS suppkey FROM tri)
+             |SELECT suppkey, count(*)::BIGINT AS n_tri FROM v
+             |GROUP BY 1""".stripMargin)),
+
     // dedup_incr [EXT]: incremental ingest dedup — the corpus's MinHash
     // posting index is built ONCE per (session, corpus) and the new
     // batch (the same every-50th perturbed docs the other dedup oracles
