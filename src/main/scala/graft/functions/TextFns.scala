@@ -50,6 +50,26 @@ object TextFns {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
+  /** Flesch Reading Ease (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words) on the corpus's standard heuristics:
+    * words = the repo's [a-z0-9]+ tokens, sentences = runs of
+    * terminal punctuation (min 1), syllables = vowel-group runs
+    * [aeiouy]+ in the lowercased text. Null for word-less docs.
+    * A narrow codegen'd projection — three regex passes, no shuffle.
+    */
+  def readingEase(text: Column): Column = {
+    val words = size(filter(split(lower(text), "[^a-z0-9]+"),
+      t => t =!= "")).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val syllables = size(regexp_extract_all(lower(text),
+      lit("[aeiouy]+"), lit(0))).cast("double")
+    when(words > 0,
+      lit(206.835) - lit(1.015) * (words / sentences) -
+        lit(84.6) * (syllables / words))
+  }
+
   /** Punctuation character ratio (0 when empty). */
   def punctRatio(text: Column): Column =
     when(signals(text).getField("n_chars") > 0,

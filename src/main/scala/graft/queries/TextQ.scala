@@ -72,6 +72,40 @@ object TextQ {
              FROM documents""")),
 
     // text_quality: length/punct/stopword quality signals.
+    // text_readability [EXT]: Flesch Reading Ease per document — the
+    // classic readability quality filter. Words use the repo's
+    // standard [a-z0-9]+ tokens, sentences are terminal-punctuation
+    // runs (min 1), syllables are vowel-group runs; both engines walk
+    // the FRE formula in the same operation order (two divisions with
+    // <= 3-term combinations — 4-decimal rounding is stable).
+    Q("text_readability",
+      (s, d) => {
+        val words = size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "")).cast("long")
+        val sent = greatest(size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+        val syll = size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).cast("long")
+        t(s, d, "documents").select(col("doc_id"),
+          words.as("n_words"), sent.as("n_sent"), syll.as("n_syll"),
+          round(TextFns.readingEase(col("text")), 4).as("fre"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |    len(list_filter(string_split_regex(lower(text),
+             |      '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_words,
+             |    greatest(len(regexp_extract_all(text, '[.!?]+')),
+             |      1)::BIGINT AS n_sent,
+             |    len(regexp_extract_all(lower(text),
+             |      '[aeiouy]+'))::BIGINT AS n_syll
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sent, n_syll,
+             |  CASE WHEN n_words > 0 THEN
+             |    round(206.835 -
+             |      1.015 * (n_words::DOUBLE / n_sent::DOUBLE) -
+             |      84.6 * (n_syll::DOUBLE / n_words::DOUBLE), 4)
+             |  END AS fre
+             |FROM r""".stripMargin)),
+
     Q("text_quality",
       (s, d) => t(s, d, "documents").select(col("doc_id"),
         TextFns.wsTokenCount(col("text")).as("n_words"),

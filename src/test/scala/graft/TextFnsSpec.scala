@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.round
 import graft.functions.TextFns
 
 /** Text-analysis operators (SURVEY.md §2 [EXT] north-star). */
@@ -102,6 +103,23 @@ class TextFnsSpec extends SparkFunSuite {
     assert(norm(1) === ((0, 0, 0, 0)))
     assert(norm(2) === ((0, 0, 0, 0)))
     assert(norm(3) === ((0, 0, 0, 0)))
+  }
+
+  test("readingEase: hand-computed FRE, punctuation-less text, empty doc") {
+    // 6 words / 2 sentences / 6 single-syllable words:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    val r = Seq("The cat sat. The dog ran!").toDF("t")
+      .select(round(TextFns.readingEase($"t"), 4)).as[Double].head()
+    assert(r === 119.19)
+    // no terminal punctuation → sentence floor of 1 (not div-by-zero)
+    val nf = Seq("one two three").toDF("t")
+      .select(round(TextFns.readingEase($"t"), 4)).as[Double].head()
+    // 3 words, 1 sentence floor, 4 vowel groups ('o','e','ee','o')
+    assert(nf === 90.99)
+    // word-less doc → null, not NaN
+    val e = Seq("?!", "").toDF("t")
+      .select(TextFns.readingEase($"t")).as[Option[Double]].collect()
+    assert(e.forall(_.isEmpty))
   }
 
   test("redactPii replaces emails and phones with typed placeholders") {
