@@ -214,6 +214,35 @@ object StreamQ {
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v
              FROM events GROUP BY user_id""")),
 
+    // stream_anomaly [EXT]: ONLINE per-user z-score anomaly detection —
+    // each event scores against the user's OWN strictly-preceding
+    // history (Welford three-scalar state: n, mean, M2) and flags at
+    // |z| > 3 once 12 observations precede. The events value column is
+    // heavy-tailed (max ≈ 9σ), so the monitor fires naturally — no
+    // planted spikes. Batch mode reproduces the full prefix scan,
+    // which the oracle replays with windowed avg/var_samp over
+    // UNBOUNDED PRECEDING..1 PRECEDING (a different variance
+    // algorithm — agreement proves the Welford recurrence);
+    // StreamingSpec drives the cross-trigger state path.
+    Q("stream_anomaly",
+      (s, d) => graft.streaming.EventStreams.anomalies(
+          s, t(s, d, "events")).toDF()
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("value"), round(col("z"), 4).as("z")),
+      Some("""WITH p AS (SELECT user_id, event_id, value,
+             |    count(*) OVER w AS n_prev,
+             |    avg(value) OVER w AS mean_prev,
+             |    var_samp(value) OVER w AS var_prev
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, round(value, 2) AS value,
+             |  round((value - mean_prev) / sqrt(var_prev), 4) AS z
+             |FROM p
+             |WHERE n_prev >= 12 AND var_prev > 0
+             |  AND abs((value - mean_prev) / sqrt(var_prev)) > 3""".stripMargin)),
+
     // stream_funnel [EXT]: ONLINE ordered-funnel tracking — the
     // incremental twin of funnel_conv (operators.Funnel). Per-user
     // state is TWO scalars (depth, last-match ts) advanced by

@@ -161,6 +161,64 @@ object EventStreams {
       }
   }
 
+  /** Per-user Welford accumulator: count, running mean, and running
+    * sum of squared deviations (M2) — THREE scalars per user, numerically
+    * stable, mergeable-free single-stream form.
+    */
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+  /** One emitted row per flagged event. */
+  final case class AnomalyHit(user_id: Long, event_id: Long,
+                              value: Double, z: Double)
+
+  /** ONLINE per-user z-score anomaly detection: each arriving event is
+    * scored against the user's OWN history so far (z = (x − mean) /
+    * sample-sd of the strictly-preceding events) and flagged when
+    * |z| > `threshold`; the Welford state then absorbs the event —
+    * anomalies pollute future baselines like any real monitor, but a
+    * spike cannot mask ITSELF. Scoring starts once `minObs` events
+    * precede (small-sample variance is noise). Within a trigger rows
+    * score in (ts, event_id) order, so batch mode (empty state store)
+    * reproduces the full prefix scan — what the gate's windowed
+    * avg/var_samp oracle checks — while StreamingSpec drives the
+    * cross-trigger state path.
+    *
+    * State is three scalars per user — no event retention, no
+    * watermark needed for correctness (only as an eviction policy for
+    * unbounded key spaces).
+    */
+  def anomalies(spark: SparkSession, events: DataFrame,
+                threshold: Double = 3.0, minObs: Long = 12): Dataset[AnomalyHit] = {
+    import spark.implicits._
+    require(minObs >= 2, s"minObs must be >= 2 (got $minObs)")
+    events.select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WelfordState, AnomalyHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[WelfordState]) =>
+          val prev = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          var n = prev.n
+          var mean = prev.mean
+          var m2 = prev.m2
+          val hits = Seq.newBuilder[AnomalyHit]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, _, eid, x) =>
+              if (n >= minObs && m2 > 0) {
+                val z = (x - mean) / math.sqrt(m2 / (n - 1))
+                if (math.abs(z) > threshold) hits += AnomalyHit(uid, eid, x, z)
+              }
+              n += 1
+              val d = x - mean
+              mean += d / n
+              m2 += d * (x - mean)
+          }
+          state.update(WelfordState(n, mean, m2))
+          hits.result().iterator
+      }
+  }
+
   /** Custom per-key state via flatMapGroupsWithState: maintains a running
     * (count, sum) per user and emits the updated totals each trigger. In
     * batch mode the state store is empty and this degenerates to a plain

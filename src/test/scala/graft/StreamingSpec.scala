@@ -158,6 +158,37 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly: spike flags against state built in earlier triggers") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.anomalies(spark, in.toDF(), minObs = 12)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // trigger 1: 12 tightly-spread baseline values — nothing fires
+      // (the first 12 are below minObs; sd is tiny afterwards)
+      in.addData((0 until 12).map(i =>
+        Ev(ts(i), i.toLong, 7, "m", 10.0 + (i % 3))))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+      // trigger 2: a 100 spike against the carried baseline must flag;
+      // the normal value right after it must not (baseline absorbed
+      // the spike but sd is now large)
+      in.addData(Ev(ts(20), 100L, 7, "m", 100.0),
+        Ev(ts(21), 101L, 7, "m", 11.0))
+      q.processAllAvailable()
+      val hits = spark.table(name)
+        .select("event_id").as[Long].collect().toSeq
+      assert(hits === Seq(100L))
+      // a fresh user with < minObs history never scores
+      in.addData(Ev(ts(22), 200L, 8, "m", 1e6))
+      q.processAllAvailable()
+      assert(!spark.table(name).select("user_id")
+        .as[Long].collect().contains(8L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup: a later batch's doc matches state from an earlier batch") {
     implicit val sq = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and runs far " +
