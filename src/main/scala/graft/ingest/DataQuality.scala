@@ -48,6 +48,38 @@ object DataQuality {
         when(col("n") < k, lit("size")).otherwise(lit("diversity")))
   }
 
+  /** Benford first-significant-digit conformance report — the
+    * fraud/synthetic-data smell test a quality pipeline runs over
+    * naturally-occurring monetary or size columns: organically grown
+    * magnitudes follow P(d) = log10(1 + 1/d), while fabricated,
+    * truncated, or unit-mixed data drifts toward uniform digits. Emits
+    * one row per leading digit 1-9 with the observed count/fraction,
+    * the Benford expectation, and that digit's chi-square contribution
+    * (sum them and compare against the chi-square(8 df) critical value
+    * to make it a gate).
+    *
+    * One scan, one 9-group aggregate with map-side partials — the
+    * cheapest possible shape at any corpus size. Values < 1 or null
+    * are excluded (no leading significant digit in the integer part).
+    */
+  def benford(df: DataFrame, c: Column): DataFrame = {
+    val digit = substring(floor(c).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val obs = df.filter(c.isNotNull && c >= 1)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("obs"))
+    val tot = obs.agg(sum("obs").as("n"))
+    obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("obs"),
+        round(col("obs").cast("double") / col("n"), 6).as("obs_frac"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("exp_frac"),
+        round(pow(col("obs") - col("n") * log10(lit(1.0) +
+          lit(1.0) / col("digit")), 2) /
+          (col("n") * log10(lit(1.0) + lit(1.0) / col("digit"))), 4)
+          .as("chi2_part"))
+  }
+
   /** Fraction of rows where `c` is NULL. */
   def nullCheck(df: DataFrame, table: String, c: String,
                 maxFraction: Double = 0.0): DataFrame =

@@ -490,6 +490,31 @@ object IngestQ {
              |  FROM customer GROUP BY 1, 2, 3)
              |WHERE n < 10 OR l < 4""".stripMargin)),
 
+    // dq_benford [EXT]: Benford first-digit conformance over the
+    // price column — the fraud / synthetic-data drift test. One scan,
+    // one 9-group aggregate (map-side partials), broadcast one-row
+    // total — constant-size output at any corpus scale. Both engines
+    // walk identical op order: (obs - n·log10(1+1/d))² / (n·log10(…)),
+    // 4-decimal rounding on O(1..1e4) chi-square terms.
+    Q("dq_benford",
+      (s, d) => graft.ingest.DataQuality.benford(
+        t(s, d, "lineitem"), col("l_extendedprice")),
+      Some("""WITH v AS (SELECT l_extendedprice AS p FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_extendedprice >= 1),
+             |o AS (SELECT substr(floor(p)::BIGINT::VARCHAR, 1, 1)::INT
+             |    AS digit, count(*)::BIGINT AS obs FROM v GROUP BY 1),
+             |t AS (SELECT sum(obs)::BIGINT AS n FROM o)
+             |SELECT digit, obs,
+             |  round(obs::DOUBLE / n, 6) AS obs_frac,
+             |  round(log10(1.0::DOUBLE + 1.0::DOUBLE / digit), 6)
+             |    AS exp_frac,
+             |  round(power(obs - n * log10(1.0::DOUBLE
+             |      + 1.0::DOUBLE / digit), 2) /
+             |    (n * log10(1.0::DOUBLE + 1.0::DOUBLE / digit)), 4)
+             |    AS chi2_part
+             |FROM o, t""".stripMargin)),
+
     Q("dq_check",
       (s, d) => {
         import graft.ingest.DataQuality._

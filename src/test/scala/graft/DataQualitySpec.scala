@@ -45,6 +45,33 @@ class DataQualitySpec extends SparkFunSuite {
     assert(got === Map("a" -> ((2L, 2L, "size")), "b" -> ((3L, 1L, "diversity"))))
   }
 
+  test("benford: hand-computed digit histogram; sub-1 and null sit out") {
+    // digits: 1×"1.5", 2×"2x", 1×"9000"; 0.4 and null excluded
+    val df = Seq(Some(1.5), Some(25.0), Some(2000.0), Some(9000.0),
+      Some(0.4), None).toDF("v")
+    val rows = benford(df, col("v"))
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set(1, 2, 9))
+    assert(rows(2)._2 === 2L)
+    assert(rows(2)._3 === 0.5) // 2 of 4
+    // expected fraction for digit 1 = log10(2)
+    assert(math.abs(rows(1)._4 - 0.30103) < 1e-6)
+    // chi2 term for digit 9: exp = 4*log10(10/9)
+    val e9 = 4 * math.log10(10.0 / 9.0)
+    assert(math.abs(rows(9)._5 - math.pow(1 - e9, 2) / e9) < 1e-3)
+  }
+
+  test("benford: a Benford-distributed sample yields small chi2 terms") {
+    // v = 10^u for u uniform in [0,3) is exactly Benford-distributed
+    val rnd = new scala.util.Random(77)
+    val df = Seq.fill(20000)(math.pow(10, rnd.nextDouble() * 3)).toDF("v")
+    val chi2 = benford(df, col("v"))
+      .agg(sum("chi2_part")).as[Double].head()
+    // chi-square with 8 df: p=0.001 critical value is 26.1
+    assert(chi2 < 26.1, s"benford sample rejected: chi2=$chi2")
+  }
+
   test("drift: planted shift flags, identical distributions don't") {
     val a = (1 to 400).map(i => (i.toDouble % 20, "c" + (i % 3), i.toDouble))
       .toDF("num_shift", "cat_shift", "num_same")
