@@ -93,7 +93,7 @@ object Sampling {
     * drawn by one engine can be reproduced/audited by another. Both are
     * content-addressed and retry/repartition-stable.
     */
-  private[operators] def contentHash(idCol: Column, seed: Long,
+  private[graft] def contentHash(idCol: Column, seed: Long,
                                      portable: Boolean): Column =
     if (portable)
       conv(substring(md5(concat(idCol.cast("string"), lit(":" + seed))),

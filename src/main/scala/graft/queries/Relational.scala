@@ -327,6 +327,55 @@ object Relational {
              |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
              |GROUP BY 1, 2""".stripMargin)),
 
+    // join_spatial [EXT]: radius join between two point sets with NO
+    // cross product — customers and suppliers get deterministic
+    // content-hash coordinates in [0,100)², then pair within distance
+    // 5. Spark runs the r×r grid-cell algorithm (supplier side — the
+    // small one — replicates into its 3×3 neighborhood, cell-equi
+    // join, exact distance filter; operators/Spatial.scala); the
+    // oracle runs the plain quadratic distance predicate, a genuinely
+    // different algorithm. Coordinates are exact double quotients of
+    // the md5-low-60 portable hash, so dx²+dy² and min() are
+    // bit-identical cross-engine; sqrt is IEEE-correctly-rounded.
+    Q("join_spatial",
+      (s, d) => {
+        import graft.operators.Sampling.contentHash
+        def coord(c: org.apache.spark.sql.Column, seed: Long) =
+          pmod(contentHash(c, seed, portable = true), lit(1000000L))
+            .cast("double") / 10000.0
+        val cust = t(s, d, "customer").select(col("c_custkey"),
+          coord(col("c_custkey"), 7).as("cx"),
+          coord(col("c_custkey"), 8).as("cy"))
+        val supp = t(s, d, "supplier").select(col("s_suppkey"),
+          coord(col("s_suppkey"), 9).as("sx"),
+          coord(col("s_suppkey"), 10).as("sy"))
+        graft.operators.Spatial.radiusJoin(
+            cust, supp, "cx", "cy", "sx", "sy", r = 5.0)
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_near"),
+            round(sqrt(min((col("cx") - col("sx")) * (col("cx") - col("sx"))
+              + (col("cy") - col("sy")) * (col("cy") - col("sy")))), 6)
+              .as("min_d"))
+      },
+      Some("""WITH cust AS (SELECT c_custkey,
+             |    (('0x' || substr(md5(c_custkey::VARCHAR || ':7'), 1, 15))
+             |      ::BIGINT % 1000000)::DOUBLE / 10000.0 AS cx,
+             |    (('0x' || substr(md5(c_custkey::VARCHAR || ':8'), 1, 15))
+             |      ::BIGINT % 1000000)::DOUBLE / 10000.0 AS cy
+             |  FROM customer),
+             |supp AS (SELECT s_suppkey,
+             |    (('0x' || substr(md5(s_suppkey::VARCHAR || ':9'), 1, 15))
+             |      ::BIGINT % 1000000)::DOUBLE / 10000.0 AS sx,
+             |    (('0x' || substr(md5(s_suppkey::VARCHAR || ':10'), 1, 15))
+             |      ::BIGINT % 1000000)::DOUBLE / 10000.0 AS sy
+             |  FROM supplier)
+             |SELECT c_custkey, count(*)::BIGINT AS n_near,
+             |  round(sqrt(min((cx - sx) * (cx - sx)
+             |    + (cy - sy) * (cy - sy))), 6) AS min_d
+             |FROM cust JOIN supp
+             |  ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 25.0
+             |GROUP BY 1""".stripMargin)),
+
     // join_bucketed [EXT]: the write-once-shuffle-never pattern for a
     // fact table joined on the same key every run — both sides bucketed
     // by custkey at write time (paying the shuffle once), the join then
