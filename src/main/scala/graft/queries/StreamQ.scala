@@ -71,6 +71,25 @@ object StreamQ {
              |    ROWS UNBOUNDED PRECEDING), 0.0), 2) AS filled
              |FROM j""".stripMargin)),
 
+    // ts_ewma [EXT]: per-user exponential weighted moving average of
+    // event values (α=0.25, a binary-exact constant) — the decayed
+    // user-activity feature. One user-keyed exchange, ordered fold as
+    // a codegen'd aggregate HOF (no window, no driver); the oracle
+    // replays the IDENTICAL left fold with list_reduce over
+    // list(ORDER BY epoch_us(ts), event_id), so every intermediate
+    // double is bit-identical cross-engine.
+    Q("ts_ewma",
+      (s, d) => graft.operators.TimeSeries.ewma(
+        t(s, d, "events"), "user_id",
+        unix_micros(col("ts")), col("event_id"), col("value")),
+      Some("""WITH sq AS (SELECT user_id,
+             |    list(value ORDER BY epoch_us(ts), event_id) AS xs
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, len(xs)::BIGINT AS n,
+             |  round(list_reduce(xs,
+             |    (acc, x) -> 0.25 * x + 0.75 * acc), 4) AS ewma
+             |FROM sq""".stripMargin)),
+
     // stream_tumble: 1h tumbling window counts/sums per event_type.
     Q("stream_tumble",
       (s, d) => t(s, d, "events")
