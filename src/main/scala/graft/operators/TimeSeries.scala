@@ -40,6 +40,36 @@ object TimeSeries {
     * @return (entityCol, n, ewma) — one row per entity with ≥1
     *         non-null observation; `ewma` rounded to 4 decimals
     */
+  /** OHLC resampling: downsample each entity's raw event stream into
+    * one bar per calendar bucket — `open`/`close` are the first/last
+    * observation in `(timestamp, seqCol)` order, `high`/`low` the
+    * extremes, `vol` the sum, `n` the count. The bread-and-butter
+    * reduction for charting, feature windows, and storage rollups.
+    *
+    * Plan shape at scale: ONE exchange on (entity, bucket) with full
+    * map-side combine — `min_by`/`max_by` carry a single
+    * (value, order-key) pair per partial, so partials stay
+    * constant-size regardless of how many raw events a bucket holds.
+    * No window, no per-entity array. Null observations are dropped
+    * (an all-null bucket emits nothing, matching aggregate SQL).
+    *
+    * @return (entityCol, bucket DATE, open, high, low, close,
+    *         vol = round(sum,2), n) — one row per non-empty bucket
+    */
+  def resample(events: DataFrame, entityCol: String, tsCol: Column,
+               seqCol: Column, valueCol: Column,
+               unit: String = "day"): DataFrame =
+    events.filter(valueCol.isNotNull)
+      .groupBy(col(entityCol),
+        date_trunc(unit, tsCol).cast("date").as("bucket"))
+      .agg(
+        min_by(valueCol, struct(tsCol, seqCol)).as("open"),
+        max(valueCol).as("high"),
+        min(valueCol).as("low"),
+        max_by(valueCol, struct(tsCol, seqCol)).as("close"),
+        round(sum(valueCol), 2).as("vol"),
+        count(lit(1)).as("n"))
+
   def ewma(events: DataFrame, entityCol: String, tsCol: Column,
            seqCol: Column, valueCol: Column,
            alpha: Double = 0.25): DataFrame = {

@@ -254,6 +254,29 @@ object ScaleQ {
              |SELECT depth, count(*)::BIGINT AS n_users
              |FROM dp GROUP BY 1""".stripMargin)),
 
+    // cohort_retention [EXT]: weekly acquisition-cohort retention
+    // triangle — entity-keyed collect_set of distinct active weeks
+    // (bounded by calendar span, not event count), cohort = set min,
+    // so no self-join back to events; then one combine-friendly
+    // count. The oracle takes the structurally different min-join
+    // route to the same matrix.
+    Q("cohort_retention",
+      (s, d) => graft.operators.Cohort.retention(
+        t(s, d, "events"), "user_id", col("ts")),
+      Some("""WITH uw AS (SELECT user_id AS e,
+             |    date_trunc('week', ts)::DATE AS wk
+             |  FROM events GROUP BY 1, 2),
+             |cu AS (SELECT e, min(wk) AS cw FROM uw GROUP BY 1),
+             |a AS (SELECT cu.cw AS cohort_week,
+             |    datediff('day', cu.cw, uw.wk) // 7 AS week_offset,
+             |    count(*)::BIGINT AS active_users
+             |  FROM uw JOIN cu USING (e) GROUP BY 1, 2)
+             |SELECT cohort_week, week_offset, active_users,
+             |  round(active_users / first_value(active_users)
+             |    OVER (PARTITION BY cohort_week ORDER BY week_offset),
+             |    4) AS retention
+             |FROM a""".stripMargin)),
+
     // graph_pagerank [EXT]: link-authority scoring — 5 power-iteration
     // rounds over the undirected customer–supplier co-purchase graph
     // (mirrored edges: no dangling mass, total rank exactly 1). The

@@ -90,6 +90,23 @@ object StreamQ {
              |    (acc, x) -> 0.25 * x + 0.75 * acc), 4) AS ewma
              |FROM sq""".stripMargin)),
 
+    // ts_resample [EXT]: per-user daily OHLC bars — open/close picked
+    // by min_by/max_by over (ts, event_id), so one (entity, bucket)
+    // exchange with constant-size partials replaces any window or
+    // per-entity array. The oracle's ordered first()/last() aggregates
+    // replay the identical tie-broken order.
+    Q("ts_resample",
+      (s, d) => graft.operators.TimeSeries.resample(
+        t(s, d, "events"), "user_id",
+        col("ts"), col("event_id"), col("value")),
+      Some("""SELECT user_id, date_trunc('day', ts)::DATE AS bucket,
+             |  first(value ORDER BY epoch_us(ts), event_id) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  last(value ORDER BY epoch_us(ts), event_id) AS close,
+             |  round(sum(value), 2) AS vol, count(*)::BIGINT AS n
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
     // stream_tumble: 1h tumbling window counts/sums per event_type.
     Q("stream_tumble",
       (s, d) => t(s, d, "events")

@@ -51,4 +51,41 @@ class TimeSeriesSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](run(one, 1.0))
     intercept[IllegalArgumentException](run(one, 0.0))
   }
+
+  private def bar(rows: Seq[(Long, String, Long, java.lang.Double)]) =
+    TimeSeries.resample(
+        rows.map { case (u, s, i, v) =>
+          (u, java.sql.Timestamp.valueOf(s), i, v)
+        }.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("bucket").cast("string"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("vol"), col("n"))
+      .as[(Long, String, Double, Double, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+
+  test("resample picks open/close by (ts, event_id) with tie-break") {
+    val got = bar(Seq(
+      (1L, "2024-01-01 09:00:00", 5L, 10.0),
+      (1L, "2024-01-01 15:00:00", 1L, 40.0),
+      (1L, "2024-01-01 09:00:00", 2L, 30.0),
+      (1L, "2024-01-02 10:00:00", 9L, 7.5)))
+    // day 1: open ties on ts 09:00 → event_id 2 < 5 wins → 30.0;
+    // close = latest ts 15:00 → 40.0
+    assert(got.size === 2)
+    assert(got((1L, "2024-01-01")) ===
+      ((1L, "2024-01-01", 30.0, 40.0, 10.0, 40.0, 80.0, 3L)))
+    assert(got((1L, "2024-01-02")) ===
+      ((1L, "2024-01-02", 7.5, 7.5, 7.5, 7.5, 7.5, 1L)))
+  }
+
+  test("resample drops null observations; all-null bucket is absent") {
+    val got = bar(Seq(
+      (1L, "2024-01-01 09:00:00", 1L, null),
+      (2L, "2024-01-01 09:00:00", 1L, 3.0),
+      (2L, "2024-01-01 10:00:00", 2L, null)))
+    assert(got.keySet === Set((2L, "2024-01-01")))
+    assert(got((2L, "2024-01-01")) ===
+      ((2L, "2024-01-01", 3.0, 3.0, 3.0, 3.0, 3.0, 1L)))
+  }
 }
