@@ -71,6 +71,86 @@ object StreamQ {
              |    ROWS UNBOUNDED PRECEDING), 0.0), 2) AS filled
              |FROM j""".stripMargin)),
 
+    // ts_interp [EXT]: LINEAR interpolation of interior gaps on the
+    // same per-user hourly grid ts_fill carries forward — the sensor /
+    // metric imputation step (carry-forward biases a trend; a linear
+    // bridge between the surrounding observations doesn't). Four
+    // windows, ALL partitioned by user (prev/next observed value and
+    // its grid position); edge gaps (before first / after last
+    // observation) fall back to nearest-observation fill. Both engines
+    // evaluate the bridge in the identical association order
+    // `pv + (nv - pv) * (dt / dT)` on the same round(,2) hourly sums,
+    // so the only divergence is the shared-subexpression noise a
+    // 4-decimal rounding absorbs.
+    Q("ts_interp",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = graft.operators.Stage.materialize(
+          t(s, d, "events")
+            .select(col("user_id"),
+              (floor(col("ts").cast("long") / 3600) * 3600).as("hs"),
+              col("value"))
+            .groupBy("user_id", "hs")
+            .agg(round(sum("value"), 2).as("v")),
+          "ts_interp_hourly")
+        val span = hourly.agg(min("hs").as("lo"), max("hs").as("hi"))
+        val grid = hourly.select(col("user_id")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
+        val back = Window.partitionBy("user_id").orderBy("hs")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = Window.partitionBy("user_id").orderBy("hs")
+          .rowsBetween(0, Window.unboundedFollowing)
+        val obsHs = when(col("v").isNotNull, col("hs"))
+        grid.join(hourly, Seq("user_id", "hs"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("ph", last(obsHs, ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("nh", first(obsHs, ignoreNulls = true).over(fwd))
+          .withColumn("interp",
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  ((col("hs") - col("ph")).cast("double") /
+                    (col("nh") - col("ph")).cast("double")))
+              .otherwise(coalesce(col("pv"), col("nv"))))
+          .select(col("user_id"), col("hs"),
+            col("v").isNotNull.as("observed"),
+            round(col("interp"), 4).as("interp"))
+      },
+      Some("""WITH hourly AS (SELECT user_id,
+             |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hs,
+             |    round(sum(value), 2) AS v
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM hourly),
+             |grid AS (SELECT u.user_id, g.hs
+             |  FROM (SELECT DISTINCT user_id FROM hourly) u,
+             |       span, unnest(generate_series(span.lo, span.hi, 3600))
+             |         AS g(hs)),
+             |j AS (SELECT grid.user_id, grid.hs, hourly.v
+             |  FROM grid LEFT JOIN hourly
+             |    ON grid.user_id = hourly.user_id AND grid.hs = hourly.hs),
+             |wd AS (SELECT user_id, hs, v,
+             |    last_value(v IGNORE NULLS) OVER wb AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN hs END
+             |      IGNORE NULLS) OVER wb AS ph,
+             |    first_value(v IGNORE NULLS) OVER wf AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN hs END
+             |      IGNORE NULLS) OVER wf AS nh
+             |  FROM j
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY hs
+             |      ROWS UNBOUNDED PRECEDING),
+             |    wf AS (PARTITION BY user_id ORDER BY hs
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, hs, v IS NOT NULL AS observed,
+             |  round(CASE WHEN v IS NOT NULL THEN v
+             |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |      pv + (nv - pv) * (CAST(hs - ph AS DOUBLE) /
+             |        CAST(nh - ph AS DOUBLE))
+             |    ELSE coalesce(pv, nv) END, 4) AS interp
+             |FROM wd""".stripMargin)),
+
     // ts_ewma [EXT]: per-user exponential weighted moving average of
     // event values (α=0.25, a binary-exact constant) — the decayed
     // user-activity feature. One user-keyed exchange, ordered fold as
