@@ -13,6 +13,45 @@ import org.apache.spark.sql.functions._
   */
 object StreamQ {
 
+  /** Shared per-user hourly-grid scaffolding for ts_fill / ts_interp:
+    * hourly sums (staged once — the frame feeds three plan branches),
+    * plus the dense (user × corpus-hour) grid left-joined to them.
+    * Factored so the two queries cannot silently drift apart (both
+    * engines' grids are built from the identical definition).
+    */
+  private def hourlyGrid(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): org.apache.spark.sql.DataFrame = {
+    val hourly = graft.operators.Stage.materialize(
+      t(s, d, "events")
+        .select(col("user_id"),
+          (floor(col("ts").cast("long") / 3600) * 3600).as("hs"),
+          col("value"))
+        .groupBy("user_id", "hs")
+        .agg(round(sum("value"), 2).as("v")),
+      s"${tag}_hourly")
+    val span = hourly.agg(min("hs").as("lo"), max("hs").as("hi"))
+    val grid = hourly.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
+    grid.join(hourly, Seq("user_id", "hs"), "left")
+  }
+
+  /** The matching oracle CTE prefix (hourly → span → grid → j). */
+  private val hourlyGridSql: String =
+    """WITH hourly AS (SELECT user_id,
+      |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hs,
+      |    round(sum(value), 2) AS v
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM hourly),
+      |grid AS (SELECT u.user_id, g.hs
+      |  FROM (SELECT DISTINCT user_id FROM hourly) u,
+      |       span, unnest(generate_series(span.lo, span.hi, 3600))
+      |         AS g(hs)),
+      |j AS (SELECT grid.user_id, grid.hs, hourly.v
+      |  FROM grid LEFT JOIN hourly
+      |    ON grid.user_id = hourly.user_id AND grid.hs = hourly.hs)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ts_fill [EXT]: time-series gap fill — every user gets a row for
@@ -25,51 +64,24 @@ object StreamQ {
     // generate_series + a windowed last_value.
     Q("ts_fill",
       (s, d) => {
-        // staged: the hourly aggregate feeds THREE plan branches (span
-        // min/max, the distinct-user grid, and the join probe) — one
-        // events scan + aggregate instead of three (Stage.materialize,
-        // the same discipline as the sketch operators)
-        val hourly = graft.operators.Stage.materialize(
-          t(s, d, "events")
-            .select(col("user_id"),
-              (floor(col("ts").cast("long") / 3600) * 3600).as("hs"),
-              col("value"))
-            .groupBy("user_id", "hs")
-            .agg(round(sum("value"), 2).as("v")),
-          "ts_fill_hourly")
-        val span = hourly.agg(min("hs").as("lo"), max("hs").as("hi"))
-        val grid = hourly.select(col("user_id")).distinct()
-          .crossJoin(broadcast(span))
-          .select(col("user_id"),
-            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("hs")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
-        grid.join(hourly, Seq("user_id", "hs"), "left")
+        hourlyGrid(s, d, "ts_fill")
           .withColumn("filled",
             coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)))
           .select(col("user_id"), col("hs"),
             col("v").isNotNull.as("observed"),
             round(col("filled"), 2).as("filled"))
       },
-      Some("""WITH hourly AS (SELECT user_id,
-             |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hs,
-             |    round(sum(value), 2) AS v
-             |  FROM events GROUP BY 1, 2),
-             |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM hourly),
-             |grid AS (SELECT u.user_id, g.hs
-             |  FROM (SELECT DISTINCT user_id FROM hourly) u,
-             |       span, unnest(generate_series(span.lo, span.hi, 3600))
-             |         AS g(hs)),
-             |j AS (SELECT grid.user_id, grid.hs, hourly.v
-             |  FROM grid LEFT JOIN hourly
-             |    ON grid.user_id = hourly.user_id AND grid.hs = hourly.hs)
-             |SELECT user_id, hs, v IS NOT NULL AS observed,
-             |  round(coalesce(last_value(v IGNORE NULLS) OVER (
-             |    PARTITION BY user_id ORDER BY hs
-             |    ROWS UNBOUNDED PRECEDING), 0.0), 2) AS filled
-             |FROM j""".stripMargin)),
+      Some(hourlyGridSql +
+        """
+          |SELECT user_id, hs, v IS NOT NULL AS observed,
+          |  round(coalesce(last_value(v IGNORE NULLS) OVER (
+          |    PARTITION BY user_id ORDER BY hs
+          |    ROWS UNBOUNDED PRECEDING), 0.0), 2) AS filled
+          |FROM j""".stripMargin)),
 
     // ts_interp [EXT]: LINEAR interpolation of interior gaps on the
     // same per-user hourly grid ts_fill carries forward — the sensor /
@@ -80,30 +92,20 @@ object StreamQ {
     // observation) fall back to nearest-observation fill. Both engines
     // evaluate the bridge in the identical association order
     // `pv + (nv - pv) * (dt / dT)` on the same round(,2) hourly sums,
-    // so the only divergence is the shared-subexpression noise a
-    // 4-decimal rounding absorbs.
+    // so both engines hold the bit-identical double. The final 4-decimal
+    // rounding is `floor(x*1e4 + 0.5)/1e4` in BOTH engines — pure IEEE
+    // double ops, so even an exact .xxxx5 tie (where Spark's
+    // BigDecimal-HALF_UP round() and DuckDB's scale-then-std::round
+    // round() disagree — observed once at sf0.01) resolves identically.
     Q("ts_interp",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val hourly = graft.operators.Stage.materialize(
-          t(s, d, "events")
-            .select(col("user_id"),
-              (floor(col("ts").cast("long") / 3600) * 3600).as("hs"),
-              col("value"))
-            .groupBy("user_id", "hs")
-            .agg(round(sum("value"), 2).as("v")),
-          "ts_interp_hourly")
-        val span = hourly.agg(min("hs").as("lo"), max("hs").as("hi"))
-        val grid = hourly.select(col("user_id")).distinct()
-          .crossJoin(broadcast(span))
-          .select(col("user_id"),
-            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
         val back = Window.partitionBy("user_id").orderBy("hs")
           .rowsBetween(Window.unboundedPreceding, 0)
         val fwd = Window.partitionBy("user_id").orderBy("hs")
           .rowsBetween(0, Window.unboundedFollowing)
         val obsHs = when(col("v").isNotNull, col("hs"))
-        grid.join(hourly, Seq("user_id", "hs"), "left")
+        hourlyGrid(s, d, "ts_interp")
           .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
           .withColumn("ph", last(obsHs, ignoreNulls = true).over(back))
           .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
@@ -117,20 +119,11 @@ object StreamQ {
               .otherwise(coalesce(col("pv"), col("nv"))))
           .select(col("user_id"), col("hs"),
             col("v").isNotNull.as("observed"),
-            round(col("interp"), 4).as("interp"))
+            (floor(col("interp") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+              .as("interp"))
       },
-      Some("""WITH hourly AS (SELECT user_id,
-             |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hs,
-             |    round(sum(value), 2) AS v
-             |  FROM events GROUP BY 1, 2),
-             |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM hourly),
-             |grid AS (SELECT u.user_id, g.hs
-             |  FROM (SELECT DISTINCT user_id FROM hourly) u,
-             |       span, unnest(generate_series(span.lo, span.hi, 3600))
-             |         AS g(hs)),
-             |j AS (SELECT grid.user_id, grid.hs, hourly.v
-             |  FROM grid LEFT JOIN hourly
-             |    ON grid.user_id = hourly.user_id AND grid.hs = hourly.hs),
+      Some(hourlyGridSql +
+        """,
              |wd AS (SELECT user_id, hs, v,
              |    last_value(v IGNORE NULLS) OVER wb AS pv,
              |    last_value(CASE WHEN v IS NOT NULL THEN hs END
@@ -144,11 +137,12 @@ object StreamQ {
              |    wf AS (PARTITION BY user_id ORDER BY hs
              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |SELECT user_id, hs, v IS NOT NULL AS observed,
-             |  round(CASE WHEN v IS NOT NULL THEN v
+             |  floor((CASE WHEN v IS NOT NULL THEN v
              |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
              |      pv + (nv - pv) * (CAST(hs - ph AS DOUBLE) /
              |        CAST(nh - ph AS DOUBLE))
-             |    ELSE coalesce(pv, nv) END, 4) AS interp
+             |    ELSE coalesce(pv, nv) END) * 10000.0 + 0.5) / 10000.0
+             |    AS interp
              |FROM wd""".stripMargin)),
 
     // ts_ewma [EXT]: per-user exponential weighted moving average of
