@@ -41,16 +41,25 @@ class PlanGuardSpec extends SparkFunSuite {
   // scale at which a broadcast cross product is still free
   private val BoundedSideMax = 1000L
 
-  private lazy val plans: Seq[(String, LogicalPlan)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.optimizedPlan
-        catch {
-          case e: Throwable =>
-            fail(s"$name failed to build/plan at $sfDir: $e")
-        }
-      (name, plan)
+  // Build every plan ONCE, collecting failures instead of failing fast:
+  // a shared-loader bug (e.g. the round-6 events ts-type drift) breaks
+  // dozens of queries at analysis time, and the blast radius must be
+  // visible in ONE spec failure, not discovered one query per run.
+  private lazy val (planErrors: Seq[(String, String)],
+                    plans: Seq[(String, LogicalPlan)]) = {
+    val built = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try Right((name, fn(spark, sfDir).queryExecution.optimizedPlan))
+      catch { case e: Throwable => Left((name, e.toString)) }
     }
+    (built.collect { case Left(e) => e }, built.collect { case Right(p) => p })
+  }
+
+  test("every registered query builds an optimized plan against real data") {
+    assert(planErrors.isEmpty,
+      s"${planErrors.size}/${SparkEntry.queries.size} queries fail to " +
+        s"build/plan at $sfDir:\n" +
+        planErrors.map { case (n, e) => s"  $n: $e" }.mkString("\n"))
+  }
 
   test("no registered query plans an unpartitioned window") {
     val offenders = plans.flatMap { case (name, plan) =>
