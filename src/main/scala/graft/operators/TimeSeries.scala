@@ -70,6 +70,70 @@ object TimeSeries {
         round(sum(valueCol), 2).as("vol"),
         count(lit(1)).as("n"))
 
+  /** Holt double exponential smoothing (level + trend) per entity —
+    * the one-step-ahead trend forecaster for entity activity
+    * (engagement trajectories, volume projections):
+    *
+    *   l_1 = x_1,  b_1 = x_2 - x_1
+    *   l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+    *   b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+    *
+    * emitting the final (level, trend) and the h-step forecast
+    * `level + h·trend`. Entities with fewer than two observations are
+    * dropped (no trend is defined).
+    *
+    * Plan shape at scale: identical to [[ewma]] — ONE entity-keyed
+    * exchange, then a codegen'd `aggregate` fold over the packed
+    * per-entity array with a two-field struct accumulator; no window,
+    * no second shuffle, no driver participation. Same per-entity-
+    * fits-executor contract as every per-entity sequence op.
+    *
+    * Float parity: strict left fold in (timestamp, seqCol) order;
+    * α/β binary-exact so 1-α/1-β are exact; b_t consumes the freshly
+    * computed l_t exactly as written, so an engine replaying the same
+    * recurrence (DuckDB recursive CTE) walks bit-identical doubles.
+    *
+    * @return (entityCol, n, level, trend, fc) — `fc` = level +
+    *         horizon·trend; all three rounded via the cross-engine
+    *         floor(x·1e4 + 0.5)/1e4 convention
+    */
+  def holt(events: DataFrame, entityCol: String, tsCol: Column,
+           seqCol: Column, valueCol: Column,
+           alpha: Double = 0.5, beta: Double = 0.25,
+           horizon: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    val packed = events
+      .filter(valueCol.isNotNull)
+      .select(col(entityCol),
+        struct(tsCol.as("o1"), seqCol.as("o2"),
+          valueCol.cast("double").as("x")).as("p"))
+      .groupBy(entityCol)
+      .agg(sort_array(collect_list(col("p"))).as("seq"))
+      .filter(size(col("seq")) >= 2)
+    val x1 = element_at(col("seq"), 1).getField("x")
+    val x2 = element_at(col("seq"), 2).getField("x")
+    val init = struct(x1.as("l"), (x2 - x1).as("b"))
+    def step(acc: Column, e: Column): Column = {
+      val lNew = lit(alpha) * e.getField("x") +
+        lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+      struct(lNew.as("l"),
+        (lit(beta) * (lNew - acc.getField("l")) +
+          lit(1.0 - beta) * acc.getField("b")).as("b"))
+    }
+    def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    packed.select(col(entityCol),
+        size(col("seq")).cast("long").as("n"),
+        aggregate(
+          slice(col("seq"), lit(3),
+            greatest(size(col("seq")) - 2, lit(0))),
+          init, step).as("st"))
+      .select(col(entityCol), col("n"),
+        r4(col("st.l")).as("level"),
+        r4(col("st.b")).as("trend"),
+        r4(col("st.l") + lit(horizon.toDouble) * col("st.b")).as("fc"))
+  }
+
   def ewma(events: DataFrame, entityCol: String, tsCol: Column,
            seqCol: Column, valueCol: Column,
            alpha: Double = 0.25): DataFrame = {

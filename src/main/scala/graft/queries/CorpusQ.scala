@@ -735,6 +735,113 @@ object CorpusQ {
              |SELECT doc_id, cls AS pred, n_tok, round(score, 4) AS score
              |FROM sc
              |QUALIFY row_number() OVER (PARTITION BY doc_id
-             |  ORDER BY score DESC, cls DESC) = 1""".stripMargin))
+             |  ORDER BY score DESC, cls DESC) = 1""".stripMargin)),
+
+    // rank_ndcg [EXT, new r7]: retrieval-quality evaluation — NDCG@10
+    // of label-match relevance over the brute-force cosine ranking
+    // (the metric every embedding/ANN change gets judged by). Gains
+    // use integer MICRO-UNIT discounts (round(1e6/log2(i+1)), ten
+    // literal constants embedded in BOTH engines), so DCG/IDCG are
+    // exact integer sums — no float-summation-order risk anywhere —
+    // and NDCG is their single division, bit-identical cross-engine.
+    // IDCG normalizes by the corpus-wide relevant count (capped at
+    // k=10), the standard definition.
+    Q("rank_ndcg",
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = t(s, d, "embeddings")
+        val top = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 25),
+          k = 10, roundTo = 6)
+        val lbl = emb.select(col("vec_id"), col("label"))
+        val disc = array(Seq(1000000L, 630930L, 500000L, 430677L,
+          386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+          .map(lit): _*)
+        val pref = array(Seq(1000000L, 1630930L, 2130930L, 2561607L,
+          2948460L, 3304667L, 3638000L, 3953465L, 4254495L, 4543560L)
+          .map(lit): _*)
+        val rel = top
+          .join(broadcast(lbl.withColumnRenamed("vec_id", "nid")
+            .withColumnRenamed("label", "nlabel")),
+            col("vec_id") === col("nid"))
+          .join(broadcast(lbl.withColumnRenamed("vec_id", "qv")
+            .withColumnRenamed("label", "qlabel")),
+            col("qid") === col("qv"))
+          .groupBy(col("qid"), col("qlabel"))
+          .agg(sum(when(col("nlabel") === col("qlabel"),
+            element_at(disc, col("rk"))).otherwise(0L)).as("dcg"))
+        val cnt = emb.groupBy(col("label")).agg(count(lit(1)).as("cl"))
+        rel.join(broadcast(cnt), col("qlabel") === col("label"))
+          .withColumn("nrel",
+            least(col("cl") - 1, lit(10L)).cast("int"))
+          .select(col("qid"), col("nrel").cast("long").as("nrel"),
+            col("dcg"),
+            when(col("nrel") === 0, lit(0.0))
+              .otherwise(col("dcg").cast("double") /
+                element_at(pref, greatest(col("nrel"), lit(1)))
+                  .cast("double")).as("ndcg"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+             |    AS qe, label AS qlabel FROM embeddings WHERE vec_id < 25),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+             |    label FROM embeddings),
+             |sc AS (SELECT qid, qlabel, vec_id, label,
+             |    list_cosine_similarity(qe, ce) AS sim_raw
+             |  FROM q CROSS JOIN c WHERE vec_id != qid),
+             |r AS (SELECT qid, qlabel, label, row_number() OVER (
+             |    PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk
+             |  FROM sc),
+             |g AS (SELECT qid, qlabel,
+             |    sum(CASE WHEN label = qlabel THEN
+             |      [1000000, 630930, 500000, 430677, 386853, 356207,
+             |       333333, 315465, 301030, 289065][rk]
+             |      ELSE 0 END)::BIGINT AS dcg
+             |  FROM r WHERE rk <= 10 GROUP BY 1, 2),
+             |cl AS (SELECT label, count(*)::BIGINT AS cl
+             |  FROM embeddings GROUP BY 1)
+             |SELECT g.qid, least(cl.cl - 1, 10)::BIGINT AS nrel, g.dcg,
+             |  CASE WHEN least(cl.cl - 1, 10) = 0 THEN 0.0
+             |    ELSE CAST(g.dcg AS DOUBLE) / CAST(
+             |      [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+             |       3638000, 3953465, 4254495, 4543560]
+             |        [greatest(least(cl.cl - 1, 10), 1)] AS DOUBLE)
+             |  END AS ndcg
+             |FROM g JOIN cl ON g.qlabel = cl.label""".stripMargin)),
+
+    // corpus_gini [EXT, new r7]: source-concentration audit — the Gini
+    // coefficient of whitespace-token mass across document sources
+    // (how skewed is the mix one corpus_mix/cap run produces?). Token
+    // counts stay LONGs through the pairwise |xi−xj| sum, so the only
+    // float op is the final division — bit-identical cross-engine,
+    // order-free. The pair join is over the per-source aggregate
+    // (dimension-bounded); the `<` condition keeps it off the
+    // cross-join guard and halves the symmetric sum, folded into the
+    // G = Σ_{i<j}|xi−xj| / (k·Σx) form.
+    Q("corpus_gini",
+      (s, d) => {
+        val bySrc = t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(sum(graft.functions.TextFns.wsTokenCount(col("text")))
+            .cast("long").as("x"))
+        val pairs = bySrc.as("a")
+          .join(bySrc.as("b"), col("a.source") < col("b.source"))
+          .agg(sum(abs(col("a.x") - col("b.x"))).as("sd"))
+        val tot = bySrc.agg(count(lit(1)).as("k"),
+          sum(col("x")).as("total_tokens"))
+        tot.crossJoin(pairs)
+          .select(col("k"), col("total_tokens"),
+            (col("sd").cast("double") /
+              (col("k") * col("total_tokens")).cast("double")).as("gini"))
+      },
+      Some("""WITH s AS (SELECT source,
+             |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+             |      AS x
+             |  FROM documents GROUP BY 1),
+             |p AS (SELECT sum(abs(a.x - b.x))::BIGINT AS sd
+             |  FROM s a JOIN s b ON a.source < b.source),
+             |t2 AS (SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS tot
+             |  FROM s)
+             |SELECT t2.k, t2.tot AS total_tokens,
+             |  CAST(p.sd AS DOUBLE) / CAST(t2.k * t2.tot AS DOUBLE) AS gini
+             |FROM t2, p""".stripMargin))
   )
 }

@@ -381,6 +381,78 @@ object ScaleQ {
           .select(col("corpus_id"), col("batch_id"),
             round(col("est_jaccard"), 4).as("est_jaccard"))
       },
-      Some(MinhashOracle.incrSql))
+      Some(MinhashOracle.incrSql)),
+
+    // dq_outlier [EXT, new r7]: robust MAD outlier screen with EXACT
+    // distributed medians — med = median(x), mad = median(|x − med|),
+    // outlier ⇔ |x − med| > 3·1.4826·mad. approxQuantile is fuzzy at
+    // the cut and percentile_cont plans a single-partition sort;
+    // RobustStats instead selects the median ranks via GlobalRank's
+    // two-phase range ranking (two bounded driver scalars, everything
+    // row-scale distributed). The oracle replays the IDENTICAL
+    // rank-selection definition (avg of ranks ⌈n/2⌉ and ⌊n/2⌋+1), not
+    // DuckDB's percentile interpolation, so even the even-n midpoint
+    // arithmetic matches bit-for-bit.
+    Q("dq_outlier",
+      (s, d) => graft.operators.RobustStats.madOutlierSummary(
+        t(s, d, "lineitem"), col("l_extendedprice"), k = 3.0),
+      Some("""WITH v AS (SELECT l_extendedprice::DOUBLE AS x
+             |    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |n AS (SELECT count(*)::BIGINT AS n FROM v),
+             |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+             |m AS (SELECT avg(x) AS med FROM r, n
+             |  WHERE rk = (n.n + 1) // 2 OR rk = (n.n + 2) // 2),
+             |r2 AS (SELECT abs(v.x - m.med) AS y FROM v, m),
+             |rr AS (SELECT y, row_number() OVER (ORDER BY y) AS rk FROM r2),
+             |d2 AS (SELECT avg(y) AS mad FROM rr, n
+             |  WHERE rk = (n.n + 1) // 2 OR rk = (n.n + 2) // 2)
+             |SELECT n.n AS n,
+             |  floor(m.med * 10000.0 + 0.5) / 10000.0 AS med,
+             |  floor(d2.mad * 10000.0 + 0.5) / 10000.0 AS mad,
+             |  (SELECT count(*) FROM v, m, d2
+             |     WHERE abs(v.x - m.med) > 3.0 * 1.4826 * d2.mad)::BIGINT
+             |    AS n_out
+             |FROM n, m, d2""".stripMargin)),
+
+    // graph_jaccard [EXT, new r7]: neighbor-set Jaccard similarity on
+    // the sampled supplier co-purchase graph (the graph_triangles edge
+    // set) — the link-prediction / supplier-substitutability signal.
+    // Candidates come ONLY from shared-neighbor wedges (never
+    // all-pairs); counts are exact integers and the score is their
+    // single division, so the oracle's replay is bit-identical.
+    Q("graph_jaccard",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          Seq("l_orderkey"))
+          .filter(col("l_suppkey") < col("s2"))
+        graft.operators.GraphSim.neighborJaccard(
+          pairs.select(col("l_suppkey").as("a"), col("s2").as("b")),
+          "a", "b", minJac = 0.25)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem
+             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+             |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_suppkey < b.l_suppkey),
+             |adj AS (SELECT a AS node, b AS nb FROM e
+             |        UNION ALL SELECT b AS node, a AS nb FROM e),
+             |dg AS (SELECT node, count(*)::BIGINT AS deg
+             |       FROM adj GROUP BY 1),
+             |cw AS (SELECT x.node AS a, y.node AS b,
+             |    count(*)::BIGINT AS common
+             |  FROM adj x JOIN adj y
+             |    ON x.nb = y.nb AND x.node < y.node GROUP BY 1, 2)
+             |SELECT cw.a, cw.b, cw.common, da.deg AS da, db.deg AS db,
+             |  CAST(cw.common AS DOUBLE) /
+             |    CAST(da.deg + db.deg - cw.common AS DOUBLE) AS jac
+             |FROM cw JOIN dg da ON cw.a = da.node
+             |  JOIN dg db ON cw.b = db.node
+             |WHERE CAST(cw.common AS DOUBLE) /
+             |  CAST(da.deg + db.deg - cw.common AS DOUBLE) >= 0.25""".stripMargin))
   )
 }

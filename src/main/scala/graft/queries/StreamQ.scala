@@ -164,6 +164,39 @@ object StreamQ {
              |    (acc, x) -> 0.25 * x + 0.75 * acc), 4) AS ewma
              |FROM sq""".stripMargin)),
 
+    // ts_holt [EXT, new r7]: Holt double exponential smoothing per
+    // user — level + trend + 3-step forecast, the trend-aware upgrade
+    // of ts_ewma's decayed-activity feature. Same plan shape: ONE
+    // entity exchange, codegen'd aggregate fold with a (level, trend)
+    // struct accumulator, no window, no driver. α=0.5/β=0.25 are
+    // binary-exact; the oracle replays the identical left fold with a
+    // recursive CTE (list_reduce here has no init-value overload), so
+    // every intermediate double is bit-identical; the final rounding
+    // is the cross-engine floor(x·1e4+0.5)/1e4 convention.
+    Q("ts_holt",
+      (s, d) => graft.operators.TimeSeries.holt(
+        t(s, d, "events"), "user_id",
+        unix_micros(col("ts")), col("event_id"), col("value")),
+      Some("""WITH RECURSIVE sq AS (SELECT user_id,
+             |    list(value ORDER BY epoch_us(ts), event_id) AS xs
+             |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |base AS (SELECT user_id, xs, len(xs)::BIGINT AS n
+             |  FROM sq WHERE len(xs) >= 2),
+             |rec AS (
+             |  SELECT user_id, xs, n, 2::BIGINT AS i,
+             |    xs[1]::DOUBLE AS l, (xs[2] - xs[1])::DOUBLE AS b
+             |  FROM base
+             |  UNION ALL
+             |  SELECT user_id, xs, n, i + 1,
+             |    0.5 * xs[i + 1] + 0.5 * (l + b),
+             |    0.25 * ((0.5 * xs[i + 1] + 0.5 * (l + b)) - l) + 0.75 * b
+             |  FROM rec WHERE i < n)
+             |SELECT user_id, n,
+             |  floor(l * 10000.0 + 0.5) / 10000.0 AS level,
+             |  floor(b * 10000.0 + 0.5) / 10000.0 AS trend,
+             |  floor((l + 3.0 * b) * 10000.0 + 0.5) / 10000.0 AS fc
+             |FROM rec WHERE i = n""".stripMargin)),
+
     // ts_resample [EXT]: per-user daily OHLC bars — open/close picked
     // by min_by/max_by over (ts, event_id), so one (entity, bucket)
     // exchange with constant-size partials replaces any window or
