@@ -44,6 +44,12 @@ object Bench {
     try { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
     catch { case _: Throwable => }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-query Stage.materialize write seconds (summed per tag across
+    // reps, divided by reps → per-rep stage cost): turns the next
+    // "same code, N× slower" bench round into a one-look diagnosis
+    val stageCost =
+      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+    graft.operators.Stage.drainTimings() // discard warmup-query stages
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -51,6 +57,10 @@ object Bench {
         catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      val st = graft.operators.Stage.drainTimings()
+      if (st.nonEmpty)
+        stageCost(name) = st.groupBy(_._1)
+          .map { case (tag, xs) => tag -> xs.map(_._2).sum / reps }
       // true median: average the two middle values for even rep counts
       val median =
         if (times.size % 2 == 1) times(times.size / 2)
@@ -70,7 +80,11 @@ object Bench {
     // depend on the launch directory.
     val fullJson = results.map { case (k, v) => s"\"$k\":${r4(v)}" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$errJson,"queries":$fullJson,"sf":"$sfDir"}"""
+    val stagesJson = stageCost.map { case (q, tags) =>
+      s"\"$q\":" + tags.map { case (t, v) => s"\"$t\":${r4(v)}" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$errJson,"queries":$fullJson,"stages":$stagesJson,"sf":"$sfDir"}"""
     try {
       var root = new java.io.File(sys.props.getOrElse("user.dir", ".")).getAbsoluteFile
       while (root != null && !new java.io.File(root, "build.sbt").exists())

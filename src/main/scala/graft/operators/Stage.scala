@@ -34,6 +34,22 @@ object Stage {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]()
 
+  // Wall-clock seconds of each materialize WRITE, by tag — the bench
+  // drains this per query so a "same code, N× slower" round can be
+  // localized to a stage in one look instead of re-instrumenting.
+  private val timings =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  /** Remove and return all stage-write timings recorded since the last
+    * drain: (tag, seconds) in write-completion order.
+    */
+  def drainTimings(): Seq[(String, Double)] = {
+    val out = Seq.newBuilder[(String, Double)]
+    var e = timings.poll()
+    while (e != null) { out += e; e = timings.poll() }
+    out.result()
+  }
+
   sys.addShutdownHook {
     tracked.forEach { case (dir, isLocal) =>
       try {
@@ -88,7 +104,9 @@ object Stage {
         tracked.add((p.toString, true))
         p.resolve("data").toString
     }
+    val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(dir)
+    timings.add((tag, (System.nanoTime() - t0) / 1e9))
     // the schema is already known — passing it skips the footer-sniffing
     // schema-inference job a bare spark.read.parquet would run
     spark.read.schema(df.schema).parquet(dir)
