@@ -4,51 +4,151 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** EXACT distributed median / MAD — robust outlier statistics without
-  * a global sort or an approximation.
+  * a global sort, a row-scale shuffle, or an approximation.
   *
   * `approxQuantile` is fuzzy at the cut (rank error ε·n) and a global
   * `percentile_cont` plans a single-partition sort at 100 TB. Exact
-  * order statistics don't need either: a rank is a SELECTION problem —
-  * [[GlobalRank]]'s two-phase range-partitioned ranking already gives
-  * every row its exact global rank in parallel, so the median is just
-  * "the row(s) ranked ⌈n/2⌉ and ⌊n/2⌋+1" (averaged when n is even —
-  * the `percentile_cont(0.5)` convention).
+  * order statistics don't need either: a rank is a SELECTION problem,
+  * and selection narrows geometrically with aggregates alone — the
+  * classic iterative-histogram algorithm:
+  *
+  *  1. one aggregate gives (n, min, max);
+  *  2. one aggregate per pass histograms the candidate interval into
+  *     B=2048 equi-width buckets, collecting per-bucket
+  *     (count, min, max) — only B constant-size partials cross the
+  *     wire, never rows;
+  *  3. the driver prefix-sums the B counts (metadata-scale), picks the
+  *     bucket holding the target rank, and recurses into that bucket's
+  *     EXACT [min, max] span (taking bounds from the aggregate, not
+  *     from bucket-edge arithmetic, makes float-boundary bucket
+  *     misplacement harmless — the bucket partition itself defines the
+  *     next candidate set);
+  *  4. each pass divides the candidate span by ~B, so even 10^13 rows
+  *     reach a driver-sized slice (≤ 64k values, ≤ 512 KB) in 2-3
+  *     passes; all-equal candidates collapse the interval and
+  *     terminate immediately.
+  *
+  * Unlike a range-shuffle ranking, NO row ever moves: every pass is a
+  * full-scan aggregate with constant-size partials — the cheapest
+  * distributed primitive there is. Driver memory is B triples per pass
+  * plus the final slice — the documented bounded-collect posture
+  * (SURVEY §2).
   *
   * MAD (median absolute deviation) composes the same selection twice:
   * med = median(x), mad = median(|x − med|). With the consistency
   * constant 1.4826 (≈ 1/Φ⁻¹(3/4)), `|x − med| > k·1.4826·mad` is the
-  * robust z-score outlier rule — the standard data-quality screen that,
-  * unlike mean/stddev, a few wild rows cannot drag.
-  *
-  * Driver participation is two bounded scalars (the two medians) plus
-  * GlobalRank's p-row offset scans — metadata-scale, same posture as
-  * the cluster-centroid and label-prior collects documented in
-  * SURVEY §2. Everything row-scale stays distributed.
+  * robust z-score outlier rule — the standard data-quality screen
+  * that, unlike mean/stddev, a few wild rows cannot drag.
   */
 object RobustStats {
 
-  /** Exact median of `valueCol` (non-null rows). Returns the driver
-    * scalar — the caller composes it as a literal (bounded collect:
-    * ONE double).
+  private val Buckets = 2048
+  private val DriverSliceMax = 65536L
+
+  /** Exact median of `valueCol` (non-null rows) under the
+    * `percentile_cont(0.5)` convention (average of the two middle
+    * values for even n). Returns the driver scalar — the caller
+    * composes it as a literal.
     */
   def medianExact(df: DataFrame, valueCol: Column): Double = {
     val vals = df.select(valueCol.cast("double").as("__rs_x"))
       .filter(col("__rs_x").isNotNull)
-    val n = vals.count()
+    val head = vals.agg(count(lit(1)), min(col("__rs_x")),
+      max(col("__rs_x"))).head()
+    val n = head.getLong(0)
     require(n > 0, "median of an empty input")
-    val lo = (n + 1) / 2
-    val hi = (n + 2) / 2
-    val ranked = GlobalRank.withGlobalRank(vals, Seq(col("__rs_x")), "__rs_rk")
-    // ties among equal values permute ranks but never the selected
-    // VALUES, so no tiebreak column is needed for selection
-    ranked.filter(col("__rs_rk") === lo || col("__rs_rk") === hi)
-      .agg(avg(col("__rs_x"))).head().getDouble(0)
+    val (kLo, kHi) = ((n + 1) / 2, (n + 2) / 2)
+
+    var lo = head.getDouble(1)
+    var hi = head.getDouble(2)
+    var cnt = n
+    var k = kLo                     // rank of the first target within [lo, hi]
+    var hiVal: Option[Double] =     // second target once it leaves the interval
+      if (kHi == kLo) Some(Double.NaN) else None // NaN marker: same as loVal
+
+    while (cnt > DriverSliceMax && lo < hi) {
+      val w = (hi - lo) / Buckets
+      val bucket = least(greatest(
+        floor((col("__rs_x") - lit(lo)) / lit(w)), lit(0.0)),
+        lit((Buckets - 1).toDouble)).cast("int")
+      val stats = vals
+        .filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+        .groupBy(bucket.as("__rs_b"))
+        .agg(count(lit(1)).as("c"), min(col("__rs_x")).as("mn"),
+          max(col("__rs_x")).as("mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+        .sortBy(_._1)
+      var acc = 0L; var idx = -1; var below = 0L
+      stats.indices.foreach { i =>
+        if (idx < 0) {
+          if (acc + stats(i)._2 >= k) { idx = i; below = acc }
+          acc += stats(i)._2
+        }
+      }
+      val (_, c, mn, mx) = stats(idx)
+      // adjacent second target falling just past this bucket = the
+      // next non-empty bucket's exact minimum (already collected)
+      if (hiVal.isEmpty && k + 1 > below + c)
+        hiVal = Some(stats(idx + 1)._3)
+      if (mn == lo && mx == hi && c == cnt)
+        // no shrink: the interval is a few ULPs wide (equi-width
+        // bucketing degenerated) — the DISTINCT values inside are a
+        // handful of adjacent doubles, so select by value groups
+        return finishByValue(vals, lo, hi, k, hiVal)
+      lo = mn; hi = mx; k -= below; cnt = c
+    }
+    if (lo == hi)
+      // all remaining candidates hold ONE value (tie mass): no need to
+      // collect any of them, however many rows that is
+      (lo + hiVal.map(v => if (v.isNaN) lo else v).getOrElse(lo)) / 2.0
+    else finishSlice(vals, lo, hi, k, hiVal)
+  }
+
+  private def finishSlice(vals: DataFrame, lo: Double, hi: Double,
+                          k: Long, hiVal: Option[Double]): Double = {
+    val slice = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+      .select(col("__rs_x")).collect().map(_.getDouble(0))
+    java.util.Arrays.sort(slice)
+    val loVal = slice((k - 1).toInt)
+    val second = hiVal match {
+      case Some(v) if v.isNaN => loVal       // odd n: both ranks equal
+      case Some(v) => v                      // resolved during narrowing
+      case None => slice(k.toInt)            // both ranks in the slice
+    }
+    (loVal + second) / 2.0
+  }
+
+  /** Selection by (value, count) groups — bounded by the DISTINCT
+    * count, for tie-collapsed intervals where the row count is not.
+    */
+  private def finishByValue(vals: DataFrame, lo: Double, hi: Double,
+                            k: Long, hiVal: Option[Double]): Double = {
+    val groups = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+      .groupBy(col("__rs_x")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    def rankValue(r: Long): Double = {
+      var acc = 0L
+      groups.foreach { case (v, c) =>
+        acc += c
+        if (acc >= r) return v
+      }
+      groups.last._1
+    }
+    val loVal = rankValue(k)
+    val second = hiVal match {
+      case Some(v) if v.isNaN => loVal
+      case Some(v) => v
+      case None => rankValue(k + 1)
+    }
+    (loVal + second) / 2.0
   }
 
   /** One-row robust summary of `valueCol`:
     * (n, med, mad, n_out) where n_out counts rows with
-    * `|x − med| > k·1.4826·mad`. Exact at any scale — two GlobalRank
-    * selections, no approximation, no single-partition sort.
+    * `|x − med| > k·1.4826·mad`. Exact at any scale — iterative-
+    * histogram selections, no approximation, no row-scale shuffle.
     */
   def madOutlierSummary(df: DataFrame, valueCol: Column,
                         k: Double = 3.0): DataFrame = {

@@ -36,6 +36,33 @@ class RobustStatsSpec extends SparkFunSuite {
     assert(row.getAs[Long]("n_out") === 1L)
   }
 
+  test("histogram narrowing path agrees with percentile on 200k rows") {
+    // > DriverSliceMax forces at least one narrowing pass
+    val df = spark.range(200000)
+      .selectExpr("CAST((id * 2654435761) % 1000003 AS DOUBLE) AS x")
+    val expected = df
+      .selectExpr("percentile(x, 0.5D) AS p").head().getDouble(0)
+    assert(RobustStats.medianExact(df, col("x")) === expected)
+    // odd n exercises the single-rank path through the same loop
+    val odd = df.limit(199999)
+    val expOdd = odd
+      .selectExpr("percentile(x, 0.5D) AS p").head().getDouble(0)
+    assert(RobustStats.medianExact(odd, col("x")) === expOdd)
+  }
+
+  test("tie mass larger than the driver slice resolves without collecting") {
+    // 150k rows, 100k of them a single value: the chosen bucket
+    // collapses to [5,5] and the answer must come from the interval,
+    // not a 100k-row collect
+    val df = spark.range(150000)
+      .selectExpr("CASE WHEN id < 100000 THEN 5.0D ELSE 10.0D END AS x")
+    assert(RobustStats.medianExact(df, col("x")) === 5.0)
+    // median straddling the tie boundary: 100k fives + 100k tens
+    val df2 = spark.range(200000)
+      .selectExpr("CASE WHEN id < 100000 THEN 5.0D ELSE 10.0D END AS x")
+    assert(RobustStats.medianExact(df2, col("x")) === 7.5)
+  }
+
   test("dq_outlier gate query is non-vacuous at gate SF") {
     val out = SparkEntry.queries("dq_outlier")(spark, sfDir).head()
     assert(out.getAs[Long]("n") > 0L)
