@@ -113,6 +113,60 @@ object GlobalRank {
       Seq(Sampling.contentHash(col(idCol), seed, portable), col(idCol)),
       posCol, numPartitions)
 
+  /** `df` plus the exact global rank AND the exact global RUNNING
+    * TOTAL of `valueCol` under `sortCols` (inclusive prefix sum in
+    * rank order) — the primitive behind budgeted selection ("take
+    * documents by descending quality until the token budget is
+    * spent"). Same two-phase shape as [[withGlobalRank]]: the range
+    * stage adds a per-partition SUM next to the count, the driver
+    * prefix-sums both (p rows), and the in-partition window carries
+    * the value sum alongside row_number — still no global window, one
+    * extra long per offset row.
+    *
+    * `valueCol` must be integral (LONG) — integer prefix sums are
+    * order-free and bit-identical cross-engine, where a double's
+    * accumulation order would not be.
+    */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
+                       valueCol: Column, rankCol: String = "rank",
+                       totalCol: String = "running_total",
+                       numPartitions: Int = 0): DataFrame = {
+    val taken = df.columns.toSet
+    require(!taken(rankCol), s"input already has a '$rankCol' column")
+    require(!taken(totalCol), s"input already has a '$totalCol' column")
+    require(!taken("__gr_pid") && !taken("__gr_off") && !taken("__gr_voff")
+      && !taken("__gr_v"),
+      "input uses GlobalRank's reserved __gr_* names")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = Stage.materialize(
+      df.withColumn("__gr_v", valueCol.cast("long"))
+        .repartitionByRange(p, sortCols: _*)
+        .withColumn("__gr_pid", spark_partition_id()),
+      "global_running_total")
+    val parts = ranged.groupBy("__gr_pid")
+      .agg(count(lit(1)).as("c"), sum("__gr_v").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accC = 0L; var accS = 0L
+    val offsets = parts.map { case (pid, c, s) =>
+      val o = (pid, accC, accS); accC += c; accS += s; o
+    }.toSeq
+    val offDf = offsets.toDF("__gr_pid", "__gr_off", "__gr_voff")
+    val w = Window.partitionBy("__gr_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wr = Window.partitionBy("__gr_pid").orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offDf), "__gr_pid")
+      .withColumn(rankCol,
+        (row_number().over(wr).cast("long") + col("__gr_off")))
+      .withColumn(totalCol, (sum("__gr_v").over(w) + col("__gr_voff")))
+      .drop("__gr_pid", "__gr_off", "__gr_voff", "__gr_v")
+  }
+
   private def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
                               rankCol: String,
                               numPartitions: Int): (DataFrame, Long) = {

@@ -807,6 +807,38 @@ object CorpusQ {
              |  END AS ndcg
              |FROM g JOIN cl ON g.qlabel = cl.label""".stripMargin)),
 
+    // corpus_budget [EXT, new r7]: budgeted curation — keep documents
+    // in descending (n_chars, doc_id) quality order until a fixed
+    // token budget is spent (the "best N tokens" corpus assembly every
+    // pretraining mix ends with). Exact greedy prefix via
+    // GlobalRank.withRunningTotal: two-phase rank + integer prefix sum
+    // of token counts carried through the same partition offsets — no
+    // global window, no approx cut, order-free LONG arithmetic so the
+    // boundary is bit-identical cross-engine. Oracle replays the
+    // literal running-sum window SQL.
+    Q("corpus_budget",
+      (s, d) => graft.operators.GlobalRank.withRunningTotal(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+            graft.functions.TextFns.wsTokenCount(col("text"))
+              .cast("long").as("toks")),
+          Seq(col("n_chars").desc, col("doc_id")), col("toks"),
+          "rnk", "cum")
+        .filter(col("cum") <= 15000L)
+        .select(col("doc_id"), col("n_chars"), col("toks"), col("rnk"),
+          col("cum")),
+      Some("""WITH dd AS (SELECT doc_id, n_chars,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT
+             |      AS toks
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_chars, toks,
+             |    row_number() OVER (ORDER BY n_chars DESC, doc_id)
+             |      AS rnk,
+             |    sum(toks) OVER (ORDER BY n_chars DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             |  FROM dd)
+             |SELECT doc_id, n_chars, toks, rnk, cum FROM r
+             |WHERE cum <= 15000""".stripMargin)),
+
     // corpus_gini [EXT, new r7]: source-concentration audit — the Gini
     // coefficient of whitespace-token mass across document sources
     // (how skewed is the mix one corpus_mix/cap run produces?). Token

@@ -183,8 +183,10 @@ object MinhashOracle {
   * internals) remain golden-pinned.
   */
 object LshOracle {
-  // sim_ann_lsh params: dim=64, planes=4, tables=12, seed=42, k=5
-  val sql: String =
+  // sim_ann_lsh params: dim=64, planes=4, tables=12, seed=42, k=5.
+  // `ctes` ends at the ranked candidate CTE `r` so sim_recall can
+  // join the same replay against the exact brute-force ranking.
+  val ctes: String =
     s"""WITH tpigrid AS (
        |  SELECT t.t AS t, p.p AS p, i.i AS i,
        |    (42 + t.t*7919 + p.p*1000003 + i.i)::UBIGINT AS z0
@@ -212,7 +214,10 @@ object LshOracle {
        |  JOIN embeddings qe ON qe.vec_id = cand.qid
        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id),
        |r AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
-       |    PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk FROM sc)
-       |SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
-       |FROM r WHERE rk <= 5""".stripMargin
+       |    PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk FROM sc)""".stripMargin
+
+  val sql: String = ctes +
+    """
+      |SELECT qid, vec_id, round(sim_raw, 3) AS sim, rk
+      |FROM r WHERE rk <= 5""".stripMargin
 }

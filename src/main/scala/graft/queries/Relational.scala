@@ -182,6 +182,28 @@ object Relational {
              round(stddev_samp(l_quantity), 4) AS sd_q
              FROM lineitem GROUP BY l_returnflag""")),
 
+    // agg_mode [EXT, new r7]: exact per-group MODE with a
+    // deterministic tie-break — each supplier's most-shipped part
+    // (highest line count; smallest partkey on ties). Two map-side-
+    // combinable exchanges: (supplier, part) counts, then one min_by
+    // over the (−count, partkey) struct order per supplier — no
+    // window, constant-size partials, the at-scale argmax shape.
+    Q("agg_mode",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_suppkey"))
+        .agg(min_by(struct(col("l_partkey"), col("c")),
+          struct((-col("c")).as("nc"), col("l_partkey"))).as("m"))
+        .select(col("l_suppkey"), col("m.l_partkey").as("mode_part"),
+          col("m.c").as("cnt")),
+      Some("""WITH c AS (SELECT l_suppkey, l_partkey,
+             |    count(*)::BIGINT AS c
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_suppkey, l_partkey AS mode_part, c AS cnt FROM c
+             |QUALIFY row_number() OVER (PARTITION BY l_suppkey
+             |  ORDER BY c DESC, l_partkey) = 1""".stripMargin)),
+
     // agg_cube [EXT]: all grouping-set combinations (status × priority
     // marginals + grand total) in one pass — Spark expands the sets
     // inside a single Expand + aggregate, no per-set rescan.

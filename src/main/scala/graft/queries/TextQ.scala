@@ -394,6 +394,50 @@ object TextQ {
       },
       Some(LshOracle.sql)),
 
+    // sim_recall [EXT, new r7]: ANN index VALIDATION as a first-class
+    // op — per-query recall@5 of the LSH index against the exact
+    // brute-force truth (the number every index build gets judged by
+    // before serving; SimilaritySpec asserts it in-test, this makes it
+    // a queryable audit). hits is an integer join count, recall its
+    // single division by k — bit-identical cross-engine. Oracle =
+    // LshOracle's full sketch replay joined against the brute ranking.
+    Q("sim_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        val ann = Similarity.lshTopK(emb, q, k = 5,
+            dim = 64, planes = 4, tables = 12, roundTo = 3)
+          .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+        val exact = Similarity.bruteTopK(emb, q, k = 5, roundTo = 3)
+          .select(col("qid"), col("vec_id"))
+        exact.join(ann,
+            col("qid") === col("aqid") && col("vec_id") === col("avid"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("avid")).as("hits"))
+          .select(col("qid"), col("hits"),
+            (col("hits").cast("double") / lit(5.0)).as("recall"))
+      },
+      Some(LshOracle.ctes +
+        """,
+          |ann AS (SELECT qid, vec_id FROM r WHERE rk <= 5),
+          |eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+          |    AS qe FROM embeddings WHERE vec_id < 5),
+          |ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+          |  FROM embeddings),
+          |esc AS (SELECT qid, vec_id,
+          |    list_cosine_similarity(qe, ce) AS sim_raw
+          |  FROM eq CROSS JOIN ec WHERE vec_id != qid),
+          |er AS (SELECT qid, vec_id, row_number() OVER (
+          |    PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rk
+          |  FROM esc),
+          |ex AS (SELECT qid, vec_id FROM er WHERE rk <= 5)
+          |SELECT ex.qid, count(ann.vec_id)::BIGINT AS hits,
+          |  CAST(count(ann.vec_id) AS DOUBLE) / 5.0 AS recall
+          |FROM ex LEFT JOIN ann
+          |  ON ex.qid = ann.qid AND ex.vec_id = ann.vec_id
+          |GROUP BY ex.qid""".stripMargin)),
+
     // sim_ann_ivf [EXT]: inverted-file ANN (k-means cells + nprobe
     // probing) — the second scale path; recall vs. brute force asserted
     // in SimilaritySpec. Deterministic (seeded KMeans). The index is fit

@@ -124,4 +124,32 @@ class GlobalRankSpec extends SparkFunSuite {
     }
     assert(bad.isEmpty, "GlobalRank leaked a single-partition window")
   }
+
+  test("withRunningTotal == global rank + running-sum window") {
+    val df = data(1000).withColumn("v", pmod(col("id") * 37, lit(100)))
+    val got = GlobalRank.withRunningTotal(df,
+      Seq(col("k"), col("id")), col("v"), "r", "cum", numPartitions = 7)
+    val w = W.orderBy(col("k"), col("id"))
+    val want = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v").cast("long"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sameRows(got, want)
+    // and its own plan is free of unpartitioned windows too
+    val bad = got.queryExecution.optimizedPlan.collect {
+      case win: Window if win.partitionSpec.isEmpty => win
+    }
+    assert(bad.isEmpty, "withRunningTotal leaked a single-partition window")
+  }
+
+  test("withRunningTotal rejects reserved/colliding column names") {
+    val df = data(10).withColumn("v", lit(1L))
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRunningTotal(df, Seq(col("id")), col("v"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRunningTotal(
+        df.withColumn("__gr_pid", lit(1)), Seq(col("id")), col("v"))
+    }
+  }
 }
