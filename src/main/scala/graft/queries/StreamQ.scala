@@ -164,6 +164,96 @@ object StreamQ {
              |    (acc, x) -> 0.25 * x + 0.75 * acc), 4) AS ewma
              |FROM sq""".stripMargin)),
 
+    // ts_mad [EXT, new r7]: per-entity robust outlier profile — the
+    // entity-granular twin of dq_outlier: per user, med = median(v),
+    // mad = median(|v − med|), n_out = events beyond 3·1.4826·mad.
+    // Per-entity medians are rank SELECTIONS inside user-partitioned
+    // windows (parallel across entities — the standard per-entity
+    // contract, NOT a global window), averaged over the two middle
+    // ranks exactly as the oracle replays; the whole-table iterative
+    // histogram (RobustStats) is the wrong tool per-group, this shape
+    // is. Selection-by-rank keeps tie handling value-identical.
+    Q("ts_mad",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def r4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+        val vals = t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("value").as("v"))
+        val wp = Window.partitionBy("user_id")
+        val r = vals
+          .withColumn("rn",
+            row_number().over(wp.orderBy(col("v"))))
+          .withColumn("nn", count(lit(1)).over(wp))
+        val med = r.filter(col("rn") === expr("(nn + 1) div 2") ||
+            col("rn") === expr("(nn + 2) div 2"))
+          .groupBy("user_id").agg(avg(col("v")).as("med"))
+        val dev = vals.join(med, "user_id")
+          .withColumn("dv", abs(col("v") - col("med")))
+        val r2 = dev
+          .withColumn("rn",
+            row_number().over(wp.orderBy(col("dv"))))
+          .withColumn("nn", count(lit(1)).over(wp))
+        val mad = r2.filter(col("rn") === expr("(nn + 1) div 2") ||
+            col("rn") === expr("(nn + 2) div 2"))
+          .groupBy("user_id").agg(avg(col("dv")).as("mad"))
+        dev.join(mad, "user_id")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            r4(min(col("med"))).as("med"),
+            r4(min(col("mad"))).as("mad"),
+            sum(when(col("dv") > lit(3.0) * lit(1.4826) * col("mad"),
+              1L).otherwise(0L)).as("n_out"))
+      },
+      Some("""WITH v AS (SELECT user_id, value::DOUBLE AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT user_id, v, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY v) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS nn FROM v),
+             |m AS (SELECT user_id, avg(v) AS med FROM r
+             |  WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2
+             |  GROUP BY 1),
+             |dv AS (SELECT v.user_id, v.v, m.med, abs(v.v - m.med) AS dv
+             |  FROM v JOIN m USING (user_id)),
+             |r2 AS (SELECT user_id, dv, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY dv) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS nn FROM dv),
+             |d2 AS (SELECT user_id, avg(dv) AS mad FROM r2
+             |  WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2
+             |  GROUP BY 1)
+             |SELECT dv.user_id, count(*)::BIGINT AS n,
+             |  floor(min(dv.med) * 10000.0 + 0.5) / 10000.0 AS med,
+             |  floor(min(d2.mad) * 10000.0 + 0.5) / 10000.0 AS mad,
+             |  sum(CASE WHEN dv.dv > 3.0 * 1.4826 * d2.mad
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_out
+             |FROM dv JOIN d2 USING (user_id)
+             |GROUP BY dv.user_id""".stripMargin)),
+
+    // scd1_latest [EXT, new r7]: latest-wins current-state snapshot —
+    // the SCD type-1 complement to scd2_merge's history: one aggregate
+    // materializes each user's most recent event (strict (ts, event_id)
+    // order) plus their event count. max_by carries ONE struct per
+    // partial — constant-size map-side combine, no window, no join;
+    // the CDC "compact the changelog to current state" primitive.
+    Q("scd1_latest",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+            struct(col("event_type").as("t"), col("value").as("vv"),
+              unix_micros(col("ts")).as("e"), col("event_id").as("i")),
+            struct(unix_micros(col("ts")), col("event_id"))).as("m"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("m.t").as("last_type"),
+          col("m.vv").as("last_value"), col("m.e").as("last_ts_us"),
+          col("m.i").as("last_event_id"), col("n_events")),
+      Some("""SELECT user_id, event_type AS last_type,
+             |  value AS last_value, epoch_us(ts) AS last_ts_us,
+             |  event_id AS last_event_id,
+             |  count(*) OVER (PARTITION BY user_id)::BIGINT AS n_events
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin)),
+
     // ts_holt [EXT, new r7]: Holt double exponential smoothing per
     // user — level + trend + 3-step forecast, the trend-aware upgrade
     // of ts_ewma's decayed-activity feature. Same plan shape: ONE

@@ -24,6 +24,35 @@ class NdcgGiniSpec extends SparkFunSuite {
     assert(rows.exists(_.getAs[Long]("dcg") > 0L))
   }
 
+  test("ts_mad: one row per user, outliers flagged, mad non-negative") {
+    val rows = SparkEntry.queries("ts_mad")(spark, sfDir).collect()
+    val users = queries.t(spark, sfDir, "events")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong === users)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n"))
+    }
+    assert(rows.map(_.getAs[Long]("n_out")).sum > 0L,
+      "no outliers flagged anywhere — check the rule")
+  }
+
+  test("scd1_latest: one row per user, latest event is the max (ts, id)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("scd1_latest")(spark, sfDir)
+    val ev = queries.t(spark, sfDir, "events")
+    assert(out.count() === ev.select("user_id").distinct().count())
+    // cross-check one user end-to-end against a plain sort
+    val u = ev.select("user_id").head().getLong(0)
+    val want = ev.filter(col("user_id") === u)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .select(col("event_id")).head().getLong(0)
+    val got = out.filter(col("user_id") === u)
+      .select(col("last_event_id")).head().getLong(0)
+    assert(got === want)
+  }
+
   test("corpus_gini: one row, gini within [0,1), k matches sources") {
     val r = SparkEntry.queries("corpus_gini")(spark, sfDir).head()
     val k = r.getAs[Long]("k")
