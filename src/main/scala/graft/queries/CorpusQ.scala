@@ -839,6 +839,38 @@ object CorpusQ {
              |SELECT doc_id, n_chars, toks, rnk, cum FROM r
              |WHERE cum <= 15000""".stripMargin)),
 
+    // corpus_interleave [EXT, new r7]: balanced source-interleaved
+    // training order — round-robin across sources in deterministic
+    // per-source content-hash order (position p takes each source's
+    // p-th pick in turn), the stratified complement to corpus_shuffle's
+    // uniform permutation: a small source spreads evenly through the
+    // epoch instead of clumping by luck. Per-source ranks are
+    // source-partitioned windows (parallel across sources); the global
+    // position is GlobalRank over (src_rank, source) — no global
+    // window, fully replayable (portable md5 hash, seed 11).
+    Q("corpus_interleave",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = t(s, d, "documents").select(col("doc_id"), col("source"),
+          graft.operators.Sampling.contentHash(col("doc_id"), 11L,
+            portable = true).as("hk"))
+        val ranked = h.withColumn("src_rank",
+            row_number().over(Window.partitionBy("source")
+              .orderBy(col("hk"), col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("source"), col("src_rank"))
+        graft.operators.GlobalRank.withGlobalRank(ranked,
+          Seq(col("src_rank"), col("source")), "pos")
+      },
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))
+             |      ::BIGINT AS hk FROM documents),
+             |r AS (SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY hk, doc_id) AS src_rank
+             |  FROM h)
+             |SELECT doc_id, source, src_rank,
+             |  row_number() OVER (ORDER BY src_rank, source) AS pos
+             |FROM r""".stripMargin)),
+
     // corpus_gini [EXT, new r7]: source-concentration audit — the Gini
     // coefficient of whitespace-token mass across document sources
     // (how skewed is the mix one corpus_mix/cap run produces?). Token
