@@ -232,6 +232,67 @@ object CorpusQ {
               |  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j)
               |SELECT vec_id, j, round(pr, 4) AS proj FROM p""".stripMargin)),
 
+    // embed_quant [EXT, new r7]: int8 scalar quantization of the
+    // embedding column — per-dimension (min, max) over the corpus, each
+    // component snapped to 256 levels, plus the per-vector
+    // reconstruction MSE that decides whether the 4× storage cut is
+    // acceptable (the serving-memory knob PQ's 8-byte codes sit below).
+    // Per-dim stats are a 64-row bounded collect composed back as
+    // literal arrays (the centroid/label-prior posture); quantize +
+    // error fold run inside ONE transform+aggregate pass per row,
+    // SEQUENTIAL in index order, so every double is bit-identical to
+    // the oracle's list_reduce replay. Constant dims (max == min)
+    // quantize to level 0 and reconstruct exactly.
+    Q("embed_quant",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val stats = emb
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("i"), col("x").cast("double").as("xd"))
+          .groupBy("i").agg(min("xd").as("mn"), max("xd").as("mx"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val mnA = array(stats.map(t3 => lit(t3._2)).toSeq: _*)
+        val sA = array(stats.map(t3 => lit((t3._3 - t3._2) / 255.0))
+          .toSeq: _*)
+        val dim = stats.length
+        val err = transform(col("embedding"), (x, i) => {
+          val xd = x.cast("double")
+          val mn = element_at(mnA, i + 1)
+          val sc = element_at(sA, i + 1)
+          val q = least(greatest(
+            floor((xd - mn) / sc + lit(0.5)), lit(0.0)), lit(255.0))
+          val rec = when(sc > 0.0, mn + q * sc).otherwise(mn)
+          (xd - rec) * (xd - rec)
+        })
+        emb.select(col("vec_id"),
+          (floor(aggregate(err, lit(0.0), (acc, e) => acc + e) /
+            lit(dim.toDouble) * lit(1e8) + lit(0.5)) / lit(1e8)).as("mse"))
+      },
+      Some("""WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1)
+             |      AS i, unnest(embedding)::DOUBLE AS x
+             |  FROM embeddings),
+             |st AS (SELECT i, min(x) AS mn,
+             |    (max(x) - min(x)) / 255.0 AS s
+             |  FROM v GROUP BY i),
+             |e AS (SELECT v.vec_id, v.i,
+             |    CASE WHEN st.s > 0.0 THEN
+             |      (v.x - (st.mn + least(greatest(
+             |        floor((v.x - st.mn) / st.s + 0.5), 0.0), 255.0)
+             |        * st.s)) *
+             |      (v.x - (st.mn + least(greatest(
+             |        floor((v.x - st.mn) / st.s + 0.5), 0.0), 255.0)
+             |        * st.s))
+             |    ELSE (v.x - st.mn) * (v.x - st.mn) END AS err
+             |  FROM v JOIN st USING (i)),
+             |g AS (SELECT vec_id, list(err ORDER BY i) AS es,
+             |    count(*)::BIGINT AS dim
+             |  FROM e GROUP BY vec_id)
+             |SELECT vec_id,
+             |  floor(list_reduce(es, (a, b) -> a + b) / dim * 1e8 + 0.5)
+             |    / 1e8 AS mse
+             |FROM g""".stripMargin)),
+
     // cluster_kmeans [EXT]: distributed Lloyd k-means over the FULL
     // embedding corpus (curation clustering — topic bucketing,
     // cluster-balanced sampling), k=4, 2 rounds. Deterministic
