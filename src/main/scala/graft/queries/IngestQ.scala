@@ -745,6 +745,30 @@ object IngestQ {
              CAST(sum(n_chars) AS BIGINT) AS chars
              FROM documents GROUP BY lang""")),
 
+    // src_pruned [EXT, new r7]: partition-PRUNED read of a partitioned
+    // lake write — the scan side of sink_parquet's layout contract: a
+    // `lang=...` filter on a lang-partitioned table must touch ONLY
+    // that partition's directory (PartitionFilters, zero data-file IO
+    // elsewhere) — at 100 TB this is the difference between reading
+    // one language and reading the lake. PlanSpec asserts the pruning
+    // structurally (pushed partition filter + single-partition scan);
+    // this query gates the VALUES the pruned read returns.
+    Q("src_pruned",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_pr")
+          .resolve("docs_by_lang").toString
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"), col("source"))
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin)),
+
     // src_evolve [EXT]: schema-evolution read — two parquet "versions"
     // with drifted schemas (v2 adds a column) union under mergeSchema,
     // old rows null-filled; the everyday shape of reading a years-deep

@@ -283,6 +283,18 @@ class PlanSpec extends SparkFunSuite {
       "column stats re-scanned the table:\n" + p.take(1200))
   }
 
+  test("src_pruned: the lang predicate prunes partitions at the scan") {
+    val p = plan("src_pruned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("lang") && l.contains("= en")),
+      "lang filter did not become a partition filter — the read would " +
+        s"scan every partition at scale: " +
+        pf.getOrElse("no PartitionFilters line in plan"))
+    // and it must NOT also appear as a data filter re-checked per row
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang pushed as a data filter: partition columns have no data files")
+  }
+
   test("win_session: both windows and aggregates share ONE user exchange") {
     val p = plan("win_session")
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
