@@ -288,4 +288,75 @@ class FuzzSpec extends SparkFunSuite {
         s"trial $trial: collision on distinct masked points")
     }
   }
+
+  test("RobustStats: 15 random distributions match the sorted-array median") {
+    val rnd = new Random(1007)
+    for (trial <- 1 to 15) {
+      val n = 1 + rnd.nextInt(5000)
+      val shape = rnd.nextInt(4)
+      val xs = Array.fill(n)(shape match {
+        case 0 => rnd.nextDouble() * 1e6 - 5e5          // uniform wide
+        case 1 => rnd.nextGaussian()                    // tight cluster
+        case 2 => math.exp(rnd.nextGaussian() * 5)      // heavy tail
+        case 3 => rnd.nextInt(7).toDouble               // massive ties
+      })
+      val sorted = xs.sorted
+      val want =
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      val got = graft.operators.RobustStats.medianExact(
+        xs.toSeq.toDF("x"), col("x"))
+      assert(got === want, s"trial $trial (n=$n shape=$shape)")
+    }
+  }
+
+  test("GraphSim: 10 random graphs match brute-force neighbor-set Jaccard") {
+    val rnd = new Random(2029)
+    for (trial <- 1 to 10) {
+      val v = 4 + rnd.nextInt(12)
+      val edges = (for {
+        a <- 0 until v; b <- a + 1 until v
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+        val want = (for {
+          a <- adj.keys; b <- adj.keys
+          if a < b
+          common = (adj(a) & adj(b)).size
+          if common > 0
+        } yield ((a, b),
+          common.toDouble / (adj(a).size + adj(b).size - common))).toMap
+        val got = graft.operators.GraphSim.neighborJaccard(
+            edges.toDF("a", "b"), "a", "b", minJac = 0.0)
+          .collect()
+          .map(r => ((r.getAs[Int]("a"), r.getAs[Int]("b")),
+            r.getAs[Double]("jac"))).toMap
+        assert(got === want, s"trial $trial (v=$v, e=${edges.length})")
+      }
+    }
+  }
+
+  test("Holt: 12 random series match the scalar fold bit-for-bit") {
+    val rnd = new Random(3011)
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    for (trial <- 1 to 12) {
+      val n = 2 + rnd.nextInt(60)
+      val xs = Array.fill(n)(rnd.nextDouble() * 200 - 100)
+      var l = xs(0); var b = xs(1) - xs(0)
+      xs.drop(2).foreach { x =>
+        val lN = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (lN - l) + 0.75 * b
+        l = lN
+      }
+      val df = xs.zipWithIndex
+        .map { case (x, i) => ("u", i.toLong, i.toLong, x) }
+        .toSeq.toDF("id", "ts", "seq", "v")
+      val r = graft.operators.TimeSeries.holt(
+        df, "id", col("ts"), col("seq"), col("v")).head()
+      assert(r.getAs[Double]("level") === r4(l), s"trial $trial level")
+      assert(r.getAs[Double]("trend") === r4(b), s"trial $trial trend")
+    }
+  }
 }
