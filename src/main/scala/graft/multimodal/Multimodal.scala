@@ -279,6 +279,39 @@ object Multimodal {
     Array.tabulate(ow * oh * 3)(i => (sum(i) / cnt(i / 3)).toByte)
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint of decoded RGB:
+    * box-resample to 9×8, integer grayscale `(r+g+b)/3` per pixel,
+    * then one bit per horizontal neighbor pair (`gray[x+1] > gray[x]`,
+    * 8 bits × 8 rows). Emitted as a 16-hex-char string (row bytes in
+    * row order, bit x = comparison at column x) — no 64-bit sign games
+    * and directly replayable by an engine building the same hex.
+    *
+    * dHash keys on luminance GRADIENTS, so uniform brightness shifts
+    * (no wraparound/clipping) leave the hash unchanged — the property
+    * that makes exact-hash bucketing a near-dup candidate generator
+    * for re-encoded/brightness-adjusted images, the image analog of
+    * MinHash banding (bucket join, never all-pairs).
+    */
+  def dhash(w: Int, h: Int, rgb: Array[Byte]): String = {
+    val t = boxResize(w, h, rgb, 9, 8)
+    val gray = Array.tabulate(9 * 8) { i =>
+      ((t(3 * i) & 0xff) + (t(3 * i + 1) & 0xff) + (t(3 * i + 2) & 0xff)) / 3
+    }
+    val sb = new StringBuilder(16)
+    var y = 0
+    while (y < 8) {
+      var b = 0
+      var x = 0
+      while (x < 8) {
+        if (gray(y * 9 + x + 1) > gray(y * 9 + x)) b |= 1 << x
+        x += 1
+      }
+      sb.append(f"$b%02x")
+      y += 1
+    }
+    sb.toString
+  }
+
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
     if (bytes.nonEmpty) {

@@ -1402,6 +1402,77 @@ object TextQ {
              |  (sum(b) // count(*))::BIGINT AS b
              |FROM m GROUP BY id, oy, ox""".stripMargin)),
 
+    // multimodal_phash [EXT, new r7]: IMAGE near-duplicate detection —
+    // dHash perceptual fingerprints over decoded BMPs, paired by
+    // exact-hash bucket join (the image analog of MinHash banding:
+    // candidates come from hash buckets, never an all-pairs product).
+    // Fixture: 9×8 formula BMPs where every id % 4 == 3 re-encodes the
+    // image of id−3 — the planted duplicates every bucket join must
+    // find. The oracle replays decode → grayscale → neighbor-gradient
+    // bits → row-byte hex straight from the pixel formula; dHash's
+    // brightness-shift invariance is spec-gated (MultimodalSpec).
+    Q("multimodal_phash",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Bmp, Multimodal}
+        val hashes = t(s, d, "documents")
+          .filter(col("doc_id") >= 160 && col("doc_id") < 200)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val gid = if (id % 4 == 3) id - 3 else id
+            val (w, h) = (9, 8)
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((gid * 31 + x * 7 + y * 13) % 256).toByte
+                rgb(i + 1) = ((gid * 17 + x * 5 + y * 3) % 256).toByte
+                rgb(i + 2) = ((gid * 29 + x * 11 + y * 19) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Bmp.encode(Bmp.Image(w, h, rgb)))
+          }.toDF("id", "payload")
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            val img = Bmp.decode(bytes)
+            (id, Multimodal.dhash(img.width, img.height, img.rgb))
+          }.toDF("id", "phash")
+        hashes.as("x")
+          .join(hashes.as("y"),
+            col("x.phash") === col("y.phash") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            col("x.phash").as("phash"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             |  WHERE doc_id >= 160 AND doc_id < 200),
+             |base AS (SELECT id,
+             |    CASE WHEN id % 4 = 3 THEN id - 3 ELSE id END AS gid
+             |  FROM ids),
+             |px AS (SELECT id, gid, gx.x AS x, gy.y AS y
+             |  FROM base, generate_series(0, 8) AS gx(x),
+             |       generate_series(0, 7) AS gy(y)),
+             |g AS (SELECT id, x, y,
+             |    (((gid*31 + x*7 + y*13) % 256) +
+             |     ((gid*17 + x*5 + y*3) % 256) +
+             |     ((gid*29 + x*11 + y*19) % 256)) // 3 AS gray
+             |  FROM px),
+             |bits AS (SELECT a.id, a.y,
+             |    sum(CASE WHEN b.gray > a.gray THEN 1 << a.x
+             |      ELSE 0 END)::INT AS rowbyte
+             |  FROM g a JOIN g b
+             |    ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 8 GROUP BY a.id, a.y),
+             |h AS (SELECT id, string_agg(lpad(lower(hex(rowbyte)), 2, '0'),
+             |    '' ORDER BY y) AS phash
+             |  FROM bits GROUP BY id)
+             |SELECT h1.id AS a, h2.id AS b, h1.phash
+             |FROM h h1 JOIN h h2
+             |  ON h1.phash = h2.phash AND h1.id < h2.id""".stripMargin)),
+
     // multimodal_features [EXT]: partition-parallel decode/feature-extract
     // over opaque binary payloads. The RIFF/WAVE branch is REAL — the
     // dependency-free 16-bit-PCM codec (multimodal.Wav) decodes planted

@@ -502,4 +502,40 @@ class MultimodalSpec extends SparkFunSuite {
     assert(fs(1L).kind === "jpeg" && fs(1L).feature(8) === 1.0f)
     assert(fs(2L).kind === "jpeg" && fs(2L).feature.sum > 0.99f)
   }
+
+  test("dhash: brightness-shift invariant, gradient-sensitive, 16 hex chars") {
+    def img(shift: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val rgb = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        rgb((y * 9 + x) * 3 + c) = (f(x, y) + shift).toByte
+      rgb
+    }
+    // gradient image, values 0..120 so +100 shifts without wrap
+    val base = img(0, (x, y) => x * 10 + y * 5)
+    val h0 = Multimodal.dhash(9, 8, base)
+    assert(h0.length === 16 && h0.matches("[0-9a-f]{16}"))
+    // uniform brightness shift: gradients unchanged -> SAME hash
+    assert(Multimodal.dhash(9, 8, img(100, (x, y) => x * 10 + y * 5)) === h0)
+    // reversed gradient: every comparison flips -> different hash
+    val rev = Multimodal.dhash(9, 8, img(0, (x, y) => 120 - x * 10))
+    assert(rev !== h0)
+    // monotone-increasing rows: all 8 bits set per row -> "ff" x 8
+    assert(h0 === "ff" * 8)
+    assert(rev === "00" * 8)
+    // larger image reaches the same hash via the box resample
+    val big = new Array[Byte](18 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 18; c <- 0 until 3)
+      big((y * 18 + x) * 3 + c) = ((x / 2) * 10 + (y / 2) * 5).toByte
+    assert(Multimodal.dhash(18, 16, big) === h0)
+  }
+
+  test("multimodal_phash finds every planted duplicate pair at gate SF") {
+    val pairs = SparkEntry.queries("multimodal_phash")(spark, SparkSpec.Sf0001)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // ids 160..199: id % 4 == 3 re-encodes id - 3
+    val planted = (160L until 200L).filter(_ % 4 == 3).map(i => (i - 3, i))
+    planted.foreach { p =>
+      assert(pairs.contains(p), s"planted duplicate pair $p not found")
+    }
+  }
 }
