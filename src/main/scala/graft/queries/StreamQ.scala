@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * streaming path, watermarks and stateful ops included, lives in
   * graft.streaming and is exercised by ScalaTest with MemoryStream).
   *
-  * Timestamps: window starts are emitted as epoch seconds (BIGINT) — the
-  * test data's nanosecond timestamps read at different precisions in
-  * Spark (µs) and DuckDB (ns), so raw instants never cross the oracle.
+  * Timestamps: window starts are emitted as epoch seconds (BIGINT) —
+  * the events `ts` physical type has drifted across test-data
+  * generations (nanos → micros; the loader in `graft.queries.t`
+  * branches on the observed schema), so raw instants never cross the
+  * oracle: both engines compare epoch integers at the engine's µs
+  * precision floor instead.
   */
 object StreamQ {
 

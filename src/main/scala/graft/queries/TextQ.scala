@@ -1473,6 +1473,105 @@ object TextQ {
              |FROM h h1 JOIN h h2
              |  ON h1.phash = h2.phash AND h1.id < h2.id""".stripMargin)),
 
+    // multimodal_neardup [EXT, new r7]: NEAR-miss image duplicates —
+    // banded dHash pairing at hamming ≤ 3: the 8 row-bytes are 8 LSH
+    // bands (pigeonhole: hamming ≤ 7 guarantees ≥ 1 identical band),
+    // candidates join per (band, byte) bucket, exact hamming verifies.
+    // Fixture plants single-pixel-perturbed re-encodes (center pixel
+    // forced white → ≤ 2 gradient bits flip) that exact-hash pairing
+    // (multimodal_phash) cannot find. A common row-byte (e.g. 0x00)
+    // is the standard LSH mega-bucket: at corpus scale it gets the
+    // same sub-bucket salting Dedup applies; at gate scale the bucket
+    // join is exact and tiny. Oracle replays bits, bands, and
+    // bit_count(xor) verification from the pixel formula.
+    Q("multimodal_neardup",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Bmp, Multimodal}
+        val hashes = t(s, d, "documents")
+          .filter(col("doc_id") >= 200 && col("doc_id") < 240)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val gid = if (id % 4 == 3) id - 3 else id
+            val (w, h) = (9, 8)
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((gid * 31 + x * 7 + y * 13) % 256).toByte
+                rgb(i + 1) = ((gid * 17 + x * 5 + y * 3) % 256).toByte
+                rgb(i + 2) = ((gid * 29 + x * 11 + y * 19) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            if (id % 4 == 3) { // perturb one pixel of the re-encode
+              val i = (3 * w + 4) * 3
+              rgb(i) = 255.toByte; rgb(i + 1) = 255.toByte
+              rgb(i + 2) = 255.toByte
+            }
+            (id, Bmp.encode(Bmp.Image(w, h, rgb)))
+          }.toDF("id", "payload")
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            val img = Bmp.decode(bytes)
+            val hex = Multimodal.dhash(img.width, img.height, img.rgb)
+            val rb = Array.tabulate(8)(y =>
+              Integer.parseInt(hex.substring(2 * y, 2 * y + 2), 16))
+            (id, rb)
+          }.toDF("id", "rb")
+        val bands = hashes.select(col("id"), col("rb"),
+          posexplode(col("rb")).as(Seq("band", "bv")))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bv") === col("y.bv") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            col("x.rb").as("ra"), col("y.rb").as("rb2"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            aggregate(zip_with(col("ra"), col("rb2"),
+                (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
+              lit(0L), (acc, e) => acc + e))
+          .filter(col("hamming") <= 3)
+          .select(col("a"), col("b"), col("hamming"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             |  WHERE doc_id >= 200 AND doc_id < 240),
+             |base AS (SELECT id,
+             |    CASE WHEN id % 4 = 3 THEN id - 3 ELSE id END AS gid
+             |  FROM ids),
+             |px AS (SELECT id, gid, gx.x AS x, gy.y AS y
+             |  FROM base, generate_series(0, 8) AS gx(x),
+             |       generate_series(0, 7) AS gy(y)),
+             |g AS (SELECT id, x, y,
+             |    CASE WHEN id % 4 = 3 AND x = 4 AND y = 3 THEN 255
+             |    ELSE (((gid*31 + x*7 + y*13) % 256) +
+             |      ((gid*17 + x*5 + y*3) % 256) +
+             |      ((gid*29 + x*11 + y*19) % 256)) // 3 END AS gray
+             |  FROM px),
+             |bits AS (SELECT a.id, a.y,
+             |    sum(CASE WHEN b.gray > a.gray THEN 1 << a.x
+             |      ELSE 0 END)::INT AS rowbyte
+             |  FROM g a JOIN g b
+             |    ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 8 GROUP BY a.id, a.y),
+             |cand AS (SELECT DISTINCT b1.id AS a, b2.id AS b
+             |  FROM bits b1 JOIN bits b2
+             |    ON b1.y = b2.y AND b1.rowbyte = b2.rowbyte
+             |      AND b1.id < b2.id),
+             |hm AS (SELECT cand.a, cand.b,
+             |    sum(bit_count(xor(x.rowbyte::BIGINT, y.rowbyte::BIGINT)))
+             |      ::BIGINT AS hamming
+             |  FROM cand JOIN bits x ON x.id = cand.a
+             |    JOIN bits y ON y.id = cand.b AND y.y = x.y
+             |  GROUP BY 1, 2)
+             |SELECT a, b, hamming FROM hm
+             |WHERE hamming <= 3""".stripMargin)),
+
     // multimodal_features [EXT]: partition-parallel decode/feature-extract
     // over opaque binary payloads. The RIFF/WAVE branch is REAL — the
     // dependency-free 16-bit-PCM codec (multimodal.Wav) decodes planted

@@ -538,4 +538,21 @@ class MultimodalSpec extends SparkFunSuite {
       assert(pairs.contains(p), s"planted duplicate pair $p not found")
     }
   }
+
+  test("multimodal_neardup finds every perturbed near-dup within hamming 3") {
+    val rows = SparkEntry.queries("multimodal_neardup")(spark, SparkSpec.Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // ids 200..239: id % 4 == 3 is id - 3 with one pixel forced white
+    val planted = (200L until 240L).filter(_ % 4 == 3).map(i => (i - 3, i))
+    planted.foreach { p =>
+      assert(rows.contains(p), s"planted near-dup pair $p not found")
+      assert(rows(p) <= 3L, s"pair $p hamming ${rows(p)} > 3")
+    }
+    // the perturbation must actually flip bits somewhere (this is the
+    // near-MISS path, not the exact-dup path)
+    assert(planted.exists(p => rows(p) > 0L),
+      "every planted pair hashed identically — perturbation too weak")
+  }
 }
