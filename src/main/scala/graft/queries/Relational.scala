@@ -182,6 +182,54 @@ object Relational {
              round(stddev_samp(l_quantity), 4) AS sd_q
              FROM lineitem GROUP BY l_returnflag""")),
 
+    // agg_skew_kurt [EXT, new r7]: higher distribution moments per
+    // group — population skewness and excess kurtosis from raw moment
+    // sums (s1..s4), the shape screen that catches what mean/stddev
+    // miss (lopsided or heavy-tailed quantity distributions). The
+    // moment formulas are written TEXTUALLY PARALLEL in both engines;
+    // sum-order float noise (~1e-12) is absorbed by the repo's
+    // 4-decimal rounding, the agg_corr convention.
+    Q("agg_skew_kurt",
+      (s, d) => {
+        val x = col("l_quantity").cast("double")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).as("s1"), sum(x * x).as("s2"),
+            sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n"), {
+            val m = col("s1") / col("n")
+            val v = col("s2") / col("n") - m * m
+            val sk = (col("s3") / col("n") - lit(3.0) * m * (col("s2") / col("n")) +
+              lit(2.0) * m * m * m) / pow(v, 1.5)
+            round(sk, 4).as("skew")
+          }, {
+            val m = col("s1") / col("n")
+            val v = col("s2") / col("n") - m * m
+            val ku = (col("s4") / col("n") - lit(4.0) * m * (col("s3") / col("n")) +
+              lit(6.0) * m * m * (col("s2") / col("n")) -
+              lit(3.0) * m * m * m * m) / (v * v) - lit(3.0)
+            round(ku, 4).as("kurt")
+          })
+      },
+      Some("""WITH a AS (SELECT l_returnflag,
+             |    count(*)::DOUBLE AS n, sum(l_quantity) AS s1,
+             |    sum(l_quantity * l_quantity) AS s2,
+             |    sum(l_quantity * l_quantity * l_quantity) AS s3,
+             |    sum(l_quantity * l_quantity * l_quantity * l_quantity)
+             |      AS s4
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n::BIGINT AS n,
+             |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n) +
+             |    2.0 * (s1 / n) * (s1 / n) * (s1 / n)) /
+             |    pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew,
+             |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n) +
+             |    6.0 * (s1 / n) * (s1 / n) * (s2 / n) -
+             |    3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) /
+             |    ((s2 / n - (s1 / n) * (s1 / n)) *
+             |     (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 4) AS kurt
+             |FROM a""".stripMargin)),
+
     // agg_mode [EXT, new r7]: exact per-group MODE with a
     // deterministic tie-break — each supplier's most-shipped part
     // (highest line count; smallest partkey on ties). Two map-side-

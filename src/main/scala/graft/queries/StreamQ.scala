@@ -232,6 +232,39 @@ object StreamQ {
              |FROM dv JOIN d2 USING (user_id)
              |GROUP BY dv.user_id""".stripMargin)),
 
+    // win_streak [EXT, new r7]: longest consecutive-day activity
+    // streak per user — the canonical gaps-and-islands reduction
+    // (retention/engagement's "N-day streak" metric): distinct active
+    // days, island id = epoch_day − row_number (constant within a
+    // consecutive run), then two user-keyed aggregates. All windows
+    // user-partitioned; integer day arithmetic end to end.
+    Q("win_streak",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val grp = (datediff(col("day"), to_date(lit("1970-01-01"))) -
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("day"))).cast("long")
+        days.withColumn("grp", grp)
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("max_streak"), sum("len").as("n_days"),
+            count(lit(1)).as("n_streaks"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day
+             |  FROM events),
+             |r AS (SELECT user_id, day,
+             |    date_diff('day', DATE '1970-01-01', day) -
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY day) AS grp
+             |  FROM days),
+             |s AS (SELECT user_id, grp, count(*)::BIGINT AS len
+             |  FROM r GROUP BY 1, 2)
+             |SELECT user_id, max(len)::BIGINT AS max_streak,
+             |  sum(len)::BIGINT AS n_days, count(*)::BIGINT AS n_streaks
+             |FROM s GROUP BY 1""".stripMargin)),
+
     // scd1_latest [EXT, new r7]: latest-wins current-state snapshot —
     // the SCD type-1 complement to scd2_merge's history: one aggregate
     // materializes each user's most recent event (strict (ts, event_id)
