@@ -134,6 +134,67 @@ object TimeSeries {
         r4(col("st.l") + lit(horizon.toDouble) * col("st.b")).as("fc"))
   }
 
+  /** One-sided CUSUM change-point monitor per entity — the classic
+    * upward mean-shift alarm (metric drift, abuse spikes, sensor
+    * failure): standardize each observation against the entity's own
+    * (population) moments, then fold
+    * `s_t = max(0, s_{t-1} + z_t − k)` in (timestamp, seqCol) order,
+    * counting alarms where `s_t > h`.
+    *
+    * Two passes, both entity-keyed: one moment aggregate (n, Σx, Σx²)
+    * joined back, then the same single-exchange ordered fold as
+    * [[ewma]]/[[holt]] with a (cusum, alarms, max) struct accumulator.
+    * Entities with zero variance are dropped (no scale to detect
+    * against). z is snapped to 6 decimals (floor convention) BEFORE
+    * the fold, so both engines fold bit-identical doubles and the
+    * integer alarm count cannot drift on sum-order noise.
+    *
+    * @return (entityCol, n, alarms, max_cusum) — max_cusum rounded via
+    *         floor(x·1e4 + 0.5)/1e4
+    */
+  def cusum(events: DataFrame, entityCol: String, tsCol: Column,
+            seqCol: Column, valueCol: Column,
+            k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val vals = events.filter(valueCol.isNotNull)
+      .select(col(entityCol), tsCol.as("__ts_o1"), seqCol.as("__ts_o2"),
+        valueCol.cast("double").as("__ts_x"))
+    val moments = vals.groupBy(entityCol)
+      .agg(count(lit(1)).cast("double").as("__ts_n"),
+        sum(col("__ts_x")).as("__ts_s1"),
+        sum(col("__ts_x") * col("__ts_x")).as("__ts_s2"))
+      .select(col(entityCol),
+        (col("__ts_s1") / col("__ts_n")).as("__ts_mu"),
+        (col("__ts_s2") / col("__ts_n") -
+          (col("__ts_s1") / col("__ts_n")) *
+          (col("__ts_s1") / col("__ts_n"))).as("__ts_v2"))
+      .filter(col("__ts_v2") > 0.0)
+      .withColumn("__ts_sd", sqrt(col("__ts_v2")))
+    val z = floor((col("__ts_x") - col("__ts_mu")) / col("__ts_sd") *
+      lit(1e6) + lit(0.5)) / lit(1e6)
+    val packed = vals.join(moments, entityCol)
+      .select(col(entityCol),
+        struct(col("__ts_o1").as("o1"), col("__ts_o2").as("o2"),
+          z.as("z")).as("p"))
+      .groupBy(entityCol)
+      .agg(sort_array(collect_list(col("p"))).as("seq"))
+    val init = struct(lit(0.0).as("s"), lit(0L).as("alarms"),
+      lit(0.0).as("mx"))
+    def step(acc: Column, e: Column): Column = {
+      val sNew = greatest(lit(0.0),
+        acc.getField("s") + e.getField("z") - lit(k))
+      struct(sNew.as("s"),
+        (acc.getField("alarms") +
+          when(sNew > lit(h), 1L).otherwise(0L)).as("alarms"),
+        greatest(acc.getField("mx"), sNew).as("mx"))
+    }
+    packed.select(col(entityCol),
+        size(col("seq")).cast("long").as("n"),
+        aggregate(col("seq"), init, step).as("st"))
+      .select(col(entityCol), col("n"), col("st.alarms").as("alarms"),
+        (floor(col("st.mx") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("max_cusum"))
+  }
+
   def ewma(events: DataFrame, entityCol: String, tsCol: Column,
            seqCol: Column, valueCol: Column,
            alpha: Double = 0.25): DataFrame = {

@@ -232,6 +232,47 @@ object StreamQ {
              |FROM dv JOIN d2 USING (user_id)
              |GROUP BY dv.user_id""".stripMargin)),
 
+    // ts_changepoint [EXT, new r7]: one-sided CUSUM mean-shift monitor
+    // per user — standardize against the user's own population
+    // moments, fold s_t = max(0, s_{t-1} + z_t − 0.5) in event order,
+    // alarm at s_t > 4 (the drift/spike detector stream_anomaly's
+    // z-score screen does not catch: CUSUM accumulates SMALL sustained
+    // shifts). z snaps to 6 decimals before the fold so both engines
+    // fold identical doubles; the oracle replays the recurrence with a
+    // recursive CTE.
+    Q("ts_changepoint",
+      (s, d) => graft.operators.TimeSeries.cusum(
+        t(s, d, "events"), "user_id",
+        unix_micros(col("ts")), col("event_id"), col("value")),
+      Some("""WITH RECURSIVE v AS (SELECT user_id, epoch_us(ts) AS o1,
+             |    event_id AS o2, value::DOUBLE AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT user_id, count(*)::DOUBLE AS n,
+             |    sum(x) AS s1, sum(x * x) AS s2
+             |  FROM v GROUP BY 1),
+             |st AS (SELECT user_id, s1 / n AS mu,
+             |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+             |  FROM a WHERE s2 / n - (s1 / n) * (s1 / n) > 0.0),
+             |z AS (SELECT v.user_id, v.o1, v.o2,
+             |    floor((v.x - st.mu) / st.sd * 1e6 + 0.5) / 1e6 AS z
+             |  FROM v JOIN st USING (user_id)),
+             |sq AS (SELECT user_id, list(z ORDER BY o1, o2) AS zs
+             |  FROM z GROUP BY 1),
+             |rec AS (
+             |  SELECT user_id, zs, len(zs)::BIGINT AS n, 0::BIGINT AS i,
+             |    0.0::DOUBLE AS s, 0::BIGINT AS alarms, 0.0::DOUBLE AS mx
+             |  FROM sq
+             |  UNION ALL
+             |  SELECT user_id, zs, n, i + 1,
+             |    greatest(0.0, s + zs[i + 1] - 0.5),
+             |    alarms + CASE WHEN greatest(0.0, s + zs[i + 1] - 0.5)
+             |      > 4.0 THEN 1 ELSE 0 END,
+             |    greatest(mx, greatest(0.0, s + zs[i + 1] - 0.5))
+             |  FROM rec WHERE i < n)
+             |SELECT user_id, n, alarms,
+             |  floor(mx * 10000.0 + 0.5) / 10000.0 AS max_cusum
+             |FROM rec WHERE i = n""".stripMargin)),
+
     // win_streak [EXT, new r7]: longest consecutive-day activity
     // streak per user — the canonical gaps-and-islands reduction
     // (retention/engagement's "N-day streak" metric): distinct active
