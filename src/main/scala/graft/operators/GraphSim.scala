@@ -29,8 +29,14 @@ object GraphSim {
   def neighborJaccard(edges: DataFrame, aCol: String, bCol: String,
                       minJac: Double): DataFrame = {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
-    val adj = e.select(col("a").as("node"), col("b").as("nb"))
-      .unionAll(e.select(col("b").as("node"), col("a").as("nb")))
+    // the mirrored adjacency feeds FOUR plan branches (both wedge
+    // sides + both degree lookups) — stage it once or every branch
+    // re-derives the full edge lineage (a 16-scan plan at gate, a
+    // 16× re-read of the source at 100 TB)
+    val adj = Stage.materialize(
+      e.select(col("a").as("node"), col("b").as("nb"))
+        .unionAll(e.select(col("b").as("node"), col("a").as("nb"))),
+      "graphsim_adj")
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
     val common = adj.as("x")
       .join(adj.as("y"),
