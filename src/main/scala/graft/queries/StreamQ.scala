@@ -181,8 +181,13 @@ object StreamQ {
         import org.apache.spark.sql.expressions.Window
         def r4(c: org.apache.spark.sql.Column) =
           floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
-        val vals = t(s, d, "events").filter(col("value").isNotNull)
-          .select(col("user_id"), col("value").as("v"))
+        // the narrow (user, value) frame feeds FOUR branches (two
+        // rank-selection passes + two join-backs): stage it so the
+        // wide source is read once, not four times
+        val vals = graft.operators.Stage.materialize(
+          t(s, d, "events").filter(col("value").isNotNull)
+            .select(col("user_id"), col("value").as("v")),
+          "ts_mad_vals")
         val wp = Window.partitionBy("user_id")
         val r = vals
           .withColumn("rn",
