@@ -157,6 +157,9 @@ object DataQuality {
         numericCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"lo_${tag}_$c"),
           max(col(c).cast("double")).as(s"hi_${tag}_$c"))): _*)
+    // one-row frame, broadcast into each side's exploding scan; its
+    // min/max lineage re-runs once per staged side below — cheap
+    // pushdown-friendly aggregates, not worth a stage write of one row
     val bounds = sideBounds(a, "a").crossJoin(sideBounds(b, "b"))
       .select(numericCols.flatMap(c => Seq(
         least(col(s"lo_a_$c"), col(s"lo_b_$c")).as(s"lo_$c"),
@@ -193,8 +196,13 @@ object DataQuality {
           .toDF("col_name"))
       .select(col("col_name"), lit("numeric").as("kind"),
         col("id").cast("string").as("cell"))
-    val ca = cellCounts(a, "ca")
-    val cb = cellCounts(b, "cb")
+    // staged: each side's aggregated cell counts feed TWO branches
+    // (the key-frame union and the PSI join) — one exploding scan per
+    // side total, as the contract above promises, instead of two
+    val ca = graft.operators.Stage.materialize(
+      cellCounts(a, "ca"), "dq_drift_ca")
+    val cb = graft.operators.Stage.materialize(
+      cellCounts(b, "cb"), "dq_drift_cb")
     val keys = grid
       .unionByName(ca.select("col_name", "kind", "cell"))
       .unionByName(cb.select("col_name", "kind", "cell"))

@@ -34,24 +34,28 @@ object Triangles {
     *         edges collapse.
     */
   def perVertex(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+    // staged: the canonical edge set feeds THREE branches (degree
+    // aggregate, orientation attach, wedge closure) — one derivation
+    // of the input lineage instead of three
+    val und = Stage.materialize(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v") &&
         col("u").isNotNull && col("v").isNotNull)
-      .distinct()
+      .distinct(), "tri_edges")
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient from (deg, id)-smaller to larger endpoint
     val withDeg = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
-    val oriented = withDeg.select(
+    // staged: both wedge sides scan the oriented edges
+    val oriented = Stage.materialize(withDeg.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .select(col("e.s").as("s"), col("e.t").as("t")), "tri_oriented")
     // wedges at apex s: out-neighbor pairs in canonical id order, so
     // they close directly against the canonical undirected edge set
     val o1 = oriented.select(col("s"), col("t").as("t1"))

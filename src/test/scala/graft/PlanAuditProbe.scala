@@ -1,8 +1,9 @@
 package graft
 
 /** One-off plan audit (manual: sbt "Test/runMain graft.PlanAuditProbe"):
-  * prints exchange/scan/join counts per round-7 query so accidental
-  * re-scans or surprise sort-merge joins are visible at a glance.
+  * prints exchange/scan/join counts for EVERY registered query, sorted
+  * by scan count, so accidental re-scans of wide sources or surprise
+  * join strategies are visible at a glance.
   */
 object PlanAuditProbe {
   def main(args: Array[String]): Unit = {
@@ -11,20 +12,22 @@ object PlanAuditProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val qs = Seq("dq_outlier", "graph_jaccard", "ts_holt", "rank_ndcg",
-      "corpus_gini", "corpus_budget", "agg_mode", "sim_recall", "ts_mad",
-      "scd1_latest", "corpus_interleave", "embed_quant", "src_pruned",
-      "multimodal_phash", "multimodal_neardup", "win_streak",
-      "agg_skew_kurt", "ts_changepoint")
-    qs.foreach { name =>
-      val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString
-      val ex = p.linesIterator.count(_.trim.startsWith("Exchange"))
-      val scans = p.linesIterator.count(_.contains("FileScan"))
-      val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
-      val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
-      val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-      println(f"$name%-20s exchanges=$ex scans=$scans smj=$smj bhj=$bhj bnlj=$bnl")
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val p = fn(spark, "/root/testdata/sf0.001")
+            .queryExecution.executedPlan.toString
+          def c(s: String) = p.linesIterator.count(_.contains(s))
+          Some((name, c("FileScan"),
+            p.linesIterator.count(_.trim.startsWith("Exchange")),
+            c("SortMergeJoin"), c("BroadcastNestedLoopJoin"),
+            c("CartesianProduct")))
+        } catch { case e: Throwable =>
+          println(s"$name BUILD-FAIL: $e"); None
+        }
+    }
+    rows.sortBy(-_._2).foreach { case (n, sc, ex, smj, bnl, cp) =>
+      println(f"$n%-22s scans=$sc%-3d exchanges=$ex%-3d smj=$smj bnlj=$bnl cart=$cp")
     }
     spark.stop()
   }
