@@ -237,6 +237,56 @@ object StreamQ {
              |FROM dv JOIN d2 USING (user_id)
              |GROUP BY dv.user_id""".stripMargin)),
 
+    // stream_changepoint [EXT, new r7]: the ONLINE twin of
+    // ts_changepoint — per-user CUSUM over prefix-standardized z
+    // (each event scores against the user's strictly-preceding Welford
+    // history, so a drift cannot mask itself; scoring starts after 12
+    // observations). Runs the REAL streaming operator
+    // (flatMapGroupsWithState, six scalars of state per user) in batch
+    // mode, where the empty state store reproduces the full prefix
+    // scan; the oracle replays prefix moments with windows (EXCLUDING
+    // the current row) and the alarm fold with a recursive CTE over
+    // the NULL-marked z list (unscored events are fold no-ops). z
+    // snaps to 4 decimals pre-fold in both engines.
+    Q("stream_changepoint",
+      (s, d) => graft.streaming.EventStreams.cusumMonitor(
+        s, t(s, d, "events")).toDF(),
+      Some("""WITH RECURSIVE v AS (SELECT user_id, epoch_us(ts) AS o1,
+             |    event_id AS o2, value::DOUBLE AS x FROM events),
+             |w AS (SELECT user_id, o1, o2, x,
+             |    count(x) OVER wp AS pn,
+             |    avg(x) OVER wp AS pmean,
+             |    var_samp(x) OVER wp AS pvar
+             |  FROM v
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY o1, o2
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT user_id, o1, o2,
+             |    CASE WHEN pn >= 12 AND pvar > 0
+             |      THEN floor((x - pmean) / sqrt(pvar) * 1e4 + 0.5) / 1e4
+             |    END AS z
+             |  FROM w),
+             |sq AS (SELECT user_id, count(*)::BIGINT AS ntot,
+             |    list(z ORDER BY o1, o2) AS zs
+             |  FROM z GROUP BY 1),
+             |rec AS (
+             |  SELECT user_id, zs, ntot AS n, 0::BIGINT AS i,
+             |    0.0::DOUBLE AS s, 0::BIGINT AS alarms, 0.0::DOUBLE AS mx
+             |  FROM sq
+             |  UNION ALL
+             |  SELECT user_id, zs, n, i + 1,
+             |    CASE WHEN zs[i + 1] IS NULL THEN s
+             |      ELSE greatest(0.0, s + zs[i + 1] - 0.5) END,
+             |    alarms + CASE WHEN zs[i + 1] IS NOT NULL AND
+             |      greatest(0.0, s + zs[i + 1] - 0.5) > 4.0
+             |      THEN 1 ELSE 0 END,
+             |    CASE WHEN zs[i + 1] IS NULL THEN mx
+             |      ELSE greatest(mx, greatest(0.0, s + zs[i + 1] - 0.5))
+             |      END
+             |  FROM rec WHERE i < n)
+             |SELECT user_id, n, alarms,
+             |  floor(mx * 10000.0 + 0.5) / 10000.0 AS max_cusum
+             |FROM rec WHERE i = n""".stripMargin)),
+
     // ts_changepoint [EXT, new r7]: one-sided CUSUM mean-shift monitor
     // per user — standardize against the user's own population
     // moments, fold s_t = max(0, s_{t-1} + z_t − 0.5) in event order,

@@ -219,6 +219,67 @@ object EventStreams {
       }
   }
 
+  /** Per-user CUSUM accumulator: the three Welford scalars plus the
+    * running one-sided CUSUM statistic and its lifetime stats — SIX
+    * scalars per user, no event retention.
+    */
+  final case class CusumState(n: Long, mean: Double, m2: Double,
+                              s: Double, alarms: Long, maxS: Double)
+  /** One emitted summary row per user per trigger. */
+  final case class CusumUpdate(user_id: Long, n: Long, alarms: Long,
+                               max_cusum: Double)
+
+  /** ONLINE per-user CUSUM mean-shift monitor — the sustained-drift
+    * detector [[anomalies]]' z-score screen cannot provide (a +1σ
+    * shift never trips |z| > 3, but its CUSUM grows without bound):
+    * each arriving event standardizes against the user's OWN
+    * strictly-preceding history (Welford prefix moments, the
+    * [[anomalies]] discipline — a drift cannot mask itself), the
+    * statistic folds `s = max(0, s + z − k)`, and `s > h` counts an
+    * alarm. Scoring starts once `minObs` events precede. z snaps to
+    * 4 decimals before the fold so batch replay and the oracle fold
+    * identical doubles. State is six scalars per user; within a
+    * trigger rows process in (ts, event_id) order, so batch mode
+    * reproduces the full prefix scan the gate oracle replays, while
+    * StreamingSpec drives the cross-trigger state path.
+    */
+  def cusumMonitor(spark: SparkSession, events: DataFrame,
+                   k: Double = 0.5, h: Double = 4.0,
+                   minObs: Long = 12): Dataset[CusumUpdate] = {
+    import spark.implicits._
+    require(minObs >= 2, s"minObs must be >= 2 (got $minObs)")
+    events.select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[CusumState]) =>
+          val prev = state.getOption
+            .getOrElse(CusumState(0L, 0.0, 0.0, 0.0, 0L, 0.0))
+          var n = prev.n; var mean = prev.mean; var m2 = prev.m2
+          var s = prev.s; var alarms = prev.alarms; var maxS = prev.maxS
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, _, _, x) =>
+              if (n >= minObs && m2 > 0) {
+                val zRaw = (x - mean) / math.sqrt(m2 / (n - 1))
+                val z = math.floor(zRaw * 1e4 + 0.5) / 1e4
+                s = math.max(0.0, s + z - k)
+                if (s > h) alarms += 1
+                if (s > maxS) maxS = s
+              }
+              n += 1
+              val d = x - mean
+              mean += d / n
+              m2 += d * (x - mean)
+          }
+          state.update(CusumState(n, mean, m2, s, alarms, maxS))
+          Iterator.single(CusumUpdate(uid, n, alarms,
+            math.floor(maxS * 1e4 + 0.5) / 1e4))
+      }
+  }
+
   /** Custom per-key state via flatMapGroupsWithState: maintains a running
     * (count, sum) per user and emits the updated totals each trigger. In
     * batch mode the state store is empty and this degenerates to a plain

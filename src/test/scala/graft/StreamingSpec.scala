@@ -189,6 +189,36 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cusum: sustained drift alarms against cross-trigger state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.cusumMonitor(spark, in.toDF(), minObs = 12)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      def latest(uid: Long) = spark.table(name)
+        .filter(col("user_id") === uid)
+        .orderBy(col("n").desc).select("alarms", "max_cusum", "n")
+        .head()
+      // trigger 1: baseline with some spread (sd ~ 0.8) — no alarms
+      in.addData((0 until 12).map(i =>
+        Ev(ts(i), i.toLong, 7, "m", 10.0 + (i % 3))))
+      q.processAllAvailable()
+      assert(latest(7).getAs[Long]("alarms") === 0L)
+      // trigger 2: a sustained +2-sd shift the z-screen would miss
+      // per-event, but CUSUM accumulates across THIS trigger against
+      // state carried from the previous one
+      in.addData((0 until 10).map(i =>
+        Ev(ts(20 + i), (100 + i).toLong, 7, "m", 12.5)))
+      q.processAllAvailable()
+      val r = latest(7)
+      assert(r.getAs[Long]("n") === 22L)
+      assert(r.getAs[Long]("alarms") > 0L, s"sustained drift not flagged: $r")
+      assert(r.getAs[Double]("max_cusum") > 4.0)
+    } finally q.stop()
+  }
+
   test("streaming near-dup: a later batch's doc matches state from an earlier batch") {
     implicit val sq = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and runs far " +
