@@ -172,9 +172,18 @@ object Corpus {
     * ("new york", "machine learning") that tokenizers, stopword lists,
     * and phrase-aware dedup want to know about.
     *
-    * Plan shape at scale: bigram and unigram counts are
-    * map-side-combinable aggregates over one tokenized pass each; the
-    * totals are one-row broadcasts; the scoring joins key on the word.
+    * Plan shape at scale: ONE tokenized pass — each token position j
+    * emits exactly one `(t[j], t[j+1] | null)` pair (null marks "last
+    * token of its document"), so a single map-side-combinable count
+    * keyed on the pair carries BOTH statistics: bigram counts are the
+    * non-null-w2 rows, and the unigram count of w is the exact sum of
+    * `c_ab` over pairs with `w1 = w`. The pair table (distinct
+    * adjacent pairs — vocabulary-scale, not corpus-scale) is staged
+    * once and every downstream branch re-aggregates that small file;
+    * round 7 tokenized the corpus twice because the bigram and
+    * unigram branches each consumed the raw token stream — 2× the
+    * dominant cost at 100 TB. The totals are one-row broadcasts; the
+    * scoring joins key on the word.
     * The final rank is a GLOBAL top-k planned as
     * `TakeOrderedAndProject` — every partition keeps its local top k
     * and only k-row partials meet at the driver, so no task ever sorts
@@ -188,17 +197,20 @@ object Corpus {
     */
   def collocations(docs: DataFrame, textCol: String,
                    minCount: Long, k: Int): DataFrame = {
-    val toks = docs.select(expr(
+    val pairs = docs.select(expr(
       s"filter(split(lower($textCol), '[^a-z0-9]+'), x -> x != '')").as("t"))
-    val bigrams = toks.select(explode(expr(
-      """CASE WHEN size(t) < 2 THEN array()
-        |ELSE transform(sequence(1, size(t) - 1),
-        |  j -> struct(element_at(t, j) AS w1, element_at(t, j + 1) AS w2))
-        |END""".stripMargin)).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-    val uni = toks.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(explode(expr(
+        """CASE WHEN size(t) = 0 THEN array()
+          |ELSE transform(sequence(1, size(t)),
+          |  j -> struct(element_at(t, j) AS w1,
+          |    CASE WHEN j < size(t) THEN element_at(t, j + 1) END AS w2))
+          |END""".stripMargin)).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val pc = Stage.materialize(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")),
+      "colloc_pairs")
+    val bg = pc.filter(col("w2").isNotNull)
+    val uni = pc.groupBy(col("w1").as("w")).agg(sum("c_ab").as("c"))
     val nb = bg.agg(sum("c_ab").as("nb"))
     val nu = uni.agg(sum("c").as("nu"))
     val top = bg.filter(col("c_ab") >= minCount)

@@ -126,6 +126,13 @@ object GlobalRank {
     * `valueCol` must be integral (LONG) — integer prefix sums are
     * order-free and bit-identical cross-engine, where a double's
     * accumulation order would not be.
+    *
+    * Null contract: a null `valueCol` counts as 0 toward the running
+    * total (it is coalesced at ingestion, so the per-partition sums,
+    * the driver prefix-sum, and the in-partition window all see the
+    * same non-null longs — a partition of all-null values can no
+    * longer NPE the driver's `getLong`, and rank/total cannot
+    * desynchronize on null-skipping window sums).
     */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
                        valueCol: Column, rankCol: String = "rank",
@@ -143,7 +150,7 @@ object GlobalRank {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = Stage.materialize(
-      df.withColumn("__gr_v", valueCol.cast("long"))
+      df.withColumn("__gr_v", coalesce(valueCol.cast("long"), lit(0L)))
         .repartitionByRange(p, sortCols: _*)
         .withColumn("__gr_pid", spark_partition_id()),
       "global_running_total")

@@ -87,6 +87,13 @@ object Stage {
     }
   }
 
+  /** Register a caller-created LOCAL scratch directory for the same
+    * shutdown-hook deletion the stage directories get — queries that
+    * write fixture/sink output to a temp dir route it through here so
+    * repeated gate/bench invocations do not accumulate orphan dirs.
+    */
+  def trackLocal(dir: String): Unit = tracked.add((dir, true))
+
   /** Materialize `df` to a one-off parquet stage and return a scan of it.
     * The write is the only pass over `df`'s lineage; every downstream
     * branch reads the (small, scalar-only) staged file instead.

@@ -93,6 +93,14 @@ object TimeSeries {
     * computed l_t exactly as written, so an engine replaying the same
     * recurrence (DuckDB recursive CTE) walks bit-identical doubles.
     *
+    * Ordering contract (same as every per-entity sequence op here):
+    * `(tsCol, seqCol)` MUST uniquely order each entity's events. The
+    * packed struct sorts as (o1, o2, x), so on an (o1, o2) tie the
+    * VALUE becomes a third sort key — Spark's fold order would then
+    * be deterministic while an oracle's `ORDER BY ts, seq` list
+    * aggregation is tie-unstable, and the recurrences diverge.
+    * TimeSeriesSpec asserts this contract on the events fixture.
+    *
     * @return (entityCol, n, level, trend, fc) — `fc` = level +
     *         horizon·trend; all three rounded via the cross-engine
     *         floor(x·1e4 + 0.5)/1e4 convention
@@ -148,6 +156,11 @@ object TimeSeries {
     * against). z is snapped to 6 decimals (floor convention) BEFORE
     * the fold, so both engines fold bit-identical doubles and the
     * integer alarm count cannot drift on sum-order noise.
+    *
+    * Ordering contract: `(tsCol, seqCol)` must uniquely order each
+    * entity's events — on a tie the packed struct's z value becomes a
+    * third sort key and the fold order diverges from an oracle's
+    * tie-unstable ORDER BY (see [[holt]]). Asserted in TimeSeriesSpec.
     *
     * @return (entityCol, n, alarms, max_cusum) — max_cusum rounded via
     *         floor(x·1e4 + 0.5)/1e4

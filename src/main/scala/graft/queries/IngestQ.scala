@@ -35,6 +35,14 @@ object IngestQ {
       source || '/doc_' || CAST(doc_id AS VARCHAR) AS full_path,
       n_chars + 10 AS size_bytes FROM documents WHERE doc_id % 10 > 1"""
 
+  /** src_pruned's lang-partitioned scratch copy of `documents`, written
+    * ONCE per (session, sf-dir) — the gate runs each query 3× and the
+    * bench `reps`×; rewriting the partitioned copy every invocation
+    * both leaked an untracked temp dir per call and made the reported
+    * time measure the write, not the pruned read being gated.
+    */
+  private val prunedCache = new TextQ.ModelCache[String](4)
+
   val all: Seq[Q] = Seq(
 
     // join_versions (`assess_changes.qmd:97-114`): full-outer self-match
@@ -323,7 +331,7 @@ object IngestQ {
     // read of a deterministic fixture; golden-VALUES oracle.
     Q("src_csv",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+        val dir = scratchDir("graft_csv")
         val f = dir.resolve("fixture.csv")
         java.nio.file.Files.writeString(f,
           "id,name,v\n1,aa,1.5\n2,bb,2.5\n3,cc,\n4,dd,4.0\n")
@@ -613,7 +621,7 @@ object IngestQ {
     // field, and a nested array; golden-VALUES oracle.
     Q("src_json",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_json")
+        val dir = scratchDir("graft_json")
         val f = dir.resolve("fixture.jsonl")
         java.nio.file.Files.writeString(f,
           """{"id":1,"name":"aa","v":1.5,"tags":["x","y"]}
@@ -638,7 +646,7 @@ object IngestQ {
     // posture).
     Q("src_orc",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+        val dir = scratchDir("graft_orc")
         import s.implicits._
         Seq((1L, Some(1.5), Seq("x", "y")), (2L, Some(2.5), Seq.empty[String]),
           (3L, None, Seq("z")), (4L, Some(4.0), Seq("w")))
@@ -657,7 +665,7 @@ object IngestQ {
     // two entries sharing a header; golden-VALUES oracle.
     Q("src_zip",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_zip")
+        val dir = scratchDir("graft_zip")
         val zf = dir.resolve("bundle.zip")
         val zos = new java.util.zip.ZipOutputStream(
           java.nio.file.Files.newOutputStream(zf))
@@ -680,7 +688,7 @@ object IngestQ {
     // (graft.sources.Xlsx — no POI); golden-VALUES oracle.
     Q("src_xlsx",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_xlsx")
+        val dir = scratchDir("graft_xlsx")
         val f = dir.resolve("prod.xlsx")
         graft.sources.Xlsx.write(f, Seq(
           Seq("FAO export 2024 -- machine generated"),
@@ -698,7 +706,7 @@ object IngestQ {
     // exhausted); golden-VALUES oracle over the status frame.
     Q("sink_files",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_dl")
+        val dir = scratchDir("graft_dl")
         val src = dir.resolve("src"); val out = dir.resolve("out")
         java.nio.file.Files.createDirectories(src)
         java.nio.file.Files.writeString(src.resolve("ok1.zip"), "PAYLOAD-A")
@@ -731,7 +739,7 @@ object IngestQ {
     // oracle = the same aggregate straight from the source table.
     Q("sink_parquet",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_pq")
+        val out = scratchDir("graft_pq")
           .resolve("docs_by_lang").toString
         graft.sources.ParquetSink.writePartitioned(
           t(s, d, "documents").select("doc_id", "lang", "n_chars"),
@@ -755,11 +763,13 @@ object IngestQ {
     // this query gates the VALUES the pruned read returns.
     Q("src_pruned",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_pr")
-          .resolve("docs_by_lang").toString
-        t(s, d, "documents").select(col("doc_id"), col("lang"),
-            col("n_chars"), col("source"))
-          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        val out = prunedCache.getOrFit(s, d, {
+          val p = scratchDir("graft_pr").resolve("docs_by_lang").toString
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+              col("n_chars"), col("source"))
+            .write.mode("overwrite").partitionBy("lang").parquet(p)
+          p
+        })
         s.read.parquet(out)
           .filter(col("lang") === "en")
           .groupBy("source")
@@ -776,7 +786,7 @@ object IngestQ {
     Q("src_evolve",
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+        val dir = scratchDir("graft_ev").toString
         Seq((1L, "a"), (2L, "b")).toDF("id", "name")
           .write.mode("overwrite").parquet(s"$dir/v1")
         Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "name", "score")
@@ -801,7 +811,7 @@ object IngestQ {
     Q("sink_report",
       (s, d) => {
         import s.implicits._
-        val root = java.nio.file.Files.createTempDirectory("graft_rep")
+        val root = scratchDir("graft_rep")
         val oldD = root.resolve("old"); val newD = root.resolve("new")
         java.nio.file.Files.createDirectories(oldD)
         java.nio.file.Files.createDirectories(newD)

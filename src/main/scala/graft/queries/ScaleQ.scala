@@ -387,9 +387,11 @@ object ScaleQ {
     // distributed medians — med = median(x), mad = median(|x − med|),
     // outlier ⇔ |x − med| > 3·1.4826·mad. approxQuantile is fuzzy at
     // the cut and percentile_cont plans a single-partition sort;
-    // RobustStats instead selects the median ranks via GlobalRank's
-    // two-phase range ranking (two bounded driver scalars, everything
-    // row-scale distributed). The oracle replays the IDENTICAL
+    // RobustStats.medianExact instead runs an iterative-histogram rank
+    // selection — constant-size aggregate partials per pass narrow the
+    // bracket until a bounded driver slice resolves the exact median
+    // ranks; everything row-scale stays distributed. The oracle
+    // replays the IDENTICAL
     // rank-selection definition (avg of ranks ⌈n/2⌉ and ⌊n/2⌋+1), not
     // DuckDB's percentile interpolation, so even the even-n midpoint
     // arithmetic matches bit-for-bit.

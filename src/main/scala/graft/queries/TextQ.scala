@@ -49,14 +49,30 @@ object TextQ {
   /** Fitted IVF-PQ composite indexes — same fit-once discipline. */
   private[queries] val ivfPqCache = new ModelCache[Similarity.IvfPqModel](4)
 
-  /** documents ∪ one-token-perturbed copies of every 50th doc. */
-  private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    docs.unionByName(
-      docs.filter(col("doc_id") % 50 === 0).select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" zz")).as("text")))
-  }
+  /** Staged-once planted corpora, keyed per (session, sf-dir) — six
+    * queries (dedup_minhash/simhash/jaccard/cluster, text_novelty,
+    * corpus_split_safe) consume the same union; before round 8 each rebuilt
+    * it (two scans of documents per invocation × 3 gate runs ×
+    * `reps` bench reps). NOTE: `Stage.purge` would delete the staged
+    * file under a live cache entry — purge only between independent
+    * jobs, as its scaladoc already requires.
+    */
+  private[queries] val plantedCache = new ModelCache[DataFrame](4)
+
+  /** documents ∪ one-token-perturbed copies of every 50th doc,
+    * materialized once per (session, corpus dir) and shared by every
+    * planted-corpus query.
+    */
+  private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    plantedCache.getOrFit(s, d, {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Stage.materialize(
+        docs.unionByName(
+          docs.filter(col("doc_id") % 50 === 0).select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"))),
+        "planted_docs")
+    })
 
   val all: Seq[Q] = Seq(
 

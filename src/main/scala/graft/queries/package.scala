@@ -63,4 +63,17 @@ package object queries {
               "graft.queries.t for the new data contract.")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Create a local scratch directory that is TRACKED for shutdown-hook
+    * deletion (the [[graft.operators.Stage]] lifecycle). Every query
+    * that writes fixture or sink output to disk uses this instead of a
+    * bare `Files.createTempDirectory` — gate runs invoke each query 3×
+    * and the bench `reps`×, so untracked dirs would accumulate one
+    * orphan parquet copy per invocation.
+    */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    graft.operators.Stage.trackLocal(p.toString)
+    p
+  }
 }

@@ -190,7 +190,12 @@ object EventStreams {
                 threshold: Double = 3.0, minObs: Long = 12): Dataset[AnomalyHit] = {
     import spark.implicits._
     require(minObs >= 2, s"minObs must be >= 2 (got $minObs)")
-    events.select(col("user_id").cast("long"), unix_micros(col("ts")),
+    // null values drop BEFORE the primitive decode: a null events.value
+    // would throw "Null value appeared in non-nullable field" inside
+    // .as[(…, Double)], while the oracle's count/avg skip nulls —
+    // filtering keeps both engines on the same per-user history
+    events.filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
@@ -248,7 +253,12 @@ object EventStreams {
                    minObs: Long = 12): Dataset[CusumUpdate] = {
     import spark.implicits._
     require(minObs >= 2, s"minObs must be >= 2 (got $minObs)")
-    events.select(col("user_id").cast("long"), unix_micros(col("ts")),
+    // null values drop BEFORE the primitive decode: a null events.value
+    // would throw "Null value appeared in non-nullable field" inside
+    // .as[(…, Double)], while the oracle's count/avg skip nulls —
+    // filtering keeps both engines on the same per-user history
+    events.filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)

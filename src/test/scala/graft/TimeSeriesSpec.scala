@@ -88,4 +88,19 @@ class TimeSeriesSpec extends SparkFunSuite {
     assert(got((2L, "2024-01-01")) ===
       ((2L, "2024-01-01", 3.0, 3.0, 3.0, 3.0, 3.0, 1L)))
   }
+
+  test("events fixture satisfies the (ts, event_id) uniqueness contract") {
+    // holt/cusum/ewma pack (ts, seq, x) structs and sort_array them, so
+    // on a (ts, seq) tie the VALUE becomes a third sort key and the fold
+    // order diverges from an oracle's tie-unstable ORDER BY. The ts_*
+    // gate queries rely on the fixture honoring the documented contract
+    // — pin it here so a future data generation that breaks it fails
+    // with one clear message instead of a hash mismatch.
+    val dupes = graft.queries.t(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("ts"), col("event_id"))
+      .count().filter(col("count") > 1).count()
+    assert(dupes === 0L,
+      "events has (user_id, ts, event_id) duplicates — the per-entity " +
+        "sequence ops' ordering contract no longer holds")
+  }
 }
