@@ -878,6 +878,106 @@ object IngestQ {
              (39, '| species | removed | herring |'),
              (40, '')) AS t(line_no, line)""")),
 
+    // pair_compare (`assess_changes.qmd:120-179`): EP2's per-matched-pair
+    // drift struct — row counts + row delta, added/removed columns, and
+    // type-changed columns, for version pairs whose extensions agree
+    // (csv-csv / xlsx-xlsx, `:120-122`). The fixture tree exercises every
+    // branch: `trade` drifts rows AND columns, `mix` drifts a column TYPE
+    // (int→string) with a row loss, `notes` matches by std_name but
+    // mismatches extensions (must be excluded), and `gone`/`born` are
+    // unmatched (excluded by the non-null-pair filter). Driver-side
+    // per-pair reads are metadata-scale by design — one read per matched
+    // FILE, not per record (the reference reads each pair the same way).
+    // Oracle: DuckDB replays the composite relationally over the REIFIED
+    // manifests — join on std_name + extension gate, per-column
+    // anti-join set diffs, ordered string_agg — rather than hashing a
+    // Spark dump, so matching, exclusion, and diff derivation are all
+    // independently recomputed.
+    Q("pair_compare",
+      (s, d) => {
+        val root = scratchDir("graft_pc")
+        val oldD = root.resolve("old"); val newD = root.resolve("new")
+        java.nio.file.Files.createDirectories(oldD)
+        java.nio.file.Files.createDirectories(newD)
+        java.nio.file.Files.writeString(oldD.resolve("Trade_V202301.csv"),
+          "a,b\n1,2\n")
+        java.nio.file.Files.writeString(newD.resolve("Trade_V202401.csv"),
+          "a,c\n1,x\n2,y\n")
+        java.nio.file.Files.writeString(oldD.resolve("Mix_V202301.csv"),
+          "k,v\n1,2\n3,4\n")
+        java.nio.file.Files.writeString(newD.resolve("Mix_V202401.csv"),
+          "k,v\n1,x\n")
+        java.nio.file.Files.writeString(oldD.resolve("Notes_V202301.csv"),
+          "n\n1\n")
+        java.nio.file.Files.writeString(newD.resolve("Notes_V202401.txt"),
+          "n\n1\n2\n")
+        java.nio.file.Files.writeString(oldD.resolve("Gone_V202301.csv"),
+          "z\n0\n")
+        java.nio.file.Files.writeString(newD.resolve("Born_V202401.csv"),
+          "q\n9\n")
+        def read(p: String) = s.read.option("header", "true")
+          .option("inferSchema", "true").csv(p)
+        val (_, pc) = graft.ingest.Pipelines.assessChanges(s,
+          oldD.toString, newD.toString, read)
+        // arrays → sorted comma-joined strings (null stays null) so the
+        // cross-engine compare is a plain varchar
+        def joined(c: String) =
+          when(col(c).isNotNull, concat_ws(",", col(c))).as(c)
+        pc.select(col("std_name"), col("old_rows"), col("new_rows"),
+          col("row_change"), joined("added_cols"), joined("removed_cols"),
+          joined("type_changed_cols"))
+      },
+      Some("""WITH om(std_name, old_ext, old_rows) AS (VALUES
+             |    ('trade', 'csv', 1), ('mix', 'csv', 2),
+             |    ('notes', 'csv', 1), ('gone', 'csv', 1)),
+             |  nm(std_name, new_ext, new_rows) AS (VALUES
+             |    ('trade', 'csv', 2), ('mix', 'csv', 1),
+             |    ('notes', 'txt', 2), ('born', 'csv', 1)),
+             |  ocols(std_name, cname, ctype) AS (VALUES
+             |    ('trade', 'a', 'int'), ('trade', 'b', 'int'),
+             |    ('mix', 'k', 'int'), ('mix', 'v', 'int'),
+             |    ('notes', 'n', 'int'), ('gone', 'z', 'int')),
+             |  ncols(std_name, cname, ctype) AS (VALUES
+             |    ('trade', 'a', 'int'), ('trade', 'c', 'string'),
+             |    ('mix', 'k', 'int'), ('mix', 'v', 'string'),
+             |    ('notes', 'n', 'int'), ('born', 'q', 'int')),
+             |  matched AS (
+             |    SELECT om.std_name, old_rows, new_rows
+             |    FROM om JOIN nm USING (std_name)
+             |    WHERE (old_ext = 'csv' AND new_ext = 'csv')
+             |       OR (old_ext = 'xlsx' AND new_ext = 'xlsx')),
+             |  added AS (
+             |    SELECT n.std_name,
+             |      string_agg(n.cname, ',' ORDER BY n.cname) AS added_cols
+             |    FROM ncols n JOIN matched USING (std_name)
+             |    WHERE NOT EXISTS (SELECT 1 FROM ocols o
+             |      WHERE o.std_name = n.std_name AND o.cname = n.cname)
+             |    GROUP BY 1),
+             |  removed AS (
+             |    SELECT o.std_name,
+             |      string_agg(o.cname, ',' ORDER BY o.cname) AS removed_cols
+             |    FROM ocols o JOIN matched USING (std_name)
+             |    WHERE NOT EXISTS (SELECT 1 FROM ncols n
+             |      WHERE n.std_name = o.std_name AND n.cname = o.cname)
+             |    GROUP BY 1),
+             |  tchg AS (
+             |    SELECT o.std_name,
+             |      string_agg(o.cname, ',' ORDER BY o.cname)
+             |        AS type_changed_cols
+             |    FROM ocols o JOIN ncols n
+             |      ON o.std_name = n.std_name AND o.cname = n.cname
+             |    JOIN matched ON matched.std_name = o.std_name
+             |    WHERE o.ctype <> n.ctype
+             |    GROUP BY 1)
+             |SELECT m.std_name, CAST(old_rows AS BIGINT) AS old_rows,
+             |  CAST(new_rows AS BIGINT) AS new_rows,
+             |  CAST(new_rows - old_rows AS BIGINT) AS row_change,
+             |  added_cols, removed_cols, type_changed_cols
+             |FROM matched m
+             |LEFT JOIN added USING (std_name)
+             |LEFT JOIN removed USING (std_name)
+             |LEFT JOIN tchg USING (std_name)""".stripMargin)),
+
     // scd2_merge [EXT]: slowly-changing-dimension type-2 snapshot merge
     // — the reference's release-over-release comparison
     // (assess_changes.qmd:97-179) PERSISTED as versioned rows instead

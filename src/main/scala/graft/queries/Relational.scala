@@ -54,12 +54,27 @@ object Relational {
 
     // agg_approx_distinct: HLL sketch — the 100 TB-scale variant of
     // agg_ndistinct (single pass, constant memory, no exact-distinct
-    // shuffle explosion). Different algorithm than DuckDB → rows-only.
+    // shuffle explosion). DuckDB cannot replay Spark's HLL, so the gate
+    // is an ERROR-BOUND assertion instead of a golden: the query emits
+    // the exact cardinalities (independently recomputed by the oracle)
+    // plus booleans asserting the sketch landed within 5% of exact
+    // (2.5× the requested 2% rsd) — a sketch regression flips a boolean
+    // and hash-mismatches. The exact side exists only to audit the
+    // sketch at gate SF; the 100 TB path is the sketch alone.
     Q("agg_approx_distinct",
       (s, d) => t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("and_part"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("and_order")),
-      None),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_orderkey")).as("nd_order"))
+        .select(col("nd_part"), col("nd_order"),
+          (abs(col("ap") - col("nd_part")) / col("nd_part") <= 0.05)
+            .as("part_ok"),
+          (abs(col("ao") - col("nd_order")) / col("nd_order") <= 0.05)
+            .as("order_ok")),
+      Some("""SELECT count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_orderkey) AS nd_order,
+             true AS part_ok, true AS order_ok FROM lineitem""")),
 
     // agg_bool_any: boolean aggregate gates (`assess_changes.qmd:215,226`).
     Q("agg_bool_any",
