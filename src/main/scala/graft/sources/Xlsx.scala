@@ -122,7 +122,10 @@ object Xlsx {
             case "c" if row != null =>
               val raw = text.toString
               val v = cellType match {
-                case "s" => sst(raw.trim.toInt)
+                // a self-closed or valueless typed cell (<c t="s"/>) has
+                // no index to look up — it is an empty cell, not an error
+                case "s" if raw.trim.nonEmpty => sst(raw.trim.toInt)
+                case "s" => ""
                 case "b" => if (raw.trim == "1") "true" else "false"
                 case _ => raw
               }
