@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 import graft.operators.Dedup
 
@@ -47,6 +47,62 @@ object DocStreams {
 
   final case class Match(doc_id: Long, dup_of: Long, est: Double)
 
+  private def agreement(a: Array[Long], b: Array[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  /** Per-bucket incremental scan — the ONE step core both state APIs
+    * run: compares each arrival against the capped `seen` list (newest
+    * first), emits normalized matches lazily, and hands the caller a
+    * thunk-free way to persist the final list — the caller chains its
+    * state write behind the last emission, because BOTH state APIs
+    * commit only after the returned iterator drains.
+    */
+  private def bucketScan(threshold: Double, maxBucketSize: Int,
+                         initial: List[(Long, Array[Long])],
+                         rows: Iterator[(Int, Long, Long, Array[Long])],
+                         persist: List[(Long, Array[Long])] => Unit)
+      : Iterator[Match] = {
+    var seen = initial // newest first
+    val matches = rows.flatMap { case (_, _, id, sig) =>
+      // ≤ maxBucketSize comparisons and emissions per arrival;
+      // normalized labels == id-ordered-feed labels (see scaladoc)
+      val hits = seen.flatMap { case (prevId, prevSig) =>
+        if (prevId == id) None
+        else {
+          val est = agreement(sig, prevSig)
+          if (est >= threshold)
+            Some(Match(math.max(id, prevId), math.min(id, prevId), est))
+          else None
+        }
+      }
+      seen = ((id, sig) :: seen).take(maxBucketSize)
+      hits
+    }
+    matches ++ { persist(seen); Iterator.empty[Match] }
+  }
+
+  /** TWS twin: the bucket list is COMPOSITE state (ListState of
+    * (id, signature) entries) rather than one serialized blob — the
+    * Spark 4.x state API the fMGWS path cannot express.
+    */
+  private class NearDupProc(threshold: Double, maxBucketSize: Int)
+      extends StatefulProcessor[(Int, Long), (Int, Long, Long, Array[Long]), Match] {
+    @transient private var st: ListState[(Long, Array[Long])] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getListState[(Long, Array[Long])]("bucket",
+        Encoders.product[(Long, Array[Long])], TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long),
+                                 rows: Iterator[(Int, Long, Long, Array[Long])],
+                                 tv: TimerValues): Iterator[Match] =
+      bucketScan(threshold, maxBucketSize, st.get().toList, rows,
+        seen => st.put(seen.toArray))
+  }
+
   def nearDupMatches(spark: SparkSession, docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
                      bands: Int = 16, rowsPerBand: Int = 4,
@@ -65,39 +121,17 @@ object DocStreams {
         col("id"), col("sig"))
       .as[(Int, Long, Long, Array[Long])]
 
-    def agreement(a: Array[Long], b: Array[Long]): Double = {
-      val n = math.min(a.length, b.length)
-      var eq = 0
-      var i = 0
-      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
-      if (n == 0) 0.0 else eq.toDouble / n
+    val keyed = banded.groupByKey { case (band, bucket, _, _) => (band, bucket) }
+    if (StateApi.useTws(spark))
+      keyed.transformWithState(new NearDupProc(threshold, maxBucketSize),
+        TimeMode.None(), OutputMode.Append(), Encoders.product[Match])
+    else keyed.flatMapGroupsWithState[List[(Long, Array[Long])], Match](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+        bucketScan(threshold, maxBucketSize,
+          state.getOption.getOrElse(Nil), rows,
+          seen => state.update(seen))
     }
-
-    banded.groupByKey { case (band, bucket, _, _) => (band, bucket) }
-      .flatMapGroupsWithState[List[(Long, Array[Long])], Match](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
-          var seen = state.getOption.getOrElse(Nil) // newest first
-          val matches = rows.flatMap { case (_, _, id, sig) =>
-            // ≤ maxBucketSize comparisons and emissions per arrival;
-            // normalized labels == id-ordered-feed labels (see scaladoc)
-            val hits = seen.flatMap { case (prevId, prevSig) =>
-              if (prevId == id) None
-              else {
-                val est = agreement(sig, prevSig)
-                if (est >= threshold)
-                  Some(Match(math.max(id, prevId), math.min(id, prevId), est))
-                else None
-              }
-            }
-            seen = ((id, sig) :: seen).take(maxBucketSize)
-            hits
-          }
-          // the state write must observe the final `seen`, and Spark
-          // commits GroupState only after draining the returned iterator
-          // — so chain the update lazily behind the last emission
-          matches ++ { state.update(seen); Iterator.empty[Match] }
-      }
   }
 
   /** Each doc with its earliest (min-id) near-dup predecessor — the

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.9 [EXT]) — the true
   * streaming path. Every transform here is written against an unbounded
@@ -134,31 +134,60 @@ object EventStreams {
     * retention, no watermark needed for correctness (only for state
     * eviction policy if users are unbounded).
     */
+  /** Per-group funnel advance — the ONE step core both state APIs run
+    * (shared code is what makes the two paths equivalent by
+    * construction, not by parallel maintenance).
+    */
+  private def funnelStep(steps: Seq[String], prev: FunnelState,
+                         rows: Iterator[(Long, Long, Long, String)]): FunnelState = {
+    var d = prev.depth
+    var last = prev.lastTs
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, _, e) =>
+      if (d < steps.size && e == steps(d) && (d == 0 || t > last)) {
+        d += 1
+        last = t
+      }
+    }
+    FunnelState(d, last)
+  }
+
+  private class FunnelProc(steps: Seq[String])
+      extends StatefulProcessor[Long, (Long, Long, Long, String), FunnelProgress] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long,
+                                 rows: Iterator[(Long, Long, Long, String)],
+                                 tv: TimerValues): Iterator[FunnelProgress] = {
+      val prev = Option(st.get()).getOrElse(FunnelState(0, Long.MinValue))
+      val next = funnelStep(steps, prev, rows)
+      st.update(next)
+      Iterator(FunnelProgress(uid, next.depth))
+    }
+  }
+
   def funnelDepths(spark: SparkSession, events: DataFrame,
                    steps: Seq[String]): Dataset[FunnelProgress] = {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
-    events.filter(col("event_type").isin(steps: _*))
+    val keyed = events.filter(col("event_type").isin(steps: _*))
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[FunnelState, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
-         state: GroupState[FunnelState]) =>
-          val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          var d = prev.depth
-          var last = prev.lastTs
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, _, e) =>
-            if (d < steps.size && e == steps(d) && (d == 0 || t > last)) {
-              d += 1
-              last = t
-            }
-          }
-          state.update(FunnelState(d, last))
-          Iterator(FunnelProgress(uid, d))
-      }
+    if (StateApi.useTws(spark))
+      keyed.transformWithState(new FunnelProc(steps), TimeMode.None(),
+        OutputMode.Update(), Encoders.product[FunnelProgress])
+    else keyed.flatMapGroupsWithState[FunnelState, FunnelProgress](
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+       state: GroupState[FunnelState]) =>
+        val next = funnelStep(steps,
+          state.getOption.getOrElse(FunnelState(0, Long.MinValue)), rows)
+        state.update(next)
+        Iterator(FunnelProgress(uid, next.depth))
+    }
   }
 
   /** Per-user Welford accumulator: count, running mean, and running
@@ -186,6 +215,45 @@ object EventStreams {
     * watermark needed for correctness (only as an eviction policy for
     * unbounded key spaces).
     */
+  /** Per-group Welford scan — shared step core for both state APIs. */
+  private def welfordStep(threshold: Double, minObs: Long, uid: Long,
+                          prev: WelfordState,
+                          rows: Iterator[(Long, Long, Long, Double)])
+      : (WelfordState, Seq[AnomalyHit]) = {
+    var n = prev.n
+    var mean = prev.mean
+    var m2 = prev.m2
+    val hits = Seq.newBuilder[AnomalyHit]
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+      case (_, _, eid, x) =>
+        if (n >= minObs && m2 > 0) {
+          val z = (x - mean) / math.sqrt(m2 / (n - 1))
+          if (math.abs(z) > threshold) hits += AnomalyHit(uid, eid, x, z)
+        }
+        n += 1
+        val d = x - mean
+        mean += d / n
+        m2 += d * (x - mean)
+    }
+    (WelfordState(n, mean, m2), hits.result())
+  }
+
+  private class AnomalyProc(threshold: Double, minObs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), AnomalyHit] {
+    @transient private var st: ValueState[WelfordState] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getValueState[WelfordState]("welford",
+        Encoders.product[WelfordState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long,
+                                 rows: Iterator[(Long, Long, Long, Double)],
+                                 tv: TimerValues): Iterator[AnomalyHit] = {
+      val prev = Option(st.get()).getOrElse(WelfordState(0L, 0.0, 0.0))
+      val (next, hits) = welfordStep(threshold, minObs, uid, prev, rows)
+      st.update(next)
+      hits.iterator
+    }
+  }
+
   def anomalies(spark: SparkSession, events: DataFrame,
                 threshold: Double = 3.0, minObs: Long = 12): Dataset[AnomalyHit] = {
     import spark.implicits._
@@ -194,34 +262,23 @@ object EventStreams {
     // would throw "Null value appeared in non-nullable field" inside
     // .as[(…, Double)], while the oracle's count/avg skip nulls —
     // filtering keeps both engines on the same per-user history
-    events.filter(col("value").isNotNull)
+    val keyed = events.filter(col("value").isNotNull)
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[WelfordState, AnomalyHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
-         state: GroupState[WelfordState]) =>
-          val prev = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
-          var n = prev.n
-          var mean = prev.mean
-          var m2 = prev.m2
-          val hits = Seq.newBuilder[AnomalyHit]
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
-            case (_, _, eid, x) =>
-              if (n >= minObs && m2 > 0) {
-                val z = (x - mean) / math.sqrt(m2 / (n - 1))
-                if (math.abs(z) > threshold) hits += AnomalyHit(uid, eid, x, z)
-              }
-              n += 1
-              val d = x - mean
-              mean += d / n
-              m2 += d * (x - mean)
-          }
-          state.update(WelfordState(n, mean, m2))
-          hits.result().iterator
-      }
+    if (StateApi.useTws(spark))
+      keyed.transformWithState(new AnomalyProc(threshold, minObs),
+        TimeMode.None(), OutputMode.Append(), Encoders.product[AnomalyHit])
+    else keyed.flatMapGroupsWithState[WelfordState, AnomalyHit](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+       state: GroupState[WelfordState]) =>
+        val (next, hits) = welfordStep(threshold, minObs, uid,
+          state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0)), rows)
+        state.update(next)
+        hits.iterator
+    }
   }
 
   /** Per-user CUSUM accumulator: the three Welford scalars plus the
@@ -257,37 +314,66 @@ object EventStreams {
     // would throw "Null value appeared in non-nullable field" inside
     // .as[(…, Double)], while the oracle's count/avg skip nulls —
     // filtering keeps both engines on the same per-user history
-    events.filter(col("value").isNotNull)
+    val keyed = events.filter(col("value").isNotNull)
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[CusumState, CusumUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
-         state: GroupState[CusumState]) =>
-          val prev = state.getOption
-            .getOrElse(CusumState(0L, 0.0, 0.0, 0.0, 0L, 0.0))
-          var n = prev.n; var mean = prev.mean; var m2 = prev.m2
-          var s = prev.s; var alarms = prev.alarms; var maxS = prev.maxS
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
-            case (_, _, _, x) =>
-              if (n >= minObs && m2 > 0) {
-                val zRaw = (x - mean) / math.sqrt(m2 / (n - 1))
-                val z = math.floor(zRaw * 1e4 + 0.5) / 1e4
-                s = math.max(0.0, s + z - k)
-                if (s > h) alarms += 1
-                if (s > maxS) maxS = s
-              }
-              n += 1
-              val d = x - mean
-              mean += d / n
-              m2 += d * (x - mean)
-          }
-          state.update(CusumState(n, mean, m2, s, alarms, maxS))
-          Iterator.single(CusumUpdate(uid, n, alarms,
-            math.floor(maxS * 1e4 + 0.5) / 1e4))
-      }
+    if (StateApi.useTws(spark))
+      keyed.transformWithState(new CusumProc(k, h, minObs), TimeMode.None(),
+        OutputMode.Append(), Encoders.product[CusumUpdate])
+    else keyed.flatMapGroupsWithState[CusumState, CusumUpdate](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+       state: GroupState[CusumState]) =>
+        val (next, out) = cusumStep(k, h, minObs, uid,
+          state.getOption.getOrElse(CusumState(0L, 0.0, 0.0, 0.0, 0L, 0.0)),
+          rows)
+        state.update(next)
+        Iterator.single(out)
+    }
+  }
+
+  /** Per-group CUSUM fold — shared step core for both state APIs. */
+  private def cusumStep(k: Double, h: Double, minObs: Long, uid: Long,
+                        prev: CusumState,
+                        rows: Iterator[(Long, Long, Long, Double)])
+      : (CusumState, CusumUpdate) = {
+    var n = prev.n; var mean = prev.mean; var m2 = prev.m2
+    var s = prev.s; var alarms = prev.alarms; var maxS = prev.maxS
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+      case (_, _, _, x) =>
+        if (n >= minObs && m2 > 0) {
+          val zRaw = (x - mean) / math.sqrt(m2 / (n - 1))
+          val z = math.floor(zRaw * 1e4 + 0.5) / 1e4
+          s = math.max(0.0, s + z - k)
+          if (s > h) alarms += 1
+          if (s > maxS) maxS = s
+        }
+        n += 1
+        val d = x - mean
+        mean += d / n
+        m2 += d * (x - mean)
+    }
+    (CusumState(n, mean, m2, s, alarms, maxS),
+      CusumUpdate(uid, n, alarms, math.floor(maxS * 1e4 + 0.5) / 1e4))
+  }
+
+  private class CusumProc(k: Double, h: Double, minObs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), CusumUpdate] {
+    @transient private var st: ValueState[CusumState] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum",
+        Encoders.product[CusumState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long,
+                                 rows: Iterator[(Long, Long, Long, Double)],
+                                 tv: TimerValues): Iterator[CusumUpdate] = {
+      val prev = Option(st.get())
+        .getOrElse(CusumState(0L, 0.0, 0.0, 0.0, 0L, 0.0))
+      val (next, out) = cusumStep(k, h, minObs, uid, prev, rows)
+      st.update(next)
+      Iterator.single(out)
+    }
   }
 
   /** Custom per-key state via flatMapGroupsWithState: maintains a running
@@ -295,21 +381,43 @@ object EventStreams {
     * batch mode the state store is empty and this degenerates to a plain
     * per-user aggregate — which is exactly what the DuckDB oracle checks.
     */
+  /** Per-group (count, sum) fold — shared step core for both state APIs. */
+  private def userStep(prev: UserState, rows: Iterator[(Long, Double)]): UserState = {
+    var n = prev.n
+    var sum = prev.sum
+    rows.foreach { case (_, v) => n += 1; sum += v }
+    UserState(n, sum)
+  }
+
+  private class RunningUserProc
+      extends StatefulProcessor[Long, (Long, Double), UserUpdate] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("totals",
+        Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+                                 tv: TimerValues): Iterator[UserUpdate] = {
+      val next = userStep(Option(st.get()).getOrElse(UserState(0L, 0.0)), rows)
+      st.update(next)
+      Iterator(UserUpdate(uid, next.n, math.rint(next.sum * 100) / 100))
+    }
+  }
+
   def runningUserState(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
     import spark.implicits._
-    events.select(col("user_id").cast("long"), col("value").cast("double"))
+    val keyed = events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[UserState, UserUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
-          var n = prev.n
-          var sum = prev.sum
-          rows.foreach { case (_, v) => n += 1; sum += v }
-          val next = UserState(n, sum)
-          state.update(next)
-          Iterator(UserUpdate(uid, n, math.rint(sum * 100) / 100))
-      }
+    if (StateApi.useTws(spark))
+      keyed.transformWithState(new RunningUserProc, TimeMode.None(),
+        OutputMode.Update(), Encoders.product[UserUpdate])
+    else keyed.flatMapGroupsWithState[UserState, UserUpdate](
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+        val next = userStep(state.getOption.getOrElse(UserState(0L, 0.0)), rows)
+        state.update(next)
+        Iterator(UserUpdate(uid, next.n, math.rint(next.sum * 100) / 100))
+    }
   }
 }
