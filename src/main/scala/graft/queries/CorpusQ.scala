@@ -868,6 +868,54 @@ object CorpusQ {
              |  END AS ndcg
              |FROM g JOIN cl ON g.qlabel = cl.label""".stripMargin)),
 
+    // rank_mrr [EXT, new r8]: Mean Reciprocal Rank @10 — the
+    // first-relevant-hit metric that complements rank_ndcg's graded
+    // gain (RAG evals report both). Same fixture and candidate
+    // generation as rank_ndcg (brute cosine top-10 per query vec_id <
+    // 25, relevance = label match), so the two metrics are directly
+    // comparable rows over identical rankings. first_rank is an exact
+    // integer MIN over the top-10 (null → no relevant hit → rr 0.0);
+    // rr = round(1/first_rank, 4) is one identical IEEE division in
+    // both engines. Broadcast label joins — the 64-row label table
+    // never shuffles the ranking.
+    Q("rank_mrr",
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = t(s, d, "embeddings")
+        val top = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 25),
+          k = 10, roundTo = 6)
+        val lbl = emb.select(col("vec_id"), col("label"))
+        top
+          .join(broadcast(lbl.withColumnRenamed("vec_id", "nid")
+            .withColumnRenamed("label", "nlabel")),
+            col("vec_id") === col("nid"))
+          .join(broadcast(lbl.withColumnRenamed("vec_id", "qv")
+            .withColumnRenamed("label", "qlabel")),
+            col("qid") === col("qv"))
+          .groupBy(col("qid"))
+          .agg(min(when(col("nlabel") === col("qlabel"), col("rk")))
+            .cast("long").as("first_rank"))
+          .select(col("qid"), col("first_rank"),
+            when(col("first_rank").isNull, lit(0.0))
+              .otherwise(round(lit(1.0) / col("first_rank"), 4)).as("rr"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+             |    AS qe, label AS qlabel FROM embeddings WHERE vec_id < 25),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+             |    label FROM embeddings),
+             |r AS (SELECT qid, qlabel, label, row_number() OVER (
+             |    PARTITION BY qid ORDER BY
+             |      list_cosine_similarity(qe, ce) DESC, vec_id) AS rk
+             |  FROM q CROSS JOIN c WHERE vec_id != qid),
+             |g AS (SELECT qid,
+             |    min(CASE WHEN label = qlabel THEN rk END)::BIGINT
+             |      AS first_rank
+             |  FROM r WHERE rk <= 10 GROUP BY 1)
+             |SELECT qid, first_rank,
+             |  CASE WHEN first_rank IS NULL THEN 0.0
+             |    ELSE round(1.0 / first_rank, 4) END AS rr
+             |FROM g""".stripMargin)),
+
     // corpus_budget [EXT, new r7]: budgeted curation — keep documents
     // in descending (n_chars, doc_id) quality order until a fixed
     // token budget is spent (the "best N tokens" corpus assembly every

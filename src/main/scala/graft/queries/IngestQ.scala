@@ -43,6 +43,86 @@ object IngestQ {
     */
   private val prunedCache = new TextQ.ModelCache[String](4)
 
+  /** The sink_report / sink_report_pdf fixture: writes the four-file
+    * old/new version trees, runs the EP2 assess pipeline over them, and
+    * returns the rendered changelog split into lines. Shared so the
+    * markdown gate and the PDF round-trip gate provably render the SAME
+    * report (and share the hand-derived oracle below).
+    */
+  private def changelogLines(s: org.apache.spark.sql.SparkSession): Seq[String] = {
+    import s.implicits._
+    val root = scratchDir("graft_rep")
+    val oldD = root.resolve("old"); val newD = root.resolve("new")
+    java.nio.file.Files.createDirectories(oldD)
+    java.nio.file.Files.createDirectories(newD)
+    java.nio.file.Files.writeString(oldD.resolve("Trade_V202301.csv"),
+      "a,b\n1,2\n")
+    java.nio.file.Files.writeString(newD.resolve("Trade_V202401.csv"),
+      "a,c\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(oldD.resolve("Gone_V202301.csv"),
+      "z\n0\n")
+    java.nio.file.Files.writeString(newD.resolve("Born_V202401.csv"),
+      "q\n9\n")
+    def read(p: String) = s.read.option("header", "true")
+      .option("inferSchema", "true").csv(p)
+    val (fd, pc) = graft.ingest.Pipelines.assessChanges(s,
+      oldD.toString, newD.toString, read)
+    val cs = Seq(("country", "added", "CHL"),
+      ("species", "removed", "herring"))
+      .toDF("entity", "direction", "value")
+    graft.ingest.Report.changelog(fd, pc, cs).split("\n", -1).toSeq
+  }
+
+  /** HAND-DERIVED from the fixture + renderer spec (not generated from
+    * a Verify dump): born is new-only, gone is old-only, trade pairs
+    * 8→12 bytes (Δ = 4/2^20 MB, rounded to 6 dp = 4.0E-6 in Java
+    * double notation), schema a,b→a,c (added c, removed b), rows 1→2,
+    * plus the two literal country/species rows.
+    */
+  private val ChangelogOracle: String =
+    """SELECT * FROM (VALUES
+             (CAST(0 AS BIGINT), '# Data changelog'),
+             (1, ''),
+             (2, '## New files'),
+             (3, ''),
+             (4, '| std_name |'),
+             (5, '| --- |'),
+             (6, '| born |'),
+             (7, ''),
+             (8, '## Removed files'),
+             (9, ''),
+             (10, '| std_name |'),
+             (11, '| --- |'),
+             (12, '| gone |'),
+             (13, ''),
+             (14, '## Size changes'),
+             (15, ''),
+             (16, '| std_name | size_change_mb |'),
+             (17, '| --- | --- |'),
+             (18, '| trade | 4.0E-6 |'),
+             (19, ''),
+             (20, '## Column changes'),
+             (21, ''),
+             (22, 'Only matching .csv and .xlsx files were compared.'),
+             (23, ''),
+             (24, '| std_name | added_cols | removed_cols |'),
+             (25, '| --- | --- | --- |'),
+             (26, '| trade | c | b |'),
+             (27, ''),
+             (28, '## Row-count changes'),
+             (29, ''),
+             (30, '| std_name | old_rows | new_rows | row_change |'),
+             (31, '| --- | --- | --- | --- |'),
+             (32, '| trade | 1 | 2 | 1 |'),
+             (33, ''),
+             (34, '## Country and species changes'),
+             (35, ''),
+             (36, '| entity | direction | value |'),
+             (37, '| --- | --- | --- |'),
+             (38, '| country | added | CHL |'),
+             (39, '| species | removed | herring |'),
+             (40, '')) AS t(line_no, line)"""
+
   val all: Seq[Q] = Seq(
 
     // join_versions (`assess_changes.qmd:97-114`): full-outer self-match
@@ -811,72 +891,31 @@ object IngestQ {
     Q("sink_report",
       (s, d) => {
         import s.implicits._
-        val root = scratchDir("graft_rep")
-        val oldD = root.resolve("old"); val newD = root.resolve("new")
-        java.nio.file.Files.createDirectories(oldD)
-        java.nio.file.Files.createDirectories(newD)
-        java.nio.file.Files.writeString(oldD.resolve("Trade_V202301.csv"),
-          "a,b\n1,2\n")
-        java.nio.file.Files.writeString(newD.resolve("Trade_V202401.csv"),
-          "a,c\n1,x\n2,y\n")
-        java.nio.file.Files.writeString(oldD.resolve("Gone_V202301.csv"),
-          "z\n0\n")
-        java.nio.file.Files.writeString(newD.resolve("Born_V202401.csv"),
-          "q\n9\n")
-        def read(p: String) = s.read.option("header", "true")
-          .option("inferSchema", "true").csv(p)
-        val (fd, pc) = graft.ingest.Pipelines.assessChanges(s,
-          oldD.toString, newD.toString, read)
-        val cs = Seq(("country", "added", "CHL"),
-          ("species", "removed", "herring"))
-          .toDF("entity", "direction", "value")
-        graft.ingest.Report.changelog(fd, pc, cs)
-          .split("\n", -1).toSeq.zipWithIndex
+        changelogLines(s).zipWithIndex
           .map { case (l, i) => (i.toLong, l) }
           .toDF("line_no", "line")
       },
-      Some("""SELECT * FROM (VALUES
-             (CAST(0 AS BIGINT), '# Data changelog'),
-             (1, ''),
-             (2, '## New files'),
-             (3, ''),
-             (4, '| std_name |'),
-             (5, '| --- |'),
-             (6, '| born |'),
-             (7, ''),
-             (8, '## Removed files'),
-             (9, ''),
-             (10, '| std_name |'),
-             (11, '| --- |'),
-             (12, '| gone |'),
-             (13, ''),
-             (14, '## Size changes'),
-             (15, ''),
-             (16, '| std_name | size_change_mb |'),
-             (17, '| --- | --- |'),
-             (18, '| trade | 4.0E-6 |'),
-             (19, ''),
-             (20, '## Column changes'),
-             (21, ''),
-             (22, 'Only matching .csv and .xlsx files were compared.'),
-             (23, ''),
-             (24, '| std_name | added_cols | removed_cols |'),
-             (25, '| --- | --- | --- |'),
-             (26, '| trade | c | b |'),
-             (27, ''),
-             (28, '## Row-count changes'),
-             (29, ''),
-             (30, '| std_name | old_rows | new_rows | row_change |'),
-             (31, '| --- | --- | --- | --- |'),
-             (32, '| trade | 1 | 2 | 1 |'),
-             (33, ''),
-             (34, '## Country and species changes'),
-             (35, ''),
-             (36, '| entity | direction | value |'),
-             (37, '| --- | --- | --- |'),
-             (38, '| country | added | CHL |'),
-             (39, '| species | removed | herring |'),
-             (40, '')) AS t(line_no, line)""")),
+      Some(ChangelogOracle)),
+
+    // sink_report_pdf: the same changelog rendered through the
+    // hand-written PDF 1.4 writer (ingest/Pdf.scala) — the reference's
+    // actual output format (`assess_changes.qmd:5-7` renders to PDF via
+    // knitr). Determinism of the writer (no timestamps, no doc ID)
+    // makes the ARTIFACT gateable: the query renders the report into
+    // PDF bytes, re-extracts the `(…) Tj` text operands from the
+    // document's content streams, and emits (line_no, line) — so the
+    // writer's escaping, pagination, and stream framing all sit on the
+    // oracle path. Structural validity (xref offsets, page tree,
+    // byte-identical re-render) is pinned separately in PdfSpec.
+    Q("sink_report_pdf",
+      (s, d) => {
+        import s.implicits._
+        val pdf = graft.ingest.Pdf.render(changelogLines(s))
+        graft.ingest.Pdf.extractLines(pdf).zipWithIndex
+          .map { case (l, i) => (i.toLong, l) }
+          .toDF("line_no", "line")
+      },
+      Some(ChangelogOracle)),
 
     // pair_compare (`assess_changes.qmd:120-179`): EP2's per-matched-pair
     // drift struct — row counts + row delta, added/removed columns, and

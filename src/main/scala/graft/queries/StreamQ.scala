@@ -167,6 +167,38 @@ object StreamQ {
              |    (acc, x) -> 0.25 * x + 0.75 * acc), 4) AS ewma
              |FROM sq""".stripMargin)),
 
+    // ts_autocorr [EXT, new r8]: per-user lag-1 autocorrelation of
+    // event values — the serial-dependence screen (is a user's metric
+    // a random walk or mean-reverting?) that sits beside ts_mad's
+    // dispersion profile. Nulls drop FIRST (the family's null
+    // posture), consecutive pairs come from a user-partitioned lag —
+    // parallel across users, never a global window — and Pearson corr
+    // over (prev, cur) pairs uses the engines' native corr with the
+    // repo's 4-decimal rounding absorbing sum-order float noise
+    // (agg_corr convention). Users with < 2 pairs or zero variance
+    // yield NULL in both engines.
+    Q("ts_autocorr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu"), col("event_id"))
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("value"))
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(corr(col("prev"), col("value")), 4).as("ac1"))
+      },
+      Some("""WITH v AS (SELECT user_id, value,
+             |    lag(value) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS prev
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT user_id, count(*)::BIGINT AS n_pairs,
+             |  round(corr(prev, value), 4) AS ac1
+             |FROM v WHERE prev IS NOT NULL GROUP BY user_id""".stripMargin)),
+
     // ts_mad [EXT, new r7]: per-entity robust outlier profile — the
     // entity-granular twin of dq_outlier: per user, med = median(v),
     // mad = median(|v − med|), n_out = events beyond 3·1.4826·mad.

@@ -923,6 +923,87 @@ object TextQ {
              FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS n_ws
                    FROM documents)""")),
 
+    // str_url_norm [EXT, new r8]: URL canonicalization — the step every
+    // web-corpus pipeline runs BEFORE url-level dedup (CommonCrawl-style
+    // crawls carry the same page as http/HTTP/:80/utm-tagged variants).
+    // Rules: lowercase scheme+host, strip the scheme's default port
+    // (:80 http, :443 https), collapse duplicate path slashes, empty
+    // path → '/', drop the fragment, drop utm_* tracking params, sort
+    // the surviving query params. Synthetic messy URLs are derived
+    // deterministically from doc_id (the repo's planted-fixture
+    // pattern — documents has no url column); the whole normalization
+    // is builtin string/array functions (codegen'd, no UDF) and the
+    // oracle replays the identical chain with DuckDB's regexp/list
+    // functions. n_variants-per-canonical makes the dedup payoff
+    // visible: 4 raw variants collapse onto each canonical form.
+    Q("str_url_norm",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://ExAmple.COM:80"))
+            .otherwise(lit("https://Sub.Example.Com:443")),
+          lit("/p//"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 4 === 0,
+            lit("?utm_source=feed&b=2&a=1#top"))
+            .when(col("doc_id") % 4 === 1, lit("?a=1"))
+            .when(col("doc_id") % 4 === 2, lit("?utm_campaign=x"))
+            .otherwise(lit("#frag")))
+        val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+        val hostport = regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)
+        val host = when(scheme === "http",
+            regexp_replace(lower(hostport), ":80$", ""))
+          .when(scheme === "https",
+            regexp_replace(lower(hostport), ":443$", ""))
+          .otherwise(lower(hostport))
+        val path0 = regexp_replace(
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+          "/{2,}", "/")
+        val path = when(path0 === "", lit("/")).otherwise(path0)
+        val params = array_sort(filter(
+          split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+          p => p =!= "" && !p.startsWith("utm_")))
+        val qs = when(size(params) > 0,
+          concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+        val normed = docs.withColumn("url", url)
+          .select(col("doc_id"), col("url"),
+            concat(scheme, lit("://"), host, path, qs).as("norm_url"))
+        normed.groupBy("norm_url")
+          .agg(count(lit(1)).as("n_variants"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://ExAmple.COM:80'
+             |      ELSE 'https://Sub.Example.Com:443' END ||
+             |     '/p//' || (doc_id % 7)::VARCHAR ||
+             |     CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1#top'
+             |       WHEN doc_id % 4 = 1 THEN '?a=1'
+             |       WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'
+             |       ELSE '#frag' END) AS url
+             |  FROM documents),
+             |p AS (SELECT doc_id, url,
+             |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+             |    regexp_replace(regexp_extract(url,
+             |      '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/{2,}', '/') AS path0,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS q
+             |  FROM u),
+             |n AS (SELECT doc_id,
+             |    scheme || '://' ||
+             |    (CASE WHEN scheme = 'http' THEN
+             |        regexp_replace(lower(hostport), ':80$', '')
+             |      WHEN scheme = 'https' THEN
+             |        regexp_replace(lower(hostport), ':443$', '')
+             |      ELSE lower(hostport) END) ||
+             |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+             |    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+             |      ELSE '' END) AS norm_url
+             |  FROM (SELECT *, list_sort(list_filter(string_split(q, '&'),
+             |      x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS ps
+             |    FROM p))
+             |SELECT norm_url, count(*)::BIGINT AS n_variants,
+             |  min(doc_id) AS first_doc
+             |FROM n GROUP BY 1""".stripMargin)),
+
     // text_scrub [EXT]: boilerplate strip + PII redaction over a corpus
     // with planted HTML/emails/phones (synthetic docs are clean text, so
     // the fixtures are injected deterministically per doc_id). Oracle
