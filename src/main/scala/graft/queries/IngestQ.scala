@@ -603,6 +603,36 @@ object IngestQ {
              |    AS chi2_part
              |FROM o, t""".stripMargin)),
 
+    // dq_freshness [EXT, new r8]: per-stream staleness audit — how far
+    // each event_type's latest arrival lags the feed's global high-water
+    // mark, and whether it breaches a 24h SLA. The operational
+    // complement of dq_drift (content drift vs arrival drift): a silent
+    // upstream producer shows up here first. One type-keyed aggregate
+    // with map-side partials + a broadcast one-row global max; lag is
+    // integer-hour floor arithmetic on epoch micros, exact
+    // cross-engine.
+    Q("dq_freshness",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val per = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(unix_micros(col("ts"))).as("mx"))
+        per.crossJoin(broadcast(
+            e.agg(max(unix_micros(col("ts"))).as("gmx"))))
+          .select(col("event_type"), col("n"),
+            floor((col("gmx") - col("mx")) / lit(3600000000L))
+              .cast("long").as("lag_hours"),
+            ((col("gmx") - col("mx")) >= lit(24L * 3600000000L))
+              .as("stale"))
+      },
+      Some("""WITH p AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    max(epoch_us(ts)) AS mx FROM events GROUP BY 1),
+             |g AS (SELECT max(epoch_us(ts)) AS gmx FROM events)
+             |SELECT event_type, n,
+             |  ((gmx - mx) // 3600000000)::BIGINT AS lag_hours,
+             |  (gmx - mx) >= 86400000000 AS stale
+             |FROM p, g""".stripMargin)),
+
     Q("dq_check",
       (s, d) => {
         import graft.ingest.DataQuality._

@@ -207,6 +207,43 @@ object ScaleQ {
              |  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
              |FROM orders""".stripMargin)),
 
+    // agg_wmedian [EXT, new r8]: EXACT whole-table weighted median —
+    // the revenue-weighted "typical quantity" (half the spend sits on
+    // each side). Classically a global cumulative-weight window (one
+    // executor sorts everything); here it rides
+    // GlobalRank.withRunningTotal's two-phase shape: range-partitioned
+    // local windows + a p-element driver prefix-sum of per-partition
+    // weight sums — no single-partition sort at any scale. Weights are
+    // exact integer CENTS (round(price*100) as LONG), so the running
+    // totals and the ⌈W/2⌉ threshold are order-free integer
+    // arithmetic; the boundary row is bit-identical cross-engine.
+    // Candidate filter + TakeOrdered(1) on the rank — no second pass.
+    Q("agg_wmedian",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("double").as("v"),
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("w"))
+        val rt = graft.operators.GlobalRank.withRunningTotal(
+          li, Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
+          col("w"), "rk", "cw")
+        rt.crossJoin(broadcast(
+            li.agg(sum(col("w")).as("tw"))))
+          .filter(col("cw") >= expr("(tw + 1) div 2"))
+          .orderBy(col("rk")).limit(1)
+          .select(col("v").as("wmedian"), col("tw").as("total_w"))
+      },
+      Some("""WITH li AS (SELECT l_quantity::DOUBLE AS v,
+             |    round(l_extendedprice * 100)::BIGINT AS w,
+             |    l_orderkey, l_linenumber FROM lineitem),
+             |r AS (SELECT v, sum(w) OVER (
+             |      ORDER BY v, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cw FROM li),
+             |t AS (SELECT sum(w)::BIGINT AS tw FROM li)
+             |SELECT v AS wmedian, tw AS total_w FROM r, t
+             |WHERE cw >= (tw + 1) // 2 ORDER BY cw LIMIT 1""".stripMargin)),
+
     // agg_histogram [EXT]: equi-width histogram per group — pure
     // map-side bucketing (floor division, no sort, no window) feeding
     // one partial+final aggregate keyed on (group, bucket). The 100 TB

@@ -199,6 +199,52 @@ object StreamQ {
              |  round(corr(prev, value), 4) AS ac1
              |FROM v WHERE prev IS NOT NULL GROUP BY user_id""".stripMargin)),
 
+    // ts_seasonal [EXT, new r8]: hour-of-day seasonal profile +
+    // residual anomalies per event_type — the seasonality-aware
+    // monitor that catches what a flat z-score screen (stream_anomaly)
+    // miscalls when traffic has a daily cycle. Profile = (n, mean, sd)
+    // per (event_type, hour); residual outliers compare each value
+    // against ITS OWN hour's moments. The narrow value frame is staged
+    // once and feeds both the profile aggregate and the join-back
+    // (repo staging convention); the profile side of the join is
+    // dimension-bounded (types × 24) so it broadcasts. mean/sd are
+    // snapped to 6 decimals BEFORE the 3σ comparison in both engines
+    // (ts_changepoint's z-snap convention) so sum-order float noise
+    // cannot flip a boundary row's outlier verdict.
+    Q("ts_seasonal",
+      (s, d) => {
+        val e = graft.operators.Stage.materialize(
+          t(s, d, "events").filter(col("value").isNotNull)
+            .select(col("event_type"), hour(col("ts")).as("hr"),
+              col("value").as("v")),
+          "ts_seasonal_vals")
+        val prof = e.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("v")), 6).as("mean6"),
+            round(stddev_samp(col("v")), 6).as("sd6"))
+        val outs = e.join(broadcast(prof), Seq("event_type", "hr"))
+          .groupBy("event_type", "hr")
+          .agg(sum(when(abs(col("v") - col("mean6")) >
+            lit(3.0) * col("sd6"), 1L).otherwise(0L)).as("n_out"))
+        prof.join(outs, Seq("event_type", "hr"))
+          .select(col("event_type"), col("hr"), col("n"),
+            round(col("mean6"), 4).as("mean"),
+            round(col("sd6"), 4).as("sd"), col("n_out"))
+      },
+      Some("""WITH e AS (SELECT event_type, hour(ts) AS hr,
+             |    value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+             |p AS (SELECT event_type, hr, count(*)::BIGINT AS n,
+             |    round(avg(v), 6) AS mean6,
+             |    round(stddev_samp(v), 6) AS sd6
+             |  FROM e GROUP BY 1, 2),
+             |o AS (SELECT e.event_type, e.hr,
+             |    sum(CASE WHEN abs(v - mean6) > 3.0 * sd6
+             |      THEN 1 ELSE 0 END)::BIGINT AS n_out
+             |  FROM e JOIN p USING (event_type, hr) GROUP BY 1, 2)
+             |SELECT p.event_type, p.hr, p.n, round(mean6, 4) AS mean,
+             |  round(sd6, 4) AS sd, o.n_out
+             |FROM p JOIN o USING (event_type, hr)""".stripMargin)),
+
     // ts_mad [EXT, new r7]: per-entity robust outlier profile — the
     // entity-granular twin of dq_outlier: per user, med = median(v),
     // mad = median(|v − med|), n_out = events beyond 3·1.4826·mad.
