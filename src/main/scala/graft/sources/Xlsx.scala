@@ -25,11 +25,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Xlsx {
 
   private val sharedStringsEntry = "xl/sharedStrings.xml"
+  private val stylesEntry = "xl/styles.xml"
+  private val workbookEntry = "xl/workbook.xml"
   private val sheetEntryPattern = "xl/worksheets/sheet\\d+\\.xml"
 
   /** All rows of the FIRST worksheet (lowest sheet number) as string
     * cells, in sheet order. Driver- or executor-side (pure function of
-    * the bytes).
+    * the bytes). Numeric cells whose style resolves to a DATE number
+    * format decode from Excel serials to ISO strings (see
+    * [[DateStyles]]); workbooks without a styles part read every
+    * number raw, as before.
     */
   def parseRows(xlsxBytes: Array[Byte]): Seq[Seq[String]] = {
     // ZipInputStream is sequential and entry order is arbitrary in files
@@ -37,12 +42,16 @@ object Xlsx {
     // with the lowest number — taking the first matching entry would
     // silently read whichever sheet the writer happened to store first.
     var shared: Option[Array[Byte]] = None
+    var styles: Option[Array[Byte]] = None
+    var workbook: Option[Array[Byte]] = None
     var sheet: Option[Array[Byte]] = None
     var sheetNum = Int.MaxValue
     val zis = new ZipInputStream(new ByteArrayInputStream(xlsxBytes))
     var e = zis.getNextEntry
     while (e != null) {
       if (e.getName == sharedStringsEntry) shared = Some(zis.readAllBytes())
+      else if (e.getName == stylesEntry) styles = Some(zis.readAllBytes())
+      else if (e.getName == workbookEntry) workbook = Some(zis.readAllBytes())
       else if (e.getName.matches(sheetEntryPattern)) {
         val num = e.getName.replaceAll("\\D+", "").toInt
         if (num < sheetNum) { sheetNum = num; sheet = Some(zis.readAllBytes()) }
@@ -51,8 +60,141 @@ object Xlsx {
     }
     val sst = shared.map(b => parseSharedStrings(
       new ByteArrayInputStream(b))).getOrElse(Array.empty[String])
-    sheet.map(b => parseSheet(new ByteArrayInputStream(b), sst))
+    val dateStyles = styles.map(b => DateStyles.parse(
+      new ByteArrayInputStream(b))).getOrElse(DateStyles.none)
+    val date1904 = workbook.exists(b =>
+      DateStyles.is1904(new ByteArrayInputStream(b)))
+    sheet.map(b => parseSheet(new ByteArrayInputStream(b), sst,
+        dateStyles, date1904))
       .getOrElse(Seq.empty)
+  }
+
+  /** Style-table support for DATE-formatted numeric cells — the xlsx
+    * fidelity gap a generic string reader has: Excel stores dates as
+    * serial NUMBERS plus a number format on the cell's style (`s`
+    * attribute → cellXfs entry → numFmtId). Builtin date/time ids and
+    * custom codes containing date tokens decode; everything else stays
+    * a raw number.
+    */
+  private[graft] object DateStyles {
+    /** styleIndex → (isDate, hasDatePart, hasTimePart); empty = no
+      * styles part, nothing decodes.
+      */
+    final case class Table(kinds: Array[(Boolean, Boolean, Boolean)]) {
+      def kind(styleIdx: Int): Option[(Boolean, Boolean)] =
+        if (styleIdx >= 0 && styleIdx < kinds.length && kinds(styleIdx)._1)
+          Some((kinds(styleIdx)._2, kinds(styleIdx)._3))
+        else None
+    }
+    val none: Table = Table(Array.empty)
+
+    // builtin numFmtId classes (ECMA-376 §18.8.30): dates, times, and
+    // the datetime combiner. 45-47 are durations ([h]:mm:ss) — decoded
+    // as time-of-day of the fractional part is WRONG for them, so they
+    // stay raw. 27-36 / 50-58 are locale (East Asian) date variants.
+    private val builtinDate = Set(14, 15, 16, 17, 22) ++ (27 to 36) ++ (50 to 58)
+    private val builtinTime = Set(18, 19, 20, 21, 22)
+
+    /** Strip quoted literals, [brackets], and backslash-escapes from a
+      * custom format code, then look for date (y/m/d) and time (h/s, or
+      * m adjacent to a colon) tokens.
+      */
+    private[graft] def classifyCode(code: String): (Boolean, Boolean, Boolean) = {
+      val bare = code
+        .replaceAll("\"[^\"]*\"", "")
+        .replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "")
+        .toLowerCase
+      val hasTime = bare.exists(c => c == 'h' || c == 's') ||
+        bare.contains(":m") || bare.contains("m:")
+      // 'm' alone is ambiguous (month vs minute): month only when a
+      // day/year token co-occurs or no time context claims it
+      val hasDate = bare.exists(c => c == 'y' || c == 'd') ||
+        (bare.contains("m") && !hasTime)
+      (hasDate || hasTime, hasDate, hasTime)
+    }
+
+    private def builtinKind(id: Int): (Boolean, Boolean, Boolean) = {
+      val d = builtinDate(id); val t = builtinTime(id)
+      (d || t, d, t)
+    }
+
+    /** Parse `xl/styles.xml`: custom `<numFmt numFmtId code>` entries,
+      * then the `<cellXfs><xf numFmtId>` list in order — the cell `s`
+      * attribute indexes into cellXfs.
+      */
+    def parse(in: InputStream): Table = {
+      val r = newReader(in)
+      val custom = scala.collection.mutable.Map.empty[Int, String]
+      val xfs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                (Option(r.getAttributeValue(null, "numFmtId")),
+                  Option(r.getAttributeValue(null, "formatCode"))) match {
+                  case (Some(id), Some(code)) =>
+                    custom(id.trim.toInt) = code
+                  case _ =>
+                }
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                xfs += Option(r.getAttributeValue(null, "numFmtId"))
+                  .map(_.trim.toInt).getOrElse(0)
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT
+            if r.getLocalName == "cellXfs" => inCellXfs = false
+          case _ =>
+        }
+      }
+      r.close()
+      Table(xfs.map { id =>
+        custom.get(id).map(classifyCode).getOrElse(builtinKind(id))
+      }.toArray)
+    }
+
+    /** `<workbookPr date1904="1|true"/>` in `xl/workbook.xml`. */
+    def is1904(in: InputStream): Boolean = {
+      val r = newReader(in)
+      var found = false
+      while (r.hasNext && !found) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "workbookPr") {
+          val v = Option(r.getAttributeValue(null, "date1904"))
+          found = v.exists(x => x == "1" || x == "true")
+        }
+      }
+      r.close()
+      found
+    }
+
+    /** Excel serial → ISO string. 1900 system: day 1 = 1900-01-01 with
+      * the historical Lotus leap bug (a fictitious 1900-02-29 occupies
+      * serial 60), so serials ≥ 61 offset from 1899-12-30 and serials
+      * ≤ 59 from 1899-12-31; serial 60 itself clamps to 1900-02-28.
+      * 1904 system: day 0 = 1904-01-01, no bug. Fraction = time of day
+      * (rounded to whole seconds, carried into the date on 23:59:59.7+
+      * rollover).
+      */
+    def serialToIso(serial: Double, date1904: Boolean,
+                    hasDate: Boolean, hasTime: Boolean): String = {
+      var days = math.floor(serial).toLong
+      var secs = math.round((serial - days) * 86400.0)
+      if (secs >= 86400L) { days += 1; secs = 0 }
+      val date =
+        if (date1904) java.time.LocalDate.of(1904, 1, 1).plusDays(days)
+        else if (days >= 61) java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+        else if (days == 60) java.time.LocalDate.of(1900, 2, 28)
+        else java.time.LocalDate.of(1899, 12, 31).plusDays(days)
+      val t = java.time.LocalTime.ofSecondOfDay(secs)
+      val hms = "%02d:%02d:%02d".format(t.getHour, t.getMinute, t.getSecond)
+      if (hasDate && hasTime) s"$date $hms"
+      else if (hasTime && !hasDate) hms
+      else date.toString
+    }
   }
 
   /** `<sst><si><t>…</t></si>…` — rich-text runs (`<r><t>`) concatenate. */
@@ -85,15 +227,20 @@ object Xlsx {
     out.toArray
   }
 
-  /** `<sheetData><row><c r="B3" t="s|inlineStr|str|b|…"><v>…` — cells land
-    * at their column index (ref letters), missing cells leave gaps ("").
+  /** `<sheetData><row><c r="B3" t="s|inlineStr|str|b|…" s="N"><v>…` —
+    * cells land at their column index (ref letters), missing cells
+    * leave gaps (""). Numeric cells with a date-formatted style decode
+    * serials to ISO strings.
     */
-  private def parseSheet(in: InputStream, sst: Array[String]): Seq[Seq[String]] = {
+  private def parseSheet(in: InputStream, sst: Array[String],
+                         dateStyles: DateStyles.Table,
+                         date1904: Boolean): Seq[Seq[String]] = {
     val r = newReader(in)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     var row: scala.collection.mutable.ArrayBuffer[String] = null
     var cellCol = 0
     var cellType = ""
+    var cellStyle = -1
     var inV = false
     var inT = false
     val text = new StringBuilder
@@ -109,6 +256,8 @@ object Xlsx {
               // no ref attribute → next column after the previous cell
               cellCol = ref.map(colIndex).getOrElse(cellCol + 1)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .flatMap(_.trim.toIntOption).getOrElse(-1)
               text.clear()
             case "v" => inV = true
             case "t" => inT = true
@@ -127,6 +276,14 @@ object Xlsx {
                 case "s" if raw.trim.nonEmpty => sst(raw.trim.toInt)
                 case "s" => ""
                 case "b" => if (raw.trim == "1") "true" else "false"
+                // untyped/"n" = numeric: a date-formatted style decodes
+                // the serial; a non-numeric or unstyle'd value reads raw
+                case "" | "n" if raw.trim.nonEmpty =>
+                  (dateStyles.kind(cellStyle), raw.trim.toDoubleOption) match {
+                    case (Some((hasDate, hasTime)), Some(serial)) =>
+                      DateStyles.serialToIso(serial, date1904, hasDate, hasTime)
+                    case _ => raw
+                  }
                 case _ => raw
               }
               while (row.length <= cellCol) row += ""

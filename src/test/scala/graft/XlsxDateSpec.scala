@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Xlsx
+
+/** Date-formatted numeric cells — the xlsx fidelity gap beyond raw
+  * strings: Excel stores dates as serial numbers plus a number format
+  * reached through the cell's style index (s → cellXfs → numFmtId).
+  * Fixtures are hand-built workbooks (external-writer shapes, not our
+  * own writer) covering builtin date/time/datetime ids, a custom date
+  * code, the duration ids that must NOT decode, the 1900 leap-bug
+  * serials, and the 1904 date system.
+  */
+class XlsxDateSpec extends AnyFunSuite {
+
+  private val stylesXml =
+    """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>""" +
+      """<cellXfs count="7">""" +
+      """<xf numFmtId="0"/>""" +      // 0 general
+      """<xf numFmtId="14"/>""" +     // 1 builtin date
+      """<xf numFmtId="22"/>""" +     // 2 builtin datetime
+      """<xf numFmtId="164"/>""" +    // 3 custom date code
+      """<xf numFmtId="18"/>""" +     // 4 builtin time
+      """<xf numFmtId="45"/>""" +     // 5 duration — stays raw
+      """<xf numFmtId="2"/>""" +      // 6 plain numeric — stays raw
+      """</cellXfs></styleSheet>"""
+
+  private def workbook(cells: String, date1904: Boolean = false): Array[Byte] = {
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        cells + "</sheetData></worksheet>"
+    val wb =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        (if (date1904) """<workbookPr date1904="1"/>""" else "<workbookPr/>") +
+        """<sheets><sheet name="S" sheetId="1"/></sheets></workbook>"""
+    val dir = Files.createTempDirectory("xd")
+    val f = dir.resolve("w.xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    def entry(n: String, b: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n)); zos.write(b.getBytes); zos.closeEntry()
+    }
+    entry("xl/workbook.xml", wb)
+    entry("xl/styles.xml", stylesXml)
+    entry("xl/worksheets/sheet1.xml", sheet)
+    zos.close()
+    Files.readAllBytes(f)
+  }
+
+  test("builtin date, datetime, custom code, and time styles decode") {
+    val rows = Xlsx.parseRows(workbook(
+      """<row r="1">""" +
+        """<c r="A1" s="1"><v>44927</v></c>""" +
+        """<c r="B1" s="2"><v>44927.5</v></c>""" +
+        """<c r="C1" s="3"><v>44927</v></c>""" +
+        """<c r="D1" s="4"><v>0.75</v></c></row>"""))
+    assert(rows === Seq(Seq(
+      "2023-01-01", "2023-01-01 12:00:00", "2023-01-01", "18:00:00")))
+  }
+
+  test("durations and plain numerics stay raw; unstyled too") {
+    val rows = Xlsx.parseRows(workbook(
+      """<row r="1">""" +
+        """<c r="A1" s="5"><v>1.5</v></c>""" +
+        """<c r="B1" s="6"><v>44927</v></c>""" +
+        """<c r="C1"><v>44927</v></c>""" +
+        """<c r="D1" s="0"><v>7</v></c></row>"""))
+    assert(rows === Seq(Seq("1.5", "44927", "44927", "7")))
+  }
+
+  test("1900 leap-bug serials: 59, the fictitious 60, and 61") {
+    val rows = Xlsx.parseRows(workbook(
+      """<row r="1">""" +
+        """<c r="A1" s="1"><v>59</v></c>""" +
+        """<c r="B1" s="1"><v>60</v></c>""" +
+        """<c r="C1" s="1"><v>61</v></c>""" +
+        """<c r="D1" s="1"><v>1</v></c></row>"""))
+    assert(rows === Seq(Seq(
+      "1900-02-28", "1900-02-28", "1900-03-01", "1900-01-01")))
+  }
+
+  test("1904 date system shifts the epoch and has no leap bug") {
+    val rows = Xlsx.parseRows(workbook(
+      """<row r="1">""" +
+        """<c r="A1" s="1"><v>0</v></c>""" +
+        """<c r="B1" s="1"><v>366</v></c></row>""", date1904 = true))
+    assert(rows === Seq(Seq("1904-01-01", "1905-01-01")))
+  }
+
+  test("time fraction rounds to whole seconds and rolls over midnight") {
+    val rows = Xlsx.parseRows(workbook(
+      """<row r="1">""" +
+        """<c r="A1" s="2"><v>44927.999999</v></c>""" +
+        """<c r="B1" s="2"><v>44927.25</v></c></row>"""))
+    assert(rows === Seq(Seq("2023-01-02 00:00:00", "2023-01-01 06:00:00")))
+  }
+
+  test("custom-code classifier: quoted/bracketed text never reads as tokens") {
+    import graft.sources.Xlsx.DateStyles.classifyCode
+    assert(classifyCode("yyyy-mm-dd") === ((true, true, false)))
+    assert(classifyCode("hh:mm:ss") === ((true, false, true)))
+    assert(classifyCode("yyyy-mm-dd hh:mm") === ((true, true, true)))
+    assert(classifyCode("0.00") === ((false, false, false)))
+    assert(classifyCode("\"yards\" 0.0") === ((false, false, false)))
+    assert(classifyCode("[Red]0.0") === ((false, false, false)))
+    assert(classifyCode("#,##0") === ((false, false, false)))
+  }
+
+  test("workbooks without styles.xml read every number raw (regression)") {
+    val dir = Files.createTempDirectory("xn")
+    val f = dir.resolve("n.xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(("""<?xml version="1.0"?><worksheet xmlns="x"><sheetData>""" +
+      """<row r="1"><c r="A1" s="1"><v>44927</v></c></row>""" +
+      """</sheetData></worksheet>""").getBytes)
+    zos.closeEntry(); zos.close()
+    assert(Xlsx.parseRows(Files.readAllBytes(f)) === Seq(Seq("44927")))
+  }
+}
