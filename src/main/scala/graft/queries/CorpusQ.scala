@@ -916,6 +916,117 @@ object CorpusQ {
              |    ELSE round(1.0 / first_rank, 4) END AS rr
              |FROM g""".stripMargin)),
 
+    // sim_mmr [EXT, new r8]: Maximal Marginal Relevance diversification
+    // (Carbonell-Goldstein '98) — the RAG serving-side re-ranker that
+    // trades relevance against redundancy: after brute top-12 candidate
+    // generation, greedily pick 3 results maximizing
+    // 0.7·rel − 0.3·max_sim_to_already_picked. The greedy loop runs per
+    // query over its BOUNDED candidate set (12 rows) via mapGroups —
+    // parallel across queries, constant work per query, never a pair
+    // enumeration beyond 12×3 — while candidate generation stays the
+    // broadcast-query brute scan every sim_* query shares. Every
+    // compared quantity (rel, max-sim, score) is snapped to 6 decimals
+    // with the SAME floor(x·1e6+0.5) formula in both engines, and ties
+    // break on vec_id, so the greedy argmax is deterministic
+    // cross-engine; the oracle replays the three steps as unrolled
+    // CTEs (the cluster_kmeans oracle convention) with QUALIFY
+    // row_number argmax.
+    Q("sim_mmr",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val emb = t(s, d, "embeddings")
+        val top = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 15),
+          k = 12, roundTo = 6)
+        val withE = top
+          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .select(col("qid"), col("vec_id"), col("sim"), col("embedding"))
+          .as[(Long, Long, Double, Array[Float])]
+        withE.groupByKey(_._1)
+          .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+            def f6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+            def cos(a: Array[Float], b: Array[Float]): Double = {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < a.length) {
+                dot += a(i).toDouble * b(i).toDouble
+                na += a(i).toDouble * a(i).toDouble
+                nb += b(i).toDouble * b(i).toDouble
+                i += 1
+              }
+              dot / (math.sqrt(na) * math.sqrt(nb))
+            }
+            val cands = it.map { case (_, vid, rel, e) => (vid, rel, e) }
+              .toArray.sortBy(_._1)
+            val picked = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Long, Double)]
+            val chosen = scala.collection.mutable.ArrayBuffer
+              .empty[Array[Float]]
+            val used = scala.collection.mutable.Set.empty[Long]
+            (1 to 3).foreach { step =>
+              val scored = cands.iterator.filterNot(c => used(c._1)).map {
+                case (vid, rel, e) =>
+                  val ms =
+                    if (chosen.isEmpty) 0.0
+                    else f6(chosen.iterator.map(p => cos(e, p)).max)
+                  (vid, f6(0.7 * rel - 0.3 * ms), e)
+              }.toArray
+              if (scored.nonEmpty) {
+                val best = scored.minBy { case (vid, sc, _) => (-sc, vid) }
+                picked += ((qid, step, best._1, best._2))
+                chosen += best._3
+                used += best._1
+              }
+            }
+            picked.iterator
+          }
+          .toDF("qid", "step", "vec_id", "score")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+             |    AS qe FROM embeddings WHERE vec_id < 15),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+             |  FROM embeddings),
+             |sc AS (SELECT qid, vec_id,
+             |    list_cosine_similarity(qe, ce) AS raw, ce
+             |  FROM q CROSS JOIN c WHERE vec_id != qid),
+             |cand AS (SELECT qid, vec_id,
+             |    floor(raw * 1e6 + 0.5) / 1e6 AS rel, ce
+             |  FROM sc
+             |  QUALIFY row_number() OVER (PARTITION BY qid
+             |    ORDER BY raw DESC, vec_id) <= 12),
+             |s1 AS (SELECT qid, vec_id,
+             |    floor(0.7 * rel * 1e6 + 0.5) / 1e6 AS score, ce
+             |  FROM cand
+             |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+             |    floor(0.7 * rel * 1e6 + 0.5) / 1e6 DESC, vec_id) = 1),
+             |m2 AS (SELECT c2.qid, c2.vec_id, c2.rel, c2.ce,
+             |    floor(list_cosine_similarity(c2.ce, s1.ce) * 1e6 + 0.5)
+             |      / 1e6 AS ms
+             |  FROM cand c2 JOIN s1 USING (qid)
+             |  WHERE c2.vec_id != s1.vec_id),
+             |s2 AS (SELECT qid, vec_id,
+             |    floor((0.7 * rel - 0.3 * ms) * 1e6 + 0.5) / 1e6 AS score,
+             |    ce
+             |  FROM m2
+             |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+             |    floor((0.7 * rel - 0.3 * ms) * 1e6 + 0.5) / 1e6 DESC,
+             |    vec_id) = 1),
+             |m3 AS (SELECT c3.qid, c3.vec_id, c3.rel, c3.ce,
+             |    floor(greatest(
+             |        list_cosine_similarity(c3.ce, s1.ce),
+             |        list_cosine_similarity(c3.ce, s2.ce)) * 1e6 + 0.5)
+             |      / 1e6 AS ms
+             |  FROM cand c3 JOIN s1 USING (qid) JOIN s2 USING (qid)
+             |  WHERE c3.vec_id != s1.vec_id AND c3.vec_id != s2.vec_id),
+             |s3 AS (SELECT qid, vec_id,
+             |    floor((0.7 * rel - 0.3 * ms) * 1e6 + 0.5) / 1e6 AS score
+             |  FROM m3
+             |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+             |    floor((0.7 * rel - 0.3 * ms) * 1e6 + 0.5) / 1e6 DESC,
+             |    vec_id) = 1)
+             |SELECT qid, 1::INT AS step, vec_id, score FROM s1
+             |UNION ALL SELECT qid, 2, vec_id, score FROM s2
+             |UNION ALL SELECT qid, 3, vec_id, score FROM s3""".stripMargin)),
+
     // corpus_budget [EXT, new r7]: budgeted curation — keep documents
     // in descending (n_chars, doc_id) quality order until a fixed
     // token budget is spent (the "best N tokens" corpus assembly every

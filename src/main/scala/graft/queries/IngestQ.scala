@@ -43,6 +43,11 @@ object IngestQ {
     */
   private val prunedCache = new TextQ.ModelCache[String](4)
 
+  /** src_fwf's fixed-width scratch encoding of `documents`, written
+    * once per (session, sf-dir) for the same reason as [[prunedCache]].
+    */
+  private val fwfCache = new TextQ.ModelCache[String](4)
+
   /** The sink_report / sink_report_pdf fixture: writes the four-file
     * old/new version trees, runs the EP2 assess pipeline over them, and
     * returns the rendered changelog split into lines. Shared so the
@@ -578,6 +583,50 @@ object IngestQ {
              |  FROM customer GROUP BY 1, 2, 3)
              |WHERE n < 10 OR l < 4""".stripMargin)),
 
+    // dq_dp_release [EXT, new r8]: differentially-private aggregate
+    // release — per-(lang, source) document counts with Laplace(b=1)
+    // noise via inverse-CDF sampling, the ε=1 count-release every
+    // privacy-reviewed data product ships instead of raw counts. The
+    // noise is DETERMINISTIC by design (repo rule: no rand() — task
+    // retries must not change results): u comes from the portable-md5
+    // content hash of the group key (the corpus_split membership
+    // convention), offset half a bucket so |u| < 0.5 exactly and
+    // ln(1−2|u|) never hits −inf. One group aggregate, noise as a
+    // codegen'd scalar projection; noise snapped to 6 decimals before
+    // the integer round so the ln() libm ulp can't flip the release
+    // cross-engine. True n kept beside noisy_n because this is a
+    // correctness gate, not a privacy boundary (a real release drops
+    // it — and the noise seed).
+    Q("dq_dp_release",
+      (s, d) => {
+        val g = t(s, d, "documents").groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+        val h = conv(substring(md5(concat_ws("|",
+          col("lang"), col("source"), lit("dp7"))), 1, 15), 16, 10)
+          .cast("long")
+        val u = (pmod(h, lit(1000000L)).cast("double") + lit(0.5)) /
+          lit(1000000.0) - lit(0.5)
+        val noise = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+        val noise6 = floor(noise * lit(1e6) + lit(0.5)) / lit(1e6)
+        g.select(col("lang"), col("source"), col("n"),
+          (col("n") + floor(noise6 + lit(0.5)).cast("long")).as("noisy_n"))
+      },
+      Some("""WITH g AS (SELECT lang, source, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1, 2),
+             |h AS (SELECT lang, source, n,
+             |    ('0x' || substring(md5(lang || '|' || source || '|dp7'),
+             |      1, 15))::BIGINT % 1000000 AS hb
+             |  FROM g),
+             |u AS (SELECT lang, source, n,
+             |    (hb + 0.5) / 1000000.0 - 0.5 AS u FROM h),
+             |z AS (SELECT lang, source, n,
+             |    floor((-sign(u) * ln(1.0 - 2.0 * abs(u))) * 1e6 + 0.5)
+             |      / 1e6 AS noise6
+             |  FROM u)
+             |SELECT lang, source, n,
+             |  n + floor(noise6 + 0.5)::BIGINT AS noisy_n
+             |FROM z""".stripMargin)),
+
     // dq_benford [EXT]: Benford first-digit conformance over the
     // price column — the fraud / synthetic-data drift test. One scan,
     // one 9-group aggregate (map-side partials), broadcast one-row
@@ -888,6 +937,39 @@ object IngestQ {
       Some("""SELECT source, count(*) AS n,
              |  CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin)),
+
+    // src_fwf [EXT, new r8]: fixed-width file ingest — the legacy
+    // mainframe/FAO-era feed format. The fixture round-trips the
+    // documents table through a fixed-width ENCODING (format_string
+    // left-justified pads, written once per session like src_pruned's
+    // scratch copy) and carves it back with sources.Fwf (splittable
+    // spark.read.text + codegen'd substring/trim/cast projection — no
+    // UDF, no one-task-per-file), so what the gate checks is the
+    // encode→carve round-trip; the oracle recomputes the aggregate
+    // straight from the parquet table, fully independent of both.
+    Q("src_fwf",
+      (s, d) => {
+        import graft.sources.Fwf
+        val out = fwfCache.getOrFit(s, d, {
+          val p = scratchDir("graft_fwf").resolve("docs_fwf").toString
+          t(s, d, "documents")
+            .select(format_string("%-10d%-6s%-8d",
+              col("doc_id"), col("lang"), col("n_chars")).as("value"))
+            .write.mode("overwrite").text(p)
+          p
+        })
+        Fwf.read(s, out, Seq(
+            Fwf.Col("doc_id", 1, 10, "long"),
+            Fwf.Col("lang", 11, 6),
+            Fwf.Col("n_chars", 17, 8, "long")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+            min("doc_id").as("first_doc"))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n,
+             |  sum(n_chars)::BIGINT AS chars,
+             |  min(doc_id) AS first_doc
+             |FROM documents GROUP BY lang""".stripMargin)),
 
     // src_evolve [EXT]: schema-evolution read — two parquet "versions"
     // with drifted schemas (v2 adds a column) union under mergeSchema,
