@@ -145,6 +145,88 @@ object RobustStats {
     (loVal + second) / 2.0
   }
 
+  /** EXACT lower weighted median: the smallest value v whose
+    * cumulative weight (in value order) reaches ⌈W/2⌉, W = Σweights.
+    * Same iterative-histogram selection as [[medianExact]] — the rank
+    * is a WEIGHT rank instead of a row rank, so each pass histograms
+    * per-bucket (row count, weight sum, min, max) and the driver walks
+    * the B weight sums to pick the bucket holding the target. Still
+    * aggregate-only: no row ever moves, no range shuffle, no
+    * materialized ranking — strictly cheaper than a running-total
+    * ranking when only the scalar is needed (the GlobalRank
+    * running-total shape remains the right tool when every row needs
+    * its cumulative position).
+    *
+    * Weights must be positive longs (exact integer arithmetic end to
+    * end — the ⌈W/2⌉ threshold and every cumulation are order-free).
+    * Returns (median value, total weight W).
+    */
+  def weightedMedianExact(df: DataFrame, valueCol: Column,
+                          weightCol: Column): (Double, Long) = {
+    val vals = df.select(valueCol.cast("double").as("__rs_x"),
+        weightCol.cast("long").as("__rs_w"))
+      .filter(col("__rs_x").isNotNull && col("__rs_w").isNotNull)
+    val head = vals.agg(count(lit(1)), sum(col("__rs_w")),
+      min(col("__rs_w")), min(col("__rs_x")), max(col("__rs_x"))).head()
+    val n = head.getLong(0)
+    require(n > 0, "weighted median of an empty input")
+    require(head.getLong(2) > 0,
+      s"weights must be positive (min = ${head.getLong(2)})")
+    val totalW = head.getLong(1)
+
+    var lo = head.getDouble(3)
+    var hi = head.getDouble(4)
+    var cnt = n
+    var k = (totalW + 1) / 2        // weight rank within [lo, hi]
+
+    while (cnt > DriverSliceMax && lo < hi) {
+      val w = (hi - lo) / Buckets
+      val bucket = least(greatest(
+        floor((col("__rs_x") - lit(lo)) / lit(w)), lit(0.0)),
+        lit((Buckets - 1).toDouble)).cast("int")
+      val stats = vals
+        .filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+        .groupBy(bucket.as("__rs_b"))
+        .agg(count(lit(1)).as("c"), sum(col("__rs_w")).as("ws"),
+          min(col("__rs_x")).as("mn"), max(col("__rs_x")).as("mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1)
+      var acc = 0L; var idx = -1; var below = 0L
+      stats.indices.foreach { i =>
+        if (idx < 0) {
+          if (acc + stats(i)._3 >= k) { idx = i; below = acc }
+          acc += stats(i)._3
+        }
+      }
+      val (_, c, _, mn, mx) = stats(idx)
+      if (mn == lo && mx == hi && c == cnt) {
+        // ULP-degenerate interval: select among the few distinct
+        // values by weight groups (bounded by the distinct count)
+        val groups = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+          .groupBy(col("__rs_x")).agg(sum(col("__rs_w")).as("ws"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+        var a = 0L
+        groups.foreach { case (v, gw) =>
+          a += gw
+          if (a >= k) return (v, totalW)
+        }
+        return (groups.last._1, totalW)
+      }
+      lo = mn; hi = mx; k -= below; cnt = c
+    }
+    if (lo == hi) return (lo, totalW)
+    val slice = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    var a = 0L
+    slice.foreach { case (v, sw) =>
+      a += sw
+      if (a >= k) return (v, totalW)
+    }
+    (slice.last._1, totalW)
+  }
+
   /** One-row robust summary of `valueCol`:
     * (n, med, mad, n_out) where n_out counts rows with
     * `|x − med| > k·1.4826·mad`. Exact at any scale — iterative-

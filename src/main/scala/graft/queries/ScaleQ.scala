@@ -210,28 +210,26 @@ object ScaleQ {
     // agg_wmedian [EXT, new r8]: EXACT whole-table weighted median —
     // the revenue-weighted "typical quantity" (half the spend sits on
     // each side). Classically a global cumulative-weight window (one
-    // executor sorts everything); here it rides
-    // GlobalRank.withRunningTotal's two-phase shape: range-partitioned
-    // local windows + a p-element driver prefix-sum of per-partition
-    // weight sums — no single-partition sort at any scale. Weights are
-    // exact integer CENTS (round(price*100) as LONG), so the running
-    // totals and the ⌈W/2⌉ threshold are order-free integer
-    // arithmetic; the boundary row is bit-identical cross-engine.
-    // Candidate filter + TakeOrdered(1) on the rank — no second pass.
+    // executor sorts everything); here it is a WEIGHT-rank SELECTION
+    // via RobustStats.weightedMedianExact — the iterative-histogram
+    // narrowing with per-bucket weight sums, aggregate-only: no row
+    // ever moves, no range shuffle, no materialized ranking (the
+    // first cut rode GlobalRank.withRunningTotal and spent 1.4 s of
+    // its 2.2 s bench time writing the staged ranking nobody read
+    // back — the running-total shape is for when every row needs its
+    // cumulative position, not for one scalar). Weights are exact
+    // integer CENTS (round(price*100) as LONG), so the ⌈W/2⌉
+    // threshold and every cumulation are order-free integer
+    // arithmetic; the boundary value is bit-identical cross-engine.
     Q("agg_wmedian",
       (s, d) => {
+        import s.implicits._
         val li = t(s, d, "lineitem")
           .select(col("l_quantity").cast("double").as("v"),
-            col("l_orderkey"), col("l_linenumber"),
             round(col("l_extendedprice") * 100).cast("long").as("w"))
-        val rt = graft.operators.GlobalRank.withRunningTotal(
-          li, Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
-          col("w"), "rk", "cw")
-        rt.crossJoin(broadcast(
-            li.agg(sum(col("w")).as("tw"))))
-          .filter(col("cw") >= expr("(tw + 1) div 2"))
-          .orderBy(col("rk")).limit(1)
-          .select(col("v").as("wmedian"), col("tw").as("total_w"))
+        val (wm, tw) = graft.operators.RobustStats.weightedMedianExact(
+          li, col("v"), col("w"))
+        Seq((wm, tw)).toDF("wmedian", "total_w")
       },
       Some("""WITH li AS (SELECT l_quantity::DOUBLE AS v,
              |    round(l_extendedprice * 100)::BIGINT AS w,

@@ -2,15 +2,34 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Boundary pins for the agg_wmedian shape: exact weighted median as
-  * first-row-past-⌈W/2⌉ over GlobalRank.withRunningTotal. The oracle
-  * gate checks one corpus; this spec checks the threshold arithmetic
-  * where it can actually go wrong — even/odd totals, a single heavy
-  * weight, ties in the value column — against brute-force enumeration.
+/** Boundary pins for exact weighted-median selection. The oracle gate
+  * (agg_wmedian) checks one corpus; this spec checks the threshold
+  * arithmetic where it can actually go wrong — even/odd totals, a
+  * single heavy weight, value ties — against brute-force enumeration,
+  * on BOTH implementations: the aggregate-only histogram selection
+  * (RobustStats.weightedMedianExact, the query's path) and the
+  * running-total ranking (GlobalRank.withRunningTotal, the
+  * every-row-needs-its-position shape), which must agree with each
+  * other everywhere. The large case forces the histogram loop past
+  * its driver-slice threshold.
   */
 class WeightedMedianSpec extends SparkFunSuite {
 
-  private def wmedian(rows: Seq[(Double, Long)]): Double = {
+  private def brute(rows: Seq[(Double, Long)]): Double = {
+    val sorted = rows.sortBy(_._1)
+    val total = rows.map(_._2).sum
+    val threshold = (total + 1) / 2
+    var acc = 0L
+    sorted.find { case (_, w) => acc += w; acc >= threshold }.get._1
+  }
+
+  private def histogram(rows: Seq[(Double, Long)]): Double = {
+    import spark.implicits._
+    graft.operators.RobustStats.weightedMedianExact(
+      rows.toDF("v", "w"), col("v"), col("w"))._1
+  }
+
+  private def runningTotal(rows: Seq[(Double, Long)]): Double = {
     import spark.implicits._
     val df = rows.zipWithIndex
       .map { case ((v, w), i) => (v, i.toLong, w) }
@@ -23,45 +42,63 @@ class WeightedMedianSpec extends SparkFunSuite {
       .select(col("v")).as[Double].head()
   }
 
-  private def brute(rows: Seq[(Double, Long)]): Double = {
-    val sorted = rows.sortBy(_._1)
-    val total = rows.map(_._2).sum
-    val threshold = (total + 1) / 2
-    var acc = 0L
-    sorted.find { case (_, w) => acc += w; acc >= threshold }.get._1
+  private def checkAll(rows: Seq[(Double, Long)], expected: Double): Unit = {
+    assert(brute(rows) == expected, "brute")
+    assert(histogram(rows) == expected, "histogram selection")
+    assert(runningTotal(rows) == expected, "running-total ranking")
   }
 
   test("odd total weight: middle unit lands exactly") {
-    val rows = Seq((1.0, 1L), (2.0, 1L), (3.0, 1L))
-    assert(wmedian(rows) == 2.0)
-    assert(wmedian(rows) == brute(rows))
+    checkAll(Seq((1.0, 1L), (2.0, 1L), (3.0, 1L)), 2.0)
   }
 
   test("even total weight: lower median by the ceil-threshold contract") {
-    val rows = Seq((1.0, 1L), (2.0, 1L), (3.0, 2L))
     // W=4, threshold=2 -> cum 1,2 -> v=2 (lower weighted median)
-    assert(wmedian(rows) == 2.0)
-    assert(wmedian(rows) == brute(rows))
+    checkAll(Seq((1.0, 1L), (2.0, 1L), (3.0, 2L)), 2.0)
   }
 
   test("one heavy weight dominates") {
-    val rows = Seq((1.0, 1L), (2.0, 1L), (10.0, 6L))
-    assert(wmedian(rows) == 10.0)
-    assert(wmedian(rows) == brute(rows))
+    checkAll(Seq((1.0, 1L), (2.0, 1L), (10.0, 6L)), 10.0)
   }
 
-  test("value ties: deterministic id tiebreak agrees with stable brute order") {
-    val rows = Seq((5.0, 3L), (5.0, 3L), (1.0, 1L), (9.0, 1L))
-    assert(wmedian(rows) == 5.0)
-    assert(wmedian(rows) == brute(rows))
+  test("value ties accumulate their weight as one mass") {
+    checkAll(Seq((5.0, 3L), (5.0, 3L), (1.0, 1L), (9.0, 1L)), 5.0)
   }
 
-  test("randomized parity vs brute force") {
+  test("all-equal values collapse the interval immediately") {
+    checkAll(Seq.fill(10)((7.0, 3L)), 7.0)
+  }
+
+  test("positive-weight contract is enforced") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      graft.operators.RobustStats.weightedMedianExact(
+        Seq((1.0, 0L)).toDF("v", "w"), col("v"), col("w")))
+  }
+
+  test("randomized parity: histogram == running-total == brute") {
     val rnd = new scala.util.Random(8)
     (1 to 5).foreach { _ =>
       val rows = Seq.fill(50 + rnd.nextInt(50))(
         (rnd.nextInt(20).toDouble, 1L + rnd.nextInt(9).toLong))
-      assert(wmedian(rows) == brute(rows))
+      val expected = brute(rows)
+      assert(histogram(rows) == expected)
+      assert(runningTotal(rows) == expected)
     }
+  }
+
+  test("large input drives the histogram loop, result still exact") {
+    import spark.implicits._
+    // 200k rows, values hashed over a wide range, weights 1-16 —
+    // cnt > DriverSliceMax so at least one narrowing pass runs
+    val df = spark.range(200000)
+      .select((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 7.0)
+          .as("v"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(16L)) + 1).as("w"))
+    val (got, totalW) = graft.operators.RobustStats.weightedMedianExact(
+      df, col("v"), col("w"))
+    val local = df.as[(Double, Long)].collect().toSeq
+    assert(totalW == local.map(_._2).sum)
+    assert(got == brute(local))
   }
 }
