@@ -89,6 +89,32 @@ object ScaleGate {
     gate("rstats-sublinear 10M->100M", r100 / r10 <= 3.0,
       f"t10=$r10%.1fs t100=$r100%.1fs ratio=${r100 / r10}%.1f (rows 10x, bound 3.0)")
 
+    // ---- Weighted median: same sub-linear signature as the unweighted
+    // selection (identical pass structure, per-bucket weight sums in
+    // place of counts) — parity vs a local cumulative-weight walk at
+    // 1M, then 10M → 100M must stay ≤ 3× like rstats ----
+    def wmData(n: Long) = spark.range(n)
+      .select((pmod(xxhash64(col("id")), lit(1000003)).cast("double") / 3.0)
+          .as("v"),
+        (pmod(xxhash64(col("id"), lit(13)), lit(31L)) + 1).as("w"))
+    val wmSmall = wmData(1000000L)
+    val wmLocal = {
+      val rows = wmSmall.as[(Double, Long)].collect().sortBy(_._1)
+      val thr = (rows.map(_._2).sum + 1) / 2
+      var acc = 0L
+      rows.find { case (_, w) => acc += w; acc >= thr }.get._1
+    }
+    val (wmGot, _) = graft.operators.RobustStats.weightedMedianExact(
+      wmSmall, col("v"), col("w"))
+    gate("wmedian-parity@1M", wmGot == wmLocal,
+      s"exact=$wmGot local=$wmLocal")
+    val (_, w10) = timed(graft.operators.RobustStats.weightedMedianExact(
+      wmData(10000000L), col("v"), col("w")))
+    val (_, w100) = timed(graft.operators.RobustStats.weightedMedianExact(
+      wmData(100000000L), col("v"), col("w")))
+    gate("wmedian-sublinear 10M->100M", w100 / w10 <= 3.0,
+      f"t10=$w10%.1fs t100=$w100%.1fs ratio=${w100 / w10}%.1f (rows 10x, bound 3.0)")
+
     // ---- Dedup cross-corpus contamination: linear in train, recall pinned ----
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select($"doc_id", $"text")

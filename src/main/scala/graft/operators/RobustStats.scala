@@ -162,14 +162,28 @@ object RobustStats {
     * Returns (median value, total weight W).
     */
   def weightedMedianExact(df: DataFrame, valueCol: Column,
-                          weightCol: Column): (Double, Long) = {
+                          weightCol: Column): (Double, Long) =
+    weightedQuantileExact(df, valueCol, weightCol, 1L, 2L)
+
+  /** Exact lower weighted quantile at p = num/den: the smallest value
+    * whose cumulative weight reaches ceil(p * W). The fraction arrives
+    * as INTEGERS so the threshold ceil(num*W / den) =
+    * (num*W + den - 1) / den is computed without a single float —
+    * p = 0.9 as (9, 10) can never land on the wrong side of an exact
+    * multiple the way ceil(0.9 * W) in doubles can.
+    */
+  def weightedQuantileExact(df: DataFrame, valueCol: Column,
+                            weightCol: Column,
+                            num: Long, den: Long): (Double, Long) = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"quantile fraction must satisfy 1 <= num <= den (got $num/$den)")
     val vals = df.select(valueCol.cast("double").as("__rs_x"),
         weightCol.cast("long").as("__rs_w"))
       .filter(col("__rs_x").isNotNull && col("__rs_w").isNotNull)
     val head = vals.agg(count(lit(1)), sum(col("__rs_w")),
       min(col("__rs_w")), min(col("__rs_x")), max(col("__rs_x"))).head()
     val n = head.getLong(0)
-    require(n > 0, "weighted median of an empty input")
+    require(n > 0, "weighted quantile of an empty input")
     require(head.getLong(2) > 0,
       s"weights must be positive (min = ${head.getLong(2)})")
     val totalW = head.getLong(1)
@@ -177,7 +191,7 @@ object RobustStats {
     var lo = head.getDouble(3)
     var hi = head.getDouble(4)
     var cnt = n
-    var k = (totalW + 1) / 2        // weight rank within [lo, hi]
+    var k = (num * totalW + den - 1) / den  // weight rank within [lo, hi]
 
     while (cnt > DriverSliceMax && lo < hi) {
       val w = (hi - lo) / Buckets

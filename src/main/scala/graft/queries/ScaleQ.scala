@@ -242,6 +242,35 @@ object ScaleQ {
              |SELECT v AS wmedian, tw AS total_w FROM r, t
              |WHERE cw >= (tw + 1) // 2 ORDER BY cw LIMIT 1""".stripMargin)),
 
+    // agg_wp90 [EXT, new r8]: the p90 of the same spend-weighted
+    // distribution ("90% of revenue sits on quantities <= this") via
+    // the generalized weighted-quantile selection. The fraction
+    // travels as INTEGERS (9, 10): threshold = (9·W + 9) div 10 =
+    // ceil(0.9·W) with no float anywhere — ceil(0.9 * W) in doubles
+    // can land on the wrong side of an exact multiple of 10; the
+    // integer form cannot, and the oracle replays the identical
+    // integer threshold.
+    Q("agg_wp90",
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("double").as("v"),
+            round(col("l_extendedprice") * 100).cast("long").as("w"))
+        val (wq, tw) = graft.operators.RobustStats.weightedQuantileExact(
+          li, col("v"), col("w"), 9L, 10L)
+        Seq((wq, tw)).toDF("wp90", "total_w")
+      },
+      Some("""WITH li AS (SELECT l_quantity::DOUBLE AS v,
+             |    round(l_extendedprice * 100)::BIGINT AS w,
+             |    l_orderkey, l_linenumber FROM lineitem),
+             |r AS (SELECT v, sum(w) OVER (
+             |      ORDER BY v, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cw FROM li),
+             |t AS (SELECT sum(w)::BIGINT AS tw FROM li)
+             |SELECT v AS wp90, tw AS total_w FROM r, t
+             |WHERE cw >= (9 * tw + 9) // 10 ORDER BY cw LIMIT 1""".stripMargin)),
+
     // agg_histogram [EXT]: equi-width histogram per group — pure
     // map-side bucketing (floor division, no sort, no window) feeding
     // one partial+final aggregate keyed on (group, bucket). The 100 TB

@@ -1508,6 +1508,59 @@ object TextQ {
     // find. The oracle replays decode → grayscale → neighbor-gradient
     // bits → row-byte hex straight from the pixel formula; dHash's
     // brightness-shift invariance is spec-gated (MultimodalSpec).
+    // multimodal_audio [EXT, new r8]: frame-level audio features —
+    // per-16-sample-frame RMS energy and zero-crossing counts, the
+    // first stage of every speech/audio curation pipeline (silence
+    // trimming, music-vs-speech screens). The signal path is REAL:
+    // synthetic PCM (deterministic per doc_id) encodes through
+    // Wav.encode and decodes back through Wav.decode on the executors
+    // (partition-parallel, the multimodal plumbing contract), then the
+    // exploded samples take ONE id-keyed exchange serving both the lag
+    // window (crossings) and the frame aggregate. Cross-engine
+    // exactness: sum-of-squares is LONG arithmetic, /16.0 and sqrt are
+    // single correctly-rounded IEEE ops (sqrt exactness is guaranteed
+    // by 754, unlike ln/exp), crossings are integer sign products —
+    // the oracle replays the generator formula, never touching the
+    // codec, so encode→decode is what the gate actually checks.
+    Q("multimodal_audio",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.multimodal.Wav
+        val pcmRows = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val samples = Array.tabulate(64) { i =>
+              (((id * 31 + i * 7) % 4096 - 2048) * 16).toShort
+            }
+            val decoded = Wav.decode(Wav.encode(Wav.Pcm(8000, 1, samples)))
+            decoded.samples.iterator.zipWithIndex
+              .map { case (smp, idx) => (id, idx, smp.toLong) }
+          }
+          .toDF("id", "idx", "smp")
+        val w = Window.partitionBy("id").orderBy("idx")
+        pcmRows
+          .withColumn("prev", lag(col("smp"), 1).over(w))
+          .withColumn("frame", (col("idx") / 16).cast("int"))
+          .groupBy("id", "frame")
+          .agg(count(lit(1)).as("n"),
+            round(sqrt(sum(col("smp") * col("smp")).cast("double") /
+              lit(16.0)), 4).as("rms"),
+            sum(when(col("idx") % 16 =!= 0 &&
+              col("smp") * col("prev") < 0, 1L).otherwise(0L)).as("zcr"))
+      },
+      Some("""WITH s AS (SELECT doc_id AS id, g.i AS idx,
+             |    ((((doc_id * 31 + g.i * 7) % 4096) - 2048) * 16)::BIGINT
+             |      AS smp
+             |  FROM documents, generate_series(0, 63) AS g(i)),
+             |l AS (SELECT id, idx, smp, (idx // 16)::INT AS frame,
+             |    lag(smp) OVER (PARTITION BY id ORDER BY idx) AS prev
+             |  FROM s)
+             |SELECT id, frame, count(*)::BIGINT AS n,
+             |  round(sqrt(sum(smp * smp) / 16.0), 4) AS rms,
+             |  sum(CASE WHEN idx % 16 != 0 AND smp * prev < 0
+             |    THEN 1 ELSE 0 END)::BIGINT AS zcr
+             |FROM l GROUP BY id, frame""".stripMargin)),
+
     Q("multimodal_phash",
       (s, d) => {
         import s.implicits._

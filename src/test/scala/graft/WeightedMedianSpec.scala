@@ -87,6 +87,22 @@ class WeightedMedianSpec extends SparkFunSuite {
     }
   }
 
+  test("generalized quantile: integer threshold, p90 and p=1 edges") {
+    import spark.implicits._
+    def wq(rows: Seq[(Double, Long)], num: Long, den: Long): Double =
+      graft.operators.RobustStats.weightedQuantileExact(
+        rows.toDF("v", "w"), col("v"), col("w"), num, den)._1
+    val unit = (1 to 10).map(i => (i.toDouble, 1L))
+    // W=10, ceil(0.9*10)=9 -> v=9 (exact-multiple boundary, the case
+    // a float ceil can fumble)
+    assert(wq(unit, 9, 10) == 9.0)
+    assert(wq(unit, 1, 1) == 10.0)   // p=1 -> max
+    assert(wq(unit, 1, 10) == 1.0)   // p=0.1 -> ceil(1)=1 -> min
+    // weighted: (1,w9),(5,w1): ceil(0.9*10)=9 -> cum at v=1 is 9 -> 1
+    assert(wq(Seq((1.0, 9L), (5.0, 1L)), 9, 10) == 1.0)
+    intercept[IllegalArgumentException](wq(unit, 11, 10))
+  }
+
   test("large input drives the histogram loop, result still exact") {
     import spark.implicits._
     // 200k rows, values hashed over a wide range, weights 1-16 —
