@@ -245,6 +245,62 @@ object StreamQ {
              |  round(sd6, 4) AS sd, o.n_out
              |FROM p JOIN o USING (event_type, hr)""".stripMargin)),
 
+    // ts_cross_corr [EXT, new r8]: lagged cross-correlation between
+    // the view and purchase HOURLY series at lags 0–3 — "does view
+    // traffic lead purchase traffic, and by how many hours?", the
+    // standard leading-indicator screen. The hourly grid is DENSE
+    // (driver-bounded min/max scalars → spark.range), so silent-hour
+    // zeros participate instead of being dropped; the lag alignment is
+    // a self-JOIN on hb + lag after an explode over the lag list —
+    // never a single-partition window over the global series (the
+    // PlanGuard rule holds even when the series is small). Counts are
+    // exact integers; corr rounds at 4 per the agg_corr convention.
+    Q("ts_cross_corr",
+      (s, d) => {
+        val e = graft.operators.Stage.materialize(
+          t(s, d, "events")
+            .select(expr("unix_micros(ts) div 3600000000").as("hb"),
+              col("event_type")),
+          "xcorr_hours")
+        val bounds = e.agg(min("hb"), max("hb")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val grid = s.range(lo, hi + 1).select(col("id").as("hb"))
+        def cnt(tpe: String, as: String) =
+          e.filter(col("event_type") === tpe)
+            .groupBy("hb").agg(count(lit(1)).as(as))
+        val series = grid
+          .join(cnt("view", "vc"), Seq("hb"), "left")
+          .join(cnt("purchase", "pc"), Seq("hb"), "left")
+          .select(col("hb"), coalesce(col("vc"), lit(0L)).as("vc"),
+            coalesce(col("pc"), lit(0L)).as("pc"))
+        val a = series.withColumn("lag",
+            explode(array((0 to 3).map(lit): _*)))
+          .select(col("hb"), col("vc"), col("lag"))
+        val b = series.select(col("hb").as("hb2"), col("pc"))
+        a.join(b, col("hb2") === col("hb") + col("lag"))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n"),
+            round(corr(col("vc").cast("double"),
+              col("pc").cast("double")), 4).as("xcorr"))
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hb,
+             |    event_type FROM events),
+             |bnd AS (SELECT min(hb) AS lo, max(hb) AS hi FROM e),
+             |g AS (SELECT unnest(generate_series(lo, hi)) AS hb FROM bnd),
+             |v AS (SELECT hb, count(*)::BIGINT AS c FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |p AS (SELECT hb, count(*)::BIGINT AS c FROM e
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |sr AS (SELECT g.hb, coalesce(v.c, 0) AS vc,
+             |    coalesce(p.c, 0) AS pc
+             |  FROM g LEFT JOIN v USING (hb) LEFT JOIN p USING (hb)),
+             |l AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(lag))
+             |SELECT l.lag, count(*)::BIGINT AS n,
+             |  round(corr(a.vc, b.pc), 4) AS xcorr
+             |FROM l, sr a, sr b
+             |WHERE b.hb = a.hb + l.lag
+             |GROUP BY l.lag""".stripMargin)),
+
     // ts_mad [EXT, new r7]: per-entity robust outlier profile — the
     // entity-granular twin of dq_outlier: per user, med = median(v),
     // mad = median(|v − med|), n_out = events beyond 3·1.4826·mad.
