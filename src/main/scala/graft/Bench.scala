@@ -53,7 +53,7 @@ object Bench {
     // inflated 3-170× by OTHER tenants of the host during the driver's
     // window, and each round burned a judge session re-proving the code
     // innocent with A/B reruns. The bench now measures its own window:
-    // a fixed-cost reference workload — a 10M-row codegen'd range sum
+    // a fixed-cost reference workload — a 200M-row codegen'd range sum
     // (CPU) plus a count over the smallest real table (IO) — timed at
     // the start, middle, and end of the run. `contention_index` =
     // median(canary) / QUIET_CANARY_SEC; an index near 1 means the

@@ -41,6 +41,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the exact set this run TRIED to dump (post-filter): lets the
+    // checker flag a query that threw (no output dir) without
+    // guessing whether a missing dir means "subset run" or "crashed"
+    val attempted = SparkEntry.queries.keys
+      .filter(name => only.forall(_(name))).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -143,15 +143,16 @@ object Pdf {
   def extractLines(pdf: Array[Byte]): Seq[String] = {
     val doc = new String(pdf, StandardCharsets.ISO_8859_1)
     val lines = Seq.newBuilder[String]
-    var from = 0
-    while ({ val s = doc.indexOf("stream\n", from); s >= 0 && {
-      val start = s + "stream\n".length
-      val end = doc.indexOf("endstream", start)
-      require(end >= 0, "unterminated content stream")
-      extractFromStream(doc.substring(start, end), lines)
-      from = end + "endstream".length
-      true
-    }}) ()
+    // slice each stream by its declared /Length — searching for the
+    // literal "endstream" would truncate early when a rendered text
+    // line itself contains that word (a file or column name can)
+    val header = "/Length (\\d+) >>\nstream\n".r
+    header.findAllMatchIn(doc).foreach { m =>
+      val start = m.end
+      val len = m.group(1).toInt
+      require(start + len <= doc.length, "stream overruns document")
+      extractFromStream(doc.substring(start, start + len), lines)
+    }
     lines.result()
   }
 

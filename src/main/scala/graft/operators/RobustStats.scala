@@ -191,7 +191,11 @@ object RobustStats {
     var lo = head.getDouble(3)
     var hi = head.getDouble(4)
     var cnt = n
-    var k = (num * totalW + den - 1) / den  // weight rank within [lo, hi]
+    // threshold via BigInt: num * W overflows a Long once W passes
+    // ~Long.Max/num (reachable — W is a corpus-wide weight sum), and
+    // the wrapped-negative k would silently select min(v); the
+    // RESULT k <= W always fits a Long
+    var k = ((BigInt(num) * totalW + den - 1) / den).toLong
 
     while (cnt > DriverSliceMax && lo < hi) {
       val w = (hi - lo) / Buckets

@@ -100,6 +100,13 @@ object Xlsx {
       * m adjacent to a colon) tokens.
       */
     private[graft] def classifyCode(code: String): (Boolean, Boolean, Boolean) = {
+      // custom DURATION codes ([h]:mm:ss, [mm]:ss …) carry their
+      // defining token INSIDE brackets — classify before stripping
+      // them, or "[h]:mm:ss" degrades to ":mm:ss" and wrongly decodes
+      // as time-of-day (the same corruption the builtin 45-47
+      // passthrough exists to avoid): durations stay raw numbers
+      if (code.toLowerCase.matches(".*\\[(h+|m+|s+)\\].*"))
+        return (false, false, false)
       val bare = code
         .replaceAll("\"[^\"]*\"", "")
         .replaceAll("\\[[^\\]]*\\]", "")
@@ -275,7 +282,9 @@ object Xlsx {
                 // no index to look up — it is an empty cell, not an error
                 case "s" if raw.trim.nonEmpty => sst(raw.trim.toInt)
                 case "s" => ""
-                case "b" => if (raw.trim == "1") "true" else "false"
+                case "b" if raw.trim.nonEmpty =>
+                  if (raw.trim == "1") "true" else "false"
+                case "b" => "" // valueless <c t="b"/> = empty, not FALSE
                 // untyped/"n" = numeric: a date-formatted style decodes
                 // the serial; a non-numeric or unstyle'd value reads raw
                 case "" | "n" if raw.trim.nonEmpty =>

@@ -82,6 +82,14 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractLines(d).isEmpty)
   }
 
+  test("text containing PDF structural keywords round-trips") {
+    // extraction slices by declared /Length — a rendered line that
+    // itself says "endstream" or "stream" must not truncate the scan
+    val lines = Seq("see endstream marker", "stream\nof thought",
+      "xref table notes", "%%EOF is not the end here")
+    assert(Pdf.extractLines(doc(lines)) == lines)
+  }
+
   test("render is byte-deterministic") {
     val lines = Seq("a", "b (c)", "d\\e")
     assert(doc(lines).sameElements(doc(lines)))

@@ -103,6 +103,17 @@ class WeightedMedianSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](wq(unit, 11, 10))
   }
 
+  test("threshold arithmetic survives num * W > Long.MaxValue") {
+    import spark.implicits._
+    // W = 9e18 fits a Long, 9 * W does not: without BigInt the wrapped
+    // negative threshold silently selects min(v)
+    val huge = (1 to 10).map(i => (i.toDouble, 900000000000000000L))
+    val (got, tw) = graft.operators.RobustStats.weightedQuantileExact(
+      huge.toDF("v", "w"), col("v"), col("w"), 9L, 10L)
+    assert(tw == 9000000000000000000L)
+    assert(got == 9.0)
+  }
+
   test("large input drives the histogram loop, result still exact") {
     import spark.implicits._
     // 200k rows, values hashed over a wide range, weights 1-16 —

@@ -106,6 +106,19 @@ class XlsxDateSpec extends AnyFunSuite {
     assert(classifyCode("\"yards\" 0.0") === ((false, false, false)))
     assert(classifyCode("[Red]0.0") === ((false, false, false)))
     assert(classifyCode("#,##0") === ((false, false, false)))
+    // custom DURATION codes (elapsed time in brackets) must stay raw,
+    // like the builtin duration ids 45-47 — decoding 1.5 "[h]:mm:ss"
+    // as 12:00:00 instead of 36 elapsed hours would corrupt the cell
+    assert(classifyCode("[h]:mm:ss") === ((false, false, false)))
+    assert(classifyCode("[hh]:mm") === ((false, false, false)))
+    assert(classifyCode("[mm]:ss") === ((false, false, false)))
+  }
+
+  test("valueless typed boolean cell reads empty, not FALSE") {
+    val rows = Xlsx.parseRows(workbook(
+      """<row r="1"><c r="A1" t="b"/>""" +
+        """<c r="B1" t="b"><v>1</v></c></row>"""))
+    assert(rows === Seq(Seq("", "true")))
   }
 
   test("workbooks without styles.xml read every number raw (regression)") {

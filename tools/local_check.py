@@ -18,16 +18,22 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
 # A query that THREW in Verify leaves no output dir and would be
-# invisible here (the checker only walks dirs that exist). Every
-# registered oracle key must have a dump — flag the ones that don't.
-# Subset runs (Verify's third arg) dump fewer dirs than oracle keys by
-# design, so only enforce when this looks like a full run.
+# invisible here (the checker only walks dirs that exist). Verify
+# writes attempted.json — the exact post-filter set it tried to dump —
+# so every attempted-but-missing name is a hard failure regardless of
+# how many other queries also died. Fallback for dumps from an older
+# Verify: flag missing oracle keys only when the run looks full.
 dumped = {n for n in os.listdir(out_dir)
           if os.path.isdir(os.path.join(out_dir, n))}
-missing = set(oracle) - dumped
-if missing and len(dumped) > len(oracle) * 0.9:
-    for name in missing:
-        results[name] = "NO_OUTPUT_DIR (query threw in Verify?)"
+attempted_file = os.path.join(out_dir, "attempted.json")
+if os.path.exists(attempted_file):
+    missing = set(json.load(open(attempted_file))) - dumped
+else:
+    missing = set(oracle) - dumped
+    if len(dumped) <= len(oracle) * 0.9:
+        missing = set()
+for name in missing:
+    results[name] = "NO_OUTPUT_DIR (query threw in Verify?)"
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
