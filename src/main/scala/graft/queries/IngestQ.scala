@@ -1205,6 +1205,46 @@ object IngestQ {
              |  FROM j WHERE uk IS NOT NULL AND (ck IS NULL
              |    OR cn IS DISTINCT FROM un OR ca IS DISTINCT FROM ua))""".stripMargin)),
 
+    // scd2_asof [EXT, new r8]: time-travel over the SCD2 history —
+    // "what did the dimension look like on date T", the read side of
+    // scd2_merge's write side and the everyday lakehouse audit query.
+    // Two snapshots union-tagged: 2024-06-01 sees only the closed
+    // OLD- versions (the current rows aren't valid yet), 2025-06-01
+    // sees every open current row — so BOTH halves of the half-open
+    // [valid_from, valid_to) predicate are load-bearing in the gate.
+    // Scd.snapshotAt is a narrow codegen'd filter whose simple bound
+    // comparisons let a valid_from-partitioned history prune at scan.
+    Q("scd2_asof",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val hist = sup.select(col("s_suppkey"), col("s_name"),
+            to_date(lit("2025-01-01")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+          .unionByName(sup.filter(col("s_suppkey") % 20 === 0)
+            .select(col("s_suppkey"),
+              concat(lit("OLD-"), col("s_suppkey")).as("s_name"),
+              to_date(lit("2024-01-01")).as("valid_from"),
+              to_date(lit("2025-01-01")).as("valid_to")))
+        def snap(ts: String) =
+          graft.operators.Scd.snapshotAt(hist, to_date(lit(ts)))
+            .select(lit(ts).as("as_of"), col("s_suppkey"), col("s_name"))
+        snap("2024-06-01").unionByName(snap("2025-06-01"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT s_suppkey, s_name, DATE '2025-01-01' AS vf,
+             |    CAST(NULL AS DATE) AS vt FROM supplier
+             |  UNION ALL
+             |  SELECT s_suppkey, 'OLD-' || s_suppkey,
+             |    DATE '2024-01-01', DATE '2025-01-01'
+             |  FROM supplier WHERE s_suppkey % 20 = 0),
+             |t1 AS (SELECT '2024-06-01' AS as_of, s_suppkey, s_name
+             |  FROM hist WHERE vf <= DATE '2024-06-01'
+             |    AND (vt IS NULL OR vt > DATE '2024-06-01')),
+             |t2 AS (SELECT '2025-06-01' AS as_of, s_suppkey, s_name
+             |  FROM hist WHERE vf <= DATE '2025-06-01'
+             |    AND (vt IS NULL OR vt > DATE '2025-06-01'))
+             |SELECT * FROM t1 UNION ALL SELECT * FROM t2""".stripMargin)),
+
     // src_html + xpath_extract + the full scrape chain
     // (`scrape_newest_baci_data.R:20-41`): XPath anchor extraction →
     // NA filter → regex filter → absolutize → dedup; golden oracle.

@@ -480,6 +480,63 @@ object ScaleQ {
              |    AS n_out
              |FROM n, m, d2""".stripMargin)),
 
+    // dq_volume_anomaly [EXT, new r8]: WHICH days had anomalous event
+    // volume — the per-day twin of dq_outlier's one-row whole-column
+    // screen, and the audit that catches a dropped producer or a
+    // replay storm as specific dates. Daily counts are a
+    // dimension-bounded aggregate; med/MAD over the day series come
+    // from the same exact iterative-histogram selections (driver
+    // literals, percentile_cont convention — the repo's no-global-
+    // window rule holds even on a 30-row series), and the day list
+    // filter is the robust |c − med| > 3·1.4826·mad rule with exact
+    // integer counts on both sides.
+    Q("dq_volume_anomaly",
+      (s, d) => {
+        // the synthetic feed is uniform, so the anomalies are PLANTED
+        // (the join_fuzzy/plantedDocs convention — a gate passing on 0
+        // outliers == 0 would be vacuous): a 3x replay storm on
+        // Jan 5 and a dropped-producer trickle (2% survives) on
+        // Jan 20, both deterministic and replayed by the oracle
+        val e0 = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_id"))
+        val storm = e0.filter(col("day") === to_date(lit("2024-01-05")))
+        val planted = e0
+          .filter(col("day") =!= to_date(lit("2024-01-20")) ||
+            col("event_id") % 50 === 0)
+          .unionByName(storm).unionByName(storm)
+        val days = graft.operators.Stage.materialize(
+          planted.groupBy("day").agg(count(lit(1)).as("n_events")),
+          "dq_vol_days")
+        val med = graft.operators.RobustStats.medianExact(
+          days, col("n_events"))
+        val mad = graft.operators.RobustStats.medianExact(
+          days.select(abs(col("n_events") - lit(med)).as("dv")), col("dv"))
+        days.filter(abs(col("n_events") - lit(med)) >
+            lit(3.0) * lit(1.4826) * lit(mad))
+          .select(col("day"), col("n_events"),
+            lit(med).as("med"), lit(mad).as("mad"))
+      },
+      Some("""WITH e0 AS (SELECT CAST(ts AS DATE) AS day, event_id
+             |    FROM events),
+             |pl AS (SELECT day FROM e0
+             |    WHERE day != DATE '2024-01-20' OR event_id % 50 = 0
+             |  UNION ALL SELECT day FROM e0 WHERE day = DATE '2024-01-05'
+             |  UNION ALL SELECT day FROM e0 WHERE day = DATE '2024-01-05'),
+             |c AS (SELECT day, count(*)::BIGINT AS n_events
+             |  FROM pl GROUP BY 1),
+             |n AS (SELECT count(*)::BIGINT AS n FROM c),
+             |r AS (SELECT n_events::DOUBLE AS x,
+             |    row_number() OVER (ORDER BY n_events) AS rk FROM c),
+             |m AS (SELECT avg(x) AS med FROM r, n
+             |  WHERE rk = (n.n + 1) // 2 OR rk = (n.n + 2) // 2),
+             |r2 AS (SELECT abs(c.n_events - m.med) AS y FROM c, m),
+             |rr AS (SELECT y, row_number() OVER (ORDER BY y) AS rk FROM r2),
+             |d2 AS (SELECT avg(y) AS mad FROM rr, n
+             |  WHERE rk = (n.n + 1) // 2 OR rk = (n.n + 2) // 2)
+             |SELECT c.day, c.n_events, m.med AS med, d2.mad AS mad
+             |FROM c, m, d2
+             |WHERE abs(c.n_events - m.med) > 3.0 * 1.4826 * d2.mad""".stripMargin)),
+
     // graph_jaccard [EXT, new r7]: neighbor-set Jaccard similarity on
     // the sampled supplier co-purchase graph (the graph_triangles edge
     // set) — the link-prediction / supplier-substitutability signal.
