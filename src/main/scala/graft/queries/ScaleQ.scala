@@ -543,6 +543,84 @@ object ScaleQ {
     // Candidates come ONLY from shared-neighbor wedges (never
     // all-pairs); counts are exact integers and the score is their
     // single division, so the oracle's replay is bit-identical.
+    // graph_khop [EXT, new r8]: GraphSAGE-style 2-hop neighbor
+    // sampling over the co-purchase graph — the data-prep step of
+    // every graph-learning pipeline (bound each node's receptive
+    // field BEFORE the explosion, not after). Fan-out 3 per hop,
+    // selected by the PORTABLE-MD5 content-hash rank (the
+    // corpus_split membership convention): deterministic across runs,
+    // retries, cluster sizes, and engines — rand() sampling would
+    // break every one of those. Windows partition by src (parallel
+    // across nodes), hop-2 is sampled-join-sampled so the join is
+    // fan-out² bounded per node, and the 1-hop set is excluded via
+    // left-anti. Output per node: sampled 1-hop count and distinct
+    // exclusive 2-hop count.
+    Q("graph_khop",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          Seq("l_orderkey"))
+          .filter(col("l_suppkey") < col("s2"))
+          .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+          .distinct()
+        val und = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val h = conv(substring(md5(concat_ws(":",
+          col("src").cast("string"), col("dst").cast("string"),
+          lit("khop"))), 1, 15), 16, 10).cast("long")
+        val w = Window.partitionBy("src").orderBy(col("h"), col("dst"))
+        val samp = graft.operators.Stage.materialize(
+          und.withColumn("h", h)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3).select(col("src"), col("dst")),
+          "khop_sampled")
+        val hop2 = samp
+          .join(samp.select(col("src").as("mid"), col("dst").as("dst2")),
+            col("dst") === col("mid"))
+          .filter(col("dst2") =!= col("src"))
+          .select(col("src"), col("dst2"))
+          .join(samp.select(col("src"), col("dst").as("dst2")),
+            Seq("src", "dst2"), "left_anti")
+        val n1 = samp.groupBy("src").agg(count(lit(1)).as("n1"))
+        val n2 = hop2.groupBy("src")
+          .agg(countDistinct(col("dst2")).as("n2"))
+        n1.join(n2, Seq("src"), "left")
+          .select(col("src").as("node"), col("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem
+             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+             |pr AS (SELECT DISTINCT a.l_suppkey AS src,
+             |    b.l_suppkey AS dst
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_suppkey < b.l_suppkey),
+             |und AS (SELECT src, dst FROM pr
+             |  UNION ALL SELECT dst, src FROM pr),
+             |rk AS (SELECT src, dst, row_number() OVER (
+             |    PARTITION BY src ORDER BY
+             |      ('0x' || substring(md5(src::VARCHAR || ':' ||
+             |        dst::VARCHAR || ':khop'), 1, 15))::BIGINT,
+             |      dst) AS rk
+             |  FROM und),
+             |samp AS (SELECT src, dst FROM rk WHERE rk <= 3),
+             |h2 AS (SELECT s1.src, s2.dst AS dst2
+             |  FROM samp s1 JOIN samp s2 ON s1.dst = s2.src
+             |  WHERE s2.dst != s1.src
+             |    AND NOT EXISTS (SELECT 1 FROM samp x
+             |      WHERE x.src = s1.src AND x.dst = s2.dst)),
+             |n1 AS (SELECT src, count(*)::BIGINT AS n1 FROM samp
+             |  GROUP BY 1),
+             |n2 AS (SELECT src, count(DISTINCT dst2)::BIGINT AS n2
+             |  FROM h2 GROUP BY 1)
+             |SELECT n1.src AS node, n1.n1,
+             |  coalesce(n2.n2, 0)::BIGINT AS n2
+             |FROM n1 LEFT JOIN n2 USING (src)""".stripMargin)),
+
     Q("graph_jaccard",
       (s, d) => {
         val li = t(s, d, "lineitem")
