@@ -192,6 +192,24 @@ object TextFns {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{2,4}[-. ][0-9]{2,6}", "<PHONE>")
 
+  /** Luhn mod-10 validity of a digit-string candidate (ISO/IEC 7812) —
+    * separates real payment-card numbers from random digit runs in a
+    * PII scan. Pure builtin array HOFs (reverse → indexed transform →
+    * aggregate), codegen-friendly, integer arithmetic only: from the
+    * right, every second digit doubles (−9 when > 9) and the total must
+    * be ≡ 0 (mod 10). Non-digit characters are ignored (pass candidates
+    * from a digit-run regex, not raw text).
+    */
+  def luhnValid(card: Column): Column = {
+    val terms = transform(
+      reverse(regexp_extract_all(card, lit("\\d"), lit(0))), (x, i) => {
+        val v = x.cast("int")
+        when(i % 2 === 1,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      })
+    size(terms) > 0 && aggregate(terms, lit(0), (a, b) => a + b) % 10 === 0
+  }
+
   /** Winnowing (rolling-hash) fingerprint set over the normalized text —
     * position-robust partial-overlap detection (the MOSS scheme): any
     * shared run of ≳ k+w characters yields shared fingerprints at any

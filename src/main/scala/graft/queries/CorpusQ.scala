@@ -798,6 +798,64 @@ object CorpusQ {
              |QUALIFY row_number() OVER (PARTITION BY doc_id
              |  ORDER BY score DESC, cls DESC) = 1""".stripMargin)),
 
+    // class_auc [EXT, new r8]: EXACT distributed ROC AUC — the
+    // classifier-quality audit beside class_nb's predictions. AUC is
+    // the Mann-Whitney rank-sum, so the textbook shape is a global
+    // rank over scores (a scale-killer as a single-partition window);
+    // here it reduces to grouped score counts + ONE running total of
+    // negatives over the distinct-score groups (GlobalRank's two-phase
+    // range ranking — the exchange is bounded by |distinct scores|,
+    // never |rows|), with the standard ½-tie correction carried as
+    // INTEGERS: 2U = Σ p·(2·neg_below + neg_tied), AUC = 2U / (2·P·N)
+    // is the only float op, so the value is bit-identical
+    // cross-engine. The scorer is a deliberately simple codegen'd
+    // stopword-ratio signal in integer micro-units (score exactness is
+    // the point of the gate, not model quality — any integer-valued
+    // model score plugs in).
+    Q("class_auc",
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "")
+        val sc = t(s, d, "documents")
+          .select(when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+            size(filter(toks, t => t === "the" || t === "a"))
+              .cast("long").as("n_stop"),
+            size(toks).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0)
+          .select(col("pos"),
+            expr("(1000000 * n_stop) div n_tok").as("score"))
+        val g = sc.groupBy("score")
+          .agg(sum(col("pos")).as("p"),
+            sum(lit(1L) - col("pos")).as("ng"))
+        graft.operators.GlobalRank
+          .withRunningTotal(g, Seq(col("score")), col("ng"),
+            rankCol = "r", totalCol = "cum_ng")
+          .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"),
+            sum(col("p") * (lit(2L) * (col("cum_ng") - col("ng"))
+              + col("ng"))).as("u2"))
+          .select(col("n_pos"), col("n_neg"),
+            (col("u2").cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+              .as("auc"))
+      },
+      Some("""WITH tk AS (SELECT lang,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             |    (1000000 * len(list_filter(toks,
+             |      x -> x = 'the' OR x = 'a'))) // len(toks) AS score
+             |  FROM tk WHERE len(toks) > 0),
+             |g AS (SELECT score, sum(pos)::BIGINT AS p,
+             |    sum(1 - pos)::BIGINT AS ng FROM sc GROUP BY 1),
+             |r AS (SELECT p, ng, sum(ng) OVER (ORDER BY score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum_ng FROM g)
+             |SELECT sum(p)::BIGINT AS n_pos, sum(ng)::BIGINT AS n_neg,
+             |  sum(p * (2 * (cum_ng - ng) + ng))::BIGINT::DOUBLE
+             |    / (2 * sum(p) * sum(ng))::BIGINT::DOUBLE AS auc
+             |FROM r""".stripMargin)),
+
     // rank_ndcg [EXT, new r7]: retrieval-quality evaluation — NDCG@10
     // of label-match relevance over the brute-force cosine ranking
     // (the metric every embedding/ANN change gets judged by). Gains

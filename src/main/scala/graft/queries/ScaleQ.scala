@@ -129,14 +129,17 @@ object ScaleQ {
 
     // join_bloom [EXT]: selective-dim semi-join with an explicit bloom
     // runtime filter pruning the fact side BEFORE the join shuffle
-    // (RuntimeFilter scaladoc). ~9% of suppliers pass the balance
-    // predicate, so ~91% of lineitem rows drop inside the scan stage;
-    // the exact semi-join removes bloom false positives, making the
-    // result identical to the plain EXISTS the oracle runs.
+    // (RuntimeFilter scaladoc). The balance predicate passes ~40% of
+    // suppliers at sf>=0.01 (and the single qualifying supplier in the
+    // 10-row sf0.001 dim — a tighter cut like >9000 is vacuous there,
+    // and an empty==empty gate proves nothing), so a majority of
+    // lineitem rows still drop inside the scan stage; the exact
+    // semi-join removes bloom false positives, making the result
+    // identical to the plain EXISTS the oracle runs.
     Q("join_bloom",
       (s, d) => RuntimeFilter.bloomSemiJoin(
           t(s, d, "lineitem"), "l_suppkey",
-          t(s, d, "supplier").filter(col("s_acctbal") > 9000), "s_suppkey")
+          t(s, d, "supplier").filter(col("s_acctbal") > 6000), "s_suppkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 2).as("sum_price")),
@@ -144,7 +147,7 @@ object ScaleQ {
              round(sum(l_extendedprice), 2) AS sum_price
              FROM lineitem
              WHERE EXISTS (SELECT 1 FROM supplier
-               WHERE s_suppkey = l_suppkey AND s_acctbal > 9000)
+               WHERE s_suppkey = l_suppkey AND s_acctbal > 6000)
              GROUP BY l_returnflag""")),
 
     // layout_zorder [EXT]: Morton-interleave (o_custkey, order-day) and
@@ -654,6 +657,39 @@ object ScaleQ {
              |FROM cw JOIN dg da ON cw.a = da.node
              |  JOIN dg db ON cw.b = db.node
              |WHERE CAST(cw.common AS DOUBLE) /
-             |  CAST(da.deg + db.deg - cw.common AS DOUBLE) >= 0.25""".stripMargin))
+             |  CAST(da.deg + db.deg - cw.common AS DOUBLE) >= 0.25""".stripMargin)),
+
+    // opt_skyline [EXT, new r8]: Pareto frontier ("skyline") of the
+    // part catalog — cheapest price vs largest size, the classic
+    // multi-criteria shortlist (Börzsönyi et al., ICDE '01). The naive
+    // shape is an all-pairs dominance anti-join (quadratic in rows);
+    // here dominance collapses onto the size-level aggregate FIRST —
+    // one map-side-partial min/count per p_size (the only full scan),
+    // leaving a dimension-bounded (≤ 50-row) level table whose
+    // broadcast self-anti-join costs nothing. A size level survives
+    // iff no strictly larger size is as cheap or cheaper. For
+    // unbounded dominance dimensions the same reduction feeds the
+    // sort-sweep form (running min over a GlobalRank range ranking)
+    // instead of the self-join; the bounded case is the common
+    // catalog shape. Prices compare as raw parquet doubles — no
+    // arithmetic, nothing to drift cross-engine.
+    Q("opt_skyline",
+      (s, d) => {
+        val lv = t(s, d, "part").groupBy("p_size")
+          .agg(min("p_retailprice").as("min_price"),
+            count(lit(1)).as("n_parts"))
+        val dom = broadcast(lv.select(col("p_size").as("b_size"),
+          col("min_price").as("b_price")))
+        lv.join(dom, col("b_size") > col("p_size") &&
+            col("b_price") <= col("min_price"), "left_anti")
+      },
+      Some("""WITH lv AS (SELECT p_size,
+             |    min(p_retailprice) AS min_price,
+             |    count(*)::BIGINT AS n_parts
+             |  FROM part GROUP BY 1)
+             |SELECT a.p_size, a.min_price, a.n_parts FROM lv a
+             |WHERE NOT EXISTS (SELECT 1 FROM lv b
+             |  WHERE b.p_size > a.p_size
+             |    AND b.min_price <= a.min_price)""".stripMargin))
   )
 }

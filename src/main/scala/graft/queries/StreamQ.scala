@@ -207,43 +207,64 @@ object StreamQ {
     // against ITS OWN hour's moments. The narrow value frame is staged
     // once and feeds both the profile aggregate and the join-back
     // (repo staging convention); the profile side of the join is
-    // dimension-bounded (types × 24) so it broadcasts. mean/sd are
-    // snapped to 6 decimals BEFORE the 3σ comparison in both engines
-    // (ts_changepoint's z-snap convention) so sum-order float noise
-    // cannot flip a boundary row's outlier verdict.
+    // dimension-bounded (types × 24) so it broadcasts. The moments are
+    // computed from EXACT integer-cent sums (sum(c), sum(c²) as LONGs —
+    // order-free, no float accumulation), then mean/sd derive through
+    // one fixed left-to-right IEEE expression replayed verbatim by the
+    // oracle, so the doubles are bit-identical cross-engine; display
+    // rounding uses the repo's floor(x·10^k+0.5) snap (sim_mmr
+    // convention) rather than engine round(), whose decimal-boundary
+    // behavior differs between Spark's BigDecimal HALF_UP and DuckDB's
+    // float path (a round(…,6)→round(…,4) chain flipped a half-boundary
+    // row in the round-8 local gate).
     Q("ts_seasonal",
       (s, d) => {
         val e = graft.operators.Stage.materialize(
           t(s, d, "events").filter(col("value").isNotNull)
             .select(col("event_type"), hour(col("ts")).as("hr"),
-              col("value").as("v")),
+              round(col("value") * lit(100)).cast("long").as("c")),
           "ts_seasonal_vals")
+        val nD = col("n").cast("double")
         val prof = e.groupBy("event_type", "hr")
-          .agg(count(lit(1)).as("n"),
-            round(avg(col("v")), 6).as("mean6"),
-            round(stddev_samp(col("v")), 6).as("sd6"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("ss"))
+          .select(col("event_type"), col("hr"), col("n"),
+            (col("sc").cast("double") / nD).as("mean_c"),
+            when(col("n") > 1, sqrt(greatest(
+              (col("ss").cast("double") -
+                col("sc").cast("double") * col("sc").cast("double") / nD)
+                / (col("n") - 1).cast("double"), lit(0.0)))).as("sd_c"))
         val outs = e.join(broadcast(prof), Seq("event_type", "hr"))
           .groupBy("event_type", "hr")
-          .agg(sum(when(abs(col("v") - col("mean6")) >
-            lit(3.0) * col("sd6"), 1L).otherwise(0L)).as("n_out"))
+          .agg(sum(when(abs(col("c").cast("double") - col("mean_c")) >
+            lit(3.0) * col("sd_c"), 1L).otherwise(0L)).as("n_out"))
         prof.join(outs, Seq("event_type", "hr"))
           .select(col("event_type"), col("hr"), col("n"),
-            round(col("mean6"), 4).as("mean"),
-            round(col("sd6"), 4).as("sd"), col("n_out"))
+            (floor(col("mean_c") * lit(100.0) + lit(0.5)) / lit(10000.0))
+              .as("mean"),
+            (floor(col("sd_c") * lit(100.0) + lit(0.5)) / lit(10000.0))
+              .as("sd"), col("n_out"))
       },
       Some("""WITH e AS (SELECT event_type, hour(ts) AS hr,
-             |    value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL),
              |p AS (SELECT event_type, hr, count(*)::BIGINT AS n,
-             |    round(avg(v), 6) AS mean6,
-             |    round(stddev_samp(v), 6) AS sd6
+             |    sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS ss
              |  FROM e GROUP BY 1, 2),
+             |p2 AS (SELECT event_type, hr, n,
+             |    sc::DOUBLE / n::DOUBLE AS mean_c,
+             |    CASE WHEN n > 1 THEN sqrt(greatest(
+             |      (ss::DOUBLE - sc::DOUBLE * sc::DOUBLE / n::DOUBLE)
+             |        / (n - 1)::DOUBLE, 0.0)) END AS sd_c
+             |  FROM p),
              |o AS (SELECT e.event_type, e.hr,
-             |    sum(CASE WHEN abs(v - mean6) > 3.0 * sd6
+             |    sum(CASE WHEN abs(c::DOUBLE - mean_c) > 3.0 * sd_c
              |      THEN 1 ELSE 0 END)::BIGINT AS n_out
-             |  FROM e JOIN p USING (event_type, hr) GROUP BY 1, 2)
-             |SELECT p.event_type, p.hr, p.n, round(mean6, 4) AS mean,
-             |  round(sd6, 4) AS sd, o.n_out
-             |FROM p JOIN o USING (event_type, hr)""".stripMargin)),
+             |  FROM e JOIN p2 USING (event_type, hr) GROUP BY 1, 2)
+             |SELECT p2.event_type, p2.hr, p2.n,
+             |  floor(mean_c * 100.0 + 0.5) / 10000.0 AS mean,
+             |  floor(sd_c * 100.0 + 0.5) / 10000.0 AS sd, o.n_out
+             |FROM p2 JOIN o USING (event_type, hr)""".stripMargin)),
 
     // ts_cross_corr [EXT, new r8]: lagged cross-correlation between
     // the view and purchase HOURLY series at lags 0–3 — "does view
@@ -798,5 +819,87 @@ object StreamQ {
              FROM c)
              SELECT window_s, CAST(rank AS INT) AS rank, event_type, n
              FROM r WHERE rank <= 3""")),
+
+    // seq_markov [EXT, new r8]: first-order Markov transition matrix of
+    // the per-user event streams — "what do users do NEXT after a
+    // view?", the session-flow / next-action screen that powers funnel
+    // design and bot detection (a user whose transitions are uniform
+    // random is not a human). Consecutive pairs come from a
+    // user-partitioned lead over (epoch_us, event_id) — one user-keyed
+    // exchange, parallel across users, never a global window; the
+    // 5×5-bounded count matrix then joins its row totals back via
+    // broadcast. p = n/tot is ONE IEEE division of exact integers, so
+    // the probability is bit-identical cross-engine.
+    Q("seq_markov",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu"), col("event_id"))
+        val tr = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("event_type"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val counts = tr.groupBy(col("event_type").as("from_type"),
+            col("nxt").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.groupBy("from_type").agg(sum("n").as("tot"))
+        counts.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS nxt
+             |  FROM events),
+             |c AS (SELECT event_type AS from_type, nxt AS to_type,
+             |    count(*)::BIGINT AS n
+             |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, sum(n)::BIGINT AS tot
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  c.n::DOUBLE / t.tot::DOUBLE AS p
+             |FROM c JOIN t USING (from_type)""".stripMargin)),
+
+    // funnel_attrib [EXT, new r8]: last-touch revenue attribution — each
+    // purchase credits the latest strictly-earlier view/click by the
+    // same user ('direct' when none), the standard marketing-attribution
+    // primitive. NOT a purchases×touches range join (quadratic in
+    // events-per-user): the unified stream takes ONE user-keyed exchange
+    // and a last(_, ignoreNulls) over rows [unbounded, -1] carries the
+    // most recent touch forward to each purchase — the same as-of shape
+    // as join_asof, O(events) per user. Revenue sums exact integer
+    // cents; amount = sc/100.0 is one IEEE division.
+    Q("funnel_attrib",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("event_type"),
+            round(col("value") * lit(100)).cast("long").as("c"))
+          .withColumn("attr", last(
+            when(col("event_type").isin("view", "click"),
+              col("event_type")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("attr"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            (sum("c").cast("double") / lit(100.0)).as("revenue"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS c,
+             |    last_value(CASE WHEN event_type IN ('view', 'click')
+             |        THEN event_type END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS attr
+             |  FROM events)
+             |SELECT coalesce(attr, 'direct') AS channel,
+             |  count(*)::BIGINT AS n_purchases,
+             |  sum(c)::BIGINT::DOUBLE / 100.0 AS revenue
+             |FROM s WHERE event_type = 'purchase'
+             |GROUP BY 1""".stripMargin)),
   )
 }

@@ -1794,5 +1794,93 @@ object TextQ {
                      ELSE 0 END AS h0
                  FROM base WHERE id % 5 != 2) s)
              SELECT * FROM wav UNION ALL SELECT * FROM stub""")),
+
+    // text_pii [EXT, new r8]: PII detection over the corpus — the
+    // pre-training scrub/compliance pass (emails, NANP phones, IPv4s
+    // with octet-range validation, payment-card candidates with a full
+    // Luhn mod-10 check separating real PANs from look-alike digit
+    // runs). The synthetic corpus is PII-free, so every 40th doc is
+    // augmented with deterministic doc_id-derived PII (the planted-docs
+    // convention — an empty detector proves nothing); every 80th also
+    // carries an out-of-range IP and a Luhn-INVALID card so both
+    // validators are load-bearing, not decorative. All detection is
+    // builtin regexp_extract_all + array HOFs over each doc
+    // independently — narrow, partition-parallel, no exchange until
+    // the final filter; the Luhn fold runs per candidate (≤ a few per
+    // doc), not per corpus. The oracle re-derives the augmentation AND
+    // re-runs Luhn/octet validation through DuckDB list lambdas —
+    // integer arithmetic end-to-end, nothing to drift.
+    Q("text_pii",
+      (s, d) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val cardPat = "\\b\\d{13,19}\\b"
+        def nMatches(c: org.apache.spark.sql.Column, pat: String) =
+          size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+        val blob = concat(lit(" contact user"), col("doc_id"),
+          lit("@example.com ph 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit("."),
+          (expr("doc_id div 256") % 256).cast("string"), lit(".7"),
+          when(col("doc_id") % 80 === 0,
+            lit(" 999.1.2.3 card 4111111111111112"))
+            .otherwise(lit(" card 4111111111111111")))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 40 === 0, concat(col("text"), blob))
+              .otherwise(col("text")).as("tx"))
+          .select(col("doc_id"),
+            nMatches(col("tx"), emailPat).as("n_email"),
+            nMatches(col("tx"), phonePat).as("n_phone"),
+            size(filter(regexp_extract_all(col("tx"), lit(ipPat), lit(0)),
+              c => forall(split(c, "\\."), o => o.cast("int") <= 255)))
+              .cast("long").as("n_ipv4"),
+            nMatches(col("tx"), cardPat).as("n_card"),
+            size(filter(regexp_extract_all(col("tx"), lit(cardPat),
+              lit(0)), c => graft.functions.TextFns.luhnValid(c)))
+              .cast("long").as("n_card_luhn"))
+          .filter(col("n_email") + col("n_phone") + col("n_ipv4") +
+            col("n_card") > 0)
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 40 = 0 THEN text
+             |      || ' contact user' || doc_id || '@example.com ph 555-'
+             |      || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+             |      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             |      || ' ip 10.' || (doc_id % 256) || '.'
+             |      || ((doc_id // 256) % 256) || '.7'
+             |      || CASE WHEN doc_id % 80 = 0
+             |           THEN ' 999.1.2.3 card 4111111111111112'
+             |           ELSE ' card 4111111111111111' END
+             |      ELSE text END AS tx
+             |  FROM documents),
+             |sc AS (SELECT doc_id,
+             |    len(regexp_extract_all(tx,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |      ::BIGINT AS n_email,
+             |    len(regexp_extract_all(tx, '\b\d{3}-\d{3}-\d{4}\b'))
+             |      ::BIGINT AS n_phone,
+             |    len(list_filter(
+             |      regexp_extract_all(tx,
+             |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'),
+             |      c -> list_aggregate(list_transform(string_split(c, '.'),
+             |        o -> CAST(o AS INT) <= 255), 'bool_and')))
+             |      ::BIGINT AS n_ipv4,
+             |    len(regexp_extract_all(tx, '\b\d{13,19}\b'))
+             |      ::BIGINT AS n_card,
+             |    len(list_filter(regexp_extract_all(tx, '\b\d{13,19}\b'),
+             |      c -> list_sum(list_transform(
+             |          range(1, length(c) + 1),
+             |          i -> CASE WHEN (length(c) - i) % 2 = 1
+             |            THEN CASE WHEN 2 * CAST(c[i] AS INT) > 9
+             |              THEN 2 * CAST(c[i] AS INT) - 9
+             |              ELSE 2 * CAST(c[i] AS INT) END
+             |            ELSE CAST(c[i] AS INT) END)) % 10 = 0))
+             |      ::BIGINT AS n_card_luhn
+             |  FROM aug)
+             |SELECT * FROM sc
+             |WHERE n_email + n_phone + n_ipv4 + n_card > 0""".stripMargin)),
   )
 }

@@ -131,4 +131,19 @@ class TextFnsSpec extends SparkFunSuite {
       .select(TextFns.redactPii($"t")).as[String].head()
     assert(clean === "no pii here at all")
   }
+
+  test("luhnValid accepts real PANs across lengths, rejects perturbations") {
+    val cases = Seq(
+      "4111111111111111" -> true,  // 16-digit Visa test PAN
+      "4111111111111112" -> false, // last digit off by one
+      "5500005555555559" -> true,  // 16-digit Mastercard test PAN
+      "378282246310005" -> true,   // 15-digit Amex test PAN
+      "4222222222222" -> true,     // 13-digit Visa test PAN
+      "1234567890123456" -> false,
+      "0000000000000000" -> true,  // degenerate but mod-10 valid
+      "" -> false)                 // no digits → invalid, not vacuous-true
+    val r = cases.map(_._1).toDF("c")
+      .select(TextFns.luhnValid($"c")).as[Boolean].collect().toSeq
+    assert(r === cases.map(_._2), cases.map(_._1).zip(r).toString)
+  }
 }
