@@ -901,5 +901,31 @@ object StreamQ {
              |  sum(c)::BIGINT::DOUBLE / 100.0 AS revenue
              |FROM s WHERE event_type = 'purchase'
              |GROUP BY 1""".stripMargin)),
+
+    // stream_attrib [EXT, new r8]: the ONLINE twin of funnel_attrib —
+    // per-user last-touch state (3 scalars: when, which event, what
+    // channel) emits one attributed row per purchase as it arrives,
+    // through the real transformWithState/flatMapGroupsWithState
+    // operator (StateApi dual path). Batch execution sorts each user's
+    // rows once and replays the identical as-of semantics, so the
+    // per-purchase output hash-matches the window oracle; StreamingSpec
+    // drives the cross-trigger incremental path. Null purchase values
+    // attribute 0 cents — the count must not drop rows the batch twin
+    // counts.
+    Q("stream_attrib",
+      (s, d) => graft.streaming.EventStreams
+        .lastTouchAttribution(s, t(s, d, "events")).toDF(),
+      Some("""WITH s AS (SELECT user_id, event_id, event_type,
+             |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents,
+             |    last_value(CASE WHEN event_type IN ('view', 'click')
+             |        THEN event_type END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS attr
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase'))
+             |SELECT user_id, event_id, coalesce(attr, 'direct') AS channel,
+             |  cents
+             |FROM s WHERE event_type = 'purchase'""".stripMargin)),
   )
 }

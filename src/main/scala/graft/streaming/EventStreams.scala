@@ -420,4 +420,82 @@ object EventStreams {
         Iterator(UserUpdate(uid, next.n, math.rint(next.sum * 100) / 100))
     }
   }
+
+  /** Last touch carried per user: when it happened and what it was.
+    * `channel` is null until the first view/click arrives — THREE
+    * scalars per user, no event retention.
+    */
+  final case class TouchState(tsu: Long, eventId: Long, channel: String)
+  /** One emitted row per purchase, credited to the latest prior touch. */
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+                                      channel: String, cents: Long)
+
+  /** ONLINE last-touch attribution (the incremental twin of StreamQ's
+    * `funnel_attrib` aggregate): per-user state carries the most recent
+    * view/click; each arriving purchase emits one attributed row
+    * ('direct' when no touch has been seen). Within a trigger the
+    * group's rows sort by (ts, event_id), so batch-mode execution (all
+    * rows in one group) reproduces the as-of window semantics exactly —
+    * what the gate's oracle checks. Across triggers the attribution is
+    * online: a touch arriving AFTER its purchase's trigger cannot
+    * retroactively re-credit it (the same latency/exactness trade as the
+    * streaming funnel — replay through the batch aggregate for the
+    * exact answer). Null purchase values attribute 0 cents: revenue
+    * accounting skips them either way, but the PURCHASE COUNT must not
+    * silently drop rows the batch twin counts.
+    */
+  private def attribStep(prev: TouchState,
+      rows: Iterator[(Long, Long, Long, String, Long)])
+      : (TouchState, Seq[AttributedPurchase]) = {
+    var st = prev
+    val out = Seq.newBuilder[AttributedPurchase]
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (uid, t, e, tpe, c) =>
+      if (tpe == "purchase")
+        out += AttributedPurchase(uid, e,
+          if (st.channel == null) "direct" else st.channel, c)
+      else st = TouchState(t, e, tpe)
+    }
+    (st, out.result())
+  }
+
+  private class AttribProc
+      extends StatefulProcessor[Long, (Long, Long, Long, String, Long), AttributedPurchase] {
+    @transient private var st: ValueState[TouchState] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getValueState[TouchState]("touch",
+        Encoders.product[TouchState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, Long, String, Long)],
+        tv: TimerValues): Iterator[AttributedPurchase] = {
+      val (next, hits) = attribStep(
+        Option(st.get()).getOrElse(TouchState(Long.MinValue, 0L, null)), rows)
+      st.update(next)
+      hits.iterator
+    }
+  }
+
+  def lastTouchAttribution(spark: SparkSession,
+                           events: DataFrame): Dataset[AttributedPurchase] = {
+    import spark.implicits._
+    val keyed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"),
+        coalesce(round(col("value") * lit(100)).cast("long"), lit(0L)))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+    if (StateApi.useTws(spark))
+      keyed.transformWithState(new AttribProc, TimeMode.None(),
+        OutputMode.Append(), Encoders.product[AttributedPurchase])
+    else keyed.flatMapGroupsWithState[TouchState, AttributedPurchase](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+       state: GroupState[TouchState]) =>
+        val (next, hits) = attribStep(
+          state.getOption.getOrElse(TouchState(Long.MinValue, 0L, null)),
+          rows)
+        state.update(next)
+        hits.iterator
+    }
+  }
 }

@@ -487,4 +487,36 @@ class StreamingSpec extends SparkFunSuite {
       assert(pairs === Set((2L, 1L)))
     } finally q2.stop()
   }
+
+  test("streaming last-touch attribution credits across triggers, direct when untouched") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.lastTouchAttribution(spark, in.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      def rows(): Set[(Long, Long, String, Long)] = spark.table(name)
+        .select($"user_id", $"event_id", $"channel", $"cents")
+        .as[(Long, Long, String, Long)].collect().toSet
+      // trigger 1: view then purchase in ONE batch → credited to view;
+      // user 8 purchases with no touch ever → direct
+      in.addData(Ev(ts(0), 1, 7, "view", 1.0),
+        Ev(ts(2), 2, 7, "purchase", 10.0),
+        Ev(ts(1), 3, 8, "purchase", 2.5))
+      q.processAllAvailable()
+      assert(rows() === Set((7L, 2L, "view", 1000L), (8L, 3L, "direct", 250L)))
+      // trigger 2: the click state persists ACROSS the boundary —
+      // a purchase in trigger 3 credits the trigger-2 click
+      in.addData(Ev(ts(4), 4, 7, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(6), 5, 7, "purchase", 0.5))
+      q.processAllAvailable()
+      assert(rows()((7L, 5L, "click", 50L)))
+      // non-touch types (signup/error) never update the carried touch
+      in.addData(Ev(ts(7), 6, 8, "signup", 1.0), Ev(ts(8), 7, 8, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(rows()((8L, 7L, "direct", 100L)))
+    } finally q.stop()
+  }
 }
