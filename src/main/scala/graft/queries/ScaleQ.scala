@@ -690,6 +690,67 @@ object ScaleQ {
              |SELECT a.p_size, a.min_price, a.n_parts FROM lv a
              |WHERE NOT EXISTS (SELECT 1 FROM lv b
              |  WHERE b.p_size > a.p_size
-             |    AND b.min_price <= a.min_price)""".stripMargin))
+             |    AND b.min_price <= a.min_price)""".stripMargin)),
+
+    // graph_bfs [EXT, new r8]: multi-source BFS over the co-purchase
+    // supplier graph (same edge recipe as graph_jaccard) — how many
+    // suppliers sit 0/1/2/3 hops from the seed set, the blast-radius /
+    // influence-reach primitive. Iterative frontier expansion: each of
+    // the 3 rounds is one key-shuffled join of the CURRENT distance
+    // frame against the staged mirrored edge list + a min-distance
+    // re-aggregate, with the frame re-staged per round to cut lineage
+    // (the alternating-star CC discipline) — rounds are bounded by the
+    // hop budget, per-round cost linear in |E|, nothing driver-side.
+    // The oracle walks the identical frontier as a recursive CTE whose
+    // UNION-dedup over (node, dist) pairs terminates at the same hop
+    // bound.
+    Q("graph_bfs",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          Seq("l_orderkey"))
+          .filter(col("l_suppkey") < col("s2"))
+          .select(col("l_suppkey").as("a"), col("s2").as("b")).distinct()
+        val edges = graft.operators.Stage.materialize(
+          pairs.select(col("a").as("src"), col("b").as("dst"))
+            .unionByName(pairs.select(col("b").as("src"),
+              col("a").as("dst"))),
+          "bfs_edges")
+        var dist = edges.select(col("src").as("node")).distinct()
+          .filter(col("node") % 23 === 1)
+          .withColumn("dist", lit(0L))
+        for (k <- 1 to 3) {
+          val frontier = dist.filter(col("dist") === (k - 1))
+            .join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), lit(k.toLong).as("dist"))
+          dist = graft.operators.Stage.materialize(
+            dist.unionByName(frontier)
+              .groupBy("node").agg(min("dist").as("dist")),
+            s"bfs_round_$k")
+        }
+        dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem
+             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+             |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_suppkey < b.l_suppkey),
+             |ed AS (SELECT a AS src, b AS dst FROM e
+             |       UNION ALL SELECT b AS src, a AS dst FROM e),
+             |seeds AS (SELECT DISTINCT src AS node FROM ed
+             |  WHERE src % 23 = 1),
+             |bfs(node, dist) AS (
+             |  SELECT node, 0 FROM seeds
+             |  UNION
+             |  SELECT ed.dst, bfs.dist + 1 FROM bfs
+             |    JOIN ed ON ed.src = bfs.node WHERE bfs.dist < 3),
+             |dm AS (SELECT node, min(dist)::BIGINT AS dist
+             |  FROM bfs GROUP BY 1)
+             |SELECT dist, count(*)::BIGINT AS n_nodes
+             |FROM dm GROUP BY 1""".stripMargin))
   )
 }

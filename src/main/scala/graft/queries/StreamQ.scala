@@ -55,6 +55,48 @@ object StreamQ {
       |  FROM grid LEFT JOIN hourly
       |    ON grid.user_id = hourly.user_id AND grid.hs = hourly.hs)""".stripMargin
 
+  /** Dense per-type hourly count series (event_type, hb, v) — silent
+    * hours participate as zeros (from driver-bounded min/max scalars,
+    * the ts_cross_corr convention). Staged once per (session, sf-dir)
+    * and shared by ts_decompose / ts_theilsen (the plantedDocs
+    * discipline: two consumers must not rebuild the grid per
+    * invocation). The matching oracle prefix is [[typeHourlySql]].
+    */
+  private val typeHourlyCache = new graft.queries.TextQ.ModelCache[
+    org.apache.spark.sql.DataFrame](4)
+  private def typeHourly(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    typeHourlyCache.getOrFit(s, d, {
+      val e = graft.operators.Stage.materialize(
+        t(s, d, "events")
+          .select(expr("unix_micros(ts) div 3600000000").as("hb"),
+            col("event_type"))
+          .groupBy("event_type", "hb").agg(count(lit(1)).as("v")),
+        "type_hourly_sparse")
+      val bounds = e.agg(min("hb"), max("hb")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(s.range(lo, hi + 1).select(col("id").as("hb")))
+      graft.operators.Stage.materialize(
+        grid.join(e, Seq("event_type", "hb"), "left")
+          .select(col("event_type"), col("hb"),
+            coalesce(col("v"), lit(0L)).as("v")),
+        "type_hourly_dense")
+    })
+
+  /** Oracle CTE prefix matching [[typeHourly]] (… → sv(event_type, hb, v)). */
+  private val typeHourlySql: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_us(ts) // 3600000000 AS hb FROM events),
+      |b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM e),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |g0 AS (SELECT unnest(generate_series(lo, hi)) AS hb FROM b),
+      |grid AS (SELECT ty.event_type, g0.hb FROM ty, g0),
+      |cv AS (SELECT event_type, hb, count(*)::BIGINT AS v
+      |  FROM e GROUP BY 1, 2),
+      |sv AS (SELECT grid.event_type, grid.hb, coalesce(cv.v, 0) AS v
+      |  FROM grid LEFT JOIN cv USING (event_type, hb))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ts_fill [EXT]: time-series gap fill — every user gets a row for
@@ -927,5 +969,94 @@ object StreamQ {
              |SELECT user_id, event_id, coalesce(attr, 'direct') AS channel,
              |  cents
              |FROM s WHERE event_type = 'purchase'""".stripMargin)),
+
+    // ts_decompose [EXT, new r8]: additive seasonal decomposition of
+    // the per-type hourly traffic — trend = centered 24 h moving
+    // average, seasonal index = mean detrended value per hour-of-day;
+    // the classical-decomposition first stage behind every
+    // seasonality-aware monitor (ts_seasonal profiles levels; this
+    // separates CYCLE from TREND so a ramping feed doesn't smear its
+    // growth into the daily shape). Windows are type-partitioned
+    // (parallel across series, never global); only complete 24-row
+    // frames emit (count-over-frame = 24) so edges can't bias the
+    // indices. Exactness: v and the frame sum S are LONGs, so the
+    // detrended numerator Σ(24·v − S) stays integer — seasonal =
+    // num/(24·n) is the single IEEE division, bit-identical
+    // cross-engine (v − S/24 itself would NOT be exactly
+    // representable: /24 carries a factor 3).
+    Q("ts_decompose",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("hb")
+          .rowsBetween(-12, 11)
+        typeHourly(s, d)
+          .withColumn("S", sum("v").over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("cnt") === 24)
+          .groupBy(col("event_type"), (col("hb") % 24).as("hod"))
+          .agg(count(lit(1)).as("n"),
+            sum(lit(24L) * col("v") - col("S")).as("num"))
+          .select(col("event_type"), col("hod"), col("n"),
+            (col("num").cast("double") /
+              (lit(24L) * col("n")).cast("double")).as("seasonal"))
+      },
+      Some(typeHourlySql + """,
+             |tr AS (SELECT event_type, hb, v, sum(v) OVER w AS S,
+             |    count(*) OVER w AS cnt
+             |  FROM sv WINDOW w AS (PARTITION BY event_type ORDER BY hb
+             |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING))
+             |SELECT event_type, hb % 24 AS hod, count(*)::BIGINT AS n,
+             |  sum(24 * v - S)::BIGINT::DOUBLE
+             |    / (24 * count(*))::BIGINT::DOUBLE AS seasonal
+             |FROM tr WHERE cnt = 24 GROUP BY 1, 2""".stripMargin)),
+
+    // ts_theilsen [EXT, new r8]: Theil-Sen robust trend slope per
+    // event-type hourly series — the median of all pairwise slopes,
+    // the estimator that shrugs off the outlier days a least-squares
+    // fit chases (29% breakdown point). Pairs are bounded by series
+    // LENGTH² (720 h → ~259k pairs/type), not row count — the series
+    // aggregate is the only full scan; for multi-year series the
+    // standard move is pair sampling, same shape. Median = explicit
+    // two-middle-rank selection inside a type-partitioned window
+    // (PlanGuard: partitioned), averaging the two middle slope VALUES
+    // — each slope is one integer-diff division and the mean of two
+    // identical doubles, so the result is bit-identical cross-engine
+    // regardless of how rank ties order rows.
+    Q("ts_theilsen",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = typeHourly(s, d)
+        val pairs = g.select(col("event_type"), col("hb").as("h1"),
+            col("v").as("v1"))
+          .join(g.select(col("event_type"), col("hb").as("h2"),
+            col("v").as("v2")), Seq("event_type"))
+          .filter(col("h2") > col("h1"))
+          .select(col("event_type"),
+            ((col("v2") - col("v1")).cast("double") /
+              (col("h2") - col("h1")).cast("double")).as("sl"))
+        val w = Window.partitionBy("event_type").orderBy("sl")
+        val ranked = pairs.withColumn("rn", row_number().over(w))
+        val cnt = pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"))
+        ranked.join(broadcast(cnt), Seq("event_type"))
+          .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+            col("rn") === expr("n_pairs div 2 + 1"))
+          .groupBy("event_type", "n_pairs")
+          .agg(avg("sl").as("slope"))
+          .select(col("event_type"), col("n_pairs"), col("slope"))
+      },
+      Some(typeHourlySql + """,
+             |p AS (SELECT a.event_type,
+             |    (b.v - a.v)::DOUBLE / (b.hb - a.hb)::DOUBLE AS sl
+             |  FROM sv a JOIN sv b ON a.event_type = b.event_type
+             |    AND b.hb > a.hb),
+             |r AS (SELECT event_type, sl, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY sl) AS rn FROM p),
+             |c AS (SELECT event_type, count(*)::BIGINT AS n_pairs
+             |  FROM p GROUP BY 1)
+             |SELECT r.event_type, c.n_pairs, avg(sl) AS slope
+             |FROM r JOIN c USING (event_type)
+             |WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+             |GROUP BY 1, 2""".stripMargin)),
   )
 }
