@@ -1273,5 +1273,83 @@ object IngestQ {
              ('http://cepii.fr/data/baci_hs92.zip'),
              ('http://www.cepii.fr/data/baci_hs17.zip'),
              ('http://www.cepii.fr/docs/guide.pdf')) AS t(url)""")),
+
+    // dq_referential [EXT, new r8]: referential-integrity audit across
+    // the star schema — per FK relationship, how many fact rows point
+    // at a nonexistent dimension row (the broken-ETL smell every
+    // warehouse monitors). The clean synthetic corpus has zero
+    // orphans, so every 500th lineitem row (by l_orderkey % 500 = 7)
+    // gets its part/supp keys shifted out of range — the planted
+    // convention: an audit that can only ever report 0 proves nothing.
+    // Each relationship is one anti-join on its own key — dimension
+    // sides broadcast when small, the big-big l_orderkey→orders check
+    // shuffles on the join key exactly once; the bounded 4-row result
+    // unions at the end. orphan_rate = one IEEE division of exact
+    // counts.
+    Q("dq_referential",
+      (s, d) => {
+        val li = graft.operators.Stage.materialize(
+          t(s, d, "lineitem").select(
+            col("l_orderkey"),
+            when(col("l_orderkey") % 500 === 7,
+              col("l_partkey") + 1000000000L).otherwise(col("l_partkey"))
+              .as("l_partkey"),
+            when(col("l_orderkey") % 500 === 7,
+              col("l_suppkey") + 1000000000L).otherwise(col("l_suppkey"))
+              .as("l_suppkey")),
+          "dq_ref_fact")
+        val ord = t(s, d, "orders")
+        def rel(name: String, fact: org.apache.spark.sql.DataFrame,
+                fk: String, dim: org.apache.spark.sql.DataFrame,
+                pk: String) = {
+          val total = fact.agg(count(lit(1)).as("n_rows"))
+          val orph = fact.join(dim, col(fk) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          total.crossJoin(orph).select(lit(name).as("rel"),
+            col("n_rows"), col("n_orphans"),
+            (col("n_orphans").cast("double") /
+              col("n_rows").cast("double")).as("orphan_rate"))
+        }
+        rel("lineitem.orderkey", li, "l_orderkey", ord, "o_orderkey")
+          .unionByName(rel("lineitem.partkey", li, "l_partkey",
+            t(s, d, "part"), "p_partkey"))
+          .unionByName(rel("lineitem.suppkey", li, "l_suppkey",
+            t(s, d, "supplier"), "s_suppkey"))
+          .unionByName(rel("orders.custkey", ord, "o_custkey",
+            t(s, d, "customer"), "c_custkey"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+             |    CASE WHEN l_orderkey % 500 = 7
+             |      THEN l_partkey + 1000000000 ELSE l_partkey END
+             |      AS l_partkey,
+             |    CASE WHEN l_orderkey % 500 = 7
+             |      THEN l_suppkey + 1000000000 ELSE l_suppkey END
+             |      AS l_suppkey
+             |  FROM lineitem),
+             |r1 AS (SELECT 'lineitem.orderkey' AS rel,
+             |    (SELECT count(*) FROM li)::BIGINT AS n_rows,
+             |    (SELECT count(*) FROM li WHERE NOT EXISTS (SELECT 1
+             |      FROM orders WHERE o_orderkey = li.l_orderkey))::BIGINT
+             |      AS n_orphans),
+             |r2 AS (SELECT 'lineitem.partkey' AS rel,
+             |    (SELECT count(*) FROM li)::BIGINT AS n_rows,
+             |    (SELECT count(*) FROM li WHERE NOT EXISTS (SELECT 1
+             |      FROM part WHERE p_partkey = li.l_partkey))::BIGINT
+             |      AS n_orphans),
+             |r3 AS (SELECT 'lineitem.suppkey' AS rel,
+             |    (SELECT count(*) FROM li)::BIGINT AS n_rows,
+             |    (SELECT count(*) FROM li WHERE NOT EXISTS (SELECT 1
+             |      FROM supplier WHERE s_suppkey = li.l_suppkey))::BIGINT
+             |      AS n_orphans),
+             |r4 AS (SELECT 'orders.custkey' AS rel,
+             |    (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+             |    (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+             |      SELECT 1 FROM customer
+             |      WHERE c_custkey = o.o_custkey))::BIGINT AS n_orphans),
+             |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+             |SELECT rel, n_rows, n_orphans,
+             |  n_orphans::DOUBLE / n_rows::DOUBLE AS orphan_rate
+             |FROM u""".stripMargin)),
   )
 }

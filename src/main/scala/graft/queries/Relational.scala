@@ -106,6 +106,33 @@ object Relational {
              JOIN region ON n_regionkey = r_regionkey
              GROUP BY ROLLUP(r_name, n_name)""")),
 
+    // agg_grouping_sets [EXT, new r8]: explicit GROUPING SETS — the
+    // general form behind rollup/cube, for when the report needs a
+    // HAND-PICKED set of aggregation levels ((flag,status), (flag),
+    // grand) rather than a full lattice. Plans as ONE Expand over one
+    // scan (the agg_cube PlanSpec shape), not per-set rescans;
+    // grouping_id() disambiguates levels where the group key is NULL
+    // vs null-as-data. Integer sums only — nothing to drift.
+    Q("agg_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("v_li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                  AS gid,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                FROM v_li_gs
+                GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                  (l_returnflag), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n,
+             sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+               (l_returnflag), ())""")),
+
     // win_moving_avg [EXT]: a RANGE frame over event time — the moving
     // average "everything in the last hour" shape. RANGE frames bound
     // by VALUE, not row count (ties and gaps behave differently from

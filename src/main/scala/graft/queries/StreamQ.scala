@@ -1058,5 +1058,49 @@ object StreamQ {
              |FROM r JOIN c USING (event_type)
              |WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
              |GROUP BY 1, 2""".stripMargin)),
+
+    // ts_backtest [EXT, new r8]: one-step-ahead backtest of the two
+    // zero-parameter baselines every forecast must beat — naive
+    // (ŷ_t = v_{t−1}) vs seasonal-naive (ŷ_t = v_{t−24}) — per type
+    // hourly series; mae24 < mae1 is the cheap "is this series
+    // actually seasonal?" screen and the honest floor under any Holt /
+    // decomposition forecast. Type-partitioned lags over the shared
+    // staged grid, scored only where BOTH predictions exist (same
+    // eval window, or the comparison is apples-to-oranges); absolute
+    // errors sum as LONGs, each MAE is one IEEE division.
+    Q("ts_backtest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("hb")
+        typeHourly(s, d)
+          .withColumn("l1", lag(col("v"), 1).over(w))
+          .withColumn("l24", lag(col("v"), 24).over(w))
+          .filter(col("l1").isNotNull && col("l24").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(abs(col("v") - col("l1"))).as("sae1"),
+            sum(abs(col("v") - col("l24"))).as("sae24"))
+          .select(col("event_type"), col("n"),
+            (col("sae1").cast("double") / col("n").cast("double"))
+              .as("mae_naive"),
+            (col("sae24").cast("double") / col("n").cast("double"))
+              .as("mae_seasonal"),
+            (col("sae24") < col("sae1")).as("seasonal_wins"))
+      },
+      Some(typeHourlySql + """,
+             |lg AS (SELECT event_type, v,
+             |    lag(v, 1) OVER w AS l1, lag(v, 24) OVER w AS l24
+             |  FROM sv WINDOW w AS (PARTITION BY event_type ORDER BY hb)),
+             |f AS (SELECT * FROM lg
+             |  WHERE l1 IS NOT NULL AND l24 IS NOT NULL),
+             |a AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(abs(v - l1))::BIGINT AS sae1,
+             |    sum(abs(v - l24))::BIGINT AS sae24
+             |  FROM f GROUP BY 1)
+             |SELECT event_type, n,
+             |  sae1::DOUBLE / n::DOUBLE AS mae_naive,
+             |  sae24::DOUBLE / n::DOUBLE AS mae_seasonal,
+             |  sae24 < sae1 AS seasonal_wins
+             |FROM a""".stripMargin)),
   )
 }
