@@ -20,11 +20,18 @@ import graft.expressions._
   * into the expression at resolution time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // Scale-conformance audit on every query of an extension-built
+    // session (graft.plans.ScaleGuard scaladoc): unpartitioned windows
+    // and unbounded cartesians, warn/error/off per
+    // spark.graft.guard.mode. Injected as an optimizer rule so
+    // predicate pushdown has already extracted join conditions.
+    ext.injectOptimizerRule(graft.plans.ScaleGuardRule)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.{ScaleGuard, ScaleGuardRule}
+
+/** The library-facing scale guard (graft.plans.ScaleGuard): the same
+  * structural rules PlanGuardSpec pins over this repo's registry,
+  * verified here as the user-facing feature — the callable audit and
+  * the extensions-injected optimizer rule with its warn/error/off
+  * modes.
+  */
+class ScaleGuardRuleSpec extends SparkFunSuite {
+
+  private def big = spark.range(5000).toDF("id")
+
+  test("flags an unpartitioned window over unbounded input") {
+    val df = big.withColumn("rn",
+      row_number().over(Window.orderBy("id")))
+    val vs = ScaleGuard.validate(df)
+    assert(vs.map(_.rule) === Seq("unpartitioned-window"))
+  }
+
+  test("partitioned window and plan-bounded input both pass") {
+    val partitioned = big.withColumn("rn",
+      row_number().over(Window.partitionBy(col("id") % 7).orderBy("id")))
+    assert(ScaleGuard.validate(partitioned).isEmpty)
+    // a limit proves the bound, so a global rank over it is legitimate
+    val bounded = big.limit(100).withColumn("rn",
+      row_number().over(Window.orderBy("id")))
+    assert(ScaleGuard.validate(bounded).isEmpty)
+  }
+
+  test("flags an unbounded cartesian; one-row-aggregate broadcast passes") {
+    val cart = big.crossJoin(big.select(col("id").as("id2")))
+    assert(ScaleGuard.validate(cart).map(_.rule) ===
+      Seq("unbounded-cartesian"))
+    val tot = big.agg(sum("id").as("total"))
+    assert(ScaleGuard.validate(big.crossJoin(tot)).isEmpty)
+  }
+
+  test("equi-join via trailing where() is NOT a false positive") {
+    // analysis-time the join is condition-less (Filter above Join);
+    // the guard runs post-pushdown, where the condition has moved in
+    val a = big
+    val b = spark.range(5000).toDF("id2")
+    val joined = a.join(b).where(col("id") === col("id2"))
+    assert(ScaleGuard.validate(joined).isEmpty)
+  }
+
+  test("injected rule honors warn/error/off modes") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val rules = org.apache.spark.sql.graftshim.Shim
+      .optimizerRules(ext, spark)
+    val guard = rules.collectFirst { case r: ScaleGuardRule => r }
+    assert(guard.nonEmpty, "GraftExtensions must inject ScaleGuardRule")
+    val bad = big.withColumn("rn", row_number().over(Window.orderBy("id")))
+      .queryExecution.optimizedPlan
+    try {
+      spark.conf.set(ScaleGuard.ModeKey, "error")
+      val e = intercept[SparkException] { guard.get(bad) }
+      assert(e.getMessage.contains("unpartitioned-window"))
+      spark.conf.set(ScaleGuard.ModeKey, "warn")
+      assert(guard.get(bad) eq bad) // logs, plan unchanged
+      spark.conf.set(ScaleGuard.ModeKey, "off")
+      assert(guard.get(bad) eq bad)
+    } finally spark.conf.unset(ScaleGuard.ModeKey)
+  }
+
+  test("boundedRows threshold is configurable") {
+    val smallCart = spark.range(50).crossJoin(
+      spark.range(50).toDF("id2"))
+    assert(ScaleGuard.validate(smallCart).isEmpty) // 50 <= 1000
+    assert(ScaleGuard.violations(
+      smallCart.queryExecution.optimizedPlan, boundedMax = 10)
+      .map(_.rule) === Seq("unbounded-cartesian"))
+  }
+}
