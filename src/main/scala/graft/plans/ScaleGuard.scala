@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan,
+  Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** One detected scale hazard in a logical plan. */
@@ -58,6 +59,11 @@ object ScaleGuard {
             "has no PARTITION BY and its input has no plan-proven row " +
             "bound: the whole input funnels through one task's sort. " +
             "Partition the window, or bound the input (aggregate/limit).")
+      case w: WindowGroupLimit if w.partitionSpec.isEmpty &&
+          !bounded(w.child) =>
+        out += GuardViolation("unpartitioned-window",
+          "rank-limit window (WindowGroupLimit) has no PARTITION BY " +
+            "and its input has no plan-proven row bound.")
       case j: Join if j.condition.isEmpty &&
           !bounded(j.left) && !bounded(j.right) =>
         out += GuardViolation("unbounded-cartesian",

@@ -29,6 +29,16 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window,
   *     rand()/uuid()/shuffle() silently breaks that and every oracle.
   *
   * Allowlists below must stay empty or carry an inline justification.
+  *
+  * Relationship to the LIBRARY guard (graft.plans.ScaleGuard, injected
+  * by GraftExtensions): rules 1-2 here are the same hazards, but this
+  * repo-internal sweep is deliberately STRICTER — it flags EVERY
+  * partitionless window regardless of a plan-proven input bound
+  * (registered queries must model the distributed shape even when the
+  * data happens to be small), where the library guard permits a
+  * bounded input so user code over genuinely tiny frames isn't
+  * nagged. Keep the two in sync on hazard COVERAGE (ScaleGuardRuleSpec
+  * pins the library side), not on leniency.
   */
 class PlanGuardSpec extends SparkFunSuite {
 
