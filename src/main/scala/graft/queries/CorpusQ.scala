@@ -212,6 +212,59 @@ object CorpusQ {
     // from the raw embeddings. Sum order differs (DuckDB aggregates in
     // arbitrary order) but reorder error ~1e-13 cannot move a value
     // across a 4-decimal rounding boundary at these magnitudes.
+    // embed_covar [EXT, new r8]: per-label covariance block of the
+    // embedding distribution (leading 8×8 of dims 1-8, labels 0-2) —
+    // the whitening/PCA-prep statistic and the drift check between a
+    // corpus's class-conditional embedding clouds. Exactness at scale
+    // via QUANTIZE-THEN-ACCUMULATE: float sums across a cluster are
+    // summation-order-dependent (different partitionings → different
+    // last-ulp results → broken retries and oracles), so each
+    // coordinate snaps to an integer grid FIRST (×2^21 — exact in
+    // binary: a float widens exactly to double and a power-of-two
+    // multiply is lossless) and all three moments (Σq_i, Σq_j, Σq_iq_j)
+    // accumulate as order-free LONGs; the covariance then derives
+    // through one fixed IEEE expression the oracle replays verbatim.
+    // One vec_id-keyed self-join of 8-row groups, group count bounded
+    // by labels × 36 cells.
+    Q("embed_covar",
+      (s, d) => {
+        val q = t(s, d, "embeddings").filter(col("label") < 3)
+          .select(col("vec_id"), col("label"), explode(expr(
+            "transform(sequence(1, 8), i -> struct(i AS i, " +
+              "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
+              "* 2097152.0) AS BIGINT) AS qv))")).as("e"))
+          .select(col("vec_id"), col("label"),
+            col("e.i").as("i"), col("e.qv").as("qv"))
+        val nD = col("n").cast("double")
+        q.join(q.select(col("vec_id"), col("i").as("j"),
+            col("qv").as("qw")), Seq("vec_id"))
+          .filter(col("j") >= col("i"))
+          .groupBy("label", "i", "j")
+          .agg(count(lit(1)).as("n"), sum("qv").as("si"),
+            sum("qw").as("sj"), sum(col("qv") * col("qw")).as("sij"))
+          .select(col("label"), col("i"), col("j"), col("n"),
+            ((col("sij").cast("double") -
+              col("si").cast("double") * col("sj").cast("double") / nD)
+              / (col("n") - 1).cast("double")
+              / lit(4398046511104.0)).as("cov"))
+      },
+      Some("""WITH q AS (SELECT vec_id, label, g.i AS i,
+             |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 2097152.0)
+             |      AS BIGINT) AS qv
+             |  FROM embeddings, generate_series(1, 8) g(i)
+             |  WHERE label < 3),
+             |p AS (SELECT a.label, a.i AS i, b.i AS j,
+             |    a.qv AS qa, b.qv AS qb
+             |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i),
+             |m AS (SELECT label, i, j, count(*)::BIGINT AS n,
+             |    sum(qa)::BIGINT AS si, sum(qb)::BIGINT AS sj,
+             |    sum(qa * qb)::BIGINT AS sij
+             |  FROM p GROUP BY 1, 2, 3)
+             |SELECT label, i, j, n,
+             |  (sij::DOUBLE - si::DOUBLE * sj::DOUBLE / n::DOUBLE)
+             |    / (n - 1)::DOUBLE / 4398046511104.0 AS cov
+             |FROM m""".stripMargin)),
+
     Q("embed_project",
       (s, d) => t(s, d, "embeddings")
         .select(col("vec_id"),

@@ -751,6 +751,48 @@ object ScaleQ {
              |dm AS (SELECT node, min(dist)::BIGINT AS dist
              |  FROM bfs GROUP BY 1)
              |SELECT dist, count(*)::BIGINT AS n_nodes
-             |FROM dm GROUP BY 1""".stripMargin))
+             |FROM dm GROUP BY 1""".stripMargin)),
+
+    // graph_cc [EXT, new r8]: connected components of the co-purchase
+    // graph, gated DIRECTLY — dedup_cluster exercises the CC operator
+    // behind a planted-corpus oracle; this row pins the operator's raw
+    // (cluster → size) output against an INDEPENDENT recursive-CTE
+    // transitive-closure replay, so the min-label contract itself is
+    // oracle-checked. Labels are min-node-id per component —
+    // deterministic, so exact membership counts compare. The Spark
+    // side is operators.ConnectedComponents (driver union-find fast
+    // path at gate scale, alternating-star distributed loop above
+    // cc.localEdgeLimit — BASELINE.md records the measured crossover);
+    // the closure CTE is oracle-only machinery (quadratic in component
+    // size — exactly what the star loop exists to avoid).
+    Q("graph_cc",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = li.join(
+          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          Seq("l_orderkey"))
+          .filter(col("l_suppkey") < col("s2"))
+          .select(col("l_suppkey").as("a"), col("s2").as("b")).distinct()
+        graft.operators.ConnectedComponents.labels(pairs, "a", "b")
+          .groupBy("cluster").agg(count(lit(1)).as("size"))
+      },
+      Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem
+             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+             |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_suppkey < b.l_suppkey),
+             |ed AS (SELECT a AS src, b AS dst FROM e
+             |       UNION ALL SELECT b AS src, a AS dst FROM e),
+             |r(node, lab) AS (
+             |  SELECT DISTINCT src AS node, src AS lab FROM ed
+             |  UNION
+             |  SELECT ed.dst, r.lab FROM r JOIN ed ON ed.src = r.node),
+             |m AS (SELECT node, min(lab)::BIGINT AS cluster
+             |  FROM r GROUP BY 1)
+             |SELECT cluster, count(*)::BIGINT AS size
+             |FROM m GROUP BY 1""".stripMargin))
   )
 }
