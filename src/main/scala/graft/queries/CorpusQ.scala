@@ -212,6 +212,66 @@ object CorpusQ {
     // from the raw embeddings. Sum order differs (DuckDB aggregates in
     // arbitrary order) but reorder error ~1e-13 cannot move a value
     // across a 4-decimal rounding boundary at these magnitudes.
+    // class_centroid [EXT, new r8]: nearest-centroid (Rocchio)
+    // classifier on the embeddings — train on even vec_ids, confusion
+    // matrix on the odd half; the zero-hyperparameter baseline every
+    // embedding-quality claim must beat. EXACT argmin under
+    // distribution: coordinates quantize to the ×2^21 integer grid
+    // (embed_covar's lossless snap), centroids round to the SAME grid
+    // (model definition, not approximation — both engines derive the
+    // identical integer from exact sums), so every distance is an
+    // order-free INTEGER sum of squares (≤ 2^50: 64 dims × (2^22)²)
+    // and the argmin with label-asc tie-break cannot flip on a float
+    // ulp — a double distance would make near-ties
+    // partition-order-dependent. Centroids broadcast (labels × dims
+    // rows); one vec-keyed aggregate + vec-partitioned rank pick.
+    Q("class_centroid",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = graft.operators.Stage.materialize(
+          t(s, d, "embeddings")
+            .select(col("vec_id"), col("label"), explode(expr(
+              "transform(sequence(1, 64), i -> struct(i AS i, " +
+                "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
+                "* 2097152.0) AS BIGINT) AS qv))")).as("e"))
+            .select(col("vec_id"), col("label"),
+              col("e.i").as("i"), col("e.qv").as("qv")),
+          "centroid_coords")
+        val tr = q.filter(col("vec_id") % 2 === 0)
+          .groupBy(col("label").as("cand"), col("i"))
+          .agg(expr("CAST(round(CAST(sum(qv) AS DOUBLE) " +
+            "/ CAST(count(1) AS DOUBLE)) AS BIGINT)").as("c"))
+        val ds = q.filter(col("vec_id") % 2 === 1)
+          .withColumnRenamed("label", "true_label")
+          .join(broadcast(tr), Seq("i"))
+          .groupBy("vec_id", "true_label", "cand")
+          .agg(sum((col("qv") - col("c")) * (col("qv") - col("c")))
+            .as("dist"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("dist"), col("cand"))
+        ds.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("true_label"), col("cand").as("pred"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH q AS (SELECT vec_id, label, g.i AS i,
+             |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 2097152.0)
+             |      AS BIGINT) AS qv
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |tr AS (SELECT label AS cand, i,
+             |    CAST(round(sum(qv)::DOUBLE / count(*)::DOUBLE)
+             |      AS BIGINT) AS c
+             |  FROM q WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+             |ds AS (SELECT e.vec_id, e.label AS true_label, tr.cand,
+             |    sum((e.qv - tr.c) * (e.qv - tr.c))::BIGINT AS dist
+             |  FROM q e JOIN tr ON e.i = tr.i
+             |  WHERE e.vec_id % 2 = 1 GROUP BY 1, 2, 3),
+             |pk AS (SELECT vec_id, true_label, cand,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY dist, cand) AS rn
+             |  FROM ds)
+             |SELECT true_label, cand AS pred, count(*)::BIGINT AS n
+             |FROM pk WHERE rn = 1 GROUP BY 1, 2""".stripMargin)),
+
     // embed_covar [EXT, new r8]: per-label covariance block of the
     // embedding distribution (leading 8×8 of dims 1-8, labels 0-2) —
     // the whitening/PCA-prep statistic and the drift check between a

@@ -1795,6 +1795,72 @@ object TextQ {
                  FROM base WHERE id % 5 != 2) s)
              SELECT * FROM wav UNION ALL SELECT * FROM stub""")),
 
+    // multimodal_hist [EXT, new r8]: luminance histogram over REAL
+    // BMP encode→decode on the executors — the exposure/contrast
+    // screen of an image-curation pipeline (all-dark / blown-out
+    // frames drop before training). Deterministic doc_id-derived 8×4
+    // pixel ramps (the multimodal convention: the oracle replays the
+    // GENERATOR formula and never touches the codec, so the
+    // encode→decode round-trip is what the gate checks). Luminance and
+    // bucketing are INTEGER ops end-to-end ((r+g+b) div 3, div 64) —
+    // nothing to drift. Partition-parallel decode, output bounded at
+    // images × 4 buckets.
+    Q("multimodal_hist",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Bmp
+        t(s, d, "documents")
+          .filter(col("doc_id") >= 80 && col("doc_id") < 120)
+          .select(col("doc_id").as("id")).as[Long]
+          .map { id =>
+            val (w, h) = (8, 4)
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((id * 19 + x * 7 + y * 3) % 256).toByte
+                rgb(i + 1) = ((id * 29 + x * 5 + y * 13) % 256).toByte
+                rgb(i + 2) = ((id * 31 + x * 17 + y * 11) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Bmp.encode(Bmp.Image(w, h, rgb)))
+          }
+          .flatMap { case (id, bytes) =>
+            val img = Bmp.decode(bytes)
+            val n = img.width * img.height
+            val buckets = new Array[Long](4)
+            var i = 0
+            while (i < n) {
+              val lum = ((img.rgb(3 * i) & 0xff) +
+                (img.rgb(3 * i + 1) & 0xff) +
+                (img.rgb(3 * i + 2) & 0xff)) / 3
+              buckets(lum / 64) += 1
+              i += 1
+            }
+            buckets.zipWithIndex.collect {
+              case (cnt, b) if cnt > 0 => (id, b.toLong, cnt)
+            }
+          }
+          .toDF("id", "bucket", "n")
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+             |  WHERE doc_id >= 80 AND doc_id < 120),
+             |px AS (SELECT id, x.x AS x, y.y AS y
+             |  FROM ids, generate_series(0, 7) x(x),
+             |       generate_series(0, 3) y(y)),
+             |c AS (SELECT id,
+             |    (((id * 19 + x * 7 + y * 3) % 256)
+             |     + ((id * 29 + x * 5 + y * 13) % 256)
+             |     + ((id * 31 + x * 17 + y * 11) % 256)) // 3 AS lum
+             |  FROM px)
+             |SELECT id, (lum // 64)::BIGINT AS bucket,
+             |  count(*)::BIGINT AS n
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // text_pii [EXT, new r8]: PII detection over the corpus — the
     // pre-training scrub/compliance pass (emails, NANP phones, IPv4s
     // with octet-range validation, payment-card candidates with a full
