@@ -970,6 +970,27 @@ object StreamQ {
              |  cents
              |FROM s WHERE event_type = 'purchase'""".stripMargin)),
 
+    // stream_distinct [EXT, new r8]: tumbling-window unique users via
+    // the streaming HLL path (EventStreams.windowDistinct — mergeable
+    // sketch state per window, never a user set; StreamingSpec drives
+    // the cross-trigger merge). Batch gate: the estimate must sit
+    // within the agg_approx_distinct error-bound convention of the
+    // EXACT per-window count the oracle recomputes.
+    Q("stream_distinct",
+      (s, d) => graft.streaming.EventStreams
+        .windowDistinct(t(s, d, "events"))
+        .join(t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(countDistinct(col("user_id")).as("nd_users")), Seq("w"))
+        .select(col("w.start").cast("long").as("window_s"),
+          col("nd_users"),
+          (abs(col("approx_users") - col("nd_users")) /
+            col("nd_users") <= 0.05).as("ok")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+             |    AS window_s,
+             |  count(DISTINCT user_id)::BIGINT AS nd_users, true AS ok
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // ts_decompose [EXT, new r8]: additive seasonal decomposition of
     // the per-type hourly traffic — trend = centered 24 h moving
     // average, seasonal index = mean detrended value per hour-of-day;

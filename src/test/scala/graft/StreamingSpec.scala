@@ -488,6 +488,27 @@ class StreamingSpec extends SparkFunSuite {
     } finally q2.stop()
   }
 
+  test("windowed distinct-user sketch merges across triggers (no double count)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = nextTable()
+    val q = EventStreams.windowDistinct(in.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      in.addData(Ev(ts(0), 1, 7, "view", 1.0), Ev(ts(5), 2, 8, "view", 1.0))
+      q.processAllAvailable()
+      // user 7 REAPPEARS a trigger later — the merged window sketch
+      // must still count exactly two distinct users; a per-trigger
+      // (non-merged) count would report three
+      in.addData(Ev(ts(10), 3, 7, "view", 1.0), Ev(ts(15), 4, 9, "view", 1.0))
+      q.processAllAvailable()
+      val n = spark.table(name).select($"approx_users")
+        .as[Long].collect().toSeq
+      assert(n === Seq(3L)) // users 7, 8, 9 — exact at this cardinality
+    } finally q.stop()
+  }
+
   test("streaming last-touch attribution credits across triggers, direct when untouched") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Ev]
