@@ -28,9 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Scale-conformance audit on every query of an extension-built
     // session (graft.plans.ScaleGuard scaladoc): unpartitioned windows
     // and unbounded cartesians, warn/error/off per
-    // spark.graft.guard.mode. Injected as an optimizer rule so
-    // predicate pushdown has already extracted join conditions.
-    ext.injectOptimizerRule(graft.plans.ScaleGuardRule)
+    // spark.graft.guard.mode. Injected pre-CBO so it runs ONCE per
+    // query after the operator-optimization batches (predicate
+    // pushdown has extracted join conditions by then) — a plain
+    // injectOptimizerRule lands in the fixed-point batches and would
+    // re-run and re-log the same audit several times per query.
+    ext.injectPreCBORule(graft.plans.ScaleGuardRule)
   }
 }
 

@@ -28,8 +28,9 @@ final case class GuardViolation(rule: String, detail: String) {
   *     legitimate shape (broadcasting a grand-total/one-row aggregate)
   *     passes the same `maxRows` proof.
   *
-  * The audit runs in the "User Provided Optimizers" batch — AFTER
-  * predicate pushdown has extracted join conditions, so a
+  * The audit is injected pre-CBO (injectPreCBORule): it runs exactly
+  * once per query, AFTER the fixed-point operator-optimization batches
+  * — predicate pushdown has extracted join conditions by then, so a
   * `a.join(b).where(a.x === b.y)` equi-join is never a false positive
   * (an analysis-time check would misfire on exactly that shape).
   *

@@ -288,13 +288,17 @@ object CorpusQ {
     // by labels × 36 cells.
     Q("embed_covar",
       (s, d) => {
-        val q = t(s, d, "embeddings").filter(col("label") < 3)
-          .select(col("vec_id"), col("label"), explode(expr(
-            "transform(sequence(1, 8), i -> struct(i AS i, " +
-              "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
-              "* 2097152.0) AS BIGINT) AS qv))")).as("e"))
-          .select(col("vec_id"), col("label"),
-            col("e.i").as("i"), col("e.qv").as("qv"))
+        // staged: the self-join consumes this frame TWICE (class_centroid
+        // discipline — without it both branches rescan + re-explode)
+        val q = graft.operators.Stage.materialize(
+          t(s, d, "embeddings").filter(col("label") < 3)
+            .select(col("vec_id"), col("label"), explode(expr(
+              "transform(sequence(1, 8), i -> struct(i AS i, " +
+                "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
+                "* 2097152.0) AS BIGINT) AS qv))")).as("e"))
+            .select(col("vec_id"), col("label"),
+              col("e.i").as("i"), col("e.qv").as("qv")),
+          "covar_coords")
         val nD = col("n").cast("double")
         q.join(q.select(col("vec_id"), col("i").as("j"),
             col("qv").as("qw")), Seq("vec_id"))

@@ -20,6 +20,32 @@ object ScaleQ {
   private[queries] val mhIndexCache =
     new TextQ.ModelCache[Dedup.MinhashIndex](4)
 
+  /** Canonical co-purchase supplier edge set — distinct (a < b) pairs
+    * of suppliers sharing a sampled order (orderkey % 20, first 3
+    * lines) — staged once per (session, sf-dir) and shared by all five
+    * graph queries (triangles, jaccard, khop, bfs, cc). Factored so a
+    * sampling tweak cannot silently diverge one query's graph from the
+    * others', and so sibling queries stop re-deriving the self-join
+    * per invocation (the typeHourly/plantedDocs discipline). Each
+    * query's ORACLE still re-derives the identical edge set from raw
+    * lineitem — only the Spark side shares.
+    */
+  private val coPurchaseCache =
+    new TextQ.ModelCache[org.apache.spark.sql.DataFrame](4)
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    coPurchaseCache.getOrFit(s, d, {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      graft.operators.Stage.materialize(
+        li.join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+            Seq("l_orderkey"))
+          .filter(col("l_suppkey") < col("s2"))
+          .select(col("l_suppkey").as("a"), col("s2").as("b")).distinct(),
+        "co_purchase_pairs")
+    })
+
   val all: Seq[Q] = Seq(
 
     // join_fuzzy [EXT]: record linkage at edit distance <= 3, blocked
@@ -404,17 +430,9 @@ object ScaleQ {
     // wedge blowup); the oracle runs the canonical sorted-triple
     // 3-way self-join — different algorithm, identical counts.
     Q("graph_triangles",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pairs = li.join(
-          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-          Seq("l_orderkey"))
-          .filter(col("l_suppkey") < col("s2"))
-        graft.operators.Triangles.perVertex(pairs, "l_suppkey", "s2")
-          .withColumnRenamed("node", "suppkey")
-      },
+      (s, d) => graft.operators.Triangles
+        .perVertex(coPurchasePairs(s, d), "a", "b")
+        .withColumnRenamed("node", "suppkey"),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
              |  FROM lineitem
              |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
@@ -561,15 +579,8 @@ object ScaleQ {
     Q("graph_khop",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val li = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pairs = li.join(
-          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-          Seq("l_orderkey"))
-          .filter(col("l_suppkey") < col("s2"))
-          .select(col("l_suppkey").as("src"), col("s2").as("dst"))
-          .distinct()
+        val pairs = coPurchasePairs(s, d)
+          .select(col("a").as("src"), col("b").as("dst"))
         val und = pairs.unionByName(
           pairs.select(col("dst").as("src"), col("src").as("dst")))
         val h = conv(substring(md5(concat_ws(":",
@@ -625,18 +636,8 @@ object ScaleQ {
              |FROM n1 LEFT JOIN n2 USING (src)""".stripMargin)),
 
     Q("graph_jaccard",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pairs = li.join(
-          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-          Seq("l_orderkey"))
-          .filter(col("l_suppkey") < col("s2"))
-        graft.operators.GraphSim.neighborJaccard(
-          pairs.select(col("l_suppkey").as("a"), col("s2").as("b")),
-          "a", "b", minJac = 0.25)
-      },
+      (s, d) => graft.operators.GraphSim.neighborJaccard(
+        coPurchasePairs(s, d), "a", "b", minJac = 0.25),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
              |  FROM lineitem
              |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
@@ -706,14 +707,7 @@ object ScaleQ {
     // bound.
     Q("graph_bfs",
       (s, d) => {
-        val li = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pairs = li.join(
-          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-          Seq("l_orderkey"))
-          .filter(col("l_suppkey") < col("s2"))
-          .select(col("l_suppkey").as("a"), col("s2").as("b")).distinct()
+        val pairs = coPurchasePairs(s, d)
         val edges = graft.operators.Stage.materialize(
           pairs.select(col("a").as("src"), col("b").as("dst"))
             .unionByName(pairs.select(col("b").as("src"),
@@ -766,18 +760,9 @@ object ScaleQ {
     // the closure CTE is oracle-only machinery (quadratic in component
     // size — exactly what the star loop exists to avoid).
     Q("graph_cc",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 20 === 0 && col("l_linenumber") <= 3)
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pairs = li.join(
-          li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-          Seq("l_orderkey"))
-          .filter(col("l_suppkey") < col("s2"))
-          .select(col("l_suppkey").as("a"), col("s2").as("b")).distinct()
-        graft.operators.ConnectedComponents.labels(pairs, "a", "b")
-          .groupBy("cluster").agg(count(lit(1)).as("size"))
-      },
+      (s, d) => graft.operators.ConnectedComponents
+        .labels(coPurchasePairs(s, d), "a", "b")
+        .groupBy("cluster").agg(count(lit(1)).as("size")),
       Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_suppkey
              |  FROM lineitem
              |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),

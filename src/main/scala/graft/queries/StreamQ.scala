@@ -73,10 +73,15 @@ object StreamQ {
             col("event_type"))
           .groupBy("event_type", "hb").agg(count(lit(1)).as("v")),
         "type_hourly_sparse")
-      val bounds = e.agg(min("hb"), max("hb")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // hourlyGrid's bounded-side shape: crossJoin(broadcast(1-row span
+      // agg)) + explode(sequence) keeps a plan-PROVEN bounded side (the
+      // repo's own ScaleGuard would flag distinct × range once the
+      // corpus spans > boundedRows hours) and avoids a driver action
+      val span = e.agg(min("hb").as("lo"), max("hb").as("hi"))
       val grid = e.select(col("event_type")).distinct()
-        .crossJoin(s.range(lo, hi + 1).select(col("id").as("hb")))
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(1L))).as("hb"))
       graft.operators.Stage.materialize(
         grid.join(e, Seq("event_type", "hb"), "left")
           .select(col("event_type"), col("hb"),
@@ -1055,11 +1060,15 @@ object StreamQ {
           .select(col("event_type"),
             ((col("v2") - col("v1")).cast("double") /
               (col("h2") - col("h1")).cast("double")).as("sl"))
+        // rank and count ride the SAME type-keyed exchange (one
+        // unbounded-partition count window beside the sort window) —
+        // a separate count aggregate would re-evaluate the O(len²)
+        // pair join in a second plan branch
         val w = Window.partitionBy("event_type").orderBy("sl")
         val ranked = pairs.withColumn("rn", row_number().over(w))
-        val cnt = pairs.groupBy("event_type")
-          .agg(count(lit(1)).as("n_pairs"))
-        ranked.join(broadcast(cnt), Seq("event_type"))
+          .withColumn("n_pairs",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+        ranked
           .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
             col("rn") === expr("n_pairs div 2 + 1"))
           .groupBy("event_type", "n_pairs")

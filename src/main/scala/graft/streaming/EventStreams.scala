@@ -38,8 +38,9 @@ object EventStreams {
     * 0.05: hourly windows hold tens of users, and HLL++ at loose rsd
     * biases LOW at small cardinalities (measured 18% at n=11 with
     * rsd 0.02) — the tighter sketch stays in its near-exact sparse
-    * regime there (max observed error 1.7% across every gate SF) at a
-    * few KB per window, which is still sketch-bounded state.
+    * regime there (max observed error 1.7% across every gate SF) at
+    * ~48 KB per window sketch (2^16 six-bit registers), which is still
+    * fixed-size, cardinality-independent state.
     */
   def windowDistinct(events: DataFrame, watermark: String = "10 minutes",
                      width: String = "1 hour", rsd: Double = 0.005): DataFrame =
@@ -459,9 +460,11 @@ object EventStreams {
     * rows in one group) reproduces the as-of window semantics exactly —
     * what the gate's oracle checks. Across triggers the attribution is
     * online: a touch arriving AFTER its purchase's trigger cannot
-    * retroactively re-credit it (the same latency/exactness trade as the
-    * streaming funnel — replay through the batch aggregate for the
-    * exact answer). Null purchase values attribute 0 cents: revenue
+    * retroactively re-credit it, and a LATE touch older than the
+    * carried one is ignored rather than allowed to roll the state
+    * backwards (the same latency/exactness trade as the streaming
+    * funnel — replay through the batch aggregate for the exact
+    * answer). Null purchase values attribute 0 cents: revenue
     * accounting skips them either way, but the PURCHASE COUNT must not
     * silently drop rows the batch twin counts.
     */
@@ -474,7 +477,14 @@ object EventStreams {
       if (tpe == "purchase")
         out += AttributedPurchase(uid, e,
           if (st.channel == null) "direct" else st.channel, c)
-      else st = TouchState(t, e, tpe)
+      // LAST-touch only: a LATE touch (arriving a trigger after a newer
+      // one already took the slot) must not roll the carried touch
+      // backwards and mis-credit every later purchase — within one
+      // trigger the sort makes this guard a no-op, across triggers it
+      // is load-bearing (the state stores (tsu, eventId) exactly for
+      // this comparison)
+      else if (t > st.tsu || (t == st.tsu && e > st.eventId))
+        st = TouchState(t, e, tpe)
     }
     (st, out.result())
   }

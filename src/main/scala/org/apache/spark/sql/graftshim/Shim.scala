@@ -24,14 +24,14 @@ object Shim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
-  /** Materialize the optimizer rules an extensions instance would
-    * inject into a session built with it — `buildOptimizerRules` is
+  /** Materialize the pre-CBO optimizer rules an extensions instance
+    * would inject into a session built with it — `buildPreCBORules` is
     * `private[sql]`, and tests need to exercise the injected rule
     * against the SHARED test session (extensions only bind at session
     * construction, and the suite convention forbids building one).
     */
-  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+  def preCBORules(ext: org.apache.spark.sql.SparkSessionExtensions,
       spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
-    ext.buildOptimizerRules(spark)
+    ext.buildPreCBORules(spark)
 }

@@ -54,7 +54,7 @@ class ScaleGuardRuleSpec extends SparkFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
     val rules = org.apache.spark.sql.graftshim.Shim
-      .optimizerRules(ext, spark)
+      .preCBORules(ext, spark)
     val guard = rules.collectFirst { case r: ScaleGuardRule => r }
     assert(guard.nonEmpty, "GraftExtensions must inject ScaleGuardRule")
     val bad = big.withColumn("rn", row_number().over(Window.orderBy("id")))

@@ -499,13 +499,13 @@ class StreamingSpec extends SparkFunSuite {
       in.addData(Ev(ts(0), 1, 7, "view", 1.0), Ev(ts(5), 2, 8, "view", 1.0))
       q.processAllAvailable()
       // user 7 REAPPEARS a trigger later — the merged window sketch
-      // must still count exactly two distinct users; a per-trigger
-      // (non-merged) count would report three
+      // counts users {7, 8, 9} = 3; a per-trigger (non-merged) count
+      // would double-count user 7 and report 4
       in.addData(Ev(ts(10), 3, 7, "view", 1.0), Ev(ts(15), 4, 9, "view", 1.0))
       q.processAllAvailable()
       val n = spark.table(name).select($"approx_users")
         .as[Long].collect().toSeq
-      assert(n === Seq(3L)) // users 7, 8, 9 — exact at this cardinality
+      assert(n === Seq(3L)) // exact at this cardinality
     } finally q.stop()
   }
 
@@ -538,6 +538,14 @@ class StreamingSpec extends SparkFunSuite {
       in.addData(Ev(ts(7), 6, 8, "signup", 1.0), Ev(ts(8), 7, 8, "purchase", 1.0))
       q.processAllAvailable()
       assert(rows()((8L, 7L, "direct", 100L)))
+      // a LATE view older than the carried click (minute 4) must not
+      // roll the touch backwards — the next purchase still credits the
+      // click, not the stale view
+      in.addData(Ev(ts(1), 8, 7, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(9), 9, 7, "purchase", 3.0))
+      q.processAllAvailable()
+      assert(rows()((7L, 9L, "click", 300L)))
     } finally q.stop()
   }
 }
