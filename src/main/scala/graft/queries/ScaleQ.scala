@@ -778,6 +778,35 @@ object ScaleQ {
              |m AS (SELECT node, min(lab)::BIGINT AS cluster
              |  FROM r GROUP BY 1)
              |SELECT cluster, count(*)::BIGINT AS size
-             |FROM m GROUP BY 1""".stripMargin))
+             |FROM m GROUP BY 1""".stripMargin)),
+
+    // agg_hll_rollup [EXT, new r8]: RE-AGGREGATABLE distinct counting —
+    // daily HLL sketches (datasketches hll_sketch_agg) union up to
+    // weekly uniques WITHOUT touching raw events again. This is THE
+    // 100 TB cube pattern: count(DISTINCT) does not roll up (weekly ≠
+    // Σ daily), so a raw recount scans the full feed per reporting
+    // grain, while sketch partials make every coarser grain one cheap
+    // union over tiny binary columns. The gate pins the estimate
+    // against the exact recount with the agg_approx_distinct
+    // error-bound convention (lgk=14 is in its exact sparse regime at
+    // these cardinalities, so the bound also catches a broken union).
+    Q("agg_hll_rollup",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val daily = e.groupBy(to_date(col("ts")).as("d"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val weekly = daily.groupBy(weekofyear(col("d")).as("w"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("approx"))
+        val exact = e.groupBy(weekofyear(to_date(col("ts"))).as("w"))
+          .agg(countDistinct(col("user_id")).as("nd_users"))
+        weekly.join(exact, Seq("w"))
+          .select(col("w"), col("nd_users"),
+            (abs(col("approx") - col("nd_users")) /
+              col("nd_users") <= 0.05).as("ok"))
+      },
+      Some("""SELECT weekofyear(ts::DATE)::INT AS w,
+             |  count(DISTINCT user_id)::BIGINT AS nd_users, true AS ok
+             |FROM events GROUP BY 1""".stripMargin))
   )
 }
