@@ -780,6 +780,84 @@ object ScaleQ {
              |SELECT cluster, count(*)::BIGINT AS size
              |FROM m GROUP BY 1""".stripMargin)),
 
+    // dq_checksum [EXT, new r8]: order-free table content fingerprints —
+    // the migration/replication validation primitive ("did every row
+    // survive the copy?") that needs no sort, no driver collect, and
+    // no row movement: each row canonicalizes to one string (integer
+    // cents for doubles — engine float formatting differs; 
+    // separators so column boundaries can't alias), hashes to its
+    // low-60 portable md5, and the table fingerprint is bit_xor of the
+    // hashes + the row count — both order-free, both partial-
+    // aggregatable, identical on any engine that can md5. XOR alone
+    // cancels duplicate-row pairs, which the row count catches;
+    // pair with a keyed diff (row_diff) when rows may repeat exactly.
+    Q("dq_checksum",
+      (s, d) => {
+        val sep = ""
+        def low60(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        def fp(name: String, df: org.apache.spark.sql.DataFrame,
+               canon: org.apache.spark.sql.Column) =
+          df.select(low60(canon).as("h"))
+            .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("content_xor"))
+            .select(lit(name).as("tbl"), col("n_rows"), col("content_xor"))
+        fp("region", t(s, d, "region"),
+            concat_ws(sep, col("r_regionkey").cast("string"), col("r_name")))
+          .unionByName(fp("nation", t(s, d, "nation"),
+            concat_ws(sep, col("n_nationkey").cast("string"), col("n_name"),
+              col("n_regionkey").cast("string"))))
+          .unionByName(fp("supplier", t(s, d, "supplier"),
+            concat_ws(sep, col("s_suppkey").cast("string"), col("s_name"),
+              col("s_nationkey").cast("string"),
+              round(col("s_acctbal") * 100).cast("long").cast("string"))))
+      },
+      Some("""WITH r AS (SELECT ('0x' || substr(md5(
+             |      r_regionkey::VARCHAR || chr(1) || r_name), 1, 15))
+             |      ::UBIGINT::BIGINT AS h FROM region),
+             |n AS (SELECT ('0x' || substr(md5(
+             |      n_nationkey::VARCHAR || chr(1) || n_name || chr(1)
+             |      || n_regionkey::VARCHAR), 1, 15))
+             |      ::UBIGINT::BIGINT AS h FROM nation),
+             |sp AS (SELECT ('0x' || substr(md5(
+             |      s_suppkey::VARCHAR || chr(1) || s_name || chr(1)
+             |      || s_nationkey::VARCHAR || chr(1)
+             |      || CAST(round(s_acctbal * 100) AS BIGINT)::VARCHAR),
+             |      1, 15))::UBIGINT::BIGINT AS h FROM supplier)
+             |SELECT 'region' AS tbl, count(*)::BIGINT AS n_rows,
+             |  bit_xor(h)::BIGINT AS content_xor FROM r
+             |UNION ALL SELECT 'nation', count(*)::BIGINT,
+             |  bit_xor(h)::BIGINT FROM n
+             |UNION ALL SELECT 'supplier', count(*)::BIGINT,
+             |  bit_xor(h)::BIGINT FROM sp""".stripMargin)),
+
+    // graph_degree [EXT, new r8]: degree distribution of the
+    // co-purchase graph — the first thing anyone asks of a new graph
+    // (hub-heaviness decides salting and orientation strategies; the
+    // degree-orientation bound behind graph_triangles is only as good
+    // as this histogram says). One mirror + one count per node + one
+    // count per degree, all map-side-partial aggregates off the shared
+    // staged edge set.
+    Q("graph_degree",
+      (s, d) => {
+        val p = coPurchasePairs(s, d)
+        p.select(col("a").as("node"))
+          .unionByName(p.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem
+             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+             |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_suppkey < b.l_suppkey),
+             |adj AS (SELECT a AS node FROM e
+             |        UNION ALL SELECT b AS node FROM e),
+             |dg AS (SELECT node, count(*)::BIGINT AS deg
+             |  FROM adj GROUP BY 1)
+             |SELECT deg, count(*)::BIGINT AS n_nodes
+             |FROM dg GROUP BY 1""".stripMargin)),
+
     // agg_hll_rollup [EXT, new r8]: RE-AGGREGATABLE distinct counting —
     // daily HLL sketches (datasketches hll_sketch_agg) union up to
     // weekly uniques WITHOUT touching raw events again. This is THE
