@@ -141,6 +141,23 @@ object ScaleGate {
     gate("contam-linear 5k->100k", c20 / c1 <= 30.0,
       f"t1=$c1%.1fs t20=$c20%.1fs ratio=${c20 / c1}%.1f (train 20x, bound 30)")
 
+    // ---- Bfs: per-round cost near-linear in |E|, 1M -> 4M edges ----
+    def bfsRun(nEdges: Long): Double = {
+      // pseudo-random sparse digraph over n/8 nodes: src/dst from
+      // independent xxhash64 streams (content-derived, no rand())
+      val v = nEdges / 8
+      val ed = spark.range(nEdges).select(
+        pmod(xxhash64($"id", lit(1)), lit(v)).as("src"),
+        pmod(xxhash64($"id", lit(2)), lit(v)).as("dst"))
+      val seeds = spark.range(v / 1000).select(($"id" * 1000).as("node"))
+      timed(graft.operators.Bfs.distances(ed, seeds, maxHops = 3)
+        .groupBy("dist").count().count())._2
+    }
+    bfsRun(200000L) // warm the shape
+    val (b1, b4) = (bfsRun(1000000L), bfsRun(4000000L))
+    gate("bfs-linear 1M->4M", b4 / b1 <= 7.0,
+      f"t1=$b1%.1fs t4=$b4%.1fs ratio=${b4 / b1}%.1f (edges 4x, bound 7)")
+
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"ScaleGate FAILED:\n  ${failures.mkString("\n  ")}")

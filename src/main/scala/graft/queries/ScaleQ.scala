@@ -713,19 +713,10 @@ object ScaleQ {
             .unionByName(pairs.select(col("b").as("src"),
               col("a").as("dst"))),
           "bfs_edges")
-        var dist = edges.select(col("src").as("node")).distinct()
+        val seeds = edges.select(col("src").as("node")).distinct()
           .filter(col("node") % 23 === 1)
-          .withColumn("dist", lit(0L))
-        for (k <- 1 to 3) {
-          val frontier = dist.filter(col("dist") === (k - 1))
-            .join(edges, col("node") === col("src"))
-            .select(col("dst").as("node"), lit(k.toLong).as("dist"))
-          dist = graft.operators.Stage.materialize(
-            dist.unionByName(frontier)
-              .groupBy("node").agg(min("dist").as("dist")),
-            s"bfs_round_$k")
-        }
-        dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        graft.operators.Bfs.distances(edges, seeds, maxHops = 3)
+          .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       },
       Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_suppkey
              |  FROM lineitem
