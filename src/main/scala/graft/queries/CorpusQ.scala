@@ -941,19 +941,7 @@ object CorpusQ {
           .filter(col("n_tok") > 0)
           .select(col("pos"),
             expr("(1000000 * n_stop) div n_tok").as("score"))
-        val g = sc.groupBy("score")
-          .agg(sum(col("pos")).as("p"),
-            sum(lit(1L) - col("pos")).as("ng"))
-        graft.operators.GlobalRank
-          .withRunningTotal(g, Seq(col("score")), col("ng"),
-            rankCol = "r", totalCol = "cum_ng")
-          .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"),
-            sum(col("p") * (lit(2L) * (col("cum_ng") - col("ng"))
-              + col("ng"))).as("u2"))
-          .select(col("n_pos"), col("n_neg"),
-            (col("u2").cast("double") /
-              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
-              .as("auc"))
+        graft.operators.Metrics.exactAuc(sc)
       },
       Some("""WITH tk AS (SELECT lang,
              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -1049,32 +1049,11 @@ object StreamQ {
     // identical doubles, so the result is bit-identical cross-engine
     // regardless of how rank ties order rows.
     Q("ts_theilsen",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val g = typeHourly(s, d)
-        val pairs = g.select(col("event_type"), col("hb").as("h1"),
-            col("v").as("v1"))
-          .join(g.select(col("event_type"), col("hb").as("h2"),
-            col("v").as("v2")), Seq("event_type"))
-          .filter(col("h2") > col("h1"))
-          .select(col("event_type"),
-            ((col("v2") - col("v1")).cast("double") /
-              (col("h2") - col("h1")).cast("double")).as("sl"))
-        // rank and count ride the SAME type-keyed exchange (one
-        // unbounded-partition count window beside the sort window) —
-        // a separate count aggregate would re-evaluate the O(len²)
-        // pair join in a second plan branch
-        val w = Window.partitionBy("event_type").orderBy("sl")
-        val ranked = pairs.withColumn("rn", row_number().over(w))
-          .withColumn("n_pairs",
-            count(lit(1)).over(Window.partitionBy("event_type")))
-        ranked
-          .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
-            col("rn") === expr("n_pairs div 2 + 1"))
-          .groupBy("event_type", "n_pairs")
-          .agg(avg("sl").as("slope"))
-          .select(col("event_type"), col("n_pairs"), col("slope"))
-      },
+      (s, d) => graft.operators.Metrics.theilSen(
+          typeHourly(s, d).select(col("event_type").as("key"),
+            col("hb").as("x"), col("v").as("y")))
+        .select(col("key").as("event_type"), col("n_pairs"),
+          col("slope")),
       Some(typeHourlySql + """,
              |p AS (SELECT a.event_type,
              |    (b.v - a.v)::DOUBLE / (b.hb - a.hb)::DOUBLE AS sl

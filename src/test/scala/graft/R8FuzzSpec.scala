@@ -82,4 +82,75 @@ class R8FuzzSpec extends SparkFunSuite {
         s"trial $trial p=$num/$den n=${rows.size}")
     }
   }
+
+  test("exactAuc: 25 random tied-score sets match O(n²) pair counting") {
+    val rnd = new Random(8)
+    for (trial <- 1 to 25) {
+      // scores in a tiny range so ties are dense — the ½-credit path
+      // is the part a formula bug would get wrong
+      val rows = Seq.fill(5 + rnd.nextInt(60))(
+        (rnd.nextInt(6).toLong, if (rnd.nextBoolean()) 1L else 0L))
+      val p = rows.count(_._2 == 1L).toLong
+      val n = rows.size - p
+      if (p > 0 && n > 0) {
+        val got = graft.operators.Metrics.exactAuc(rows.toDF("score", "pos"))
+          .as[(Long, Long, Double)].head()
+        var u2 = 0L // 2× the Mann-Whitney U, integer
+        for ((sp, lp) <- rows if lp == 1L; (sn, ln) <- rows if ln == 0L)
+          u2 += (if (sp > sn) 2L else if (sp == sn) 1L else 0L)
+        val want = u2.toDouble / (2L * p * n).toDouble
+        assert(got === ((p, n, want)), s"trial $trial n=${rows.size}")
+      }
+    }
+  }
+
+  test("theilSen: 20 random multi-key series match local pairwise median") {
+    val rnd = new Random(8)
+    for (trial <- 1 to 20) {
+      val series = (0 until 1 + rnd.nextInt(3)).flatMap { k =>
+        val xs = rnd.shuffle((0 until 40).toList).take(2 + rnd.nextInt(18))
+        xs.map(x => (k.toLong, x.toLong, rnd.nextInt(100).toLong))
+      }
+      val got = graft.operators.Metrics.theilSen(series.toDF("key", "x", "y"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+      val want = series.groupBy(_._1).map { case (k, rows) =>
+        val sl = (for {
+          (_, x1, y1) <- rows; (_, x2, y2) <- rows if x2 > x1
+        } yield (y2 - y1).toDouble / (x2 - x1).toDouble).sorted
+        val m =
+          if (sl.size % 2 == 1) sl(sl.size / 2)
+          else (sl(sl.size / 2 - 1) + sl(sl.size / 2)) / 2
+        k -> ((sl.size.toLong, m))
+      }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("Bfs.distances: 20 random digraphs match a local queue BFS") {
+    val rnd = new Random(8)
+    for (trial <- 1 to 20) {
+      val v = 5 + rnd.nextInt(20)
+      val edges = Seq.fill(v * 3)(
+        (rnd.nextInt(v).toLong, rnd.nextInt(v).toLong))
+      val seeds = (0 until v).filter(_ => rnd.nextInt(5) == 0)
+        .map(_.toLong) match {
+        case s if s.isEmpty => Seq(0L)
+        case s => s
+      }
+      val hops = 1 + rnd.nextInt(4)
+      val got = graft.operators.Bfs.distances(
+        edges.toDF("src", "dst"), seeds.toDF("node"), hops)
+        .as[(Long, Long)].collect().toMap
+      // local BFS, hop-bounded
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      var dist = seeds.map(_ -> 0L).toMap
+      for (k <- 1 to hops) {
+        val frontier = dist.collect { case (nd, d) if d == k - 1 => nd }
+        for (nd <- frontier; nb <- adj.getOrElse(nd, Seq()))
+          if (!dist.contains(nb)) dist += nb -> k.toLong
+      }
+      assert(got === dist, s"trial $trial v=$v hops=$hops")
+    }
+  }
 }
