@@ -1245,6 +1245,63 @@ object IngestQ {
              |    AND (vt IS NULL OR vt > DATE '2025-06-01'))
              |SELECT * FROM t1 UNION ALL SELECT * FROM t2""".stripMargin)),
 
+    // scd2_overlap_audit [EXT, new r8]: the SCD2 INVARIANT check — per
+    // key, consecutive validity intervals must tile exactly
+    // (prev.valid_to = next.valid_from); an overlap double-counts the
+    // key in as-of reads (scd2_asof would return BOTH rows), a gap
+    // loses it. A merge-produced history is correct by construction,
+    // so the audit runs on a deliberately corrupted two-generation
+    // history: every 5th key carries an old generation whose valid_to
+    // is pushed PAST the next valid_from (every 10th → overlap) or cut
+    // SHORT of it (every 15th, non-10th → gap), the rest tile cleanly
+    // and emit nothing. One key-partitioned lag window — the same
+    // exchange shape as the history itself; output bounded by the
+    // anomaly count. Non-vacuous at every SF (sf0.001's 10-supplier
+    // dim still plants key 10 → overlap).
+    Q("scd2_overlap_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sup = t(s, d, "supplier")
+        val vtOld = when(col("s_suppkey") % 10 === 0,
+            to_date(lit("2025-03-01")))
+          .when(col("s_suppkey") % 15 === 0, to_date(lit("2024-11-01")))
+          .otherwise(to_date(lit("2025-01-01")))
+        val hist = sup.select(col("s_suppkey"),
+            to_date(lit("2025-01-01")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+          .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+            .select(col("s_suppkey"),
+              to_date(lit("2024-01-01")).as("valid_from"),
+              vtOld.as("valid_to")))
+        val w = Window.partitionBy("s_suppkey").orderBy("valid_from")
+        hist.withColumn("prev_to", lag(col("valid_to"), 1).over(w))
+          .filter(col("prev_to").isNotNull &&
+            col("prev_to") =!= col("valid_from"))
+          .select(col("s_suppkey"),
+            when(col("prev_to") > col("valid_from"), "overlap")
+              .otherwise("gap").as("kind"),
+            col("prev_to"), col("valid_from"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT s_suppkey, DATE '2025-01-01' AS valid_from,
+             |    CAST(NULL AS DATE) AS valid_to FROM supplier
+             |  UNION ALL
+             |  SELECT s_suppkey, DATE '2024-01-01',
+             |    CASE WHEN s_suppkey % 10 = 0 THEN DATE '2025-03-01'
+             |         WHEN s_suppkey % 15 = 0 THEN DATE '2024-11-01'
+             |         ELSE DATE '2025-01-01' END
+             |  FROM supplier WHERE s_suppkey % 5 = 0),
+             |l AS (SELECT s_suppkey, valid_from,
+             |    lag(valid_to) OVER (PARTITION BY s_suppkey
+             |      ORDER BY valid_from) AS prev_to
+             |  FROM hist)
+             |SELECT s_suppkey,
+             |  CASE WHEN prev_to > valid_from THEN 'overlap'
+             |       ELSE 'gap' END AS kind,
+             |  prev_to, valid_from
+             |FROM l WHERE prev_to IS NOT NULL
+             |  AND prev_to <> valid_from""".stripMargin)),
+
     // src_html + xpath_extract + the full scrape chain
     // (`scrape_newest_baci_data.R:20-41`): XPath anchor extraction →
     // NA filter → regex filter → absolutize → dedup; golden oracle.
