@@ -38,9 +38,18 @@ object AsofJoin {
     * @param keyCols   equality keys present on both sides
     * @param timeCol   ordering column name present on both sides
     * @param payload   right-side columns to carry to the matched left row
+    * @param tolerance max staleness (same units as `timeCol`'s
+    *                  subtraction): a match older than
+    *                  `left.time − tolerance` nulls out instead of
+    *                  leaking an arbitrarily stale value — the
+    *                  feature-store staleness bound. None (default) =
+    *                  unbounded lookback. Same plan either way: the
+    *                  carried struct already rides the fill window, the
+    *                  bound is one codegen'd filter on its `_t` field.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               timeCol: String, payload: Seq[String]): DataFrame = {
+               timeCol: String, payload: Seq[String],
+               tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val collisions = payload.intersect(leftCols)
     require(collisions.isEmpty,
@@ -53,7 +62,8 @@ object AsofJoin {
     val l = left.withColumn("_side", lit(1))
     val r = right.select(
       (keyCols :+ timeCol).map(col) :+
-        struct(lit(1).as("_m") +: payload.map(col): _*).as("_pay"): _*)
+        struct(lit(1).as("_m") +: (col(timeCol).as("_t") +:
+          payload.map(col)): _*).as("_pay"): _*)
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // deterministic tie-break among same-(key,time) right rows orders by
@@ -73,7 +83,12 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("_pay",
       last(col("_pay"), ignoreNulls = true).over(w))
-    filled.filter(col("_side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) => filled.withColumn("_pay",
+        when(col(timeCol) - col("_pay").getField("_t") <= tol, col("_pay")))
+      case None => filled
+    }
+    bounded.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
         payload.map(c => col("_pay").getField(c).as(c)): _*)
   }

@@ -540,6 +540,40 @@ object Relational {
              FROM e ASOF LEFT JOIN cp
                ON e.user_id = cp.user_id AND e.ts >= cp.ts""")),
 
+    // join_asof_tol [EXT, new r8]: as-of join with a STALENESS BOUND —
+    // the feature-store contract ("latest feature value, but never
+    // older than 2 h"): an unbounded lookback silently serves a
+    // week-old rate after a feed outage, which is usually worse than
+    // serving none. Same single-exchange union+carry plan as
+    // join_asof; the bound is one codegen'd filter on the carried
+    // struct's own match-time field — not a second join, not a range
+    // join. Millis timestamps subtract as exact integers, so the 2 h
+    // cutoff compares identically cross-engine.
+    Q("join_asof_tol",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_millis(Cols.toMillis(col("ts"))).as("tsm"), col("value"))
+        val cp = ev.filter(col("event_id") % 97 === 0)
+          .select(col("user_id"), col("tsm"), col("value").as("rate"))
+        graft.operators.AsofJoin.asofJoin(
+          ev.select("event_id", "user_id", "tsm"), cp,
+          keyCols = Seq("user_id"), timeCol = "tsm",
+          payload = Seq("rate"),
+          tolerance = Some(lit(7200000L)))
+          .select(col("event_id"), col("user_id"),
+            round(col("rate"), 2).as("rate"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |    epoch_ms(date_trunc('millisecond', ts)) AS tsm, value
+             |  FROM events),
+             |cp AS (SELECT user_id, tsm, value AS rate FROM e
+             |  WHERE event_id % 97 = 0)
+             |SELECT e.event_id, e.user_id,
+             |  CASE WHEN e.tsm - cp.tsm <= 7200000
+             |    THEN round(cp.rate, 2) END AS rate
+             |FROM e ASOF LEFT JOIN cp
+             |  ON e.user_id = cp.user_id AND e.tsm >= cp.tsm""".stripMargin)),
+
     // join_salted [EXT]: skew-mitigated equi-join (hot-key scatter +
     // dim replication, SkewJoin.saltedJoin) — result must equal the
     // plain join, which is exactly what the oracle checks.

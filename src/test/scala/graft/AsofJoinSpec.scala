@@ -59,4 +59,21 @@ class AsofJoinSpec extends SparkFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected exactly one key shuffle, got $exchanges")
   }
+
+  test("asofJoin tolerance: stale matches null out, fresh ones survive") {
+    import org.apache.spark.sql.functions.lit
+    val quotes = Seq(("A", 10L, 1.0), ("A", 50L, 5.0))
+      .toDF("sym", "t", "px")
+    val trades = Seq(
+      ("A", 12L, 100L), // matched t=10, age 2  <= 5 -> 1.0
+      ("A", 40L, 101L), // matched t=10, age 30 >  5 -> null (not t=50!)
+      ("A", 55L, 102L), // matched t=50, age 5  <= 5 -> 5.0
+      ("A", 56L, 103L)  // matched t=50, age 6  >  5 -> null
+    ).toDF("sym", "t", "qty")
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", Seq("px"),
+        tolerance = Some(lit(5L)))
+      .select("qty", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(100L -> Some(1.0), 101L -> None,
+      102L -> Some(5.0), 103L -> None))
+  }
 }
