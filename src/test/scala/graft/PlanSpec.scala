@@ -303,4 +303,41 @@ class PlanSpec extends SparkFunSuite {
       s"sessionization re-shuffling per step ($exchanges exchanges):\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("ts_theilsen: rank and count share one type exchange; staged grid") {
+    val p = plan("ts_theilsen")
+    assert(p.contains("graft_stage_type_hourly_dense"),
+      "shared hourly grid stage lost — both join sides would rebuild it")
+    // rank window + count window + final agg over ONE event_type
+    // hash exchange each side of the pair join (2 scans of the stage)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 4,
+      s"pair/median pipeline re-shuffling ($exchanges exchanges):\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("embed_covar: quantized coords staged once; self-join not a rescan") {
+    val p = plan("embed_covar")
+    assert(p.contains("graft_stage_covar_coords"),
+      "coord stage lost — the self-join would scan+explode embeddings twice")
+  }
+
+  test("class_auc: no unpartitioned window (AUC via two-phase rank, not a sort)") {
+    val p = plan("class_auc")
+    assert(!p.contains("Window [") || !p.contains("No Partition Defined"),
+      "AUC degraded to a global-sort ranking")
+    assert(p.contains("graft_stage_global_running_total"),
+      "GlobalRank's range-partitioned stage missing")
+  }
+
+  test("join_asof_tol: same single-exchange carry plan as join_asof, no extra join") {
+    val p = plan("join_asof_tol")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "staleness bound must be a filter, not a join")
+    // union + one user_id window exchange; the tolerance adds NO exchange
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2,
+      s"as-of carry re-shuffling ($exchanges exchanges)")
+  }
 }
