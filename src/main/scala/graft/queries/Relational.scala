@@ -574,6 +574,42 @@ object Relational {
              |FROM e ASOF LEFT JOIN cp
              |  ON e.user_id = cp.user_id AND e.tsm >= cp.tsm""".stripMargin)),
 
+    // win_vshape [EXT, new r8]: per-user V-reversal counting (strict
+    // down-step immediately followed by a strict up-step in the value
+    // sequence) — the row-pattern-matching shape (SQL MATCH_RECOGNIZE,
+    // which Spark lacks) expressed as composed lags: for fixed-length
+    // patterns the lag form IS the right Spark encoding — one
+    // user-keyed exchange, codegen'd comparisons, no NFA state.
+    // Integer-cent comparisons so strictness can't blur on float ulp.
+    Q("win_vshape",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu"), col("event_id"))
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"),
+            round(col("value") * lit(100)).cast("long").as("c"))
+          .withColumn("p1", lag(col("c"), 1).over(w))
+          .withColumn("p2", lag(col("c"), 2).over(w))
+          .filter(col("p2").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("p2") > col("p1") && col("p1") < col("c"), 1L)
+              .otherwise(0L)).as("n_vshapes"))
+      },
+      Some("""WITH s AS (SELECT user_id,
+             |    CAST(round(value * 100) AS BIGINT) AS c,
+             |    lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS p1,
+             |    lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS p2
+             |  FROM events WHERE value IS NOT NULL
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts), event_id))
+             |SELECT user_id, count(*)::BIGINT AS n_windows,
+             |  sum(CASE WHEN p2 > p1 AND p1 < c THEN 1 ELSE 0 END)
+             |    ::BIGINT AS n_vshapes
+             |FROM s WHERE p2 IS NOT NULL GROUP BY 1""".stripMargin)),
+
     // join_salted [EXT]: skew-mitigated equi-join (hot-key scatter +
     // dim replication, SkewJoin.saltedJoin) — result must equal the
     // plain join, which is exactly what the oracle checks.

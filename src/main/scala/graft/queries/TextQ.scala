@@ -1861,6 +1861,55 @@ object TextQ {
              |  count(*)::BIGINT AS n
              |FROM c GROUP BY 1, 2""".stripMargin)),
 
+    // text_code [EXT, new r8]: code-vs-prose detection — the
+    // pretraining router that decides whether a document belongs in
+    // the code or natural-language bucket (mixing them untagged hurts
+    // both). Signals are structural-character and keyword densities
+    // (builtin regexp counts, integers end-to-end; the verdict is an
+    // integer cross-multiplication so no ratio float exists to drift).
+    // The synthetic corpus is pure word-salad, so every 64th doc gets
+    // a deterministic code snippet appended (planted convention) —
+    // output = flagged docs only, non-vacuous at every SF and empty
+    // would mean the detector broke.
+    Q("text_code",
+      (s, d) => {
+        val snippet = " def f(x) = { val y = x * 2; return y; }"
+        val aug = when(col("doc_id") % 64 === 0,
+          concat(col("text"),
+            repeat(lit(snippet), (col("doc_id") % 3 + 1).cast("int"))))
+          .otherwise(col("text"))
+        def nPat(c: org.apache.spark.sql.Column, pat: String) =
+          size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), aug.as("tx"))
+          .select(col("doc_id"),
+            nPat(col("tx"), "[{}();=]").as("n_struct"),
+            nPat(col("tx"),
+              "\\b(def|val|var|return|if|else|for|while|import)\\b")
+              .as("n_kw"),
+            nPat(col("tx"), "\\S+").as("n_tok"))
+          .withColumn("is_code",
+            (col("n_struct") + col("n_kw")) * 10 >= col("n_tok"))
+          .filter(col("is_code"))
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 64 = 0 THEN text ||
+             |      repeat(' def f(x) = { val y = x * 2; return y; }',
+             |        (doc_id % 3 + 1)::INT)
+             |      ELSE text END AS tx
+             |  FROM documents),
+             |sig AS (SELECT doc_id,
+             |    len(regexp_extract_all(tx, '[{}();=]'))::BIGINT
+             |      AS n_struct,
+             |    len(regexp_extract_all(tx,
+             |      '\b(def|val|var|return|if|else|for|while|import)\b'))
+             |      ::BIGINT AS n_kw,
+             |    len(regexp_extract_all(tx, '\S+'))::BIGINT AS n_tok
+             |  FROM aug)
+             |SELECT doc_id, n_struct, n_kw, n_tok,
+             |  (n_struct + n_kw) * 10 >= n_tok AS is_code
+             |FROM sig WHERE (n_struct + n_kw) * 10 >= n_tok""".stripMargin)),
+
     // text_pii [EXT, new r8]: PII detection over the corpus — the
     // pre-training scrub/compliance pass (emails, NANP phones, IPv4s
     // with octet-range validation, payment-card candidates with a full
