@@ -1079,6 +1079,70 @@ object CorpusQ {
              |    ELSE round(1.0 / first_rank, 4) END AS rr
              |FROM g""".stripMargin)),
 
+    // rank_map [EXT, new r8]: Average Precision @10 — completes the
+    // retrieval-eval trio beside rank_ndcg (graded position discount)
+    // and rank_mrr (first hit only): AP rewards EVERY relevant hit by
+    // the precision at its position, the ranking-quality workhorse.
+    // Exactness: precision terms are 1/k rationals, and a float SUM of
+    // them is order-dependent — so the numerator carries as the
+    // INTEGER Σ hits@k · (2520/k) (2520 = lcm(1..10): every division
+    // is exact), and ap = num/(2520·n_found) is the single IEEE
+    // division. Same brute-cosine rankings and broadcast label joins
+    // as its siblings; per-query windows are qid-partitioned.
+    Q("rank_map",
+      (s, d) => {
+        import graft.operators.Similarity
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+        val top = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 25),
+          k = 10, roundTo = 6)
+        val lbl = emb.select(col("vec_id"), col("label"))
+        val w = Window.partitionBy("qid").orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        top
+          .join(broadcast(lbl.withColumnRenamed("vec_id", "nid")
+            .withColumnRenamed("label", "nlabel")),
+            col("vec_id") === col("nid"))
+          .join(broadcast(lbl.withColumnRenamed("vec_id", "qv")
+            .withColumnRenamed("label", "qlabel")),
+            col("qid") === col("qv"))
+          .withColumn("rel",
+            when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+          .withColumn("hits", sum("rel").over(w))
+          .groupBy("qid")
+          .agg(sum("rel").as("n_found"),
+            sum(when(col("rel") === 1,
+              col("hits") * expr("2520 div rk")).otherwise(0L))
+              .as("num"))
+          .select(col("qid"), col("n_found"),
+            when(col("n_found") === 0, lit(0.0))
+              .otherwise(col("num").cast("double") /
+                (lit(2520L) * col("n_found")).cast("double")).as("ap"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
+             |    AS qe, label AS qlabel FROM embeddings WHERE vec_id < 25),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+             |    label FROM embeddings),
+             |r AS (SELECT qid, qlabel, label, row_number() OVER (
+             |    PARTITION BY qid ORDER BY
+             |      list_cosine_similarity(qe, ce) DESC, vec_id) AS rk
+             |  FROM q CROSS JOIN c WHERE vec_id != qid),
+             |t10 AS (SELECT qid,
+             |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rk
+             |  FROM r WHERE rk <= 10),
+             |h AS (SELECT qid, rel, rk, sum(rel) OVER (PARTITION BY qid
+             |    ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |    CURRENT ROW) AS hits
+             |  FROM t10),
+             |g AS (SELECT qid, sum(rel)::BIGINT AS n_found,
+             |    sum(CASE WHEN rel = 1 THEN hits * (2520 // rk)
+             |      ELSE 0 END)::BIGINT AS num
+             |  FROM h GROUP BY 1)
+             |SELECT qid, n_found,
+             |  CASE WHEN n_found = 0 THEN 0.0
+             |    ELSE num::DOUBLE / (2520 * n_found)::DOUBLE END AS ap
+             |FROM g""".stripMargin)),
+
     // sim_mmr [EXT, new r8]: Maximal Marginal Relevance diversification
     // (Carbonell-Goldstein '98) — the RAG serving-side re-ranker that
     // trades relevance against redundancy: after brute top-12 candidate
