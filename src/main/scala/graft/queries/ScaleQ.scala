@@ -849,6 +849,45 @@ object ScaleQ {
              |SELECT deg, count(*)::BIGINT AS n_nodes
              |FROM dg GROUP BY 1""".stripMargin)),
 
+    // graph_assort [EXT, new r8]: degree assortativity — the Newman
+    // coefficient (Pearson correlation of endpoint degrees over the
+    // mirrored edge list): positive = hubs link hubs (social shape),
+    // negative = hubs link leaves (infrastructure shape). One scalar
+    // that tells you whether skew mitigation must worry about
+    // hub-hub super-edges. Degrees are exact integers off the shared
+    // staged edge set; corr follows the agg_corr 4-decimal convention
+    // (both engines' single-pass corr agree well inside the rounding
+    // on exact integer inputs). Mirroring makes the measure
+    // orientation-free — each undirected edge contributes both
+    // (da, db) and (db, da).
+    Q("graph_assort",
+      (s, d) => {
+        val p = coPurchasePairs(s, d)
+        val adj = p.select(col("a").as("node"), col("b").as("nb"))
+          .unionByName(p.select(col("b").as("node"), col("a").as("nb")))
+        val dg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+        adj.join(dg, Seq("node"))
+          .join(dg.select(col("node").as("nb"), col("deg").as("nb_deg")),
+            Seq("nb"))
+          .agg(count(lit(1)).as("n_ends"),
+            round(corr(col("deg").cast("double"),
+              col("nb_deg").cast("double")), 4).as("assortativity"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem
+             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+             |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_suppkey < b.l_suppkey),
+             |adj AS (SELECT a AS node, b AS nb FROM e
+             |        UNION ALL SELECT b AS node, a AS nb FROM e),
+             |dg AS (SELECT node, count(*)::BIGINT AS deg
+             |  FROM adj GROUP BY 1)
+             |SELECT count(*)::BIGINT AS n_ends,
+             |  round(corr(x.deg, y.deg), 4) AS assortativity
+             |FROM adj JOIN dg x ON adj.node = x.node
+             |  JOIN dg y ON adj.nb = y.node""".stripMargin)),
+
     // agg_hll_rollup [EXT, new r8]: RE-AGGREGATABLE distinct counting —
     // daily HLL sketches (datasketches hll_sketch_agg) union up to
     // weekly uniques WITHOUT touching raw events again. This is THE
