@@ -635,9 +635,13 @@ object ScaleQ {
              |  coalesce(n2.n2, 0)::BIGINT AS n2
              |FROM n1 LEFT JOIN n2 USING (src)""".stripMargin)),
 
+    // minJac 0.125, not 0.25: the sf0.1 co-purchase graph is dense
+    // enough that its max neighbor-set jaccard is 0.196 — a 0.25 cut
+    // is vacuous there (empty == empty proves nothing), while 0.125
+    // keeps the output selective at every SF (45 / 2047 / 235 pairs).
     Q("graph_jaccard",
       (s, d) => graft.operators.GraphSim.neighborJaccard(
-        coPurchasePairs(s, d), "a", "b", minJac = 0.25),
+        coPurchasePairs(s, d), "a", "b", minJac = 0.125),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
              |  FROM lineitem
              |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
@@ -658,7 +662,7 @@ object ScaleQ {
              |FROM cw JOIN dg da ON cw.a = da.node
              |  JOIN dg db ON cw.b = db.node
              |WHERE CAST(cw.common AS DOUBLE) /
-             |  CAST(da.deg + db.deg - cw.common AS DOUBLE) >= 0.25""".stripMargin)),
+             |  CAST(da.deg + db.deg - cw.common AS DOUBLE) >= 0.125""".stripMargin)),
 
     // opt_skyline [EXT, new r8]: Pareto frontier ("skyline") of the
     // part catalog — cheapest price vs largest size, the classic

@@ -500,7 +500,7 @@ object TextQ {
         val model = TextQ.pqCache.getOrFit(s, d,
           Similarity.fitPq(emb, dim = 64))
         Similarity.probePq(model, emb, emb.filter(col("vec_id") < 5),
-          k = 5, roundTo = 3)
+          k = 5, rerank = 256, roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
                AS qe FROM embeddings WHERE vec_id < 5),
@@ -519,11 +519,16 @@ object TextQ {
     // scan reductions multiply (Similarity.fitIvfPq scaladoc). Oracle
     // posture (same as sim_ann_ivf/sim_ann_pq): the exact brute-force
     // top-5 is the oracle because MEASURED recall at the gate settings
-    // (nprobe=7/8 cells, rerank-64 ADC shortlist, exact rerank) is 1.0
-    // on both gate corpora — an empirical property of the fixture, NOT
-    // a bound; it is rechecked every gate run, so any centroid/codebook
-    // /shortlist regression (or a fixture change that breaks the
-    // property) fails loudly rather than silently. SimilaritySpec
+    // (nprobe=7/8 cells, rerank-256 ADC shortlist, exact rerank) is
+    // 1.0 on all three local corpora — an empirical property of the
+    // fixture, NOT a bound; it is rechecked every gate run, so any
+    // centroid/codebook/shortlist regression (or a fixture change that
+    // breaks the property) fails loudly rather than silently. The
+    // shortlist is 256, not the 64 default: at the 6k-vector sf0.1
+    // corpus a 64-code shortlist dropped one true top-5 neighbor
+    // (8-byte codes blur dense clusters; the round-8 sf0.1 sweep
+    // caught it) — 256 restores exactness there at shortlist cost
+    // that is still rerank·|queries|, corpus-size-free. SimilaritySpec
     // separately pins recall >= 0.9 as the operator-level floor.
     // Production keeps nprobe/rerank as tuning knobs.
     Q("sim_ann_ivfpq",
@@ -532,7 +537,7 @@ object TextQ {
         val model = TextQ.ivfPqCache.getOrFit(s, d,
           Similarity.fitIvfPq(emb, dim = 64, nlist = 8))
         Similarity.probeIvfPq(model, emb, emb.filter(col("vec_id") < 5),
-          k = 5, nprobe = 7, roundTo = 3)
+          k = 5, nprobe = 7, rerank = 256, roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
                AS qe FROM embeddings WHERE vec_id < 5),
