@@ -1245,6 +1245,59 @@ object IngestQ {
              |    AND (vt IS NULL OR vt > DATE '2025-06-01'))
              |SELECT * FROM t1 UNION ALL SELECT * FROM t2""".stripMargin)),
 
+    // join_dim_scd [EXT, new r8]: fact-to-SCD2-dimension join — each
+    // event joins the dimension row whose validity interval CONTAINS
+    // the event time (the warehouse pattern behind every "price as it
+    // was at sale time" report; a plain latest-wins join silently
+    // rewrites history). Uses the same two-generation supplier history
+    // as scd2_asof (every 5th user-mapped key changed names at
+    // 2025-01-01, so BOTH generations are exercised by events on each
+    // side of the boundary... the 2024 event corpus lands entirely in
+    // the old generation, so the half-open upper bound is the
+    // load-bearing edge). Plan: equi-join on the key with the interval
+    // as a residual filter — key-shuffled, never a range join; the
+    // dim broadcasts when small. Aggregated per dim name so the gate
+    // frame stays bounded.
+    Q("join_dim_scd",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val hist = sup.select(col("s_suppkey"),
+            when(col("s_suppkey") % 5 === 0,
+              concat(lit("NEW-"), col("s_suppkey")))
+              .otherwise(col("s_name")).as("dim_name"),
+            to_date(lit("2025-01-01")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+          .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+            .select(col("s_suppkey"),
+              concat(lit("OLD-"), col("s_suppkey")).as("dim_name"),
+              to_date(lit("2024-01-01")).as("valid_from"),
+              to_date(lit("2025-01-01")).as("valid_to")))
+        val ev = t(s, d, "events")
+          .select((col("user_id") % 10 + 1).as("s_suppkey"),
+            to_date(col("ts")).as("day"))
+        ev.join(broadcast(hist), Seq("s_suppkey"))
+          .filter(col("valid_from") <= col("day") &&
+            (col("valid_to").isNull || col("day") < col("valid_to")))
+          .groupBy("dim_name")
+          .agg(count(lit(1)).as("n_events"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT s_suppkey,
+             |    CASE WHEN s_suppkey % 5 = 0 THEN 'NEW-' || s_suppkey
+             |      ELSE s_name END AS dim_name,
+             |    DATE '2025-01-01' AS vf, CAST(NULL AS DATE) AS vt
+             |  FROM supplier
+             |  UNION ALL
+             |  SELECT s_suppkey, 'OLD-' || s_suppkey,
+             |    DATE '2024-01-01', DATE '2025-01-01'
+             |  FROM supplier WHERE s_suppkey % 5 = 0),
+             |ev AS (SELECT user_id % 10 + 1 AS s_suppkey,
+             |    ts::DATE AS day FROM events)
+             |SELECT dim_name, count(*)::BIGINT AS n_events
+             |FROM ev JOIN hist USING (s_suppkey)
+             |WHERE vf <= day AND (vt IS NULL OR day < vt)
+             |GROUP BY 1""".stripMargin)),
+
     // scd2_overlap_audit [EXT, new r8]: the SCD2 INVARIANT check — per
     // key, consecutive validity intervals must tile exactly
     // (prev.valid_to = next.valid_from); an overlap double-counts the

@@ -1111,5 +1111,39 @@ object StreamQ {
              |  sae24::DOUBLE / n::DOUBLE AS mae_seasonal,
              |  sae24 < sae1 AS seasonal_wins
              |FROM a""".stripMargin)),
+
+    // ts_acf_profile [EXT, new r8]: the autocorrelation function at
+    // lags {1,2,3,6,12,24} per type series — the diagnostic that picks
+    // model structure (tall lag-24 spike → daily seasonality, slow
+    // decay → trend, nothing → white noise) and the multi-lag
+    // completion of ts_autocorr's single lag-1 point. Alignment is a
+    // self-join on hb+lag after an explode over the lag list (the
+    // ts_cross_corr convention — never a global-series window), off
+    // the shared staged grid; integer counts, corr at the 4-decimal
+    // convention.
+    Q("ts_acf_profile",
+      (s, d) => {
+        val g = typeHourly(s, d)
+        val lags = Seq(1, 2, 3, 6, 12, 24)
+        val a = g.withColumn("lag",
+            explode(array(lags.map(lit): _*)))
+          .select(col("event_type"), col("hb"), col("v"), col("lag"))
+        val b = g.select(col("event_type").as("et2"),
+          col("hb").as("hb2"), col("v").as("v2"))
+        a.join(b, col("event_type") === col("et2") &&
+            col("hb2") === col("hb") + col("lag"))
+          .groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("n"),
+            round(corr(col("v").cast("double"),
+              col("v2").cast("double")), 4).as("acf"))
+      },
+      Some(typeHourlySql + """,
+             |l AS (SELECT * FROM (VALUES (1), (2), (3), (6), (12),
+             |  (24)) t(lag))
+             |SELECT a.event_type, l.lag, count(*)::BIGINT AS n,
+             |  round(corr(a.v, b.v), 4) AS acf
+             |FROM l, sv a JOIN sv b ON a.event_type = b.event_type
+             |WHERE b.hb = a.hb + l.lag
+             |GROUP BY 1, 2""".stripMargin)),
   )
 }
