@@ -272,6 +272,63 @@ object CorpusQ {
              |SELECT true_label, cand AS pred, count(*)::BIGINT AS n
              |FROM pk WHERE rn = 1 GROUP BY 1, 2""".stripMargin)),
 
+    // embed_drift [EXT, new r8]: embedding-distribution drift between
+    // two corpus halves (even vs odd vec_ids standing in for
+    // yesterday's vs today's embedding snapshot) — per label, the L2
+    // distance between the halves' centroids in original embedding
+    // units; THE regression check before swapping an embedding model
+    // version (a silent encoder change shifts centroids long before
+    // top-k metrics move). Same
+    // quantize-then-accumulate exactness as embed_covar: ×2^21
+    // integer sums per (half, label, dim), centroids and the distance
+    // derive through fixed IEEE expressions replayed verbatim — no
+    // order-dependent float accumulation anywhere.
+    Q("embed_drift",
+      (s, d) => {
+        val q = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            (col("vec_id") % 2).as("half"), explode(expr(
+              "transform(sequence(1, 64), i -> struct(i AS i, " +
+                "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
+                "* 2097152.0) AS BIGINT) AS qv))")).as("e"))
+          .select(col("half"), col("label"),
+            col("e.i").as("i"), col("e.qv").as("qv"))
+        val cent = q.groupBy("half", "label", "i")
+          .agg(count(lit(1)).as("n"), sum("qv").as("sq"))
+          .select(col("half"), col("label"), col("i"),
+            (col("sq").cast("double") / col("n").cast("double"))
+              .as("c"))
+        val a = cent.filter(col("half") === 0)
+          .select(col("label"), col("i"), col("c").as("c0"))
+        val b = cent.filter(col("half") === 1)
+          .select(col("label"), col("i"), col("c").as("c1"))
+        a.join(b, Seq("label", "i"))
+          .groupBy("label")
+          .agg(sqrt(sum((col("c1") - col("c0")) * (col("c1") - col("c0"))))
+            .as("raw"))
+          .select(col("label"),
+            (floor(col("raw") / lit(2097152.0) * lit(1000000.0)
+              + lit(0.5)) / lit(1000000.0)).as("centroid_shift"))
+      },
+      Some("""WITH q AS (SELECT vec_id % 2 AS half, label, g.i AS i,
+             |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 2097152.0)
+             |      AS BIGINT) AS qv
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |cent AS (SELECT half, label, i,
+             |    sum(qv)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS c
+             |  FROM q GROUP BY 1, 2, 3),
+             |j AS (SELECT a.label, a.i, a.c AS c0, b.c AS c1
+             |  FROM cent a JOIN cent b
+             |    ON a.label = b.label AND a.i = b.i
+             |  WHERE a.half = 0 AND b.half = 1),
+             |r AS (SELECT label,
+             |    sqrt(sum((c1 - c0) * (c1 - c0))) AS raw
+             |  FROM j GROUP BY 1)
+             |SELECT label,
+             |  floor(raw / 2097152.0 * 1000000.0 + 0.5) / 1000000.0
+             |    AS centroid_shift
+             |FROM r""".stripMargin)),
+
     // embed_covar [EXT, new r8]: per-label covariance block of the
     // embedding distribution (leading 8×8 of dims 1-8, labels 0-2) —
     // the whitening/PCA-prep statistic and the drift check between a

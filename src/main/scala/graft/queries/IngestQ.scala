@@ -48,6 +48,11 @@ object IngestQ {
     */
   private val fwfCache = new TextQ.ModelCache[String](4)
 
+  /** src_csv_bad's corrupted-CSV scratch encoding, written once per
+    * (session, sf-dir) for the same reason as [[prunedCache]].
+    */
+  private val badCsvCache = new TextQ.ModelCache[String](4)
+
   /** The sink_report / sink_report_pdf fixture: writes the four-file
     * old/new version trees, runs the EP2 assess pipeline over them, and
     * returns the rendered changelog split into lines. Shared so the
@@ -436,6 +441,43 @@ object IngestQ {
       },
       Some("""SELECT CAST(4 AS BIGINT) AS n, CAST(8.0 AS DOUBLE) AS sum_v,
              CAST(3 AS BIGINT) AS n_notnull""")),
+
+    // src_csv_bad [EXT, new r8]: malformed-line tolerance — the
+    // PERMISSIVE/corrupt-record contract every production CSV ingest
+    // depends on: one mangled line in a billion-row feed must become
+    // one quarantined row (counted, inspectable), never a dead job and
+    // never a silent drop. The fixture derives from documents (every
+    // 16th row's numeric field replaced with junk) and is written ONCE
+    // per (session, sf-dir) via the distributed text writer (pruned
+    // cache discipline); the read declares columnNameOfCorruptRecord
+    // so bad lines land whole in the quarantine column while their
+    // parseable fields stay usable. The oracle recomputes all three
+    // counts from parquet — independent of both the writer and
+    // Spark's parser.
+    Q("src_csv_bad",
+      (s, d) => {
+        val path = badCsvCache.getOrFit(s, d, {
+          val dir = scratchDir("graft_badcsv")
+          t(s, d, "documents").select(
+            concat(col("doc_id"), lit(","),
+              when(col("doc_id") % 16 === 0, lit("oops"))
+                .otherwise(col("n_chars").cast("string"))).as("value"))
+            .write.mode("overwrite").text(dir.resolve("data").toString)
+          dir.resolve("data").toString
+        })
+        s.read.schema("id LONG, c LONG, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(path)
+          .agg(count(lit(1)).as("n"), count(col("_bad")).as("n_bad"),
+            sum("c").as("sum_c"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n,
+             |  sum(CASE WHEN doc_id % 16 = 0 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_bad,
+             |  sum(CASE WHEN doc_id % 16 <> 0 THEN n_chars END)::BIGINT
+             |    AS sum_c
+             |FROM documents""".stripMargin)),
 
     // dq_check [EXT]: declarative data-quality report (deequ-style
     // "unit tests for data") — null rate, key uniqueness, referential
