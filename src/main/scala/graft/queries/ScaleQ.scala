@@ -679,15 +679,11 @@ object ScaleQ {
     // catalog shape. Prices compare as raw parquet doubles — no
     // arithmetic, nothing to drift cross-engine.
     Q("opt_skyline",
-      (s, d) => {
-        val lv = t(s, d, "part").groupBy("p_size")
+      (s, d) => graft.operators.Skyline.frontier2d(
+        t(s, d, "part").groupBy("p_size")
           .agg(min("p_retailprice").as("min_price"),
-            count(lit(1)).as("n_parts"))
-        val dom = broadcast(lv.select(col("p_size").as("b_size"),
-          col("min_price").as("b_price")))
-        lv.join(dom, col("b_size") > col("p_size") &&
-            col("b_price") <= col("min_price"), "left_anti")
-      },
+            count(lit(1)).as("n_parts")),
+        maxCol = "p_size", minCol = "min_price"),
       Some("""WITH lv AS (SELECT p_size,
              |    min(p_retailprice) AS min_price,
              |    count(*)::BIGINT AS n_parts

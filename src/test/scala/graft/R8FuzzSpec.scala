@@ -127,6 +127,44 @@ class R8FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("Skyline.frontier2d: 25 random level tables match brute dominance") {
+    val rnd = new Random(8)
+    for (trial <- 1 to 25) {
+      // distinct max-dim levels with random min-dim values, including
+      // ties on the min dim (the <= edge of the dominance test)
+      val levels = rnd.shuffle((0 until 30).toList)
+        .take(1 + rnd.nextInt(15))
+        .map(x => (x.toLong, rnd.nextInt(8).toLong))
+      val got = graft.operators.Skyline
+        .frontier2d(levels.toDF("mx", "mn"), "mx", "mn")
+        .as[(Long, Long)].collect().toSet
+      val want = levels.filter { case (x, y) =>
+        !levels.exists { case (x2, y2) => x2 > x && y2 <= y }
+      }.toSet
+      assert(got === want, s"trial $trial levels=$levels")
+    }
+  }
+
+  test("ScaleGuard: 20 random plan shapes flag exactly the hazardous ones") {
+    val rnd = new Random(8)
+    import org.apache.spark.sql.expressions.Window
+    for (trial <- 1 to 20) {
+      val big = spark.range(2000 + rnd.nextInt(3000)).toDF("id")
+      val partitioned = rnd.nextBoolean()
+      val boundedInput = rnd.nextBoolean()
+      val base = if (boundedInput) big.limit(1 + rnd.nextInt(900)) else big
+      val w =
+        if (partitioned)
+          Window.partitionBy(col("id") % (2 + rnd.nextInt(5))).orderBy("id")
+        else Window.orderBy("id")
+      val df = base.withColumn("rn", row_number().over(w))
+      val vs = graft.plans.ScaleGuard.validate(df)
+      val expectFlag = !partitioned && !boundedInput
+      assert(vs.nonEmpty === expectFlag,
+        s"trial $trial partitioned=$partitioned bounded=$boundedInput: $vs")
+    }
+  }
+
   test("Bfs.distances: 20 random digraphs match a local queue BFS") {
     val rnd = new Random(8)
     for (trial <- 1 to 20) {
