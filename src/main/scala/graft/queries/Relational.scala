@@ -574,6 +574,38 @@ object Relational {
              |FROM e ASOF LEFT JOIN cp
              |  ON e.user_id = cp.user_id AND e.tsm >= cp.tsm""".stripMargin)),
 
+    // agg_argmax [EXT, new r8]: deterministic argmax/argmin per group —
+    // WHICH event carried the peak value, not just the peak (the
+    // incident-drilldown aggregate). Spark's max_by/arg_max break ties
+    // arbitrarily (partition-order-dependent → nondeterministic under
+    // retries AND unorderable cross-engine); lexicographic max over a
+    // (value, id) STRUCT is the deterministic form — the id tiebreak
+    // rides the same single comparison, one map-side-partial
+    // aggregate, no window. Both engines compare the struct
+    // identically.
+    Q("agg_argmax",
+      (s, d) => t(s, d, "events").filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("value").as("v"), col("event_id").as("id")))
+            .as("pk"),
+          min(struct(col("value").as("v"), col("event_id").as("id")))
+            .as("lo"))
+        .select(col("event_type"), col("n"),
+          col("pk.id").as("peak_event_id"),
+          round(col("pk.v"), 2).as("peak_value"),
+          col("lo.id").as("low_event_id"),
+          round(col("lo.v"), 2).as("low_value")),
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+             |  (max({'v': value, 'id': event_id})).id AS peak_event_id,
+             |  round((max({'v': value, 'id': event_id})).v, 2)
+             |    AS peak_value,
+             |  (min({'v': value, 'id': event_id})).id AS low_event_id,
+             |  round((min({'v': value, 'id': event_id})).v, 2)
+             |    AS low_value
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY 1""".stripMargin)),
+
     // win_vshape [EXT, new r8]: per-user V-reversal counting (strict
     // down-step immediately followed by a strict up-step in the value
     // sequence) — the row-pattern-matching shape (SQL MATCH_RECOGNIZE,
