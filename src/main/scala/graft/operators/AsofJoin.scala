@@ -57,6 +57,11 @@ object AsofJoin {
         "left side — alias them on the right frame first")
     require(!leftCols.contains("_side") && !right.columns.contains("_side"),
       "_side is reserved by asofJoin")
+    // _m (match marker) and _t (match time, the tolerance bound's
+    // field) live INSIDE the carried struct — a payload column of the
+    // same name would make getField ambiguous or silently wrong
+    require(!payload.contains("_m") && !payload.contains("_t"),
+      "_m and _t are reserved struct fields inside asofJoin's payload")
     // side: right=0 sorts before left=1 at the same (key, time) → a left
     // row at time t sees a right row at exactly t (<= semantics)
     val l = left.withColumn("_side", lit(1))

@@ -280,9 +280,13 @@ object CorpusQ {
     // version (a silent encoder change shifts centroids long before
     // top-k metrics move). Same
     // quantize-then-accumulate exactness as embed_covar: ×2^21
-    // integer sums per (half, label, dim), centroids and the distance
-    // derive through fixed IEEE expressions replayed verbatim — no
-    // order-dependent float accumulation anywhere.
+    // integer sums per (half, label, dim), centroids through fixed
+    // IEEE divisions, and the 64-term squared-difference reduction
+    // folds in FIXED dimension order (sort_array + aggregate here,
+    // list_sort + list_reduce in the oracle — a plain sum() would
+    // accumulate in shuffle-dependent order, the exact failure class
+    // this family's integer machinery exists to exclude; 0.0+x = x
+    // exactly, so the differing fold inits agree bit-for-bit).
     Q("embed_drift",
       (s, d) => {
         val q = t(s, d, "embeddings")
@@ -303,9 +307,12 @@ object CorpusQ {
         val b = cent.filter(col("half") === 1)
           .select(col("label"), col("i"), col("c").as("c1"))
         a.join(b, Seq("label", "i"))
+          .select(col("label"), struct(col("i"),
+            ((col("c1") - col("c0")) * (col("c1") - col("c0")))
+              .as("d2")).as("e"))
           .groupBy("label")
-          .agg(sqrt(sum((col("c1") - col("c0")) * (col("c1") - col("c0"))))
-            .as("raw"))
+          .agg(sqrt(aggregate(sort_array(collect_list(col("e"))),
+            lit(0.0), (acc, x) => acc + x.getField("d2"))).as("raw"))
           .select(col("label"),
             (floor(col("raw") / lit(2097152.0) * lit(1000000.0)
               + lit(0.5)) / lit(1000000.0)).as("centroid_shift"))
@@ -321,8 +328,10 @@ object CorpusQ {
              |  FROM cent a JOIN cent b
              |    ON a.label = b.label AND a.i = b.i
              |  WHERE a.half = 0 AND b.half = 1),
-             |r AS (SELECT label,
-             |    sqrt(sum((c1 - c0) * (c1 - c0))) AS raw
+             |r AS (SELECT label, sqrt(list_reduce(
+             |    list_transform(list_sort(list({'i': i,
+             |      'd2': (c1 - c0) * (c1 - c0)})), x -> x.d2),
+             |    (a, b) -> a + b)) AS raw
              |  FROM j GROUP BY 1)
              |SELECT label,
              |  floor(raw / 2097152.0 * 1000000.0 + 0.5) / 1000000.0

@@ -323,10 +323,14 @@ class PlanSpec extends SparkFunSuite {
   }
 
   test("class_auc: no unpartitioned window (AUC via two-phase rank, not a sort)") {
-    val p = plan("class_auc")
-    assert(!p.contains("Window [") || !p.contains("No Partition Defined"),
-      "AUC degraded to a global-sort ranking")
-    assert(p.contains("graft_stage_global_running_total"),
+    // structural check via the library guard — a string match on the
+    // runtime-only "No Partition Defined" phrase would be vacuous
+    // (that text never appears in executedPlan.toString)
+    val df = SparkEntry.queries("class_auc")(spark, sfDir)
+    assert(graft.plans.ScaleGuard.validate(df).isEmpty,
+      "AUC degraded to a global-sort ranking: " +
+        graft.plans.ScaleGuard.validate(df).mkString("; "))
+    assert(plan("class_auc").contains("graft_stage_global_running_total"),
       "GlobalRank's range-partitioned stage missing")
   }
 
