@@ -494,6 +494,58 @@ object IngestQ {
     // o_orderpriority stay untouched as the no-drift controls, so the
     // report shows both verdicts non-vacuously. Oracle replays the
     // bucketing, Laplace smoothing, and Σ(p−q)·ln(p/q) per column.
+    // dq_cardinality_drift [EXT, new r8]: distinct-count drift per
+    // column between two table versions — the complement of dq_drift's
+    // distribution PSI: an upstream key-collapse (dedupe gone wrong, a
+    // truncated export, an id-space migration) can leave every value
+    // in-distribution while the CARDINALITY craters. Version b plants
+    // exactly that (o_custkey % 10); status/priority stay untouched as
+    // controls. One melted (column, side, value) pass → one
+    // three-group distinct aggregate; ratio is the single IEEE
+    // division and the drift verdict cross-multiplies INTEGERS
+    // (outside [2/3, 3/2]) so no float participates in the flag.
+    Q("dq_cardinality_drift",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def melt(df: org.apache.spark.sql.DataFrame, side: String) =
+          df.select(lit(side).as("side"), explode(array(
+            struct(lit("o_custkey").as("c"),
+              col("o_custkey").cast("string").as("v")),
+            struct(lit("o_orderstatus").as("c"), col("o_orderstatus").as("v")),
+            struct(lit("o_orderpriority").as("c"),
+              col("o_orderpriority").as("v")))).as("e"))
+            .select(col("side"), col("e.c").as("c"), col("e.v").as("v"))
+        val va = o.filter(col("o_orderkey") % 2 === 0)
+        val vb = o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_custkey", col("o_custkey") % 10)
+        melt(va, "a").unionByName(melt(vb, "b"))
+          .groupBy("c")
+          .agg(countDistinct(when(col("side") === "a", col("v"))).as("nd_a"),
+            countDistinct(when(col("side") === "b", col("v"))).as("nd_b"))
+          .select(col("c").as("col_name"), col("nd_a"), col("nd_b"),
+            (col("nd_b").cast("double") / col("nd_a").cast("double"))
+              .as("ratio"),
+            (col("nd_b") * 2 > col("nd_a") * 3 ||
+              col("nd_a") * 2 > col("nd_b") * 3).as("drifted"))
+      },
+      Some("""WITH a AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+             |b AS (SELECT o_custkey % 10 AS o_custkey, o_orderstatus,
+             |    o_orderpriority FROM orders WHERE o_orderkey % 2 = 1),
+             |g AS (
+             |  SELECT 'o_custkey' AS col_name,
+             |    (SELECT count(DISTINCT o_custkey) FROM a)::BIGINT AS nd_a,
+             |    (SELECT count(DISTINCT o_custkey) FROM b)::BIGINT AS nd_b
+             |  UNION ALL SELECT 'o_orderstatus',
+             |    (SELECT count(DISTINCT o_orderstatus) FROM a)::BIGINT,
+             |    (SELECT count(DISTINCT o_orderstatus) FROM b)::BIGINT
+             |  UNION ALL SELECT 'o_orderpriority',
+             |    (SELECT count(DISTINCT o_orderpriority) FROM a)::BIGINT,
+             |    (SELECT count(DISTINCT o_orderpriority) FROM b)::BIGINT)
+             |SELECT col_name, nd_a, nd_b,
+             |  nd_b::DOUBLE / nd_a::DOUBLE AS ratio,
+             |  (nd_b * 2 > nd_a * 3 OR nd_a * 2 > nd_b * 3) AS drifted
+             |FROM g""".stripMargin)),
+
     Q("dq_drift",
       (s, d) => {
         val o = t(s, d, "orders")
