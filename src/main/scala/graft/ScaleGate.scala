@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** One-command scale gate (`sbt "runMain graft.ScaleGate"`): re-runs the
-  * three probes whose scaling behavior the 100 TB posture rests on —
-  * dedup candidate generation, GlobalRank two-phase ranking, and the
-  * RobustStats iterative-histogram median — at their largest configs,
-  * and ASSERTS the recorded shape instead of just printing a table the
-  * reader has to eyeball:
+  * probes whose scaling behavior the 100 TB posture rests on — dedup
+  * candidate generation, GlobalRank two-phase ranking, the RobustStats
+  * iterative-histogram selections (median + weighted median), the
+  * Skyline sort-sweep, and Bfs — at their largest configs, and ASSERTS
+  * the recorded shape instead of just printing a table the reader has
+  * to eyeball:
   *
   *  - GlobalRank 10M → 50M rows: every stage is parallel (range shuffle,
   *    per-partition window, broadcast offsets), so 5× the rows must cost
@@ -140,6 +141,33 @@ object ScaleGate {
       s"hits@5k=$h1 hits@100k=$h20 (planted 100)")
     gate("contam-linear 5k->100k", c20 / c1 <= 30.0,
       f"t1=$c1%.1fs t20=$c20%.1fs ratio=${c20 / c1}%.1f (train 20x, bound 30)")
+
+    // ---- Skyline sort-sweep: parity vs the broadcast anti-join at 1M
+    // rows / 100k distinct levels (a cardinality the anti-join only
+    // survives because 100k levels still broadcast — the sweep never
+    // relies on that), then near-linear 10M → 50M rows at 1M distinct
+    // levels, where the level table is far beyond broadcast range.
+    // Every stage is a bounded exchange: per-level min, range shuffle
+    // of the LEVEL frame, p-row driver prefix-min, join-back ----
+    def skData(n: Long, levels: Long) = spark.range(n).select(
+      pmod(xxhash64($"id", lit(3)), lit(levels)).as("mx"),
+      pmod(xxhash64($"id", lit(4)), lit(1000000L)).as("mn"),
+      $"id")
+    val skSmall = skData(1000000L, 100000L)
+    val skLv = skSmall.groupBy("mx").agg(min("mn").as("mn"))
+    val viaAnti = graft.operators.Skyline.frontier2d(skLv, "mx", "mn")
+    val viaSweep = graft.operators.Skyline.frontierSweep(skLv, "mx", "mn")
+    val skMism = viaAnti.exceptAll(viaSweep).count() +
+      viaSweep.exceptAll(viaAnti).count()
+    gate("skyline-parity@1M", skMism == 0L, s"mismatches=$skMism")
+    def skRun(n: Long): Double = timed(
+      graft.operators.Skyline
+        .frontierSweep(skData(n, 1000000L), "mx", "mn")
+        .count())._2
+    skRun(1000000L) // warm the shape
+    val (s10, s50) = (skRun(10000000L), skRun(50000000L))
+    gate("skyline-linear 10M->50M", s50 / s10 <= 7.5,
+      f"t10=$s10%.1fs t50=$s50%.1fs ratio=${s50 / s10}%.1f (rows 5x, bound 7.5)")
 
     // ---- Bfs: per-round cost near-linear in |E|, 1M -> 4M edges ----
     def bfsRun(nEdges: Long): Double = {

@@ -693,6 +693,36 @@ object ScaleQ {
              |  WHERE b.p_size > a.p_size
              |    AND b.min_price <= a.min_price)""".stripMargin)),
 
+    // opt_skyline_sweep [EXT, new r9]: the UNBOUNDED-dimension skyline
+    // form over raw row-scale data — every lineitem row on the Pareto
+    // frontier of (maximize l_quantity, minimize l_extendedprice),
+    // ties on the frontier kept. Where opt_skyline's anti-join needs
+    // the level table to broadcast, this is the sort-sweep: one
+    // map-side-partial min per distinct quantity, a GlobalRank-shaped
+    // two-phase running min in descending-quantity order (range
+    // shuffle + frozen pid + driver prefix-min over p metadata rows —
+    // never a global window), and an equi-join of the per-level
+    // threshold back to the rows. Valid at any level cardinality.
+    // The oracle takes the genuinely different shape: a correlated
+    // NOT EXISTS of each raw row against the level table (sound
+    // because a dominating row exists iff a dominating LEVEL does).
+    // Prices compare as raw parquet doubles — no arithmetic, nothing
+    // to drift cross-engine.
+    Q("opt_skyline_sweep",
+      (s, d) => graft.operators.Skyline.frontierSweep(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice"),
+        maxCol = "l_quantity", minCol = "l_extendedprice"),
+      Some("""WITH lv AS (SELECT l_quantity AS q,
+             |    min(l_extendedprice) AS m
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+             |  l.l_extendedprice
+             |FROM lineitem l
+             |WHERE NOT EXISTS (SELECT 1 FROM lv b
+             |  WHERE b.q > l.l_quantity
+             |    AND b.m <= l.l_extendedprice)""".stripMargin)),
+
     // graph_bfs [EXT, new r8]: multi-source BFS over the co-purchase
     // supplier graph (same edge recipe as graph_jaccard) — how many
     // suppliers sit 0/1/2/3 hops from the seed set, the blast-radius /
