@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * unbounded-depth traversal use ConnectedComponents (reachability) —
   * an unbounded BFS frontier loop would need the same fingerprint
   * convergence machinery it already has.
+  *
+  * Disk lifecycle: each round writes one [[Stage]] directory (the
+  * distance frame, ~|reached nodes| rows), and per Stage's contract
+  * those persist until `Stage.purge`/JVM exit — a long-lived session
+  * running many BFS invocations (or a large `maxHops`) accumulates
+  * maxHops directories per call. Call `Stage.purge(spark)` between
+  * jobs, per the Stage object's guidance.
   */
 object Bfs {
 

@@ -43,14 +43,24 @@ object Metrics {
   }
 
   /** Theil-Sen robust slope per series — the median of all pairwise
-    * slopes (29% breakdown point). Pairs are bounded by series
-    * LENGTH², not row count; for multi-year series sample pairs
-    * upstream, same shape. Median = explicit two-middle-rank selection
-    * inside a key-partitioned window, averaging the middle slope
-    * VALUES, so rank-tie ordering cannot change the result; each slope
-    * is one integer-diff IEEE division, and the rank + count ride the
-    * SAME key exchange (a separate count aggregate would re-evaluate
-    * the O(len²) join in a second plan branch).
+    * slopes with distinct x (29% breakdown point). Pairs are bounded
+    * by series LENGTH², not row count; for series beyond ~10⁴ points
+    * use [[theilSenSampled]] (same shape, deterministic pair cap).
+    * Median = explicit two-middle-rank selection inside a
+    * key-partitioned window, averaging the middle slope VALUES, so
+    * rank-tie ordering cannot change the result; each slope is one
+    * integer-diff IEEE division, and the rank + count ride the SAME
+    * key exchange (a separate count aggregate would re-evaluate the
+    * O(len²) join in a second plan branch).
+    *
+    * Duplicate-x contract: pairs with EQUAL x are excluded (the
+    * `x2 > x1` pair condition — a vertical slope is undefined), and
+    * `n_pairs` counts only the retained pairs. On a regular grid (one
+    * row per x, the typeHourly gate shape) that IS "all pairs"; a
+    * series with repeated x values gets the median over its
+    * distinct-x pairs only — callers whose series carry duplicate
+    * timestamps should pre-aggregate per x (e.g. per-x mean) if they
+    * want every observation weighted.
     *
     * @param series frame with `key`, integral `x`, integral `y`
     * @return (key, n_pairs, slope); series with < 2 distinct x yield
@@ -62,6 +72,66 @@ object Metrics {
       .join(series.select(col("key"), col("x").as("x2"),
         col("y").as("y2")), Seq("key"))
       .filter(col("x2") > col("x1"))
+      .select(col("key"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("sl"))
+    val w = Window.partitionBy("key").orderBy("sl")
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+        col("rn") === expr("n_pairs div 2 + 1"))
+      .groupBy("key", "n_pairs")
+      .agg(avg("sl").as("slope"))
+      .select(col("key"), col("n_pairs"), col("slope"))
+  }
+
+  /** [[theilSen]] with a deterministic per-key PAIR budget — the
+    * documented "sample pairs upstream" form for long series, where
+    * the exact estimator's O(len²) pairs per key stop being payable
+    * (10⁵-point series = 5×10⁹ pairs).
+    *
+    * Each pair keeps iff a content hash of (key, x1, x2, seed) lands
+    * under the key's sampling fraction `min(1, maxPairsPerKey /
+    * totalPairs)` — content-addressed, so the SAME pairs are kept
+    * across runs, retries, cluster sizes (a `rand()` sample is none of
+    * those), and a fresh seed draws an independent sample. The hash
+    * predicate rides the self-join condition itself, so unsampled
+    * pairs never reach the slope-median exchange: the window sort is
+    * O(sampled) even though pair ENUMERATION stays O(len²) compute
+    * (cheap codegen'd hash per candidate, no shuffle, no sort).
+    *
+    * Series at or under the budget take frac = 1 and return the exact
+    * [[theilSen]] answer bit-for-bit (TimeSeriesSpec asserts both the
+    * under-budget identity and sampled-vs-exact slope convergence on
+    * long series). `n_pairs` reports the SAMPLED pair count — the
+    * denominator the median was actually taken over. Same duplicate-x
+    * contract as [[theilSen]]; the sampling unit is the (x1, x2) CELL,
+    * so when x values repeat, all row pairs of one x-pair share fate.
+    */
+  def theilSenSampled(series: DataFrame, maxPairsPerKey: Long = 100000L,
+                      seed: Long = 42L): DataFrame = {
+    require(maxPairsPerKey >= 1, s"need a positive budget, got $maxPairsPerKey")
+    // distinct-x pair count per key: with c_i rows at each distinct x,
+    // retained pairs = (n² - Σc_i²) / 2 — the exact denominator the
+    // x2 > x1 condition keeps (NOT n·(n-1)/2 when x values repeat)
+    val lens = series.groupBy("key", "x").agg(count(lit(1)).as("__ts_cx"))
+      .groupBy("key")
+      .agg(((sum("__ts_cx") * sum("__ts_cx") -
+        sum(col("__ts_cx") * col("__ts_cx"))) / lit(2L)).cast("long")
+        .as("__ts_np"))
+    val M = 1L << 32
+    val left = series.join(lens, "key")
+      .select(col("key"), col("x").as("x1"), col("y").as("y1"),
+        least(lit(M),
+          (lit(maxPairsPerKey) * lit(M) /
+            greatest(col("__ts_np"), lit(1L))).cast("long")).as("__ts_cut"))
+    val pairs = left
+      .join(series.select(col("key"), col("x").as("x2"),
+          col("y").as("y2")),
+        Seq("key"))
+      .filter(col("x2") > col("x1") &&
+        pmod(xxhash64(col("key"), col("x1"), col("x2"), lit(seed)),
+          lit(M)) < col("__ts_cut"))
       .select(col("key"),
         ((col("y2") - col("y1")).cast("double") /
           (col("x2") - col("x1")).cast("double")).as("sl"))

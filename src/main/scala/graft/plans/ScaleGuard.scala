@@ -2,9 +2,13 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan,
-  Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo,
+  Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST,
+  FlatMapGroupsWithState, HintInfo, Join, LogicalPlan, Window,
+  WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** One detected scale hazard in a logical plan. */
 final case class GuardViolation(rule: String, detail: String) {
@@ -23,10 +27,34 @@ final case class GuardViolation(rule: String, detail: String) {
   *     Defined"): invisible at test SF, fatal at scale. Allowed when
   *     the plan itself proves the input is bounded (global aggregate →
   *     1 row, limit k → k rows).
-  *  2. **Unbounded cartesian** — a condition-less join where NEITHER
-  *     side carries a plan-proven row ceiling is quadratic; the
-  *     legitimate shape (broadcasting a grand-total/one-row aggregate)
-  *     passes the same `maxRows` proof.
+  *  2. **Unbounded cartesian** — a join where NEITHER side carries a
+  *     plan-proven row ceiling and whose condition cannot drive a
+  *     hash/merge join is quadratic work. Three shapes, all caught:
+  *     no condition at all; a condition with no free references (a
+  *     literal — `lit(true)` plans the same nested loop a missing
+  *     condition does); and a condition with references but NO
+  *     conjunct equating a left-side expression to a right-side one
+  *     (`a.x =!= b.y`, pure range predicates) — Spark plans those as
+  *     BroadcastNestedLoopJoin/CartesianProduct, every left row
+  *     against every right row, with the predicate as a post-filter.
+  *     The legitimate shapes pass: broadcasting a grand-total/one-row
+  *     aggregate passes the `maxRows` proof, an interval/spatial join
+  *     bucketed into grid cells carries the cell equi key, and an
+  *     explicit user `broadcast()` hint on either side is trusted as
+  *     a smallness assertion (the brute-force-baseline shape).
+  *  3. **Record-retaining stream state** — a
+  *     `(flat)mapGroupsWithState` whose STATE schema contains a
+  *     collection of records (array/map of structs) accumulates
+  *     per-key payload proportional to the events seen, where the
+  *     bounded-state contract (every EventStreams op) wants scalars,
+  *     sketches (binary / fixed numeric arrays), or bounded maps of
+  *     scalars. A deliberate exception (DocStreams near-dup retains
+  *     (id, signature) pairs per LSH bucket — bucket-bounded by
+  *     construction) should be allowlisted AT THE CALL SITE with a
+  *     written justification, which is exactly what surfacing the
+  *     violation forces. The `transformWithState` path declares its
+  *     state through runtime handles the logical plan cannot see;
+  *     spec-level discipline (StreamingSpec) covers it instead.
   *
   * The audit is injected pre-CBO (injectPreCBORule): it runs exactly
   * once per query, AFTER the fixed-point operator-optimization batches
@@ -44,10 +72,54 @@ final case class GuardViolation(rule: String, detail: String) {
   * PlanGuardSpec pins this repo's own 200+ queries through the
   * identical logic.
   */
-object ScaleGuard {
+object ScaleGuard extends PredicateHelper {
   val ModeKey = "spark.graft.guard.mode"
   val BoundedKey = "spark.graft.guard.boundedRows"
   val DefaultBounded = 1000L
+
+  /** Does any conjunct of `cond` equate a pure-left-side expression to
+    * a pure-right-side one (either orientation, `=` or `<=>`)? That is
+    * the predicate Spark's join selection can extract as a hash/merge
+    * key; without one the join degenerates to a nested loop.
+    */
+  private def hasEquiKey(cond: Expression, j: Join): Boolean = {
+    def straddles(l: Expression, r: Expression): Boolean = {
+      def sides(e: Expression) = (
+        e.references.nonEmpty && e.references.subsetOf(j.left.outputSet),
+        e.references.nonEmpty && e.references.subsetOf(j.right.outputSet))
+      val ((ll, lr), (rl, rr)) = (sides(l), sides(r))
+      (ll && rr) || (lr && rl)
+    }
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(l, r) => straddles(l, r)
+      case EqualNullSafe(l, r) => straddles(l, r)
+      case _ => false
+    }
+  }
+
+  /** An explicit user `broadcast()` hint is a plan-level ASSERTION that
+    * the side is small — the brute-force-baseline shape (broadcast a
+    * bounded query/centroid/dominance frame against the corpus, filter
+    * with a non-equi predicate) is legitimate exactly because the user
+    * declared the nested loop's inner side bounded. The guard trusts
+    * the declaration the same way it trusts a limit/aggregate maxRows
+    * proof; a WRONG declaration fails fast and loudly at broadcast
+    * build time (driver OOM threshold), not silently at scale.
+    */
+  private def declaredSmall(hint: Option[HintInfo]): Boolean =
+    hint.exists(_.strategy.contains(BROADCAST))
+
+  /** Does a state schema hold a COLLECTION of records (array or map of
+    * structs, at any nesting depth)? Scalars, binary sketches, fixed
+    * numeric arrays, and maps of scalars all pass.
+    */
+  private[plans] def retainsRecords(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => et.isInstanceOf[StructType] || retainsRecords(et)
+    case MapType(k, v, _) => v.isInstanceOf[StructType] ||
+      retainsRecords(k) || retainsRecords(v)
+    case s: StructType => s.fields.exists(f => retainsRecords(f.dataType))
+    case _ => false
+  }
 
   def violations(plan: LogicalPlan,
                  boundedMax: Long = DefaultBounded): Seq[GuardViolation] = {
@@ -65,12 +137,37 @@ object ScaleGuard {
         out += GuardViolation("unpartitioned-window",
           "rank-limit window (WindowGroupLimit) has no PARTITION BY " +
             "and its input has no plan-proven row bound.")
-      case j: Join if j.condition.isEmpty &&
-          !bounded(j.left) && !bounded(j.right) =>
-        out += GuardViolation("unbounded-cartesian",
-          s"condition-less ${j.joinType} join with neither side " +
-            s"plan-bounded to <= $boundedMax rows: quadratic work. " +
-            "Add a join condition or bound one side (aggregate/limit).")
+      case j: Join if !bounded(j.left) && !bounded(j.right) &&
+          !declaredSmall(j.hint.leftHint) &&
+          !declaredSmall(j.hint.rightHint) =>
+        j.condition match {
+          case None =>
+            out += GuardViolation("unbounded-cartesian",
+              s"condition-less ${j.joinType} join with neither side " +
+                s"plan-bounded to <= $boundedMax rows: quadratic work. " +
+                "Add a join condition or bound one side (aggregate/limit).")
+          case Some(c) if c.references.isEmpty =>
+            out += GuardViolation("unbounded-cartesian",
+              s"${j.joinType} join condition references no columns " +
+                s"(a literal — same nested-loop plan as no condition) " +
+                s"and neither side is plan-bounded to <= $boundedMax rows.")
+          case Some(c) if !hasEquiKey(c, j) =>
+            out += GuardViolation("unbounded-cartesian",
+              s"${j.joinType} join condition [${c.sql}] has no " +
+                "left=right equality conjunct usable as a join key: " +
+                "Spark plans a nested loop (every row against every " +
+                "row) with the predicate as a post-filter. Bucket the " +
+                "range/similarity predicate into an equi key (grid " +
+                "cells, LSH bands) or bound one side.")
+          case _ => ()
+        }
+      case f: FlatMapGroupsWithState if retainsRecords(f.stateEncoder.schema) =>
+        out += GuardViolation("record-retaining-stream-state",
+          s"(flat)mapGroupsWithState state schema " +
+            s"[${f.stateEncoder.schema.simpleString}] holds a collection " +
+            "of records: per-key state grows with events seen, not with " +
+            "a scalar/sketch bound. Fold events into scalars or sketches " +
+            "(or document why this state is bounded by construction).")
       case _ => ()
     }
     out.result()

@@ -1400,7 +1400,11 @@ object CorpusQ {
           .agg(sum(graft.functions.TextFns.wsTokenCount(col("text")))
             .cast("long").as("x"))
         val pairs = bySrc.as("a")
-          .join(bySrc.as("b"), col("a.source") < col("b.source"))
+          // broadcast: the per-source aggregate is dimension-bounded
+          // (a handful of sources) — the hint both picks the right
+          // physical join (no shuffle of the non-equi pair join) and
+          // declares the bound to the ScaleGuard audit
+          .join(broadcast(bySrc.as("b")), col("a.source") < col("b.source"))
           .agg(sum(abs(col("a.x") - col("b.x"))).as("sd"))
         val tot = bySrc.agg(count(lit(1)).as("k"),
           sum(col("x")).as("total_tokens"))

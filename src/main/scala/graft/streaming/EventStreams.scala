@@ -467,6 +467,15 @@ object EventStreams {
     * answer). Null purchase values attribute 0 cents: revenue
     * accounting skips them either way, but the PURCHASE COUNT must not
     * silently drop rows the batch twin counts.
+    *
+    * Memory bound: the carried STATE is three scalars, but each
+    * trigger buffers and sorts the group's rows delivered IN THAT
+    * TRIGGER (`rows.toSeq.sortBy` — the per-trigger sort that makes
+    * intra-batch ordering deterministic; same convention as the other
+    * stateful steps above). Per-key executor memory is therefore
+    * O(rows per user per trigger) — in the batch-replay gate, where a
+    * user's whole history is one "trigger", that is O(events per
+    * user); in a real stream it is one micro-batch's worth.
     */
   private def attribStep(prev: TouchState,
       rows: Iterator[(Long, Long, Long, String, Long)])

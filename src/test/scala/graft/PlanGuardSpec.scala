@@ -106,6 +106,28 @@ class PlanGuardSpec extends SparkFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("full ScaleGuard audit: every registered query is clean") {
+    // the library-facing guard (graft.plans.ScaleGuard) over the whole
+    // registry — strictly wider than the two structural tests above
+    // since round 9: equality-free join conditions (nested-loop plans)
+    // and record-retaining (flat)mapGroupsWithState state are flagged
+    // too. Allowlist entries carry their justification:
+    //  - doc_neardup family: per-LSH-bucket state retains (id,
+    //    signature) pairs BY DESIGN — bucket occupancy is bounded by
+    //    the banding spread, and the retained payload is the 16-long
+    //    signature, not the document (DocStreams.scala scaladoc).
+    val guardAllowlist: Map[String, String] = Map(
+      "stream_neardup" -> "record-retaining-stream-state")
+    val offenders = plans.flatMap { case (name, plan) =>
+      val vs = graft.plans.ScaleGuard.violations(plan)
+        .filterNot(v => guardAllowlist.get(name).contains(v.rule))
+      if (vs.nonEmpty) Some(s"$name: ${vs.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      "ScaleGuard violations in registered queries:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no registered query plans a rand()-family expression") {
     val offenders = plans.flatMap { case (name, plan) =>
       if (nondetAllowlist(name)) None

@@ -41,6 +41,63 @@ class ScaleGuardRuleSpec extends SparkFunSuite {
     assert(ScaleGuard.validate(big.crossJoin(tot)).isEmpty)
   }
 
+  test("literal and equality-free join conditions flag like a cartesian") {
+    val b = spark.range(5000).toDF("id2")
+    // lit(true) plans the same nested loop a missing condition does
+    val literal = big.join(b, lit(true))
+    assert(ScaleGuard.validate(literal).map(_.rule) ===
+      Seq("unbounded-cartesian"))
+    // a pure non-equi residual (x =!= y): BroadcastNestedLoopJoin,
+    // every row against every row — the round-8 guard missed this
+    val nonEqui = big.join(b, col("id") =!= col("id2"))
+    assert(ScaleGuard.validate(nonEqui).map(_.rule) ===
+      Seq("unbounded-cartesian"))
+    // pure range predicate: same nested-loop shape
+    val range = big.join(b, col("id") < col("id2"))
+    assert(ScaleGuard.validate(range).map(_.rule) ===
+      Seq("unbounded-cartesian"))
+    // an equi conjunct alongside the range predicate restores the
+    // hash-joinable shape (the interval-join grid-cell pattern)
+    val cellEqui = big.join(b,
+      col("id") % 16 === col("id2") % 16 && col("id") < col("id2"))
+    assert(ScaleGuard.validate(cellEqui).isEmpty)
+    // non-equi against a plan-bounded side is a legitimate broadcast
+    // nested loop (bounded centroid/query frames)
+    val boundedSide = big.join(b.limit(100), col("id") < col("id2"))
+    assert(ScaleGuard.validate(boundedSide).isEmpty)
+    // an explicit broadcast() hint is trusted as a smallness assertion
+    // (the brute-force-baseline shape: broadcast query frame x corpus)
+    val hinted = big.join(broadcast(b), col("id") < col("id2"))
+    assert(ScaleGuard.validate(hinted).isEmpty)
+  }
+
+  test("record-retaining fmgws state flags; scalar state passes") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ds = big.as[Long].groupByKey(_ % 7)
+    // retained-record state: a growing list of (id, payload) pairs —
+    // exactly the per-key accumulation the bounded-state contract bans
+    val retaining = ds.flatMapGroupsWithState[List[(Long, Long)], Long](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      case (_, rows, state) =>
+        val st = state.getOption.getOrElse(Nil) ++ rows.map(r => (r, r))
+        state.update(st); Iterator.single(st.size.toLong)
+    }
+    assert(ScaleGuard.validate(retaining).map(_.rule) ===
+      Seq("record-retaining-stream-state"))
+    // scalar fold (count/sum pair): the contract every EventStreams op
+    // honors — and a binary sketch would pass the same way
+    val scalar = ds.flatMapGroupsWithState[(Long, Double), Long](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      case (_, rows, state) =>
+        val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+        val xs = rows.toSeq
+        state.update((n0 + xs.size, s0 + xs.sum))
+        Iterator.single(n0 + xs.size)
+    }
+    assert(ScaleGuard.validate(scalar).isEmpty)
+  }
+
   test("equi-join via trailing where() is NOT a false positive") {
     // analysis-time the join is condition-less (Filter above Join);
     // the guard runs post-pushdown, where the condition has moved in

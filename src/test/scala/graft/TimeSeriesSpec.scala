@@ -103,4 +103,42 @@ class TimeSeriesSpec extends SparkFunSuite {
       "events has (user_id, ts, event_id) duplicates — the per-entity " +
         "sequence ops' ordering contract no longer holds")
   }
+
+  test("theilSenSampled: under-budget series equal theilSen exactly") {
+    import spark.implicits._
+    val series = (0 until 3).flatMap { k =>
+      (0 until 40).map(x => (k.toLong, x.toLong, (3L * x + (x % 7))))
+    }.toDF("key", "x", "y")
+    val exact = graft.operators.Metrics.theilSen(series)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // 40 points = 780 pairs, under any reasonable budget -> frac = 1
+    // and the content-hash predicate keeps every pair: bit-identical
+    val sampled = graft.operators.Metrics
+      .theilSenSampled(series, maxPairsPerKey = 1000L)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(sampled === exact)
+  }
+
+  test("theilSenSampled: long-series slope converges to the exact slope") {
+    import spark.implicits._
+    // 3000 points/key = ~4.5M exact pairs; slope 2 plus a bounded
+    // deterministic perturbation. 20k sampled pairs must land within
+    // the perturbation scale of the exact median slope.
+    val series = (0 until 2).flatMap { k =>
+      (0 until 3000).map(x =>
+        (k.toLong, x.toLong, 2L * x + (x * 2654435761L % 11) - 5))
+    }.toDF("key", "x", "y")
+    val exact = graft.operators.Metrics.theilSen(series)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val sampled = graft.operators.Metrics
+      .theilSenSampled(series, maxPairsPerKey = 20000L)
+      .as[(Long, Long, Double)].collect()
+    assert(sampled.length === 2)
+    sampled.foreach { case (k, np, sl) =>
+      // binomial sampling: expect ~20k of ~4.5M pairs, wide tolerance
+      assert(np > 15000L && np < 25000L, s"key $k sampled $np pairs")
+      assert(math.abs(sl - exact(k)) < 0.01,
+        s"key $k sampled slope $sl vs exact ${exact(k)}")
+    }
+  }
 }
