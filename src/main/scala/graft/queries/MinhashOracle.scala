@@ -84,19 +84,29 @@ object MinhashOracle {
        |FROM agree WHERE eq / 64.0 >= 0.35""".stripMargin
 
   /** Oracle for `dedup_incr`: the planted corpus splits into the
-    * original documents (the INDEXED corpus, doc_id < 1e6) and the
-    * perturbed copies (the NEW batch, doc_id >= 1e6); the incremental
-    * probe must surface exactly the cross near-dup pairs. `agree`
-    * orients id_a < id_b, so corpus ids are always on the a side of a
-    * cross pair; within-corpus and within-batch pairs fall to the range
-    * predicates.
+    * original documents (the INDEXED corpus) and the perturbed copies
+    * (the NEW batch); the incremental probe must surface exactly the
+    * cross near-dup pairs. Batch membership is STRUCTURAL — the batch
+    * id set re-derived from the documents table, tested on BOTH pair
+    * sides — not an id-magnitude split: the round-9 replicated-corpus
+    * sweep showed the old `id < 1e6` threshold misclassifying
+    * replica-offset corpus ids (>= 1e9) as batch docs, and pair
+    * orientation flipping when a batch id from one replica block pairs
+    * with a corpus id from a higher block. Exactly-one-side-in-batch
+    * keeps cross pairs only, at any id scale.
     */
   val incrSql: String =
-    s"""$pipeline
-       |SELECT id_a AS corpus_id, id_b AS batch_id,
+    s"""$pipeline,
+       |batch AS (SELECT doc_id + 1000000 AS id
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |sel AS (SELECT id_a, id_b, eq,
+       |    id_a IN (SELECT id FROM batch) AS a_b,
+       |    id_b IN (SELECT id FROM batch) AS b_b
+       |  FROM agree WHERE eq / 64.0 >= 0.35)
+       |SELECT CASE WHEN a_b THEN id_b ELSE id_a END AS corpus_id,
+       |  CASE WHEN a_b THEN id_a ELSE id_b END AS batch_id,
        |  round(eq / 64.0, 4) AS est_jaccard
-       |FROM agree
-       |WHERE eq / 64.0 >= 0.35 AND id_a < 1000000 AND id_b >= 1000000""".stripMargin
+       |FROM sel WHERE a_b <> b_b""".stripMargin
 
   /** Oracle for `stream_neardup`: each doc paired with its EARLIEST
     * (min-id) near-duplicate predecessor at est >= 0.35.
