@@ -132,4 +132,41 @@ class XlsxDateSpec extends AnyFunSuite {
     zos.closeEntry(); zos.close()
     assert(Xlsx.parseRows(Files.readAllBytes(f)) === Seq(Seq("44927")))
   }
+
+  test("formula and shared-formula cells read cached values, never formula text") {
+    // Excel stores each formula cell as <f>expr</f> + the cached <v>;
+    // a SHARED formula writes the expression once (t="shared" with a
+    // si group id) and follower cells carry only <f t="shared" si=.../>
+    // plus their own cached <v>. The reader's contract: the cached
+    // value, byte-exact, with the formula text (including any digits
+    // in it) never leaking into the cell
+    val rows = Xlsx.parseRows(workbook(
+      """<row r="1">""" +
+        """<c r="A1"><f>SUM(B1:B9)*100</f><v>42</v></c>""" +
+        """<c r="B1"><f t="shared" ref="B1:B3" si="0">A1*2</f><v>84</v></c>""" +
+        """</row>""" +
+        """<row r="2"><c r="B2"><f t="shared" si="0"/><v>86</v></c></row>""" +
+        """<row r="3"><c r="B3" t="str"><f t="shared" si="0"/><v>err</v></c></row>"""))
+    assert(rows === Seq(Seq("42", "84"), Seq("", "86"), Seq("", "err")))
+  }
+
+  test("multi-sheet workbook reads the LOWEST-numbered sheet regardless of zip order") {
+    // external writers store worksheet entries in arbitrary zip order;
+    // the reader must select sheet1 by NUMBER, not first-seen
+    val dir = Files.createTempDirectory("xm")
+    val f = dir.resolve("m.xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    def sheet(v: String) =
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>""" +
+        s"""<row r="1"><c r="A1"><v>$v</v></c></row>""" +
+        """</sheetData></worksheet>"""
+    def entry(n: String, b: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n)); zos.write(b.getBytes); zos.closeEntry()
+    }
+    entry("xl/worksheets/sheet10.xml", sheet("wrong-10"))
+    entry("xl/worksheets/sheet2.xml", sheet("wrong-2"))
+    entry("xl/worksheets/sheet1.xml", sheet("right"))
+    zos.close()
+    assert(Xlsx.parseRows(Files.readAllBytes(f)) === Seq(Seq("right")))
+  }
 }
