@@ -71,6 +71,11 @@ object Skyline {
     * external representation is `Comparable` (numeric, string, date,
     * timestamp, decimal) — the driver prefix-min compares the p
     * per-partition mins directly.
+    *
+    * Null contract matches [[frontier2d]]: a null `maxCol` makes the
+    * dominance predicate null in both directions, so null-max rows are
+    * always ON the frontier and never dominate — they bypass the sweep
+    * verbatim (the anti-join keeps them for the same reason).
     */
   def frontierSweep(df: DataFrame, maxCol: String, minCol: String,
                     numPartitions: Int = 0): DataFrame = {
@@ -80,7 +85,9 @@ object Skyline {
     val p =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val grp = df.groupBy(col(maxCol).as("__sk_max"))
+    val nullMax = df.filter(col(maxCol).isNull)
+    val swept = df.filter(col(maxCol).isNotNull)
+    val grp = swept.groupBy(col(maxCol).as("__sk_max"))
       .agg(min(col(minCol)).as("__sk_gmin"))
     val ranged = Stage.materialize(
       grp.repartitionByRange(p, col("__sk_max").desc)
@@ -116,8 +123,9 @@ object Skyline {
       .join(broadcast(offDf), "__sk_pid")
       .select(col("__sk_max"),
         least(col("__sk_thr0"), col("__sk_poff")).as("__sk_thr"))
-    df.join(thr, col(maxCol) === col("__sk_max"))
+    swept.join(thr, col(maxCol) === col("__sk_max"))
       .filter(col("__sk_thr").isNull || col(minCol) < col("__sk_thr"))
       .drop("__sk_max", "__sk_thr")
+      .unionByName(nullMax)
   }
 }

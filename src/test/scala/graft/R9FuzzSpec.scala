@@ -46,6 +46,22 @@ class R9FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("Skyline: null-max rows survive both forms identically") {
+    // dominance is null in both directions for a null max-dim, so such
+    // rows sit on the frontier and dominate nothing — in BOTH forms
+    val rows = Seq((1L, Some(1L), 9L), (2L, None, 0L), (3L, Some(5L), 3L),
+      (4L, Some(2L), 3L), (5L, None, 99L))
+    val df = rows.toDF("id", "mx", "mn")
+    val viaSweep = graft.operators.Skyline
+      .frontierSweep(df, "mx", "mn").select("id").as[Long].collect().toSet
+    val viaAnti = graft.operators.Skyline
+      .frontier2d(df, "mx", "mn").select("id").as[Long].collect().toSet
+    // id 1 dominated (mx 5 has mn 3 <= 9); id 4 dominated by the
+    // equal-min id 3 (<= edge); both null-max rows kept
+    assert(viaSweep === Set(2L, 3L, 5L))
+    assert(viaAnti === viaSweep)
+  }
+
   test("Skyline.frontierSweep: double min-dim and single-partition edge") {
     // doubles exercise the typed driver prefix-min (java.lang.Double is
     // Comparable); numPartitions = 1 exercises the no-offset path where
