@@ -41,7 +41,18 @@ object MinhashOracle {
        |${tag}d AS (SELECT * EXCLUDE (z$tag), xor(z$tag, z$tag >> 31) AS $outCol FROM ${tag}c)""".stripMargin
 
   /** The shared CTE pipeline: raw text → `agree(id_a, id_b, eq)` (of 64
-    * signature entries) over ALL planted-corpus pairs.
+    * signature entries) over planted-corpus pairs with eq >= 1.
+    *
+    * Pair enumeration joins on (j, v) EQUALITY and counts matches —
+    * lossless relative to the r8 all-pairs form (`ON x.j = y.j AND
+    * x.doc_id < y.doc_id` + CASE-sum), because a pair agreeing on ZERO
+    * entries cannot pass any downstream `eq/64 >= t` filter, and
+    * mathematically distinct from the Spark side's BANDED candidate
+    * generation (band collisions can miss true pairs; value-equality
+    * grouping cannot). The all-pairs form ground to a halt on the
+    * round-9 replicated-corpus sweep: 64 × C(55k, 2) ≈ 10^11 pair
+    * evaluations with 170 GB of DuckDB spill, where the equi-join's
+    * group sizes stay clone-cluster-bounded.
     */
   private val pipeline: String =
     s"""WITH planted AS (
@@ -74,8 +85,9 @@ object MinhashOracle {
        |sig AS (SELECT doc_id, j, min((a::BIGINT * s::BIGINT + b::BIGINT) % 2147483647) AS v
        |  FROM sh, params GROUP BY doc_id, j),
        |agree AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-       |    sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS eq
-       |  FROM sig x JOIN sig y ON x.j = y.j AND x.doc_id < y.doc_id
+       |    count(*) AS eq
+       |  FROM sig x JOIN sig y
+       |    ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id
        |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
 
   val sql: String =

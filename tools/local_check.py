@@ -9,6 +9,15 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional per-query subset controls for big-corpus sweeps:
+#   --only a,b,c   check just these;  --skip a,b,c   check all but these
+# progress (name + seconds per oracle) streams to stderr so a hung
+# oracle is identifiable without waiting for the final table.
+only_q = skip_q = None
+import time
+for i, a in enumerate(sys.argv):
+    if a == "--only": only_q = set(sys.argv[i + 1].split(","))
+    if a == "--skip": skip_q = set(sys.argv[i + 1].split(","))
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -38,6 +47,12 @@ for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
+    if only_q is not None and name not in only_q:
+        continue
+    if skip_q is not None and name in skip_q:
+        continue
+    t0 = time.time()
+    print(f"[check] {name} ...", file=sys.stderr, flush=True)
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         results[name] = "NO_OUTPUT"
@@ -53,6 +68,8 @@ for name in sorted(os.listdir(out_dir)):
     except Exception as e:
         results[name] = f"ORACLE_SQL_ERROR: {e}"
         continue
+    print(f"[check] {name} oracle done in {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     def norm(df):
         df = df[sorted(df.columns)]
         df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
