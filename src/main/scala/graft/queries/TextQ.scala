@@ -303,11 +303,20 @@ object TextQ {
                    THEN ((1::UBIGINT << CAST(bit AS INT))::HUGEINT)
                    ELSE 0::HUGEINT END) AS UBIGINT) AS sh
                FROM votes GROUP BY doc_id
-             )
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.sh, b.sh))::INT AS hamming
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             WHERE bit_count(xor(a.sh, b.sh)) <= 7""")),
+             ),
+             -- pigeonhole candidates: hamming <= 7 across 8 bytes
+             -- forces at least one EQUAL byte, so a byte-bucket
+             -- equi-join loses no qualifying pair (the r8 all-pairs
+             -- popcount join was 55k^2 at the 10x replicated corpus)
+             by AS (SELECT doc_id, sh, g.k AS k,
+                 (sh >> CAST(8 * g.k AS INT)) & 255::UBIGINT AS byte
+               FROM sh, generate_series(0, 7) AS g(k)),
+             cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sa,
+                 b.doc_id AS id_b, b.sh AS sb
+               FROM by a JOIN by b
+                 ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
+             SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+             FROM cand WHERE bit_count(xor(sa, sb)) <= 7""")),
 
     // dedup_jaccard [EXT]: exact n-gram Jaccard verification of the
     // MinHash candidates, keeping pairs at or above the final 0.5
@@ -343,14 +352,20 @@ object TextQ {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                    FOR i IN generate_series(1, greatest(len(tk) - 2, 0))]) AS s
                FROM toks
-             )
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
-                 AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""")),
+             ),
+             -- shared-shingle equi-join pair enumeration (lossless: a
+             -- pair at jaccard >= 0.5 shares a shingle; zero-overlap
+             -- pairs cannot qualify) — the r8 all-pairs join was 55k^2
+             -- list_intersects at the 10x replicated corpus
+             gr AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+             ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 max(a.n) AS na, max(b.n) AS nb, count(*) AS c
+               FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+             FROM ix
+             WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5""")),
 
     // sim_topk [EXT]: exact brute-force cosine top-5 (ANN baseline).
     Q("sim_topk",
@@ -725,6 +740,11 @@ object TextQ {
           .select(col("left_id"), col("right_id"),
             round(col("jaccard"), 4).as("jaccard"))
       },
+      // pair enumeration via shared-shingle equi-join (not the r8
+      // train-x-bench cross join): a pair at jaccard >= 0.5 must share
+      // a shingle, so pairs sharing none are lossless to drop — and at
+      // the 10x replicated corpus the cross join was 121M pairs of
+      // list_intersect where the equi-join stays candidate-bounded
       Some("""WITH bench AS (
                SELECT doc_id + 5000000 AS doc_id, 'Q: ' || text AS text
                FROM documents WHERE doc_id % 25 = 0
@@ -744,14 +764,17 @@ object TextQ {
                FROM (SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text),
                    '[^a-z0-9]+', ' ', 'g')), ' ') AS tk FROM bench)
-             )
-             SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
-                 AS jaccard
-             FROM sh a JOIN shb b ON true
-             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""")),
+             ),
+             ga AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+             gb AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shb),
+             ix AS (SELECT ga.doc_id AS left_id, gb.doc_id AS right_id,
+                 max(ga.n) AS na, max(gb.n) AS nb, count(*) AS c
+               FROM ga JOIN gb ON ga.g = gb.g
+               GROUP BY 1, 2)
+             SELECT left_id, right_id,
+               round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+             FROM ix
+             WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5""")),
 
     // decontam_ngram [EXT]: exact 13-gram eval-set decontamination —
     // the collision rule used to scrub benchmarks out of LLM training

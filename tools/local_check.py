@@ -70,16 +70,19 @@ for name in sorted(os.listdir(out_dir)):
         continue
     print(f"[check] {name} oracle done in {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
+    def _verdict(v, name=name):
+        print(f"[check] {name} -> {v}", file=sys.stderr, flush=True)
+        return v
     def norm(df):
         df = df[sorted(df.columns)]
         df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
         return df
     a, b = norm(spark_df), norm(oracle_df)
     if list(a.columns) != list(b.columns):
-        results[name] = f"SCHEMA_MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+        results[name] = _verdict(f"SCHEMA_MISMATCH spark={list(a.columns)} oracle={list(b.columns)}")
         continue
     if len(a) != len(b):
-        results[name] = f"ROWCOUNT_MISMATCH spark={len(a)} oracle={len(b)}"
+        results[name] = _verdict(f"ROWCOUNT_MISMATCH spark={len(a)} oracle={len(b)}")
         continue
     mismatched = []
     for c in a.columns:
@@ -96,9 +99,9 @@ for name in sorted(os.listdir(out_dir)):
         # join_fuzzy once shipped a blocking refinement that silently
         # zeroed its own output and the gate kept passing on 0 == 0.
         # Flag it as a local FAILURE so it gets looked at.
-        results[name] = "VACUOUS_EMPTY_MATCH" if len(a) == 0 else "OK"
+        results[name] = _verdict("VACUOUS_EMPTY_MATCH" if len(a) == 0 else "OK")
     else:
-        results[name] = "VALUE_MISMATCH " + "; ".join(mismatched[:3])
+        results[name] = _verdict("VALUE_MISMATCH " + "; ".join(mismatched[:3]))
 
 ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows_only("))
 bad = {k: v for k, v in results.items() if not (v == "OK" or (v.startswith("rows_only") and "EMPTY" not in v))}
