@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   *  - the stdout JSON line is sized to the driver's 2000-char tail
   *    window (slowest queries at 2 decimals, cheap ones summarized by
   *    count); the full 4-decimal map is written to
-  *    <repo-root>/bench_full.json. Rounds 2-4 printed the full map and
+  *    <repo-root>/bench_full.json — which also carries `queries_min`,
+  *    the best-of-reps minimum per query (in a contended window the
+  *    minimum is the least-inflated observation, so medians + mins +
+  *    per-segment canaries recover per-query numbers without a rerun).
+  *    Rounds 2-4 printed the full map and
   *    lost the line head to the window → parsed:null.
   *
   *  - a fixed-cost contention canary (range sum + tiny parquet count)
@@ -111,7 +115,11 @@ object Bench {
       val median =
         if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-      (name, median)
+      // best-of-reps (times is sorted): in a contended window the
+      // minimum is the least-inflated observation, so medians + mins +
+      // per-segment canaries make a noisy run's per-query numbers
+      // recoverable without a rerun
+      (name, median, times.head)
     }
     canaries += canary(); canaryAt += sortedQs.size
     def r4(v: Double): String = BigDecimal(v)
@@ -135,7 +143,9 @@ object Bench {
     // Full-precision, all-queries artifact on disk, resolved against
     // the repo root (walk up to build.sbt) so the location does not
     // depend on the launch directory.
-    val fullJson = results.map { case (k, v) => s"\"$k\":${r4(v)}" }
+    val fullJson = results.map { case (k, v, _) => s"\"$k\":${r4(v)}" }
+      .mkString("{", ",", "}")
+    val minJson = results.map { case (k, _, m) => s"\"$k\":${r4(m)}" }
       .mkString("{", ",", "}")
     val stagesJson = stageCost.map { case (q, tags) =>
       s"\"$q\":" + tags.map { case (t, v) => s"\"$t\":${r4(v)}" }
@@ -154,7 +164,7 @@ object Bench {
         Some(s"""{"from":"${sortedQs(from)._1}","to":"${sortedQs(until - 1)._1}","index":${r2(idx)}}""")
       }
     }.mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,$canaryFields,"failed":$errJson,"queries":$fullJson,"stages":$stagesJson,"segments":$segmentsJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,$canaryFields,"failed":$errJson,"queries":$fullJson,"queries_min":$minJson,"stages":$stagesJson,"segments":$segmentsJson,"sf":"$sfDir"}"""
     try {
       var root = new java.io.File(sys.props.getOrElse("user.dir", ".")).getAbsoluteFile
       while (root != null && !new java.io.File(root, "build.sbt").exists())
@@ -168,7 +178,7 @@ object Bench {
     // sbt's trailing "[success] ..." eats ~80 of them. Budget the
     // per-query map to the SLOWEST queries that fit ~1550 chars at 2
     // decimals; the cheap floor-noise queries live in bench_full.json.
-    val byCost = results.sortBy(-_._2)
+    val byCost = results.map(r => (r._1, r._2)).sortBy(-_._2)
     val budget = 1420 // leaves room for the ~120-char canary fields
                       // (one interleaved sample per CANARY_EVERY queries)
     var used = 0
@@ -178,7 +188,7 @@ object Bench {
       if (used + len <= budget) { used += len; keep += k }
     }
     val qJson = results.filter(r => keep(r._1))
-      .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v, _) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
     val omitted = results.size - keep.size
     val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,$canaryFields,"failed":$errJson,"queries":$qJson,"omitted_fast":$omitted,"full":"bench_full.json","sf":"$sfDir"}"""
     println(line)

@@ -22,6 +22,8 @@ object Verify {
     // cores under the SAME DuckDB oracles as the default path)
     sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(
       _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_SESSION_CONF entry (expected k=v): '$kv'")
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k, v)
       })

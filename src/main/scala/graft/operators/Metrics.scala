@@ -111,6 +111,11 @@ object Metrics {
   def theilSenSampled(series: DataFrame, maxPairsPerKey: Long = 100000L,
                       seed: Long = 42L): DataFrame = {
     require(maxPairsPerKey >= 1, s"need a positive budget, got $maxPairsPerKey")
+    // the cut is budget * 2^32 on a Long: past this bound the product
+    // overflows (silently negative with ANSI off -> empty result); any
+    // budget >= __ts_np already takes the least(M, ...) exact branch,
+    // so clamping loses nothing
+    val budget = math.min(maxPairsPerKey, Long.MaxValue >> 32)
     // distinct-x pair count per key: with c_i rows at each distinct x,
     // retained pairs = (n² - Σc_i²) / 2 — the exact denominator the
     // x2 > x1 condition keeps (NOT n·(n-1)/2 when x values repeat)
@@ -123,7 +128,7 @@ object Metrics {
     val left = series.join(lens, "key")
       .select(col("key"), col("x").as("x1"), col("y").as("y1"),
         least(lit(M),
-          (lit(maxPairsPerKey) * lit(M) /
+          (lit(budget) * lit(M) /
             greatest(col("__ts_np"), lit(1L))).cast("long")).as("__ts_cut"))
     val pairs = left
       .join(series.select(col("key"), col("x").as("x2"),

@@ -70,12 +70,17 @@ object Skyline {
     * `maxCol`/`minCol` must be orderable atomic types whose JVM
     * external representation is `Comparable` (numeric, string, date,
     * timestamp, decimal) — the driver prefix-min compares the p
-    * per-partition mins directly.
+    * per-partition mins directly, with strings routed through
+    * `UTF8String` so the driver ordering is byte-identical to Spark's.
     *
     * Null contract matches [[frontier2d]]: a null `maxCol` makes the
     * dominance predicate null in both directions, so null-max rows are
     * always ON the frontier and never dominate — they bypass the sweep
-    * verbatim (the anti-join keeps them for the same reason).
+    * verbatim (the anti-join keeps them for the same reason). A null
+    * `minCol` likewise can never be dominated (`x <= null` is null
+    * under three-valued logic, so the anti-join keeps the row) and
+    * never dominates (group `min()` skips nulls) — the survival filter
+    * keeps null-min rows explicitly.
     */
   def frontierSweep(df: DataFrame, maxCol: String, minCol: String,
                     numPartitions: Int = 0): DataFrame = {
@@ -99,8 +104,16 @@ object Skyline {
     val partMins = ranged.groupBy("__sk_pid")
       .agg(min("__sk_gmin").as("m"))
       .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // strings compare via Spark's own UTF-8 bytewise ordering — JVM
+    // String.compareTo is UTF-16 code-unit order, which diverges on
+    // supplementary (non-BMP) characters and would let the driver
+    // prefix-min disagree with the in-partition window min()
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     var best: Any = null
     val offRows = partMins.map { case (pid, m) =>
       val row = Row(pid, best) // min over partitions BEFORE this one
@@ -124,7 +137,8 @@ object Skyline {
       .select(col("__sk_max"),
         least(col("__sk_thr0"), col("__sk_poff")).as("__sk_thr"))
     swept.join(thr, col(maxCol) === col("__sk_max"))
-      .filter(col("__sk_thr").isNull || col(minCol) < col("__sk_thr"))
+      .filter(col("__sk_thr").isNull || col(minCol).isNull ||
+        col(minCol) < col("__sk_thr"))
       .drop("__sk_max", "__sk_thr")
       .unionByName(nullMax)
   }

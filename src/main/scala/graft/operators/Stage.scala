@@ -34,6 +34,20 @@ object Stage {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]()
 
+  // Caches that hold DataFrames/paths backed by staged files register a
+  // listener here and are cleared by purge() — without this, a purge in
+  // a long-lived session leaves fit-once caches (ANN models, planted
+  // corpora, fixture paths) pointing at deleted directories, and the
+  // next cache hit fails mid-scan. Registrants are the handful of
+  // static ModelCache instances, so the list stays bounded.
+  private val purgeListeners =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a callback run after every [[purge]] — for caches whose
+    * entries reference staged files and must drop with them.
+    */
+  def onPurge(f: () => Unit): Unit = purgeListeners.add(f)
+
   // Wall-clock seconds of each materialize WRITE, by tag — the bench
   // drains this per query so a "same code, N× slower" round can be
   // localized to a stage in one look instead of re-instrumenting.
@@ -68,6 +82,10 @@ object Stage {
   /** Delete every stage directory written so far. ONLY safe when no
     * DataFrame returned by `materialize` will be read again — i.e.
     * between logically-independent jobs in a long-lived session.
+    * Registered [[onPurge]] listeners (the fit-once model/fixture
+    * caches) are cleared afterwards, so cached entries can never
+    * outlive the staged files they reference: the next access refits
+    * and restages.
     */
   def purge(spark: org.apache.spark.sql.SparkSession): Unit = {
     var e = tracked.poll()
@@ -85,6 +103,7 @@ object Stage {
       } catch { case _: Throwable => }
       e = tracked.poll()
     }
+    purgeListeners.forEach(f => f())
   }
 
   /** Register a caller-created LOCAL scratch directory for the same

@@ -111,9 +111,12 @@ object ScaleGuard extends PredicateHelper {
 
   /** Does a state schema hold a COLLECTION of records (array or map of
     * structs, at any nesting depth)? Scalars, binary sketches, fixed
-    * numeric arrays, and maps of scalars all pass.
+    * numeric arrays, and maps of scalars all pass. Shared with
+    * [[graft.streaming.StateApi]], whose handle-registration wrappers
+    * apply the same predicate to the `transformWithState` path the
+    * logical plan cannot show.
     */
-  private[plans] def retainsRecords(dt: DataType): Boolean = dt match {
+  private[graft] def retainsRecords(dt: DataType): Boolean = dt match {
     case ArrayType(et, _) => et.isInstanceOf[StructType] || retainsRecords(et)
     case MapType(k, v, _) => v.isInstanceOf[StructType] ||
       retainsRecords(k) || retainsRecords(v)

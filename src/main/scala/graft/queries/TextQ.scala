@@ -21,6 +21,9 @@ object TextQ {
     * by dead sessions would leak them forever).
     */
   private[queries] final class ModelCache[M](max: Int) {
+    // entries may reference staged files — drop them whenever
+    // Stage.purge deletes the stage directories (next access refits)
+    graft.operators.Stage.onPurge(() => m.synchronized(m.clear()))
     private val m = new java.util.LinkedHashMap[(Int, String),
         (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], M)](
         16, 0.75f, true) {
@@ -53,9 +56,10 @@ object TextQ {
     * queries (dedup_minhash/simhash/jaccard/cluster, text_novelty,
     * corpus_split_safe) consume the same union; before round 8 each rebuilt
     * it (two scans of documents per invocation × 3 gate runs ×
-    * `reps` bench reps). NOTE: `Stage.purge` would delete the staged
-    * file under a live cache entry — purge only between independent
-    * jobs, as its scaladoc already requires.
+    * `reps` bench reps). NOTE: `Stage.purge` deletes the staged file
+    * AND clears every ModelCache (the purge-listener registration in
+    * the class body), so a purge in a long-lived session restages on
+    * next access instead of handing out frames over deleted files.
     */
   private[queries] val plantedCache = new ModelCache[DataFrame](4)
 

@@ -94,8 +94,12 @@ object DocStreams {
       extends StatefulProcessor[(Int, Long), (Int, Long, Long, Array[Long]), Match] {
     @transient private var st: ListState[(Long, Array[Long])] = _
     override def init(om: OutputMode, tm: TimeMode): Unit =
-      st = getHandle.getListState[(Long, Array[Long])]("bucket",
-        Encoders.product[(Long, Array[Long])], TTLConfig.NONE)
+      st = StateApi.listState[(Long, Array[Long])](getHandle, "bucket",
+        Encoders.product[(Long, Array[Long])],
+        boundedBy = "LSH band bucket: bucketScan evicts past " +
+          "maxBucketSize entries, so the list holds at most " +
+          "maxBucketSize (id, signature) pairs per bucket key",
+        TTLConfig.NONE)
     override def handleInputRows(key: (Int, Long),
                                  rows: Iterator[(Int, Long, Long, Array[Long])],
                                  tv: TimerValues): Iterator[Match] =

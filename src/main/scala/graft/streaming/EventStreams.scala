@@ -177,7 +177,7 @@ object EventStreams {
       extends StatefulProcessor[Long, (Long, Long, Long, String), FunnelProgress] {
     @transient private var st: ValueState[FunnelState] = _
     override def init(om: OutputMode, tm: TimeMode): Unit =
-      st = getHandle.getValueState[FunnelState]("funnel",
+      st = StateApi.valueState[FunnelState](getHandle, "funnel",
         Encoders.product[FunnelState], TTLConfig.NONE)
     override def handleInputRows(uid: Long,
                                  rows: Iterator[(Long, Long, Long, String)],
@@ -264,7 +264,7 @@ object EventStreams {
       extends StatefulProcessor[Long, (Long, Long, Long, Double), AnomalyHit] {
     @transient private var st: ValueState[WelfordState] = _
     override def init(om: OutputMode, tm: TimeMode): Unit =
-      st = getHandle.getValueState[WelfordState]("welford",
+      st = StateApi.valueState[WelfordState](getHandle, "welford",
         Encoders.product[WelfordState], TTLConfig.NONE)
     override def handleInputRows(uid: Long,
                                  rows: Iterator[(Long, Long, Long, Double)],
@@ -385,7 +385,7 @@ object EventStreams {
       extends StatefulProcessor[Long, (Long, Long, Long, Double), CusumUpdate] {
     @transient private var st: ValueState[CusumState] = _
     override def init(om: OutputMode, tm: TimeMode): Unit =
-      st = getHandle.getValueState[CusumState]("cusum",
+      st = StateApi.valueState[CusumState](getHandle, "cusum",
         Encoders.product[CusumState], TTLConfig.NONE)
     override def handleInputRows(uid: Long,
                                  rows: Iterator[(Long, Long, Long, Double)],
@@ -415,7 +415,7 @@ object EventStreams {
       extends StatefulProcessor[Long, (Long, Double), UserUpdate] {
     @transient private var st: ValueState[UserState] = _
     override def init(om: OutputMode, tm: TimeMode): Unit =
-      st = getHandle.getValueState[UserState]("totals",
+      st = StateApi.valueState[UserState](getHandle, "totals",
         Encoders.product[UserState], TTLConfig.NONE)
     override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
                                  tv: TimerValues): Iterator[UserUpdate] = {
@@ -502,7 +502,7 @@ object EventStreams {
       extends StatefulProcessor[Long, (Long, Long, Long, String, Long), AttributedPurchase] {
     @transient private var st: ValueState[TouchState] = _
     override def init(om: OutputMode, tm: TimeMode): Unit =
-      st = getHandle.getValueState[TouchState]("touch",
+      st = StateApi.valueState[TouchState](getHandle, "touch",
         Encoders.product[TouchState], TTLConfig.NONE)
     override def handleInputRows(uid: Long,
         rows: Iterator[(Long, Long, Long, String, Long)],

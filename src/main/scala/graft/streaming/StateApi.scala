@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Encoder, SparkSession}
+import org.apache.spark.sql.streaming.{ListState, StatefulProcessorHandle,
+  TTLConfig, ValueState}
 
 /** Selects the per-key state implementation for the custom stateful
   * operators (funnel, anomaly, CUSUM, running totals, streaming
@@ -44,4 +46,45 @@ object StateApi {
       case Some(other) => throw new IllegalArgumentException(
         s"spark.graft.stateApi must be tws|fmgws (got $other)")
     }
+
+  /** Handle-registration twin of [[graft.plans.ScaleGuard]]'s
+    * record-retaining-stream-state rule. `transformWithState` declares
+    * its state through runtime handles the logical plan cannot show,
+    * so the plan-level guard that sweeps `(flat)mapGroupsWithState`
+    * state encoders is blind to this path — these wrappers enforce the
+    * same bounded-state contract at the only choke point the tws path
+    * has: handle registration inside `StatefulProcessor.init`.
+    *
+    * A VALUE state must be scalar/sketch-shaped (no collection of
+    * records anywhere in its schema — the exact [[graft.plans
+    * .ScaleGuard.retainsRecords]] predicate). A LIST state is
+    * record-retaining *by construction* (one entry per element kept),
+    * so registering one requires a written `boundedBy` justification
+    * naming the bound — the same document-at-the-call-site discipline
+    * PlanGuardSpec's allowlist imposes on the fmgws path.
+    */
+  def valueState[T](h: StatefulProcessorHandle, name: String,
+                    enc: Encoder[T],
+                    ttl: TTLConfig = TTLConfig.NONE): ValueState[T] = {
+    require(!graft.plans.ScaleGuard.retainsRecords(enc.schema),
+      s"tws value state '$name' schema [${enc.schema.simpleString}] holds " +
+        "a collection of records: per-key state grows with events seen, " +
+        "not with a scalar/sketch bound. Fold events into scalars or " +
+        "sketches, or use listState() with a written bound.")
+    h.getValueState(name, enc, ttl)
+  }
+
+  /** See [[valueState]]. `boundedBy` must state WHAT bounds the list's
+    * length (e.g. "LSH bucket capped at maxBucketSize entries by the
+    * eviction in bucketScan") — an empty justification is refused.
+    */
+  def listState[T](h: StatefulProcessorHandle, name: String,
+                   enc: Encoder[T], boundedBy: String,
+                   ttl: TTLConfig = TTLConfig.NONE): ListState[T] = {
+    require(boundedBy != null && boundedBy.trim.length >= 20,
+      s"tws list state '$name' retains one entry per element kept — " +
+        "registration requires a written justification (>= 20 chars) " +
+        "naming the bound on its length.")
+    h.getListState(name, enc, ttl)
+  }
 }

@@ -135,4 +135,29 @@ class ScaleGuardRuleSpec extends SparkFunSuite {
       smallCart.queryExecution.optimizedPlan, boundedMax = 10)
       .map(_.rule) === Seq("unbounded-cartesian"))
   }
+
+  test("tws handle registration enforces the bounded-state contract") {
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.StateApi
+    // the plan-level rule can't see transformWithState's state (it is
+    // declared through runtime handles) — StateApi's wrappers apply the
+    // SAME retainsRecords predicate at registration. The require fires
+    // before the handle is touched, so a null handle isolates the check.
+    val e1 = intercept[IllegalArgumentException] {
+      StateApi.valueState[Tuple1[Seq[(Long, String)]]](null, "bad",
+        Encoders.product[Tuple1[Seq[(Long, String)]]])
+    }
+    assert(e1.getMessage.contains("collection of records"))
+    val e2 = intercept[IllegalArgumentException] {
+      StateApi.listState[(Long, Array[Long])](null, "bad2",
+        Encoders.product[(Long, Array[Long])], boundedBy = "  ")
+    }
+    assert(e2.getMessage.contains("written justification"))
+    // scalar-shaped value state passes the schema check (and then NPEs
+    // only because the handle is null — the guard itself accepted it)
+    intercept[NullPointerException] {
+      StateApi.valueState[(Long, Double)](null, "ok",
+        Encoders.product[(Long, Double)])
+    }
+  }
 }

@@ -3,21 +3,21 @@
 first (sbt "runMain graft.Verify <sfDir> <outDir>"), then this script
 compares each dumped parquet against its DuckDB oracle on the same
 tables. Mirrors the driver: sort columns by name, sort rows, compare."""
-import json, sys, glob, os
+import argparse, json, sys, glob, os, time
 import duckdb
 import pandas as pd
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-# optional per-query subset controls for big-corpus sweeps:
-#   --only a,b,c   check just these;  --skip a,b,c   check all but these
 # progress (name + seconds per oracle) streams to stderr so a hung
 # oracle is identifiable without waiting for the final table.
-only_q = skip_q = None
-import time
-for i, a in enumerate(sys.argv):
-    if a == "--only": only_q = set(sys.argv[i + 1].split(","))
-    if a == "--skip": skip_q = set(sys.argv[i + 1].split(","))
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+ap.add_argument("out_dir", nargs="?", default="/tmp/verify_out")
+ap.add_argument("--only", help="comma-separated: check just these queries")
+ap.add_argument("--skip", help="comma-separated: check all but these")
+args = ap.parse_args()
+sf_dir, out_dir = args.sf_dir, args.out_dir
+only_q = set(args.only.split(",")) if args.only else None
+skip_q = set(args.skip.split(",")) if args.skip else None
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
