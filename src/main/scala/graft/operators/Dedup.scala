@@ -129,25 +129,63 @@ object Dedup {
     * doc, so it rides along with the (chunk, key) shuffle for free and
     * pairs are Hamming-filtered before the dedup shuffle.
     *
+    * Candidate generation runs over DISTINCT signatures, not documents
+    * (round-10, forced by the 10x replicated-corpus bench: the doc-level
+    * chunk join measured 308x the 1x time, because exact-duplicate clone
+    * groups inflate every block quadratically while adding ZERO new
+    * signatures). Chunk-block join work is therefore bounded by
+    * signature DIVERSITY — a corpus of a billion docs over a million
+    * distinct signatures pays the quadratic blocking cost of a million.
+    * Documents re-enter only in two output-bounded expansions:
+    *
+    *  - same-signature pairs (hamming 0, the exact-duplicate clusters):
+    *    a self-join keyed on the signature, grid-covered above
+    *    `maxBucketSize` members so a giant clone group spreads its
+    *    O(group²) OUTPUT (inherent — every pair must be emitted) over
+    *    (n/cap)² tasks instead of one straggler;
+    *  - cross-signature pairs: each qualifying (sig_a, sig_b) pair
+    *    expands to its member cross product via two signature-keyed
+    *    equi-joins — row count is exactly the output size.
+    *
     * Unlike the probabilistic MinHash bands (where a salt split re-rolls
     * per band), the pigeonhole guarantee is DETERMINISTIC and the oracle
     * asserts exact all-pairs output — so the oversize-bucket guardrail
-    * must not lose cross-sub pairs. Oversized buckets therefore use a
+    * must not lose cross-sub pairs. Oversized blocks therefore use a
     * grid cover: each member with home sub s replicates into every
     * unordered cell {s, j}, so members with homes s and t always meet in
     * cell {min(s,t), max(s,t)}. Zero recall loss; a cell holds members
-    * of at most two subs, bounding per-task pair work at ~4·cap². Total
-    * work in a mega-bucket stays Θ(n²) — inherent to exact d<=7
-    * semantics once n docs share a chunk byte — but it is spread over
-    * (n/cap)² tasks instead of one straggler.
+    * of at most two subs, bounding per-task pair work at ~4·cap².
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 7, maxBucketSize: Int = 1000): DataFrame = {
     val sk = Stage.materialize(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
       "simhash_sk")
-    val chunked = sk.select(
-      col("id"), col("sh"),
+    // --- same-signature pairs: output-bounded, grid-covered per group
+    val grouped = sk
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("n") > 1L)
+      .withColumn("nsub", ceil(col("n") / maxBucketSize).cast("long"))
+      .withColumn("home",
+        when(col("nsub") <= 1L, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), col("nsub"))))
+      .withColumn("j", explode(sequence(lit(0L), col("nsub") - 1L)))
+      .withColumn("c1", least(col("home"), col("j")))
+      .withColumn("c2", greatest(col("home"), col("j")))
+    val same = grouped
+      .select(col("sh"), col("c1"), col("c2"), col("id").as("id_a"),
+        col("home").as("home_a"))
+      .join(grouped.select(col("sh"), col("c1"), col("c2"),
+        col("id").as("id_b"), col("home").as("home_b")),
+        Seq("sh", "c1", "c2"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("c1") === least(col("home_a"), col("home_b")) &&
+        col("c2") === greatest(col("home_a"), col("home_b")))
+      .select(col("id_a"), col("id_b"), lit(0).cast("integer").as("hamming"))
+    // --- cross-signature candidates over the DISTINCT signature table
+    val uniq = sk.select(col("sh")).distinct()
+    val chunked = uniq.select(
+      col("sh"),
       posexplode(transform(sequence(lit(0), lit(7)),
         i => call_function("shiftrightunsigned", col("sh"), i * 8)
           .bitwiseAND(lit(0xffL)))))
@@ -165,16 +203,16 @@ object Dedup {
       .withColumn("nsub", ceil(col("n") / maxBucketSize).cast("long"))
       .withColumn("home",
         when(col("nsub") <= 1L, lit(0L))
-          .otherwise(pmod(xxhash64(col("id"), col("chunk")), col("nsub"))))
+          .otherwise(pmod(xxhash64(col("sh"), col("chunk")), col("nsub"))))
       // grid cover {home, j}: sequence is ascending here (nsub >= 1)
       .withColumn("j", explode(sequence(lit(0L), col("nsub") - 1L)))
       .withColumn("c1", least(col("home"), col("j")))
       .withColumn("c2", greatest(col("home"), col("j")))
       .drop("n", "nsub", "j")
     val a = capped.select(col("chunk"), col("key"), col("c1"), col("c2"),
-      col("id").as("id_a"), col("sh").as("sh_a"), col("home").as("home_a"))
+      col("sh").as("sh_a"), col("home").as("home_a"))
     val b = capped.select(col("chunk"), col("key"), col("c1"), col("c2"),
-      col("id").as("id_b"), col("sh").as("sh_b"), col("home").as("home_b"))
+      col("sh").as("sh_b"), col("home").as("home_b"))
     // first zero byte of the XOR = first agreeing chunk; a plain CASE
     // chain of shift/mask compares stays inside whole-stage codegen
     // (a transform()/array_position() formulation runs the lambda
@@ -184,10 +222,10 @@ object Dedup {
         when(call_function("shiftrightunsigned", x, lit(c * 8))
           .bitwiseAND(lit(0xffL)) === 0L, lit(c)).otherwise(rest)
       }
-    a.join(b, Seq("chunk", "key", "c1", "c2"))
-      .filter(col("id_a") < col("id_b"))
-      // each qualifying pair is emitted exactly ONCE, so no dedup
-      // shuffle is needed afterwards: (1) of the up-to-8 agreeing
+    val sigPairs = a.join(b, Seq("chunk", "key", "c1", "c2"))
+      .filter(col("sh_a") < col("sh_b"))
+      // each qualifying signature pair is emitted exactly ONCE, so no
+      // dedup shuffle is needed afterwards: (1) of the up-to-8 agreeing
       // chunks, only the FIRST emits (both sketches are in-row); (2) of
       // the grid cells both members share, only the canonical
       // {home_a, home_b} cell emits (same-home pairs co-occur in every
@@ -196,9 +234,18 @@ object Dedup {
         firstAgreeingChunk(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("c1") === least(col("home_a"), col("home_b")) &&
         col("c2") === greatest(col("home_a"), col("home_b")))
-      .select(col("id_a"), col("id_b"),
+      .select(col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+    // signature groups are disjoint, so each unordered id pair appears
+    // in exactly one (sig_a, sig_b) expansion — least/greatest
+    // canonicalizes without a dedup shuffle
+    val cross = sigPairs
+      .join(sk.select(col("sh").as("sh_a"), col("id").as("ia")), "sh_a")
+      .join(sk.select(col("sh").as("sh_b"), col("id").as("ib")), "sh_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    cross.unionByName(same)
   }
 
   /** Exact n-gram Jaccard for a candidate-pair relation: joins the

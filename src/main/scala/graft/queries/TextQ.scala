@@ -308,19 +308,29 @@ object TextQ {
                    ELSE 0::HUGEINT END) AS UBIGINT) AS sh
                FROM votes GROUP BY doc_id
              ),
-             -- pigeonhole candidates: hamming <= 7 across 8 bytes
-             -- forces at least one EQUAL byte, so a byte-bucket
-             -- equi-join loses no qualifying pair (the r8 all-pairs
-             -- popcount join was 55k^2 at the 10x replicated corpus)
-             by AS (SELECT doc_id, sh, g.k AS k,
-                 (sh >> CAST(8 * g.k AS INT)) & 255::UBIGINT AS byte
-               FROM sh, generate_series(0, 7) AS g(k)),
-             cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sa,
-                 b.doc_id AS id_b, b.sh AS sb
+             -- pigeonhole candidates over DISTINCT signatures (r10:
+             -- clone groups inflate doc-level byte blocks quadratically
+             -- while adding zero signatures — the same restructure the
+             -- Spark side uses, so both engines stay replica-scalable);
+             -- hamming <= 7 across 8 bytes forces at least one EQUAL
+             -- byte, so a byte-bucket equi-join loses no qualifying pair
+             uq AS (SELECT DISTINCT sh AS s FROM sh),
+             by AS (SELECT s, g.k AS k,
+                 (s >> CAST(8 * g.k AS INT)) & 255::UBIGINT AS byte
+               FROM uq, generate_series(0, 7) AS g(k)),
+             sigp AS (SELECT DISTINCT a.s AS sa, b.s AS sb
                FROM by a JOIN by b
-                 ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
-             SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
-             FROM cand WHERE bit_count(xor(sa, sb)) <= 7""")),
+                 ON a.k = b.k AND a.byte = b.byte AND a.s < b.s)
+             SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b,
+               bit_count(xor(sa, sb))::INT AS hamming
+             FROM sigp JOIN sh a ON a.sh = sigp.sa
+                       JOIN sh b ON b.sh = sigp.sb
+             WHERE bit_count(xor(sa, sb)) <= 7
+             UNION ALL
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+             FROM sh a JOIN sh b
+               ON a.sh = b.sh AND a.doc_id < b.doc_id""")),
 
     // dedup_jaccard [EXT]: exact n-gram Jaccard verification of the
     // MinHash candidates, keeping pairs at or above the final 0.5
