@@ -161,6 +161,22 @@ object Dedup {
     val sk = Stage.materialize(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
       "simhash_sk")
+    sketchHammingPairs(sk, maxDist, maxBucketSize)
+  }
+
+  /** The [[simhashPairs]] core over a PRECOMPUTED (id, sh) 64-bit
+    * sketch frame — exact all-pairs output at Hamming <= maxDist,
+    * `maxDist` <= 7 so the 8-byte pigeonhole recall argument holds.
+    * Callers must pass a materialized frame (it is scanned by several
+    * branches). Shared by [[simhashPairs]] (SimHash of text) and
+    * `Similarity.cosineNearDupPairs` (hyperplane sign sketch of an
+    * embedding — the deterministic dense-core candidate channel the
+    * probabilistic LSH tables cannot provide).
+    */
+  def sketchHammingPairs(sk: DataFrame, maxDist: Int = 7,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist <= 7,
+      s"8-byte pigeonhole blocking guarantees recall only to 7, got $maxDist")
     // --- same-signature pairs: output-bounded, grid-covered per group
     val grouped = sk
       .withColumn("n", count(lit(1)).over(Window.partitionBy("sh")))

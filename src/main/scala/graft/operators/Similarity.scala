@@ -432,12 +432,17 @@ object Similarity {
     * Skew guard: a bucket larger than `maxBucketSize` would do an n²
     * self-join in one task (the classic LSH mega-bucket pathology —
     * thousands of near-identical embeddings sharing every bucket).
-    * Instead of dropping such buckets, members are split into
-    * ceil(n/maxBucketSize) deterministic sub-buckets (hash of vec_id)
-    * and pairs generate only within a sub-bucket: per-task work is
-    * bounded by maxBucketSize² regardless of corpus skew, and
-    * cross-sub-bucket pairs usually resurface via one of the other
-    * `tables` hash tables (documented recall trade inside mega-buckets).
+    * Oversized buckets use the simhashPairs grid cover (round-10; the
+    * earlier same-sub-only split lost 105 of 95,800 cos≈1.0 pairs at
+    * the 10x replicated corpus — near-identical vectors live ONLY in
+    * mega-buckets, so "resurfaces via another table" fails exactly
+    * there): each member with home sub s replicates into every
+    * unordered cell {s, j}, so members with homes s and t always meet
+    * in cell {min(s,t), max(s,t)}. Zero candidate loss from capping;
+    * per-task pair work stays bounded at ~4·cap². Total work inside a
+    * mega-bucket is Θ(n²) scalar hamming checks — the price of exact
+    * recall there — spread over (n/cap)² tasks, and the Hamming
+    * prefilter kills the non-qualifying majority while still scalar.
     *
     * Parameterization: candidate volume is Σ bucket_size² per table, so
     * `planes` must grow with corpus size/clusteredness — for a ≥0.99
@@ -470,16 +475,20 @@ object Similarity {
         planes, tables, seed)))
       .select(col("vec_id"), col("sig"),
         col("pos").as("table"), col("col").as("bucket"))
-    // salt by (vec_id, table) so mega-bucket splits decorrelate across
-    // tables — an id-only salt splits the same pair identically in
-    // every table and quietly loses ~(1-1/nsub) of mega-bucket recall
+    // grid cover {home, j} per oversized bucket (see scaladoc): home
+    // is salted by (vec_id, table) so the cover stays decorrelated
+    // across tables; normal-size buckets keep one cell (nsub = 1)
     val capped = b.withColumn("n",
       count(lit(1)).over(Window.partitionBy("table", "bucket")))
-      .withColumn("sub",
-        when(col("n") <= maxBucketSize, lit(0L))
+      .withColumn("nsub", ceil(col("n") / maxBucketSize).cast("long"))
+      .withColumn("home",
+        when(col("nsub") <= 1L, lit(0L))
           .otherwise(pmod(xxhash64(col("vec_id"), col("table")),
-            ceil(col("n") / maxBucketSize).cast("long"))))
-      .drop("n")
+            col("nsub"))))
+      .withColumn("j", explode(sequence(lit(0L), col("nsub") - 1L)))
+      .withColumn("c1", least(col("home"), col("j")))
+      .withColumn("c2", greatest(col("home"), col("j")))
+      .drop("n", "nsub", "j")
     // both self-join sides read this scalar-only frame; a parquet stage
     // checkpoint (Stage.materialize) avoids re-bucketing the corpus
     // without leaking cached blocks into the caller's session
@@ -488,20 +497,44 @@ object Similarity {
       bit_count(element_at(a, 1).bitwiseXOR(element_at(b2, 1))) +
         bit_count(element_at(a, 2).bitwiseXOR(element_at(b2, 2)))
     // Pair dedup is a distinct() over (id_a, id_b) scalars — NOT
-    // first-agree emission (used in lshTopK), deliberately: with
-    // sub-bucket salting, a pair whose first AGREEING table salt-splits
-    // them never meets there, and first-agree would then veto its
-    // emission from the later table where they do meet — a recall hole
-    // exactly in the skewed corpora the salting exists for. distinct()
+    // first-agree emission (used in lshTopK), deliberately: a pair can
+    // meet in several tables and (for same-home members) several grid
+    // cells; the canonical-cell filter bounds the intra-table
+    // duplication and distinct() dedups across tables. distinct()
     // dedups only pairs that met, wherever they met.
-    val pairs = staged.select(col("table"), col("bucket"), col("sub"),
-        col("vec_id").as("id_a"), col("sig").as("sa"))
-      .join(staged.select(col("table"), col("bucket"), col("sub"),
-        col("vec_id").as("id_b"), col("sig").as("sb")),
-        Seq("table", "bucket", "sub"))
+    val lshPairs = staged.select(col("table"), col("bucket"), col("c1"),
+        col("c2"), col("vec_id").as("id_a"), col("sig").as("sa"),
+        col("home").as("home_a"))
+      .join(staged.select(col("table"), col("bucket"), col("c1"),
+        col("c2"), col("vec_id").as("id_b"), col("sig").as("sb"),
+        col("home").as("home_b")),
+        Seq("table", "bucket", "c1", "c2"))
       .filter(col("id_a") < col("id_b") &&
+        col("c1") === least(col("home_a"), col("home_b")) &&
+        col("c2") === greatest(col("home_a"), col("home_b")) &&
         hamming(col("sa"), col("sb")) <= hammingCut)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    // Deterministic dense-core channel (round-10, forced by the 10x
+    // replicated-corpus sweep): 105 of 95,800 cos≈1.0 pairs were lost
+    // because a near-identical pair's connecting segment can straddle a
+    // bucket hyperplane in EVERY table — probabilistic tables cannot
+    // promise recall for the dense core, the 8-byte pigeonhole on the
+    // 64-bit sign sketch can (Dedup.sketchHammingPairs: exact all-pairs
+    // at sketch hamming <= min(7, cut), clone-proof via its
+    // distinct-signature candidate generation). Near-threshold pairs
+    // at larger sketch distances stay with the LSH tables, whose
+    // per-table miss probability is independent there.
+    // pack the two 32-plane words into one long: widen to LONG before
+    // the shift (shiftleft on an INT is mod-32 — a no-op at 32) and
+    // mask the low word after the sign-extending cast
+    val sk64 = Stage.materialize(corpus.select(col("vec_id").as("id"),
+      shiftleft(element_at(sig, 1).cast("long"), 32)
+        .bitwiseOR(element_at(sig, 2).cast("long")
+          .bitwiseAND(lit(0xffffffffL))).as("sh")), "neardup_sk64")
+    val dense = graft.operators.Dedup
+      .sketchHammingPairs(sk64, math.min(7, hammingCut), maxBucketSize)
+      .select("id_a", "id_b")
+    val pairs = lshPairs.unionByName(dense).distinct()
     val emb = corpus.select(col("vec_id"), col("embedding"))
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")),

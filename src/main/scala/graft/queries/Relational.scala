@@ -419,10 +419,17 @@ object Relational {
           .select(col("o_orderstatus").as("b_st"),
             col("o_totalprice").as("b_price"), col("day").as("b_lo"),
             (col("day") + col("o_orderkey") % 15).as("b_hi"))
+        // sum_p accumulates as exact integer CENTS (order-free long
+        // sum) with ONE final IEEE division — a double sum over the
+        // ~37M pairs of the 10x corpus drifts past the round(2)
+        // boundary between engines (the r10 sweep caught +0.54 at
+        // 10^12 magnitude); the 1x gate never saw it
         graft.operators.IntervalJoin.overlap(
             a, b, "a_lo", "a_hi", "b_lo", "b_hi", cellWidth = 16L)
           .groupBy("a_st", "b_st")
-          .agg(count(lit(1)).as("n"), round(sum("b_price"), 2).as("sum_p"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("b_price") * 100).cast("long")) / 100.0)
+              .as("sum_p"))
       },
       Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
              |    date_diff('day', DATE '1995-01-01',
@@ -435,7 +442,7 @@ object Relational {
              |    day AS b_lo, day + o_orderkey % 15 AS b_hi FROM o
              |  WHERE o_orderkey % 2 = 1)
              |SELECT a_st, b_st, count(*)::BIGINT AS n,
-             |  round(sum(b_price), 2) AS sum_p
+             |  sum(CAST(round(b_price * 100) AS BIGINT)) / 100.0 AS sum_p
              |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
              |GROUP BY 1, 2""".stripMargin)),
 
