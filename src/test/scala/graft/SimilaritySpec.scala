@@ -153,4 +153,50 @@ class SimilaritySpec extends SparkFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((7L, 999999L)))
   }
+
+  test("dense-core recall: clone clusters match brute force EXACTLY") {
+    // Regression for the 10x-sweep defect: a near-identical pair's
+    // connecting segment can straddle a bucket hyperplane in EVERY LSH
+    // table, so probabilistic tables alone lost 105 of 95,800 cos≈1.0
+    // pairs. The deterministic 8-byte-pigeonhole channel over the sign
+    // sketch must make the dense core (tiny-perturbation clones, sketch
+    // hamming ≈ 0) exact — so on a corpus that is ONLY clone clusters,
+    // the pair set equals brute force, not "most of it".
+    val rnd = new scala.util.Random(20261014L)
+    val dim = 64
+    val vecs = (0 until 30).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(center.map(x => x * x).sum)
+      (0 until 8).map { m =>
+        (c * 100L + m,
+          center.map(x => (x / n + rnd.nextGaussian() * 1e-5).toFloat))
+      }
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val thr = 0.999
+    val want = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+      if cos(vecs(i)._2, vecs(j)._2) >= thr
+    } yield {
+      val (a, b) = (vecs(i)._1, vecs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(want.size >= 30 * 28) // sanity: every intra-cluster pair is dense
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // maxBucketSize 4 < cluster size 8 forces the mega-bucket grid
+    // cover AND the dense channel's sub-bucketing on every cluster
+    val got = Similarity.cosineNearDupPairs(corpus, dim = dim,
+        threshold = thr, maxBucketSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
