@@ -39,20 +39,32 @@ import org.apache.spark.sql.functions._
   *    gains mult-1 exact duplicates — dedup/near-dup operators face
   *    mult× clusters, the honest adversarial shape for them.
   *
-  * Each table lands as a SINGLE parquet file `<dstDir>/<table>.parquet`
-  * (µs timestamps), byte-compatible with the driver layout, so
-  * `graft.Verify <dstDir> ...` and `tools/local_check.py <dstDir> ...`
-  * run unchanged.
+  * Output layout is partition-capable (round-11, for the 30-100×
+  * decade): with `files` = 1 (default) each table lands as a SINGLE
+  * parquet file `<dstDir>/<table>.parquet` (µs timestamps),
+  * byte-compatible with the driver layout; with `files` > 1 the same
+  * path is a DIRECTORY of that many part files — `spark.read.parquet`
+  * (graft.queries.t) reads either shape unchanged, and the sharded
+  * checker (tools/scale_check.py) globs directories. A single-file
+  * write funnels the whole replicated table through one task
+  * (coalesce(1)) — exactly the non-scalable shape this tool exists to
+  * audit against — so past ~10× pass `files` ≈ the core count.
+  *
+  * The replica fan-out itself is ONE scan per table: a broadcast
+  * cross join against a `mult`-row replica-index frame (not a
+  * `mult`-way self-union, whose plan re-reads the source per branch).
   */
 object ReplicateCorpus {
   val Off = 1000000000L // > any source key at any shipped SF
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ReplicateCorpus <srcSfDir> <dstDir> [mult=10]")
+      "usage: ReplicateCorpus <srcSfDir> <dstDir> [mult=10] [files=1]")
     val (src, dst) = (args(0), args(1))
     val mult = if (args.length > 2) args(2).toInt else 10
+    val files = if (args.length > 3) args(3).toInt else 1
     require(mult >= 1, s"mult must be >= 1, got $mult")
+    require(files >= 1, s"files must be >= 1, got $files")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,25 +89,38 @@ object ReplicateCorpus {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
 
-    def writeSingleFile(df: DataFrame, table: String): Unit = {
-      val tmp = s"$dst/__tmp_$table"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet"))
-      require(part.length == 1, s"expected 1 part file for $table")
-      Files.move(Paths.get(part.head), Paths.get(s"$dst/$table.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      // drop the scratch dir (part file already moved out)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
+
+    def write(df: DataFrame, table: String): Unit = {
+      val tmp = Paths.get(s"$dst/__tmp_$table")
+      val target = Paths.get(s"$dst/$table.parquet")
+      if (files == 1) {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet"))
+        require(part.length == 1, s"expected 1 part file for $table")
+        rmTree(target)
+        Files.move(Paths.get(part.head), target,
+          StandardCopyOption.REPLACE_EXISTING)
+        rmTree(tmp)
+      } else {
+        // multi-file: the whole directory becomes <table>.parquet —
+        // `files` parallel writer tasks, no single-task bottleneck
+        df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+        rmTree(target)
+        Files.move(tmp, target)
+      }
     }
 
     keyCols.foreach { case (table, keys) =>
       val base = queries.t(spark, src, table)
       val out =
         if (keys.isEmpty) base
-        else (0 until mult).map { m =>
-          val shifted = keys.foldLeft(base) { (df, k) =>
+        else {
+          keys.foreach { k =>
             // offset keys must be 64-bit: an int key would overflow at
             // m >= 3 and silently corrupt the join graph. Every shipped
             // key column is bigint; fail loudly if a future data
@@ -103,18 +128,29 @@ object ReplicateCorpus {
             require(base.schema(k).dataType ==
               org.apache.spark.sql.types.LongType,
               s"$table.$k is ${base.schema(k).dataType}, expected bigint")
-            df.withColumn(k, col(k) + lit(m * Off))
           }
-          if (table == "embeddings" && m > 0)
-            shifted.withColumn("embedding",
-              transform(col("embedding"),
-                (x, i) => when(i === 0, x + lit(0.001f * m)).otherwise(x)))
-          else shifted
-        }.reduce(_ unionByName _)
+          val replicas = spark.range(mult).toDF("__m")
+          val fanned = base.crossJoin(broadcast(replicas))
+          val shifted = keys.foldLeft(fanned) { (df, k) =>
+            df.withColumn(k, col(k) + col("__m") * lit(Off))
+          }
+          val nudged =
+            if (table == "embeddings")
+              // same float math as replica-loop Scala (0.001f * m):
+              // FLOAT multiply then FLOAT add, replica 0 exactly verbatim
+              shifted.withColumn("embedding",
+                when(col("__m") === 0L, col("embedding"))
+                  .otherwise(transform(col("embedding"),
+                    (x, i) => when(i === 0,
+                      x + lit(0.001f) * col("__m").cast("float"))
+                      .otherwise(x))))
+            else shifted
+          nudged.drop("__m")
+        }
       val t0 = System.nanoTime()
-      writeSingleFile(out, table)
-      println(f"[replicate] $table%-10s x$mult -> $dst/$table.parquet " +
-        f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      write(out, table)
+      println(f"[replicate] $table%-10s x$mult files=$files -> " +
+        f"$dst/$table.parquet (${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
     spark.stop()
   }

@@ -177,10 +177,21 @@ object Dedup {
                          maxBucketSize: Int = 1000): DataFrame = {
     require(maxDist <= 7,
       s"8-byte pigeonhole blocking guarantees recall only to 7, got $maxDist")
-    // --- same-signature pairs: output-bounded, grid-covered per group
-    val grouped = sk
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("sh")))
+    // --- same-signature pairs: output-bounded, grid-covered per group.
+    // Group sizes come from groupBy + join-back, NOT a window
+    // partitioned on the signature: in a dedup workload exact-clone
+    // groups ARE the hot keys by construction, and a window would
+    // funnel every member of a 10^8-row boilerplate group through one
+    // task's sort just to count it. The aggregate computes the same
+    // count with map-side partials (each map task contributes ONE row
+    // per signature it saw), and the join back is a plain equi-join —
+    // AQE's skew-join splitting applies to it, which window semantics
+    // forbid. The count side is one row per duplicated signature, so
+    // AQE usually broadcasts it.
+    val groupSizes = sk.groupBy("sh").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1L)
+    val grouped = sk
+      .join(groupSizes, Seq("sh"))
       .withColumn("nsub", ceil(col("n") / maxBucketSize).cast("long"))
       .withColumn("home",
         when(col("nsub") <= 1L, lit(0L))

@@ -112,9 +112,13 @@ object Metrics {
                       seed: Long = 42L): DataFrame = {
     require(maxPairsPerKey >= 1, s"need a positive budget, got $maxPairsPerKey")
     // the cut is budget * 2^32 on a Long: past this bound the product
-    // overflows (silently negative with ANSI off -> empty result); any
-    // budget >= __ts_np already takes the least(M, ...) exact branch,
-    // so clamping loses nothing
+    // overflows (silently negative with ANSI off -> empty result). The
+    // exact branch below compares the UNCLAMPED budget against the pair
+    // count first, so a key within the requested budget always takes
+    // the exact path even when both exceed 2^31; only the sampled
+    // branch's fraction uses the clamped value (where budget < np, so
+    // clamping can only occur when np > 2^31 pairs on ONE key — and
+    // then it samples slightly under the astronomical request).
     val budget = math.min(maxPairsPerKey, Long.MaxValue >> 32)
     // distinct-x pair count per key: with c_i rows at each distinct x,
     // retained pairs = (n² - Σc_i²) / 2 — the exact denominator the
@@ -127,9 +131,11 @@ object Metrics {
     val M = 1L << 32
     val left = series.join(lens, "key")
       .select(col("key"), col("x").as("x1"), col("y").as("y1"),
-        least(lit(M),
-          (lit(budget) * lit(M) /
-            greatest(col("__ts_np"), lit(1L))).cast("long")).as("__ts_cut"))
+        when(col("__ts_np") <= lit(maxPairsPerKey), lit(M))
+          .otherwise(least(lit(M),
+            (lit(budget) * lit(M) /
+              greatest(col("__ts_np"), lit(1L))).cast("long")))
+          .as("__ts_cut"))
     val pairs = left
       .join(series.select(col("key"), col("x").as("x2"),
           col("y").as("y2")),

@@ -460,19 +460,36 @@ object Similarity {
     * ~mean + 3σ, so true-pair recall stays ≈ 1) BEFORE the distinct and
     * the embedding joins — false candidates die while still scalar.
     */
-  def cosineNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
-                         planes: Int = 16, tables: Int = 6,
-                         seed: Long = 42L,
-                         maxBucketSize: Int = 2000): DataFrame = {
-    // Hamming cutoff from the threshold angle over 64 sketch planes:
-    // E[flips] = 64·acos(t)/π, σ ≈ sqrt(E) → cut at ~2E+2 ≈ mean+3σ.
-    val expFlips = 64.0 * math.acos(math.min(1.0, threshold)) / math.Pi
-    val hammingCut = math.ceil(expFlips).toInt * 2 + 2
+  /** The staged, threshold-FREE state of [[cosineNearDupPairs]]: the
+    * grid-covered LSH bucket stream and the packed 64-bit sign sketch,
+    * both parquet-staged (Stage.materialize). Fit ONCE per corpus and
+    * query at any threshold via [[nearDupPairs]] — sibling queries over
+    * the same corpus (near-dup pair listing, semantic dedup) share one
+    * fit instead of re-sketching the corpus per call, and a bench/gate
+    * run invoking both pays the embedding scan once.
+    */
+  final case class NearDupModel(staged: DataFrame, sk64: DataFrame,
+                                maxBucketSize: Int)
+
+  /** Sketch + bucket a corpus for near-dup pair queries. ONE pass over
+    * the embeddings computes both the 64-plane sign sketch and the
+    * planes×tables bucket array per vector, staged together — the
+    * bucket explode, the capping window, and the packed sketch are all
+    * derived from that staged scalar frame, so the (dim × 64 +
+    * dim × planes × tables) dot products per vector happen exactly once
+    * per fit (previously the sign sketch was re-projected from the raw
+    * embeddings a second time for the dense channel).
+    */
+  def fitNearDup(corpus: DataFrame, dim: Int,
+                 planes: Int = 16, tables: Int = 6, seed: Long = 42L,
+                 maxBucketSize: Int = 2000): NearDupModel = {
     val sig = VecFns.hyperplaneBucketsAll(col("embedding"), dim,
       planes = 32, tables = 2, seed = seed * 6364136223846793005L + 1442695040888963407L)
-    val b = corpus.select(col("vec_id"), sig.as("sig"),
-      posexplode(VecFns.hyperplaneBucketsAll(col("embedding"), dim,
-        planes, tables, seed)))
+    val base = Stage.materialize(corpus.select(col("vec_id"), sig.as("sig"),
+      VecFns.hyperplaneBucketsAll(col("embedding"), dim, planes, tables,
+        seed).as("bkts")), "neardup_base")
+    val b = base.select(col("vec_id"), col("sig"),
+      posexplode(col("bkts")))
       .select(col("vec_id"), col("sig"),
         col("pos").as("table"), col("col").as("bucket"))
     // grid cover {home, j} per oversized bucket (see scaladoc): home
@@ -493,6 +510,37 @@ object Similarity {
     // checkpoint (Stage.materialize) avoids re-bucketing the corpus
     // without leaking cached blocks into the caller's session
     val staged = Stage.materialize(capped, "neardup_buckets")
+    // pack the two 32-plane words into one long: widen to LONG before
+    // the shift (shiftleft on an INT is mod-32 — a no-op at 32) and
+    // mask the low word after the sign-extending cast. Derived from the
+    // staged base (one row per vector) — a narrow parquet projection,
+    // not a second embedding scan.
+    val sk64 = Stage.materialize(base.select(col("vec_id").as("id"),
+      shiftleft(element_at(col("sig"), 1).cast("long"), 32)
+        .bitwiseOR(element_at(col("sig"), 2).cast("long")
+          .bitwiseAND(lit(0xffffffffL))).as("sh")), "neardup_sk64")
+    NearDupModel(staged, sk64, maxBucketSize)
+  }
+
+  def cosineNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
+                         planes: Int = 16, tables: Int = 6,
+                         seed: Long = 42L,
+                         maxBucketSize: Int = 2000): DataFrame =
+    nearDupPairs(fitNearDup(corpus, dim, planes, tables, seed,
+      maxBucketSize), corpus, threshold)
+
+  /** Near-dup pairs at `threshold` over a fitted [[NearDupModel]].
+    * `corpus` must be the frame the model was fitted on (it supplies
+    * the raw embeddings for the exact-cosine rerank; the candidate
+    * channels read only the model's staged frames).
+    */
+  def nearDupPairs(model: NearDupModel, corpus: DataFrame,
+                   threshold: Double): DataFrame = {
+    // Hamming cutoff from the threshold angle over 64 sketch planes:
+    // E[flips] = 64·acos(t)/π, σ ≈ sqrt(E) → cut at ~2E+2 ≈ mean+3σ.
+    val expFlips = 64.0 * math.acos(math.min(1.0, threshold)) / math.Pi
+    val hammingCut = math.ceil(expFlips).toInt * 2 + 2
+    val staged = model.staged
     def hamming(a: org.apache.spark.sql.Column, b2: org.apache.spark.sql.Column) =
       bit_count(element_at(a, 1).bitwiseXOR(element_at(b2, 1))) +
         bit_count(element_at(a, 2).bitwiseXOR(element_at(b2, 2)))
@@ -524,15 +572,9 @@ object Similarity {
     // distinct-signature candidate generation). Near-threshold pairs
     // at larger sketch distances stay with the LSH tables, whose
     // per-table miss probability is independent there.
-    // pack the two 32-plane words into one long: widen to LONG before
-    // the shift (shiftleft on an INT is mod-32 — a no-op at 32) and
-    // mask the low word after the sign-extending cast
-    val sk64 = Stage.materialize(corpus.select(col("vec_id").as("id"),
-      shiftleft(element_at(sig, 1).cast("long"), 32)
-        .bitwiseOR(element_at(sig, 2).cast("long")
-          .bitwiseAND(lit(0xffffffffL))).as("sh")), "neardup_sk64")
     val dense = graft.operators.Dedup
-      .sketchHammingPairs(sk64, math.min(7, hammingCut), maxBucketSize)
+      .sketchHammingPairs(model.sk64, math.min(7, hammingCut),
+        model.maxBucketSize)
       .select("id_a", "id_b")
     val pairs = lshPairs.unionByName(dense).distinct()
     val emb = corpus.select(col("vec_id"), col("embedding"))

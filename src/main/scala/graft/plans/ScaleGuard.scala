@@ -2,11 +2,14 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo,
-  Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST,
-  FlatMapGroupsWithState, HintInfo, Join, LogicalPlan, Window,
-  WindowGroupLimit}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, EqualNullSafe, EqualTo, Expression, PredicateHelper,
+  WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter,
+  FlatMapGroupsWithState, HintInfo, Join, LeafNode, LogicalPlan, Project,
+  Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
@@ -181,6 +184,88 @@ object ScaleGuard extends PredicateHelper {
     */
   def validate(df: Dataset[_]): Seq[GuardViolation] =
     violations(df.queryExecution.optimizedPlan)
+
+  // ---- advisories: heuristic warnings, never errors ------------------
+
+  /** Does `attr` pass through to a LEAF relation's own output — i.e. is
+    * the window about to hash-partition on a raw DATA column whose
+    * value distribution nothing upstream has bounded? Derived keys
+    * (aggregate groupings: one row per key by construction; generate/
+    * explode outputs: fan-out the author sized) stop the walk.
+    * Projections that merely rename, filters, and joins (the attribute
+    * comes from exactly one side) are transparent.
+    */
+  private def rawScanKey(attr: Attribute, plan: LogicalPlan): Boolean =
+    plan match {
+      case l: LeafNode => l.outputSet.contains(attr)
+      case p: Project =>
+        p.projectList.find(_.exprId == attr.exprId) match {
+          case Some(ar: AttributeReference) => rawScanKey(ar, p.child)
+          case Some(Alias(c: AttributeReference, _)) => rawScanKey(c, p.child)
+          case _ => false
+        }
+      case f: Filter => rawScanKey(attr, f.child)
+      case j: Join =>
+        j.children.exists(c =>
+          c.outputSet.contains(attr) && rawScanKey(attr, c))
+      // ONLY pure row-preserving wrappers are transparent. Anything
+      // that changes per-key multiplicity or rebuilds attributes —
+      // Aggregate (grouping attrs KEEP their exprId, but a grouped key
+      // is one row per key: windowing over it is safe), Generate,
+      // Window, Expand, Union — conservatively stops the walk.
+      case s: logical.SubqueryAlias => rawScanKey(attr, s.child)
+      case r: logical.RepartitionOperation => rawScanKey(attr, r.child)
+      case s: logical.Sort => rawScanKey(attr, s.child)
+      case _ => false
+    }
+
+  /** Heuristic scale ADVISORIES — shapes that are usually fine but have
+    * a known hot-key failure mode, logged as warnings in every mode
+    * (never thrown, never in [[violations]]):
+    *
+    * **hot-key-window**: an agg-only window (no ORDER BY — count/sum/
+    * min/max over the whole partition) partitioned on a raw data column
+    * straight off a scan. A window must co-locate every row of a
+    * partition in ONE task's sort, so if the key is data-skewed (a
+    * dedup signature where exact-clone groups ARE the hot keys, a
+    * power-law user id) the hottest key becomes a single-task
+    * straggler — and unlike a join, AQE cannot split it. The same
+    * number is computable with `groupBy(key).agg(...)` + equi-join
+    * back: map-side partials kill the straggler and AQE skew-handles
+    * the join. Keys DERIVED in-plan (aggregate groupings, explode
+    * outputs whose fan-out the author sized, bounded inputs) are not
+    * flagged. This is the Dedup round-10 `count(1) OVER (PARTITION BY
+    * signature)` shape, caught at plan time.
+    */
+  def advisories(plan: LogicalPlan,
+                 boundedMax: Long = DefaultBounded): Seq[GuardViolation] = {
+    def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedMax)
+    val out = Seq.newBuilder[GuardViolation]
+    plan.foreach {
+      case w: Window if w.orderSpec.isEmpty && w.partitionSpec.nonEmpty &&
+          !bounded(w.child) &&
+          w.windowExpressions.forall(_.collectFirst {
+            case we: WindowExpression => we
+          }.forall(_.windowFunction.isInstanceOf[AggregateExpression])) &&
+          w.partitionSpec.forall {
+            case a: AttributeReference => rawScanKey(a, w.child)
+            case _ => false
+          } =>
+        out += GuardViolation("hot-key-window",
+          s"agg-only window [${w.windowExpressions.map(_.name).mkString(", ")}] " +
+            s"partitions on raw scan column(s) " +
+            s"[${w.partitionSpec.map(_.sql).mkString(", ")}]: a skewed key " +
+            "funnels its whole group through one task's sort and AQE " +
+            "cannot split a window partition. Prefer groupBy(key).agg " +
+            "+ join-back (map-side partials, AQE-splittable join).")
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** Advisory twin of [[validate]]. */
+  def advise(df: Dataset[_]): Seq[GuardViolation] =
+    advisories(df.queryExecution.optimizedPlan)
 }
 
 /** The injectable rule — returns the plan unchanged, throwing or
@@ -199,6 +284,11 @@ case class ScaleGuardRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (mode == "error") throw new SparkException(msg)
         else logWarning(msg)
       }
+      // advisories are heuristic: logged in every active mode, never
+      // thrown (a deliberate, documented hot-key window must not fail
+      // an error-mode pipeline — the warning forces the documentation)
+      val as = ScaleGuard.advisories(plan, boundedMax)
+      if (as.nonEmpty) logWarning(s"graft scale advisory: ${as.mkString("; ")}")
     }
     plan
   }

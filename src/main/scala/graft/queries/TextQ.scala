@@ -19,11 +19,14 @@ object TextQ {
     * A. LRU-bounded at `max` entries so a long-lived JVM creating many
     * sessions pins at most `max` model graphs (an unbounded map keyed
     * by dead sessions would leak them forever).
+    *
+    * STATIC INSTANCES ONLY: the purge listener below holds a strong
+    * reference to this instance forever (Stage has no unregister), so a
+    * per-request `new ModelCache` would leak one map per construction.
+    * Every instance in this repo is a top-level `val` on a query
+    * object — keep it that way.
     */
   private[queries] final class ModelCache[M](max: Int) {
-    // entries may reference staged files — drop them whenever
-    // Stage.purge deletes the stage directories (next access refits)
-    graft.operators.Stage.onPurge(() => m.synchronized(m.clear()))
     private val m = new java.util.LinkedHashMap[(Int, String),
         (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], M)](
         16, 0.75f, true) {
@@ -32,6 +35,11 @@ object TextQ {
             (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], M)])
           : Boolean = size() > max
     }
+    // entries may reference staged files — drop them whenever
+    // Stage.purge deletes the stage directories (next access refits).
+    // Registered AFTER `m`'s initializer: a purge racing construction
+    // must never observe a null map.
+    graft.operators.Stage.onPurge(() => m.synchronized(m.clear()))
     def getOrFit(s: org.apache.spark.sql.SparkSession, d: String,
                  fit: => M): M = m.synchronized {
       val k = (System.identityHashCode(s), d)
@@ -67,6 +75,40 @@ object TextQ {
     * materialized once per (session, corpus dir) and shared by every
     * planted-corpus query.
     */
+  /** Fitted near-dup sketch/bucket stages — fit-once discipline for the
+    * cosine near-dup machinery: `sim_neardup_cos` and `dedup_semantic`
+    * run [[Similarity.nearDupPairs]] over the SAME planted corpus, and
+    * before round 11 each call re-staged its own sign sketch + LSH
+    * buckets (two embedding scans × dot products per gate/bench rep).
+    */
+  private[queries] val neardupCache =
+    new ModelCache[Similarity.NearDupModel](4)
+
+  /** embeddings ∪ +0.01-perturbed copies of every 50th vector — the
+    * planted near-dup corpus shared by sim_neardup_cos/dedup_semantic
+    * (cheap to rebuild: two narrow scans; the expensive sketch state is
+    * what [[neardupCache]] stages once).
+    */
+  private[queries] def plantedEmb(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    emb.unionByName(emb.filter(col("vec_id") % 50 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+        .as("embedding")))
+  }
+
+  /** Near-dup pairs at `threshold` over the planted corpus, via the
+    * per-(session, dir) fitted model.
+    */
+  private[queries] def plantedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                                           d: String, threshold: Double): DataFrame = {
+    val corpus = plantedEmb(s, d)
+    val model = neardupCache.getOrFit(s, d,
+      Similarity.fitNearDup(corpus, dim = 64))
+    Similarity.nearDupPairs(model, corpus, threshold)
+  }
+
   private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     plantedCache.getOrFit(s, d, {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -618,16 +660,7 @@ object TextQ {
     // double) — so the gate checks both the cosine math and that the
     // LSH bucket/Hamming-prefilter path loses no qualifying pair.
     Q("sim_neardup_cos",
-      (s, d) => {
-        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val planted = emb.filter(col("vec_id") % 50 === 0).select(
-          (col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-            .as("embedding"))
-        Similarity.cosineNearDupPairs(emb.unionByName(planted), dim = 64,
-          threshold = 0.99)
-      },
+      (s, d) => plantedNearDupPairs(s, d, threshold = 0.99),
       Some("""WITH planted AS (
                SELECT vec_id, embedding FROM embeddings
                UNION ALL
@@ -695,14 +728,9 @@ object TextQ {
     // an unrelated algorithm family (same posture as dedup_cluster).
     Q("dedup_semantic",
       (s, d) => {
-        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val planted = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("embedding"),
-              (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
-              .as("embedding")))
-        val pairs = Similarity.cosineNearDupPairs(planted, dim = 64,
-          threshold = 0.99).select(col("id_a"), col("id_b"))
+        val planted = plantedEmb(s, d)
+        val pairs = plantedNearDupPairs(s, d, threshold = 0.99)
+          .select(col("id_a"), col("id_b"))
         val labels = graft.operators.ConnectedComponents
           .labels(pairs, "id_a", "id_b")
         planted.select(col("vec_id"))

@@ -63,14 +63,22 @@ object StateApi {
     * naming the bound — the same document-at-the-call-site discipline
     * PlanGuardSpec's allowlist imposes on the fmgws path.
     */
-  def valueState[T](h: StatefulProcessorHandle, name: String,
-                    enc: Encoder[T],
-                    ttl: TTLConfig = TTLConfig.NONE): ValueState[T] = {
+  /** The bounded-state predicate [[valueState]] enforces, visible on
+    * its own so specs can assert the guard's accept path directly
+    * (instead of inferring acceptance from a downstream handle error).
+    * Throws IllegalArgumentException when the schema retains records.
+    */
+  def requireScalarShaped[T](name: String, enc: Encoder[T]): Unit =
     require(!graft.plans.ScaleGuard.retainsRecords(enc.schema),
       s"tws value state '$name' schema [${enc.schema.simpleString}] holds " +
         "a collection of records: per-key state grows with events seen, " +
         "not with a scalar/sketch bound. Fold events into scalars or " +
         "sketches, or use listState() with a written bound.")
+
+  def valueState[T](h: StatefulProcessorHandle, name: String,
+                    enc: Encoder[T],
+                    ttl: TTLConfig = TTLConfig.NONE): ValueState[T] = {
+    requireScalarShaped(name, enc)
     h.getValueState(name, enc, ttl)
   }
 

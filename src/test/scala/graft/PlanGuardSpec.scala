@@ -128,6 +128,25 @@ class PlanGuardSpec extends SparkFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("no registered query trips the hot-key-window advisory") {
+    // heuristic advisory (agg-only window partitioned on a raw scan
+    // column — the round-10 Dedup `count(1) OVER (PARTITION BY sh)`
+    // shape whose hot key was an exact-clone group). Warn-only in the
+    // library; this repo's own registry must be CLEAN of it, the same
+    // posture as the unpartitioned-window sweep. An intentional future
+    // use must be restructured (groupBy + join-back) or allowlisted
+    // here with its bound written down.
+    val advisoryAllowlist: Map[String, String] = Map.empty
+    val offenders = plans.flatMap { case (name, plan) =>
+      val as = graft.plans.ScaleGuard.advisories(plan)
+        .filterNot(a => advisoryAllowlist.get(name).contains(a.rule))
+      if (as.nonEmpty) Some(s"$name: ${as.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      "hot-key-window advisories in registered queries:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no registered query plans a rand()-family expression") {
     val offenders = plans.flatMap { case (name, plan) =>
       if (nondetAllowlist(name)) None

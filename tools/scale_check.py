@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Sharded, out-of-core variant of local_check.py for 30-100x scale
+sweeps: same protocol (run graft.Verify first, then compare each dumped
+parquet against its DuckDB oracle over the same tables), but built so a
+replicated corpus 100x the gate SF cannot kill the checker:
+
+ - per-query WORKER PROCESSES (--procs): each query gets its own DuckDB
+   instance with a hard memory_limit and a bounded thread count, so one
+   heavy oracle spills to its own temp dir instead of OOMing the run,
+   and independent oracles execute in parallel;
+ - comparison happens INSIDE DuckDB, streaming: row count + an
+   order-independent row-multiset hash (sum of per-row md5 chunks over
+   name-sorted, canonically-cast columns). Neither side is ever
+   materialized into pandas, so a 60M-row query output costs DuckDB
+   aggregation memory, not 2x dataframe RAM;
+ - on a hash mismatch with manageable row counts the worker REFALLS to
+   the exact pandas comparison (local_check semantics) to rule out
+   canonicalization artifacts before reporting a failure;
+ - tables may be single parquet FILES or DIRECTORIES of part files
+   (ReplicateCorpus files>1) — both sides glob.
+
+Canonicalization: columns sorted by name; approximate/numeric types
+(FLOAT/DOUBLE/DECIMAL/HUGEINT/ints) cast to DOUBLE so physical-type
+drift between the Spark dump and the oracle (int32 vs BIGINT, DECIMAL
+sums vs double) hashes identically — same equivalence pandas' coerced
+`==` gave local_check. Lists of floats cast to DOUBLE[]. NULL maps to a
+sentinel below any printable value.
+"""
+import argparse, json, multiprocessing, os, sys, time, traceback
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def table_glob(sf_dir, t):
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+def out_glob(out_dir, name):
+    return f"{out_dir}/{name}/*.parquet"
+
+NUMERIC = {"FLOAT", "REAL", "DOUBLE", "HUGEINT", "UHUGEINT",
+           "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+           "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+def canon_expr(col, typ):
+    t = typ.upper()
+    q = f'"{col}"'
+    if t in NUMERIC or t.startswith("DECIMAL("):
+        # ids/sums in this corpus stay < 2^53, so the double round-trip
+        # is exact; it makes int32/BIGINT/DECIMAL/double hash alike
+        return f"CAST(CAST({q} AS DOUBLE) AS VARCHAR)"
+    base = t[:-2] if t.endswith("[]") else None
+    if base is not None and (base in NUMERIC or base.startswith("DECIMAL(")):
+        return f"CAST(CAST({q} AS DOUBLE[]) AS VARCHAR)"
+    return f"CAST({q} AS VARCHAR)"
+
+def digest_sql(con, rel_sql):
+    """(row_count, hash1, hash2, sorted_cols) for a relation, streamed.
+    Hash = sum over rows of two 56-bit md5 chunks of the row string —
+    order-independent, collision odds ~2^-112 per query."""
+    cols = con.execute(f"DESCRIBE SELECT * FROM ({rel_sql})").fetchall()
+    names = sorted((c[0], c[1]) for c in cols)
+    exprs = ", ".join(
+        f"COALESCE({canon_expr(n, t)}, chr(2))" for n, t in names)
+    row = f"md5(concat_ws(chr(31), {exprs}))"
+    # hex parses only to BIGINT in DuckDB; sum() auto-widens to HUGEINT
+    q = (f"SELECT count(*) AS n, "
+         f"COALESCE(sum(('0x' || substr(h, 1, 14))::BIGINT), 0) AS h1, "
+         f"COALESCE(sum(('0x' || substr(h, 15, 14))::BIGINT), 0) AS h2 "
+         f"FROM (SELECT {row} AS h FROM ({rel_sql}))")
+    n, h1, h2 = con.execute(q).fetchone()
+    return int(n), int(h1), int(h2), [n for n, _ in names]
+
+def pandas_fallback(con, spark_sql, oracle_sql, limit_rows):
+    n = con.execute(f"SELECT count(*) FROM ({spark_sql})").fetchone()[0]
+    if n > limit_rows:
+        return None  # too big to re-check exactly
+    a = con.execute(spark_sql).fetchdf()
+    b = con.execute(oracle_sql).fetchdf()
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    a, b = norm(a), norm(b)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            eq = (av == bv) | (av.isna() & bv.isna())
+        except Exception:
+            eq = av.astype(str) == bv.astype(str)
+        if not eq.all():
+            return False
+    return True
+
+def check_one(job):
+    name, sf_dir, out_dir, sql, mem, threads, fallback_rows = job
+    t0 = time.time()
+    try:
+        import duckdb
+        con = duckdb.connect()
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET threads={threads}")
+        con.execute(f"SET temp_directory='{out_dir}/.duckdb_tmp_{name}'")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{table_glob(sf_dir, t)}')")
+        spark_sql = f"SELECT * FROM read_parquet('{out_glob(out_dir, name)}')"
+        sn, sh1, sh2, scols = digest_sql(con, spark_sql)
+        if sql is None:
+            v = f"rows_only({sn})" + (" EMPTY!" if sn == 0 else "")
+            return name, v, time.time() - t0
+        on, oh1, oh2, ocols = digest_sql(con, f"SELECT * FROM ({sql})")
+        if scols != ocols:
+            return name, f"SCHEMA_MISMATCH spark={scols} oracle={ocols}", time.time() - t0
+        if sn != on:
+            return name, f"ROWCOUNT_MISMATCH spark={sn} oracle={on}", time.time() - t0
+        if sn == 0:
+            return name, "VACUOUS_EMPTY_MATCH", time.time() - t0
+        if (sh1, sh2) == (oh1, oh2):
+            return name, "OK", time.time() - t0
+        # hash mismatch: distinguish a real value diff from a
+        # canonicalization artifact with the exact pandas compare
+        fb = pandas_fallback(con, spark_sql, f"SELECT * FROM ({sql})",
+                             fallback_rows)
+        if fb is True:
+            return name, "OK(pandas-fallback: hash canon artifact)", time.time() - t0
+        tag = "HASH_MISMATCH" if fb is None else "VALUE_MISMATCH"
+        return name, f"{tag} spark=({sn},{sh1:x},{sh2:x}) oracle=({on},{oh1:x},{oh2:x})", time.time() - t0
+    except Exception as e:
+        return name, f"ERROR: {type(e).__name__}: {e}", time.time() - t0
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--only", help="comma-separated query subset")
+    ap.add_argument("--skip", help="comma-separated queries to skip")
+    ap.add_argument("--procs", type=int, default=4,
+                    help="parallel worker processes (default 4)")
+    ap.add_argument("--mem", default="20GB",
+                    help="DuckDB memory_limit per worker (default 20GB)")
+    ap.add_argument("--threads", type=int, default=8,
+                    help="DuckDB threads per worker (default 8)")
+    ap.add_argument("--fallback-rows", type=int, default=2_000_000,
+                    help="max rows for the exact pandas re-check on a "
+                         "hash mismatch (default 2M)")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    oracle = json.load(open(f"{args.out_dir}/oracle_sql.json"))
+    dumped = {n for n in os.listdir(args.out_dir)
+              if os.path.isdir(os.path.join(args.out_dir, n))
+              and not n.startswith(".")}
+    attempted_file = os.path.join(args.out_dir, "attempted.json")
+    attempted = set(json.load(open(attempted_file))) \
+        if os.path.exists(attempted_file) else dumped
+    if only:
+        attempted &= only
+        dumped &= only
+    dumped -= skip
+    results = {n: "NO_OUTPUT_DIR (query threw in Verify?)"
+               for n in attempted - dumped - skip}
+
+    jobs = [(n, args.sf_dir, args.out_dir, oracle.get(n), args.mem,
+             args.threads, args.fallback_rows) for n in sorted(dumped)]
+    with multiprocessing.Pool(args.procs) as pool:
+        for name, verdict, secs in pool.imap_unordered(check_one, jobs):
+            results[name] = verdict
+            print(f"[scale_check] {name:24} {verdict}  ({secs:.1f}s)",
+                  file=sys.stderr, flush=True)
+
+    def ok(v):
+        return v.startswith("OK") or (v.startswith("rows_only")
+                                      and "EMPTY" not in v)
+    bad = {k: v for k, v in results.items() if not ok(v)}
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if k not in bad else 'FAIL':4} {k:24} {v}")
+    print(f"\n{len(results) - len(bad)}/{len(results)} pass")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main()
