@@ -70,6 +70,27 @@ object Cols {
   def trimAll(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => trim(col(c).cast("string")).as(c)): _*)
 
+  /** Order-free exact money sum: sum 2-decimal values as integer CENTS
+    * (long) and take ONE final IEEE division. A plain `sum(double)` is
+    * reassociated freely by parallel aggregation, so its last-ulp value
+    * depends on partition count and thread scheduling — DuckDB's
+    * parallel sum is even nondeterministic RUN-TO-RUN — and past ~10⁶
+    * summands per cell the drift crosses the round(2) boundary and the
+    * cross-engine gate hash diverges (the 30× sweep caught q1_agg /
+    * filt_conj / agg_cube exactly this way; join_overlap hit it at 10×
+    * in round 10). Long addition is associative: any plan, any engine,
+    * any scale produces the identical bit pattern. The SQL twin is
+    * `sum(CAST(round(x * 100) AS BIGINT)) / 100.0` — but in SPARK SQL
+    * text write `100.0D`: a bare `100.0` literal is DECIMAL there, the
+    * division result becomes DECIMAL(p,6), and once the scaled int128
+    * mantissa passes 2^53 a reader's decimal→double cast is no longer
+    * nearest-even (the 30× agg_cube hash diverged exactly there).
+    * DuckDB's own integer-/-decimal division returns DOUBLE, so the
+    * oracle text is fine as written.
+    */
+  def sumCents(c: Column): Column =
+    sum(round(c * 100).cast("long")) / 100.0
+
   /** Projection tolerant of absent columns — `select(any_of(cols))`,
     * `assess_changes.qmd:281-287`.
     */

@@ -30,22 +30,42 @@ object FileManifest {
     * byte), then parallelizes as a Dataset; at cluster scale swap in
     * `spark.read.format("binaryFile")` + `_metadata` for a distributed
     * listing. Mirrors `assess_changes.qmd:50-51,72-75`.
+    *
+    * A DIRECTORY whose name carries a dataset extension (`x.parquet/`,
+    * `x.orc/` — the layout every distributed writer produces: a dir of
+    * part files) is ONE dataset entry: size = recursive byte sum, mtime
+    * = newest part. Listing its part-00000-uuid internals as separate
+    * manifest rows would make every std_name meaningless and the
+    * manifest's row count a function of writer parallelism, not of the
+    * data — the 30× multi-file sweep caught exactly that. Other
+    * directories recurse transparently as before.
     */
+  private val DatasetDirExt = ".*\\.(parquet|orc|avro)$"
+
   def list(spark: SparkSession, root: String, versionTag: String): DataFrame = {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = scala.collection.mutable.ArrayBuffer.empty[ManifestRow]
-    val base = new Path(root)
-    if (fs.exists(base)) {
-      val it = fs.listFiles(base, /* recursive = */ true)
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        out += ManifestRow(
-          st.getPath.toUri.getPath, name, stdKeyStr(name), versionTag,
-          st.getLen, st.getModificationTime)
+    def sumDir(p: Path): (Long, Long) =
+      fs.listStatus(p).foldLeft((0L, 0L)) { case ((sz, mt), st) =>
+        if (st.isDirectory) {
+          val (s2, m2) = sumDir(st.getPath)
+          (sz + s2, math.max(mt, m2))
+        } else (sz + st.getLen, math.max(mt, st.getModificationTime))
       }
-    }
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.matches(DatasetDirExt)) {
+          val (sz, mt) = sumDir(st.getPath)
+          out += ManifestRow(st.getPath.toUri.getPath, name,
+            stdKeyStr(name), versionTag, sz, mt)
+        } else if (st.isDirectory) walk(st.getPath)
+        else out += ManifestRow(st.getPath.toUri.getPath, name,
+          stdKeyStr(name), versionTag, st.getLen, st.getModificationTime)
+      }
+    val base = new Path(root)
+    if (fs.exists(base)) walk(base)
     out.toSeq.toDS().toDF()
   }
 

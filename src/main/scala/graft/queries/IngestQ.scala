@@ -1056,15 +1056,20 @@ object IngestQ {
         val out = fwfCache.getOrFit(s, d, {
           val p = scratchDir("graft_fwf").resolve("docs_fwf").toString
           t(s, d, "documents")
-            .select(format_string("%-10d%-6s%-8d",
+            // field widths sized for the DOMAIN, not the fixture: a
+            // replicated corpus offsets doc_id by n×10⁹ (12 digits at
+            // 100×), and a 10-char field would silently shift every
+            // later column — fixed-width encodes must budget max key
+            // width (16 here covers 10¹⁶ ids)
+            .select(format_string("%-16d%-6s%-10d",
               col("doc_id"), col("lang"), col("n_chars")).as("value"))
             .write.mode("overwrite").text(p)
           p
         })
         Fwf.read(s, out, Seq(
-            Fwf.Col("doc_id", 1, 10, "long"),
-            Fwf.Col("lang", 11, 6),
-            Fwf.Col("n_chars", 17, 8, "long")))
+            Fwf.Col("doc_id", 1, 16, "long"),
+            Fwf.Col("lang", 17, 6),
+            Fwf.Col("n_chars", 23, 10, "long")))
           .groupBy("lang")
           .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
             min("doc_id").as("first_doc"))

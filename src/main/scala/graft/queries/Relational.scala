@@ -17,20 +17,25 @@ object Relational {
 
     // agg_group [EXT]: hash aggregate, multiple measures; TPC-H Q1 shape.
     // Map-side partial agg → 6-group final agg: shuffle carries only
-    // per-partition partials regardless of input size.
+    // per-partition partials regardless of input size. Money sums are
+    // exact integer cents (Cols.sumCents): per-cell summand counts here
+    // scale with the corpus, and a reassociated double sum diverges
+    // across engines past the round boundary (30× sweep). sum_qty/
+    // avg_qty stay plain: quantities are integer-valued, so their
+    // double sum is order-free exact at any scale.
     Q("q1_agg",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"),
+          Cols.sumCents(col("l_extendedprice")).as("sum_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           min("l_quantity").as("min_qty"),
           max("l_quantity").as("max_qty"),
           count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
              round(avg(l_quantity), 4) AS avg_qty,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
              count(*) AS n
@@ -93,14 +98,14 @@ object Relational {
         t(s, d, "region").createOrReplaceTempView("v_region")
         s.sql("""SELECT /*+ BROADCAST(v_nation, v_region) */
                 r_name, n_name, count(*) AS n_cust,
-                round(sum(c_acctbal), 2) AS sum_bal
+                sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0D AS sum_bal
                 FROM v_customer
                 JOIN v_nation ON c_nationkey = n_nationkey
                 JOIN v_region ON n_regionkey = r_regionkey
                 GROUP BY ROLLUP(r_name, n_name)""")
       },
       Some("""SELECT r_name, n_name, count(*) AS n_cust,
-             round(sum(c_acctbal), 2) AS sum_bal
+             sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
              FROM customer
              JOIN nation ON c_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
@@ -301,12 +306,14 @@ object Relational {
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("v_orders")
         s.sql("""SELECT o_orderstatus, o_orderpriority,
-                count(*) AS n_ord, round(sum(o_totalprice), 2) AS sum_price
+                count(*) AS n_ord,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS sum_price
                 FROM v_orders
                 GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
       },
       Some("""SELECT o_orderstatus, o_orderpriority,
-             count(*) AS n_ord, round(sum(o_totalprice), 2) AS sum_price
+             count(*) AS n_ord,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
              FROM orders
              GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
 
@@ -326,9 +333,10 @@ object Relational {
         .join(broadcast(t(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        .agg(Cols.sumCents(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders")),
-      Some("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+      Some("""SELECT n_name,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
              count(*) AS n_orders
              FROM orders JOIN customer ON o_custkey = c_custkey
              JOIN nation ON c_nationkey = n_nationkey
@@ -383,10 +391,11 @@ object Relational {
             col("b_ts") > col("a_ts") &&
             col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), round(sum("b_value"), 2).as("sum_v"))
+          .agg(count(lit(1)).as("n"),
+            Cols.sumCents(col("b_value")).as("sum_v"))
       },
       Some("""SELECT a.event_type, count(*) AS n,
-             round(sum(b.value), 2) AS sum_v
+             sum(CAST(round(b.value * 100) AS BIGINT)) / 100.0 AS sum_v
              FROM (SELECT user_id, event_id,
                    date_trunc('millisecond', ts) AS ts, event_type
                    FROM events) a
@@ -514,10 +523,10 @@ object Relational {
           "g_bkt_customer", "o_custkey")
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"),
-            round(sum("o_totalprice"), 2).as("revenue"))
+            Cols.sumCents(col("o_totalprice")).as("revenue"))
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-             round(sum(o_totalprice), 2) AS revenue
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
              FROM orders JOIN customer ON o_custkey = c_custkey
              GROUP BY c_mktsegment""")),
 
@@ -777,8 +786,9 @@ object Relational {
         .select(col("p_partkey"), expr(
           "stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice) AS (metric, value)"))
         .groupBy("metric")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v")),
-      Some("""SELECT metric, count(*) AS n, round(sum(value), 2) AS sum_v
+        .agg(count(lit(1)).as("n"), Cols.sumCents(col("value")).as("sum_v")),
+      Some("""SELECT metric, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_v
              FROM (
                SELECT 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
                UNION ALL
@@ -826,9 +836,9 @@ object Relational {
       (s, d) => t(s, d, "part")
         .filter(col("p_type").rlike("(?i)^(promo|econ).*"))
         .groupBy(col("p_type").as("ptype"))
-        .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("tot")),
+        .agg(count(lit(1)).as("n"), Cols.sumCents(col("p_retailprice")).as("tot")),
       Some("""SELECT p_type AS ptype, count(*) AS n,
-             round(sum(p_retailprice), 2) AS tot
+             sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS tot
              FROM part WHERE regexp_matches(p_type, '(?i)^(promo|econ).*')
              GROUP BY p_type""")),
 
@@ -836,8 +846,9 @@ object Relational {
     Q("filt_conj",
       (s, d) => t(s, d, "lineitem")
         .filter(col("l_discount") > 0.03 && col("l_quantity") < 25)
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("tot")),
-      Some("""SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS tot
+        .agg(count(lit(1)).as("n"), Cols.sumCents(col("l_extendedprice")).as("tot")),
+      Some("""SELECT count(*) AS n,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS tot
              FROM lineitem WHERE l_discount > 0.03 AND l_quantity < 25""")),
 
     // filt_notin: R `!x %in% set` fidelity — NULL rows are KEPT
@@ -889,9 +900,10 @@ object Relational {
       (s, d) => t(s, d, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"),
           quarter(col("o_orderdate")).as("qtr"))
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot")),
+        .agg(count(lit(1)).as("n"), Cols.sumCents(col("o_totalprice")).as("tot")),
       Some("""SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-             count(*) AS n, round(sum(o_totalprice), 2) AS tot
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS tot
              FROM orders GROUP BY 1, 2""")),
 
     // src_parquet (SURVEY.md §2.1).

@@ -168,9 +168,9 @@ object ScaleQ {
           t(s, d, "supplier").filter(col("s_acctbal") > 6000), "s_suppkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(sum("l_extendedprice"), 2).as("sum_price")),
+          Cols.sumCents(col("l_extendedprice")).as("sum_price")),
       Some("""SELECT l_returnflag, count(*) AS n,
-             round(sum(l_extendedprice), 2) AS sum_price
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
              FROM lineitem
              WHERE EXISTS (SELECT 1 FROM supplier
                WHERE s_suppkey = l_suppkey AND s_acctbal > 6000)

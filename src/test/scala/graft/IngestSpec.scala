@@ -35,6 +35,27 @@ class IngestSpec extends SparkFunSuite {
       ("trade", true, true), ("legacy", true, false), ("fresh", false, true)))
   }
 
+  test("manifest collapses a part-file dataset directory to one entry") {
+    // the layout every distributed writer produces: <name>.parquet/ as a
+    // DIRECTORY of part files (+ _SUCCESS) — must list as ONE dataset
+    // row (size = byte sum over parts), never one row per part file,
+    // while plain files and non-dataset subdirs keep per-file rows
+    val root = Files.createTempDirectory("graft_dsdir")
+    val ds = root.resolve("lineitem.parquet")
+    Files.createDirectories(ds)
+    Files.writeString(ds.resolve("part-00000-x.parquet"), "aaaa")
+    Files.writeString(ds.resolve("part-00001-x.parquet"), "bbbbbb")
+    Files.writeString(ds.resolve("_SUCCESS"), "")
+    val sub = root.resolve("raw"); Files.createDirectories(sub)
+    Files.writeString(sub.resolve("notes.csv"), "k\n1\n")
+    val m = FileManifest.list(spark, root.toString, "cur")
+      .select($"file_name", $"std_name", $"size_bytes")
+      .as[(String, String, Long)].collect().toSet
+    assert(m === Set(
+      ("lineitem.parquet", "lineitem", 10L),
+      ("notes.csv", "notes", 4L)))
+  }
+
   test("pivotDir matches joinVersions on paths") {
     val (oldD, newD) = mkFixture()
     val o = FileManifest.list(spark, oldD.toString, "old")
