@@ -102,6 +102,12 @@ def check_one(job):
         con.execute(f"SET memory_limit='{mem}'")
         con.execute(f"SET threads={threads}")
         con.execute(f"SET temp_directory='{out_dir}/.duckdb_tmp_{name}'")
+        # every comparison here is an order-INDEPENDENT row-multiset
+        # hash, so DuckDB's insertion-order guarantee buys nothing —
+        # dropping it lets joins/aggregations stream instead of
+        # buffering ordered batches (the graph_pagerank oracle at 30x
+        # spilled >75 GB of ordered intermediates with it on)
+        con.execute("SET preserve_insertion_order=false")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{table_glob(sf_dir, t)}')")
