@@ -31,7 +31,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both give the single parquet
+      // file the checker reads, but coalesce merges the FINAL stage to
+      // one task, serializing every upstream window/aggregation of the
+      // query itself (at the 100x audit corpus ts_interp's windows ran
+      // 150k users through one task). repartition adds a shuffle
+      // boundary, so the query computes at full parallelism and only
+      // the write is single-task.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -152,14 +152,22 @@ object StreamQ {
         import org.apache.spark.sql.expressions.Window
         val back = Window.partitionBy("user_id").orderBy("hs")
           .rowsBetween(Window.unboundedPreceding, 0)
-        val fwd = Window.partitionBy("user_id").orderBy("hs")
-          .rowsBetween(0, Window.unboundedFollowing)
+        // "next observed at or after hs" as a REVERSED growing frame:
+        // last(ignoreNulls) over hs-descending unboundedPreceding..0 ==
+        // first(ignoreNulls) over hs-ascending 0..unboundedFollowing,
+        // but Spark evaluates a growing frame incrementally (O(n) per
+        // partition) while an UnboundedFollowing frame recomputes the
+        // aggregate from scratch per row — O(n²), ~39B aggregate
+        // updates at the 100x audit corpus (150k users x 720-hour
+        // grids), the difference between seconds and hours.
+        val fwd = Window.partitionBy("user_id").orderBy(col("hs").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
         val obsHs = when(col("v").isNotNull, col("hs"))
         hourlyGrid(s, d, "ts_interp")
           .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
           .withColumn("ph", last(obsHs, ignoreNulls = true).over(back))
-          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
-          .withColumn("nh", first(obsHs, ignoreNulls = true).over(fwd))
+          .withColumn("nv", last(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("nh", last(obsHs, ignoreNulls = true).over(fwd))
           .withColumn("interp",
             when(col("v").isNotNull, col("v"))
               .when(col("pv").isNotNull && col("nv").isNotNull,
