@@ -4,6 +4,7 @@ import org.apache.spark.SparkException
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, EqualNullSafe, EqualTo, Expression, PredicateHelper,
+  SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding,
   WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical
@@ -258,6 +259,35 @@ object ScaleGuard extends PredicateHelper {
             "funnels its whole group through one task's sort and AQE " +
             "cannot split a window partition. Prefer groupBy(key).agg " +
             "+ join-back (map-side partials, AQE-splittable join).")
+      // **quadratic-window**: an aggregate over a SHRINKING frame
+      // (lower bound not UNBOUNDED PRECEDING, upper bound UNBOUNDED
+      // FOLLOWING). Spark has no decremental aggregate state, so this
+      // frame recomputes the aggregate from scratch for every row —
+      // O(n²) per partition (ts_interp's next-observation lookup paid
+      // ~39B aggregate updates at the 100x audit corpus). A growing
+      // frame is evaluated incrementally, and reversing the ORDER BY
+      // turns any shrinking frame into a growing one selecting the
+      // identical rows: first(x) over (ORDER BY k ROWS BETWEEN CURRENT
+      // ROW AND UNBOUNDED FOLLOWING) == last(x) over (ORDER BY k DESC
+      // ROWS UNBOUNDED PRECEDING). The whole-partition frame
+      // (UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) is computed once
+      // per partition and is NOT flagged.
+      case w: Window if !bounded(w.child) =>
+        val quad = w.windowExpressions.flatMap(_.collectFirst {
+          case we @ WindowExpression(_,
+              spec @ org.apache.spark.sql.catalyst.expressions
+                .WindowSpecDefinition(_, _,
+                  SpecifiedWindowFrame(_, lo, UnboundedFollowing)))
+            if lo != UnboundedPreceding &&
+              we.windowFunction.isInstanceOf[AggregateExpression] => we
+        })
+        if (quad.nonEmpty)
+          out += GuardViolation("quadratic-window",
+            s"aggregate over a shrinking frame (.. TO UNBOUNDED " +
+              s"FOLLOWING) in [${quad.map(_.sql).mkString(", ")}]: Spark " +
+              "recomputes the aggregate per row — O(n²) per partition. " +
+              "Reverse the ORDER BY and use the growing-frame twin " +
+              "(first over fwd == last over reversed UNBOUNDED PRECEDING).")
       case _ => ()
     }
     out.result()

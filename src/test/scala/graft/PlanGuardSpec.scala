@@ -128,14 +128,16 @@ class PlanGuardSpec extends SparkFunSuite {
         offenders.mkString("\n"))
   }
 
-  test("no registered query trips the hot-key-window advisory") {
-    // heuristic advisory (agg-only window partitioned on a raw scan
-    // column — the round-10 Dedup `count(1) OVER (PARTITION BY sh)`
-    // shape whose hot key was an exact-clone group). Warn-only in the
-    // library; this repo's own registry must be CLEAN of it, the same
-    // posture as the unpartitioned-window sweep. An intentional future
-    // use must be restructured (groupBy + join-back) or allowlisted
-    // here with its bound written down.
+  test("no registered query trips a scale advisory") {
+    // heuristic advisories: hot-key-window (agg-only window partitioned
+    // on a raw scan column — the round-10 Dedup `count(1) OVER
+    // (PARTITION BY sh)` shape whose hot key was an exact-clone group)
+    // and quadratic-window (aggregate over a shrinking frame — the
+    // round-11 ts_interp `first(v) OVER (.. UNBOUNDED FOLLOWING)` shape
+    // that recomputed per row). Warn-only in the library; this repo's
+    // own registry must be CLEAN of them, the same posture as the
+    // unpartitioned-window sweep. An intentional future use must be
+    // restructured or allowlisted here with its bound written down.
     val advisoryAllowlist: Map[String, String] = Map.empty
     val offenders = plans.flatMap { case (name, plan) =>
       val as = graft.plans.ScaleGuard.advisories(plan)
@@ -143,7 +145,7 @@ class PlanGuardSpec extends SparkFunSuite {
       if (as.nonEmpty) Some(s"$name: ${as.mkString("; ")}") else None
     }
     assert(offenders.isEmpty,
-      "hot-key-window advisories in registered queries:\n" +
+      "scale advisories in registered queries:\n" +
         offenders.mkString("\n"))
   }
 

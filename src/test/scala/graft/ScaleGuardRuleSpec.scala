@@ -163,6 +163,34 @@ class ScaleGuardRuleSpec extends SparkFunSuite {
     assert(ScaleGuard.advise(bounded).isEmpty)
   }
 
+  test("quadratic-window advisory flags aggregates over shrinking frames") {
+    // the ts_interp shape: first(x) over ROWS BETWEEN CURRENT ROW AND
+    // UNBOUNDED FOLLOWING — Spark recomputes the aggregate per row,
+    // O(n²) per partition
+    val w = Window.partitionBy(col("id") % 7).orderBy("id")
+    val shrinking = big.withColumn("nv",
+      first(col("id"), ignoreNulls = true)
+        .over(w.rowsBetween(0, Window.unboundedFollowing)))
+    assert(ScaleGuard.advise(shrinking).map(_.rule) ===
+      Seq("quadratic-window"))
+    assert(ScaleGuard.validate(shrinking).isEmpty) // advisory, not error
+    // the reversed growing-frame twin (the prescribed fix): pass
+    val growing = big.withColumn("nv",
+      last(col("id"), ignoreNulls = true)
+        .over(Window.partitionBy(col("id") % 7).orderBy(col("id").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    assert(ScaleGuard.advise(growing).isEmpty)
+    // whole-partition frame: evaluated once per partition — pass
+    val whole = big.withColumn("mx",
+      max("id").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)))
+    assert(ScaleGuard.advise(whole).isEmpty)
+    // bounded child: a 100-row quadratic frame is noise — pass
+    val boundedQ = big.limit(100).withColumn("nv",
+      first(col("id")).over(w.rowsBetween(0, Window.unboundedFollowing)))
+    assert(ScaleGuard.advise(boundedQ).isEmpty)
+  }
+
   test("boundedRows threshold is configurable") {
     val smallCart = spark.range(50).crossJoin(
       spark.range(50).toDF("id2"))
