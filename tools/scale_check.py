@@ -171,7 +171,12 @@ def main():
 
     jobs = [(n, args.sf_dir, args.out_dir, oracle.get(n), args.mem,
              args.threads, args.fallback_rows) for n in sorted(dumped)]
-    with multiprocessing.Pool(args.procs) as pool:
+    # one task per worker process: a DuckDB connection's buffers are not
+    # reliably released when the NEXT job's connection spins up in the
+    # same process, and at a 90 GB memory_limit two connections' worth
+    # of residue is a system-level malloc failure (seen: tok_bpe "bad
+    # allocation" 27 s in, right after a 500 s spill-heavy neighbor)
+    with multiprocessing.Pool(args.procs, maxtasksperchild=1) as pool:
         for name, verdict, secs in pool.imap_unordered(check_one, jobs):
             results[name] = verdict
             print(f"[scale_check] {name:24} {verdict}  ({secs:.1f}s)",
