@@ -40,19 +40,37 @@ object MinhashOracle {
        |${tag}c AS (SELECT * REPLACE ((((xor(z$tag, z$tag >> 27))::UHUGEINT * $C3) % $Mod)::UBIGINT AS z$tag) FROM ${tag}b),
        |${tag}d AS (SELECT * EXCLUDE (z$tag), xor(z$tag, z$tag >> 31) AS $outCol FROM ${tag}c)""".stripMargin
 
-  /** The shared CTE pipeline: raw text → `agree(id_a, id_b, eq)` (of 64
-    * signature entries) over planted-corpus pairs with eq >= 1.
+  /** The shared CTE pipeline: raw text → signature-level agreement
+    * `sagree(ta, tb, eq)` (of 64 signature entries) over DISTINCT
+    * texts, plus the doc→text map `dmap` — the distinct-representative
+    * discipline the Spark operators themselves follow.
+    *
+    * Round-12 restructure: the r11 form computed the sketch and the
+    * pair agreement PER DOC. On a replicated corpus (documents clone
+    * verbatim, mult× clusters) that re-sketches every clone and —
+    * fatally at 100× — materializes clone-group PAIR cross-products
+    * inside the agreement aggregation: ~2.9 GB of (id_a, id_b) groups
+    * became >160 GB of DuckDB hash/spill and killed a 90 GB box. Here
+    * the sketch (tokenize → FNV-1a → mix64 shingles → 64 universal-
+    * hash minima) runs once per DISTINCT text keyed by md5(text), the
+    * agreement join runs over distinct-signature pairs (clone-count-
+    * free), and [[agreeExpand]] re-expands to doc pairs as a pure
+    * streaming join against `dmap` — constant aggregate state, no
+    * pair-keyed hash table. Semantics are unchanged: clones share a
+    * text, hence a signature, hence agree on all 64 entries (eq = 64,
+    * est 1.0); cross-text agreement is a pure function of the texts.
     *
     * Pair enumeration joins on (j, v) EQUALITY and counts matches —
-    * lossless relative to the r8 all-pairs form (`ON x.j = y.j AND
-    * x.doc_id < y.doc_id` + CASE-sum), because a pair agreeing on ZERO
-    * entries cannot pass any downstream `eq/64 >= t` filter, and
-    * mathematically distinct from the Spark side's BANDED candidate
-    * generation (band collisions can miss true pairs; value-equality
-    * grouping cannot). The all-pairs form ground to a halt on the
-    * round-9 replicated-corpus sweep: 64 × C(55k, 2) ≈ 10^11 pair
-    * evaluations with 170 GB of DuckDB spill, where the equi-join's
-    * group sizes stay clone-cluster-bounded.
+    * lossless relative to the r8 all-pairs form, because a pair
+    * agreeing on ZERO entries cannot pass any downstream `eq/64 >= t`
+    * filter, and mathematically distinct from the Spark side's BANDED
+    * candidate generation (band collisions can miss true pairs;
+    * value-equality grouping cannot).
+    *
+    * `tsig` (texts that produced >= 1 shingle) guards the intra-text
+    * expansion: a doc whose text has < 3 tokens has NO signature, so
+    * the r11 per-doc form never paired it — not even with an identical
+    * clone — and the expansion must not either.
     */
   private val pipeline: String =
     s"""WITH planted AS (
@@ -61,37 +79,63 @@ object MinhashOracle {
        |  SELECT doc_id + 1000000, text || ' zz'
        |  FROM documents WHERE doc_id % 50 = 0
        |),
-       |tk AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-       |    '[^a-z0-9]+', ' ', 'g')), ' ') AS tk FROM planted),
-       |th AS (SELECT doc_id, list_transform(tk, t -> list_reduce(
+       |dmap AS (SELECT doc_id, md5(text) AS tkey,
+       |    length(text)::BIGINT AS n_chars FROM planted),
+       |dt AS (SELECT md5(text) AS tkey, any_value(text) AS text
+       |  FROM planted GROUP BY 1),
+       |tk AS (SELECT tkey, string_split(trim(regexp_replace(lower(text),
+       |    '[^a-z0-9]+', ' ', 'g')), ' ') AS tk FROM dt),
+       |th AS (SELECT tkey, list_transform(tk, t -> list_reduce(
        |    list_prepend(14695981039346656037::UBIGINT,
        |      list_transform(generate_series(1, length(t)),
        |        i -> ord(substr(t, i, 1))::UBIGINT)),
        |    (h, b) -> (((xor(h, b))::UHUGEINT * 1099511628211::UBIGINT::UHUGEINT) % $Mod)::UBIGINT)) AS hs
        |  FROM tk),
-       |wix AS (SELECT doc_id, hs,
+       |wix AS (SELECT tkey, hs,
        |    unnest(generate_series(1, greatest(len(hs) - 2, 0))) AS i FROM th),
-       |win AS (SELECT doc_id, hs[i] AS ta, hs[i+1] AS tb, hs[i+2] AS tc FROM wix),
+       |win AS (SELECT tkey, hs[i] AS ta, hs[i+1] AS tb, hs[i+2] AS tc FROM wix),
        |${mixStages("win", "xor(14695981039346656037::UBIGINT, ta)", "h1", "q1")},
        |${mixStages("q1d", "xor(h1, tb)", "h2", "q2")},
        |${mixStages("q2d", "xor(h2, tc)", "h3", "q3")},
-       |sh AS (SELECT DISTINCT doc_id, h3 & 2147483647::UBIGINT AS s FROM q3d),
+       |sh AS (SELECT DISTINCT tkey, h3 & 2147483647::UBIGINT AS s FROM q3d),
        |pj AS (SELECT g.j AS j, (42 + 2*g.j)::UBIGINT AS za, (42 + 2*g.j + 1)::UBIGINT AS zb
        |  FROM generate_series(0, 63) AS g(j)),
        |${mixStages("pj", "za", "ma", "p1")},
        |${mixStages("p1d", "zb", "mb", "p2")},
        |params AS (SELECT j, (ma & 2147483647::UBIGINT) | 1::UBIGINT AS a,
        |    mb & 2147483647::UBIGINT AS b FROM p2d),
-       |sig AS (SELECT doc_id, j, min((a::BIGINT * s::BIGINT + b::BIGINT) % 2147483647) AS v
-       |  FROM sh, params GROUP BY doc_id, j),
-       |agree AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-       |    count(*) AS eq
+       |sig AS (SELECT tkey, j, min((a::BIGINT * s::BIGINT + b::BIGINT) % 2147483647) AS v
+       |  FROM sh, params GROUP BY tkey, j),
+       |tsig AS (SELECT DISTINCT tkey FROM sig),
+       |sagree AS (SELECT x.tkey AS ta, y.tkey AS tb, count(*) AS eq
        |  FROM sig x JOIN sig y
-       |    ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id
-       |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+       |    ON x.j = y.j AND x.v = y.v AND x.tkey < y.tkey
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Doc-pair expansion of [[pipeline]]'s text-level agreement:
+    * `agree(id_a, id_b, eq)` — identical contract to the r11 per-doc
+    * CTE. Cross-text pairs fan out `sagree` through two `dmap` joins
+    * (streamed: the only hash tables are the ~|docs| `dmap` sides, and
+    * the 28.9M-row 100× expansion flows straight into the consumer);
+    * intra-text clone pairs carry eq = 64 by identity, guarded by
+    * `tsig` so signature-less texts pair with nothing.
+    */
+  private val agreeExpand: String =
+    s"""agree AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b, s.eq
+       |  FROM sagree s
+       |  JOIN dmap a ON a.tkey = s.ta
+       |  JOIN dmap b ON b.tkey = s.tb
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, 64::BIGINT AS eq
+       |  FROM dmap a
+       |  JOIN dmap b ON a.tkey = b.tkey AND a.doc_id < b.doc_id
+       |  JOIN tsig t ON t.tkey = a.tkey)""".stripMargin
 
   val sql: String =
-    s"""$pipeline
+    s"""$pipeline,
+       |$agreeExpand
        |SELECT id_a, id_b, round(eq / 64.0, 4) AS est_jaccard
        |FROM agree WHERE eq / 64.0 >= 0.35""".stripMargin
 
@@ -109,6 +153,7 @@ object MinhashOracle {
     */
   val incrSql: String =
     s"""$pipeline,
+       |$agreeExpand,
        |batch AS (SELECT doc_id + 1000000 AS id
        |  FROM documents WHERE doc_id % 50 = 0),
        |sel AS (SELECT id_a, id_b, eq,
@@ -124,33 +169,56 @@ object MinhashOracle {
     * (min-id) near-duplicate predecessor at est >= 0.35.
     */
   val firstDupSql: String =
-    s"""$pipeline
+    s"""$pipeline,
+       |$agreeExpand
        |SELECT id_b AS doc_id, min(id_a) AS dup_of
        |FROM agree WHERE eq / 64.0 >= 0.35 GROUP BY id_b""".stripMargin
 
   /** Oracle for `dedup_cluster`: the same full sketch replay produces
     * the candidate-pair edge set; a recursive CTE then computes the
-    * TRANSITIVE closure and labels every planted doc with the minimum
-    * reachable doc_id — the ground-truth connected component, computed
-    * by an algorithm (reachability fixpoint) entirely unlike the Spark
-    * side's alternating-star contraction.
+    * TRANSITIVE closure — the ground-truth connected component,
+    * computed by an algorithm (reachability fixpoint) entirely unlike
+    * the Spark side's alternating-star contraction.
+    *
+    * Round-12 restructure: the reachability fixpoint runs at the TEXT
+    * level (nodes = distinct signatures' texts, edges = `sagree` at
+    * est >= 0.35), then doc labels expand through `dmap`. Doc-level
+    * components ARE text-level components expanded: clones of one text
+    * agree on all 64 entries (est 1.0 >= 0.35), so every doc of a text
+    * is connected to every doc of any text in the same text-component,
+    * and `cluster_id` = min doc_id over the component's docs — exactly
+    * the r11 per-doc fixpoint's label. The r11 form seeded `reach` with
+    * every planted doc and joined doc-level edges: at 100× that is
+    * ~clone² reach tuples per component per iteration (>100M rows a
+    * round), where the text-level fixpoint is |distinct texts|-sized.
+    * Signature-less texts (< 3 tokens → no edges possible) fall out of
+    * `tcomp`; their docs keep themselves via the COALESCE, matching the
+    * r11 self-seeded reach.
     */
   private val clusterCtes: String =
     s"""${pipeline.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |edges AS (
-       |  SELECT id_a AS a, id_b AS b FROM agree WHERE eq / 64.0 >= 0.35
+       |tedges AS (
+       |  SELECT ta AS a, tb AS b FROM sagree WHERE eq / 64.0 >= 0.35
        |  UNION
-       |  SELECT id_b, id_a FROM agree WHERE eq / 64.0 >= 0.35),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM planted
+       |  SELECT tb, ta FROM sagree WHERE eq / 64.0 >= 0.35),
+       |treach(src, dst) AS (
+       |  SELECT tkey, tkey FROM tsig
        |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
+       |  SELECT r.src, e.b FROM treach r JOIN tedges e ON r.dst = e.a),
+       |tcomp AS (SELECT src AS tkey, min(dst) AS tcid
+       |  FROM treach GROUP BY src),
+       |cmin AS (SELECT t.tcid, min(d.doc_id) AS cluster_id
+       |  FROM tcomp t JOIN dmap d ON d.tkey = t.tkey GROUP BY 1),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM dmap d
+       |  LEFT JOIN tcomp t ON d.tkey = t.tkey
+       |  LEFT JOIN cmin c ON c.tcid = t.tcid)""".stripMargin
 
   val clusterSql: String =
     s"""$clusterCtes
-       |SELECT src AS doc_id, min(dst) AS cluster_id,
-       |  src = min(dst) AS keep
-       |FROM reach GROUP BY src""".stripMargin
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+       |FROM lab""".stripMargin
 
   /** Oracle for `corpus_split_safe`: ground-truth components (same
     * recursive reachability as [[clusterSql]]), then the 80/10/10
@@ -159,9 +227,7 @@ object MinhashOracle {
     * share the hash input, hence the split.
     */
   val splitSafeSql: String =
-    s"""$clusterCtes,
-       |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
-       |  FROM reach GROUP BY src)
+    s"""$clusterCtes
        |SELECT doc_id, cluster_id,
        |  CASE WHEN b < 800000 THEN 'train'
        |       WHEN b < 900000 THEN 'val'
@@ -177,11 +243,8 @@ object MinhashOracle {
     */
   val bestSql: String =
     s"""$clusterCtes,
-       |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
-       |  FROM reach GROUP BY src),
-       |jl AS (SELECT lab.doc_id, lab.cluster_id,
-       |    length(p.text)::BIGINT AS n_chars
-       |  FROM lab JOIN planted p ON lab.doc_id = p.doc_id)
+       |jl AS (SELECT lab.doc_id, lab.cluster_id, d.n_chars
+       |  FROM lab JOIN dmap d ON lab.doc_id = d.doc_id)
        |SELECT doc_id, cluster_id, n_chars,
        |  (row_number() OVER (PARTITION BY cluster_id
        |    ORDER BY n_chars DESC, doc_id)) = 1 AS keep

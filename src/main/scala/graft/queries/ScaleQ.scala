@@ -390,11 +390,20 @@ object ScaleQ {
         // dedups the mirrored pairs anyway
         graft.operators.PageRank.ranks(e, "a", "b", iters = 5)
       },
-      Some("""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
-             |    's' || l_suppkey::VARCHAR AS b
+      // r12: vertices carry INTEGER ids through the replay (customers
+      // even = 2·custkey, suppliers odd = 2·suppkey+1); the 'c…'/'s…'
+      // strings appear only in the final 1.6M-row projection. The r11
+      // form keyed every join/DISTINCT/aggregate on ~11-char VARCHARs:
+      // at 100× that is a 60M-row string DISTINCT plus five rounds of
+      // 113M-row string-keyed join+aggregate, which out-spilled a
+      // 90 GB box. Per-vertex per-round groups are identical (the id
+      // map is a bijection), so each round's sum sees the same operand
+      // multiset and the 4-decimal rounding absorbs reorder noise
+      // exactly as before.
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-             |ed AS (SELECT a AS src, b AS dst FROM e0
-             |       UNION ALL SELECT b AS src, a AS dst FROM e0),
+             |ed AS (SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM e0
+             |       UNION ALL SELECT sk * 2 + 1, ck * 2 FROM e0),
              |dg AS (SELECT src, count(*)::BIGINT AS outdeg
              |       FROM ed GROUP BY 1),
              |e AS (SELECT ed.src, ed.dst, dg.outdeg
@@ -417,7 +426,10 @@ object ScaleQ {
              |r5 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
              |    0.85 * sum(p.r / e.outdeg) AS r
              |  FROM e JOIN r4 p ON e.src = p.id, n GROUP BY e.dst, n.n)
-             |SELECT r5.id, round(r5.r * n.n, 4) AS rank
+             |SELECT CASE WHEN r5.id % 2 = 0
+             |    THEN 'c' || (r5.id // 2)::VARCHAR
+             |    ELSE 's' || (r5.id // 2)::VARCHAR END AS id,
+             |  round(r5.r * n.n, 4) AS rank
              |FROM r5, n""".stripMargin)),
 
     // graph_triangles [EXT]: per-vertex triangle counts (clustering-

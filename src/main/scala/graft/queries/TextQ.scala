@@ -397,31 +397,57 @@ object TextQ {
                SELECT doc_id + 1000000, text || ' zz'
                FROM documents WHERE doc_id % 50 = 0
              ),
+             -- r12: distinct-text discipline (same restructure as
+             -- MinhashOracle) — Jaccard is a pure function of the two
+             -- texts, so shingle + pair enumeration runs once per
+             -- DISTINCT text; clone docs re-enter via the dmap
+             -- expansion below. The r11 per-doc form re-shingled every
+             -- clone and its shared-shingle equi-join saw clone-group-
+             -- sized buckets per shingle: clone² join output at 100×
+             -- inside a grouped aggregate (>90 GB).
+             dmap AS (SELECT doc_id, md5(text) AS tkey FROM planted),
+             dt AS (SELECT md5(text) AS tkey, any_value(text) AS text
+               FROM planted GROUP BY 1),
              toks AS (
-               SELECT doc_id,
+               SELECT tkey,
                  string_split(trim(regexp_replace(lower(text),
                    '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
-               FROM planted
+               FROM dt
              ),
              sh AS (
-               SELECT doc_id,
+               SELECT tkey,
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                    FOR i IN generate_series(1, greatest(len(tk) - 2, 0))]) AS s
                FROM toks
              ),
              -- shared-shingle equi-join pair enumeration (lossless: a
              -- pair at jaccard >= 0.5 shares a shingle; zero-overlap
-             -- pairs cannot qualify) — the r8 all-pairs join was 55k^2
-             -- list_intersects at the 10x replicated corpus
-             gr AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
-             ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             -- pairs cannot qualify) — per-shingle buckets now hold
+             -- distinct TEXTS, so bucket sizes are clone-count-free
+             gr AS (SELECT tkey, len(s) AS n, unnest(s) AS g FROM sh),
+             ix AS (SELECT a.tkey AS ta, b.tkey AS tb,
                  max(a.n) AS na, max(b.n) AS nb, count(*) AS c
-               FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-             SELECT id_a, id_b,
-               round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-             FROM ix
-             WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5""")),
+               FROM gr a JOIN gr b ON a.g = b.g AND a.tkey < b.tkey
+               GROUP BY 1, 2),
+             tp AS (SELECT ta, tb,
+                 CAST(c AS DOUBLE) / (na + nb - c) AS j
+               FROM ix
+               WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+             -- texts with >= 1 shingle: a shingle-less doc never joined
+             -- in the per-doc form, so identical shingle-less clones
+             -- must not pair here either
+             tnz AS (SELECT tkey FROM sh WHERE len(s) > 0)
+             SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b,
+               round(j, 4) AS jaccard
+             FROM tp
+             JOIN dmap a ON a.tkey = tp.ta
+             JOIN dmap b ON b.tkey = tp.tb
+             UNION ALL
+             SELECT a.doc_id, b.doc_id, round(1.0, 4) AS jaccard
+             FROM dmap a
+             JOIN dmap b ON a.tkey = b.tkey AND a.doc_id < b.doc_id
+             JOIN tnz t ON t.tkey = a.tkey""")),
 
     // sim_topk [EXT]: exact brute-force cosine top-5 (ANN baseline).
     Q("sim_topk",
