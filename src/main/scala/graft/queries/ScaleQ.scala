@@ -400,30 +400,37 @@ object ScaleQ {
       // map is a bijection), so each round's sum sees the same operand
       // multiset and the 4-decimal rounding absorbs reorder noise
       // exactly as before.
-      Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      // Every CTE is MATERIALIZED: DuckDB 1.0 inlines single-use
+      // CTEs, so the unhinted chain r1..r5 folds into one multi-join
+      // the optimizer reorders into a cross-round blowup (>72 GB
+      // spill at 30x while one materialized round runs in ~6 s).
+      // With the hints each round is evaluated exactly once in
+      // sequence -- the staged-execution the driver's single-statement
+      // replay can express.
+      Some("""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-             |ed AS (SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM e0
+             |ed AS MATERIALIZED (SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM e0
              |       UNION ALL SELECT sk * 2 + 1, ck * 2 FROM e0),
-             |dg AS (SELECT src, count(*)::BIGINT AS outdeg
+             |dg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg
              |       FROM ed GROUP BY 1),
-             |e AS (SELECT ed.src, ed.dst, dg.outdeg
+             |e AS MATERIALIZED (SELECT ed.src, ed.dst, dg.outdeg
              |      FROM ed JOIN dg USING (src)),
-             |v AS (SELECT DISTINCT src AS id FROM ed),
-             |n AS (SELECT count(*)::BIGINT AS n FROM v),
-             |r0 AS (SELECT id, 1.0 / n.n AS r FROM v, n),
-             |r1 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed),
+             |n AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM v),
+             |r0 AS MATERIALIZED (SELECT id, 1.0 / n.n AS r FROM v, n),
+             |r1 AS MATERIALIZED (SELECT e.dst AS id, (1 - 0.85) / n.n +
              |    0.85 * sum(p.r / e.outdeg) AS r
              |  FROM e JOIN r0 p ON e.src = p.id, n GROUP BY e.dst, n.n),
-             |r2 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |r2 AS MATERIALIZED (SELECT e.dst AS id, (1 - 0.85) / n.n +
              |    0.85 * sum(p.r / e.outdeg) AS r
              |  FROM e JOIN r1 p ON e.src = p.id, n GROUP BY e.dst, n.n),
-             |r3 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |r3 AS MATERIALIZED (SELECT e.dst AS id, (1 - 0.85) / n.n +
              |    0.85 * sum(p.r / e.outdeg) AS r
              |  FROM e JOIN r2 p ON e.src = p.id, n GROUP BY e.dst, n.n),
-             |r4 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |r4 AS MATERIALIZED (SELECT e.dst AS id, (1 - 0.85) / n.n +
              |    0.85 * sum(p.r / e.outdeg) AS r
              |  FROM e JOIN r3 p ON e.src = p.id, n GROUP BY e.dst, n.n),
-             |r5 AS (SELECT e.dst AS id, (1 - 0.85) / n.n +
+             |r5 AS MATERIALIZED (SELECT e.dst AS id, (1 - 0.85) / n.n +
              |    0.85 * sum(p.r / e.outdeg) AS r
              |  FROM e JOIN r4 p ON e.src = p.id, n GROUP BY e.dst, n.n)
              |SELECT CASE WHEN r5.id % 2 = 0

@@ -25,8 +25,38 @@ drift between the Spark dump and the oracle (int32 vs BIGINT, DECIMAL
 sums vs double) hashes identically — same equivalence pandas' coerced
 `==` gave local_check. Lists of floats cast to DOUBLE[]. NULL maps to a
 sentinel below any printable value.
+
+ORACLE COST GUARD (round 12): before running a replay, each worker
+sums the estimated cardinalities (`EC: N`) over the oracle's own
+EXPLAIN plan — a rows-touched estimate of what DuckDB thinks it will
+process. A replay whose estimate exceeds --max-oracle-cost is
+classified OVER_BUDGET(est=N) up front and skipped, instead of
+spilling for 20 minutes and dying on malloc (the 100x failure mode of
+the eight clone-pair-materializing replays before their r12
+distinct-signature restructure). The estimate is also printed on every
+verdict line, so a replay drifting toward the budget is visible while
+it still passes. EC is an optimizer guess — clone-group join fan-outs
+can exceed it — so treat the guard as a tripwire, not an upper bound.
+
+INCREMENTAL RE-DUMP PROTOCOL (keep sweeps affordable across rounds):
+a full-registry sweep at a decade (30x/100x) stays valid for every
+query whose registration block AND oracle text are unchanged. When a
+round edits queries:
+  1. diff the per-query registration blocks between the swept commit
+     and HEAD (git diff over src/main/scala/graft/queries/ plus any
+     operator file a changed query calls into);
+  2. re-run graft.Verify with the comma-separated changed subset into
+     a FRESH out dir (Verify arg 3) — this also rewrites
+     oracle_sql.json from HEAD, picking up oracle-text changes;
+  3. run this checker with --only over that subset against the same
+     replicated corpus;
+  4. record the union (prior sweep minus changed, plus re-checked) in
+     the round's reports/SWEEP*.md appendix.
+This is the procedure the r11 sweep used after the 6f2c55d fixes and
+the r12 oracle restructure; it turns an ~hours full re-sweep into
+minutes proportional to the diff.
 """
-import argparse, json, multiprocessing, os, sys, time, traceback
+import argparse, json, multiprocessing, os, re, sys, time, traceback
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -93,8 +123,21 @@ def pandas_fallback(con, spark_sql, oracle_sql, limit_rows):
             return False
     return True
 
+def oracle_cost(con, sql):
+    """Rows-touched estimate: sum of the optimizer's estimated
+    cardinalities (EC) over the replay's physical plan. None when the
+    plan won't EXPLAIN (e.g. recursive CTE corner) — never fatal."""
+    try:
+        plan = con.execute(f"EXPLAIN SELECT * FROM ({sql})").fetchall()
+        text = "\n".join(p[1] for p in plan)
+        ecs = [int(m) for m in re.findall(r"EC:\s*(\d+)", text)]
+        return sum(ecs) if ecs else None
+    except Exception:
+        return None
+
+
 def check_one(job):
-    name, sf_dir, out_dir, sql, mem, threads, fallback_rows = job
+    name, sf_dir, out_dir, sql, mem, threads, fallback_rows, max_cost = job
     t0 = time.time()
     try:
         import duckdb
@@ -112,6 +155,13 @@ def check_one(job):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{table_glob(sf_dir, t)}')")
         spark_sql = f"SELECT * FROM read_parquet('{out_glob(out_dir, name)}')"
+        cost = oracle_cost(con, sql) if sql is not None else None
+        cost_tag = f" est_rows={cost:,}" if cost is not None else ""
+        if cost is not None and max_cost and cost > max_cost:
+            return (name, f"OVER_BUDGET(est={cost:,} > {max_cost:,}) — "
+                    "replay skipped; restructure it to the "
+                    "distinct-signature discipline or raise "
+                    "--max-oracle-cost", time.time() - t0)
         sn, sh1, sh2, scols = digest_sql(con, spark_sql)
         if sql is None:
             v = f"rows_only({sn})" + (" EMPTY!" if sn == 0 else "")
@@ -124,7 +174,7 @@ def check_one(job):
         if sn == 0:
             return name, "VACUOUS_EMPTY_MATCH", time.time() - t0
         if (sh1, sh2) == (oh1, oh2):
-            return name, "OK", time.time() - t0
+            return name, "OK" + cost_tag, time.time() - t0
         # hash mismatch: distinguish a real value diff from a
         # canonicalization artifact with the exact pandas compare
         fb = pandas_fallback(con, spark_sql, f"SELECT * FROM ({sql})",
@@ -137,7 +187,9 @@ def check_one(job):
         return name, f"ERROR: {type(e).__name__}: {e}", time.time() - t0
 
 def main():
-    ap = argparse.ArgumentParser(description=__doc__)
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("sf_dir")
     ap.add_argument("out_dir")
     ap.add_argument("--only", help="comma-separated query subset")
@@ -151,6 +203,12 @@ def main():
     ap.add_argument("--fallback-rows", type=int, default=2_000_000,
                     help="max rows for the exact pandas re-check on a "
                          "hash mismatch (default 2M)")
+    ap.add_argument("--max-oracle-cost", type=int, default=20_000_000_000,
+                    help="fail-fast budget on the replay's EXPLAIN "
+                         "rows-touched estimate (sum of EC). A replay "
+                         "estimated above this is reported OVER_BUDGET "
+                         "without running. 0 disables. (default 20e9 — "
+                         "~10x the heaviest restructured 100x replay)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
@@ -170,7 +228,8 @@ def main():
                for n in attempted - dumped - skip}
 
     jobs = [(n, args.sf_dir, args.out_dir, oracle.get(n), args.mem,
-             args.threads, args.fallback_rows) for n in sorted(dumped)]
+             args.threads, args.fallback_rows, args.max_oracle_cost)
+            for n in sorted(dumped)]
     # one task per worker process: a DuckDB connection's buffers are not
     # reliably released when the NEXT job's connection spins up in the
     # same process, and at a 90 GB memory_limit two connections' worth
