@@ -87,6 +87,17 @@ object Cols {
     * nearest-even (the 30× agg_cube hash diverged exactly there).
     * DuckDB's own integer-/-decimal division returns DOUBLE, so the
     * oracle text is fine as written.
+    *
+    * PRECONDITION: inputs are money-like, i.e. exactly representable
+    * at 2 decimals. For such inputs the per-value round is the
+    * identity and this equals the exact sum. For a source with
+    * SUB-CENT precision (events.value is the one such source in the
+    * registry) the per-value round is a real quantization, so the
+    * query's defined result is "the sum of values rounded to cents" —
+    * NOT round(sum(x), 2). Any call site feeding sub-cent data must
+    * state that choice (join_overlap does) or pre-round explicitly;
+    * the SQL oracle twin must always carry the identical per-value
+    * round so both engines quantize the same multiset.
     */
   def sumCents(c: Column): Column =
     sum(round(c * 100).cast("long")) / 100.0

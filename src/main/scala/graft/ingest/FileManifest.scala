@@ -46,12 +46,18 @@ object FileManifest {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = scala.collection.mutable.ArrayBuffer.empty[ManifestRow]
+    // Sidecars (_SUCCESS, _committed*, .*.crc) are writer bookkeeping,
+    // not data: including them would let a zero-byte marker drive the
+    // dataset's mtime and pad size_bytes past the data bytes.
+    def isSidecar(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
     def sumDir(p: Path): (Long, Long) =
       fs.listStatus(p).foldLeft((0L, 0L)) { case ((sz, mt), st) =>
         if (st.isDirectory) {
           val (s2, m2) = sumDir(st.getPath)
           (sz + s2, math.max(mt, m2))
-        } else (sz + st.getLen, math.max(mt, st.getModificationTime))
+        } else if (isSidecar(st.getPath.getName)) (sz, mt)
+        else (sz + st.getLen, math.max(mt, st.getModificationTime))
       }
     def walk(p: Path): Unit =
       fs.listStatus(p).foreach { st =>
@@ -64,8 +70,19 @@ object FileManifest {
         else out += ManifestRow(st.getPath.toUri.getPath, name,
           stdKeyStr(name), versionTag, st.getLen, st.getModificationTime)
       }
+    // The collapse must also apply when ROOT ITSELF is the dataset dir
+    // (list(".../lineitem.parquet")): walking it would list part files
+    // as individual rows — exactly what the collapse exists to prevent.
     val base = new Path(root)
-    if (fs.exists(base)) walk(base)
+    if (fs.exists(base)) {
+      val rootName = base.getName
+      if (fs.getFileStatus(base).isDirectory &&
+          rootName.matches(DatasetDirExt)) {
+        val (sz, mt) = sumDir(base)
+        out += ManifestRow(base.toUri.getPath, rootName,
+          stdKeyStr(rootName), versionTag, sz, mt)
+      } else walk(base)
+    }
     out.toSeq.toDS().toDF()
   }
 

@@ -391,6 +391,10 @@ object Relational {
             col("b_ts") > col("a_ts") &&
             col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
           .groupBy("event_type")
+          // events.value has sub-cent precision, so sumCents is a real
+          // per-value quantization here: the query's DEFINED result is
+          // the sum of cent-rounded values (both engines quantize the
+          // same multiset) — not round(sum(raw), 2). See Cols.sumCents.
           .agg(count(lit(1)).as("n"),
             Cols.sumCents(col("b_value")).as("sum_v"))
       },

@@ -56,6 +56,27 @@ class IngestSpec extends SparkFunSuite {
       ("notes.csv", "notes", 4L)))
   }
 
+  test("manifest collapses when ROOT ITSELF is the dataset dir; " +
+       "sidecars excluded from size and mtime") {
+    // list(".../lineitem.parquet") directly — the collapse must apply
+    // to the root, not only to children, or part files leak out as rows
+    val root = Files.createTempDirectory("graft_dsroot")
+    val ds = root.resolve("lineitem.parquet")
+    Files.createDirectories(ds)
+    val p0 = ds.resolve("part-00000-x.parquet")
+    Files.writeString(p0, "aaaa")
+    Files.writeString(ds.resolve("_committed_123"), "sidecar-bytes")
+    Files.writeString(ds.resolve(".part-00000-x.parquet.crc"), "crc")
+    // sidecar mtime strictly NEWER than the data part: the dataset
+    // mtime must still track the part file, not the marker
+    val partMtime = p0.toFile.lastModified()
+    ds.resolve("_committed_123").toFile.setLastModified(partMtime + 60000)
+    val m = FileManifest.list(spark, ds.toString, "cur")
+      .select($"file_name", $"std_name", $"size_bytes", $"mtime_ms")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(m === Seq(("lineitem.parquet", "lineitem", 4L, partMtime)))
+  }
+
   test("pivotDir matches joinVersions on paths") {
     val (oldD, newD) = mkFixture()
     val o = FileManifest.list(spark, oldD.toString, "old")
