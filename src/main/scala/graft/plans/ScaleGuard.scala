@@ -80,6 +80,38 @@ object ScaleGuard extends PredicateHelper {
   val ModeKey = "spark.graft.guard.mode"
   val BoundedKey = "spark.graft.guard.boundedRows"
   val DefaultBounded = 1000L
+  val GridCellsKey = "spark.graft.guard.grid.maxCells"
+  // 2e9 cells ~= 16 GB of (user, hour) longs pre-compression: well
+  // above every gate decade (sf0.1 grid ~1.1M cells, 100x ~108M) and
+  // well below the silent-blowup regime (10M users x a 10-year hourly
+  // span = 8.8e11 cells).
+  val DefaultGridCells = 2000000000L
+
+  /** Runtime budget check for DENSIFYING operators (ts_fill/ts_interp's
+    * user x corpus-hour grid): the grid's row count is keys x span —
+    * a function of the corpus's TIME EXTENT, not its event count, so a
+    * 10-year corpus silently builds a 100x-larger grid than a 1-month
+    * one with identical event volume. The logical plan cannot see the
+    * span (it is data), so unlike the plan-shape advisories this check
+    * runs at query-build time on the already-aggregated stats (one
+    * tiny agg over the staged hourly frame). Honors [[ModeKey]]:
+    * `error` throws past the budget, `warn` (default) logs and
+    * continues, `off` skips.
+    */
+  def gridBudget(session: SparkSession, cells: Long, what: String): Unit = {
+    val mode = session.conf.get(ModeKey, "warn")
+    if (mode == "off") return
+    val budget = session.conf.get(GridCellsKey,
+      DefaultGridCells.toString).toLong
+    if (cells > budget) {
+      val msg = s"graft scale guard: [grid-budget] $what densifies to " +
+        s"$cells cells > $GridCellsKey=$budget. The grid is keys x " +
+        "time-span — bound the span (window the query), coarsen the " +
+        "step, or raise the budget deliberately."
+      if (mode == "error") throw new SparkException(msg)
+      else logWarning(msg)
+    }
+  }
 
   /** Does any conjunct of `cond` equate a pure-left-side expression to
     * a pure-right-side one (either orientation, `=` or `<=>`)? That is

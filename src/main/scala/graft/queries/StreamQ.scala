@@ -32,11 +32,27 @@ object StreamQ {
         .groupBy("user_id", "hs")
         .agg(round(sum("value"), 2).as("v")),
       s"${tag}_hourly")
-    val span = hourly.agg(min("hs").as("lo"), max("hs").as("hi"))
+    // One tiny agg over the staged frame yields the span AND the grid
+    // budget inputs (grid rows = users x hours — a function of the
+    // corpus's TIME EXTENT, not its event count, so a multi-year
+    // corpus would silently densify 100x; ScaleGuard.gridBudget fails
+    // or warns past spark.graft.guard.grid.maxCells). The collected
+    // span folds into the sequence() as literals, which also drops the
+    // broadcast-join the 1-row span frame used to need.
+    val Array(spanRow) = hourly.agg(min("hs").as("lo"), max("hs").as("hi"),
+      approx_count_distinct("user_id").as("nu")).collect()
+    if (spanRow.isNullAt(0)) // empty corpus: the grid is empty too
+      return hourly.limit(0)
+    val (lo, hi, nu) =
+      (spanRow.getLong(0), spanRow.getLong(1), spanRow.getLong(2))
+    val hours = (hi - lo) / 3600L + 1L
+    graft.plans.ScaleGuard.gridBudget(s,
+      if (nu != 0L && hours > Long.MaxValue / nu) Long.MaxValue
+      else nu * hours,
+      s"hourlyGrid($tag): ~$nu users x $hours hours")
     val grid = hourly.select(col("user_id")).distinct()
-      .crossJoin(broadcast(span))
       .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hs"))
+        explode(sequence(lit(lo), lit(hi), lit(3600L))).as("hs"))
     grid.join(hourly, Seq("user_id", "hs"), "left")
   }
 
@@ -73,10 +89,11 @@ object StreamQ {
             col("event_type"))
           .groupBy("event_type", "hb").agg(count(lit(1)).as("v")),
         "type_hourly_sparse")
-      // hourlyGrid's bounded-side shape: crossJoin(broadcast(1-row span
-      // agg)) + explode(sequence) keeps a plan-PROVEN bounded side (the
-      // repo's own ScaleGuard would flag distinct × range once the
-      // corpus spans > boundedRows hours) and avoids a driver action
+      // crossJoin(broadcast(1-row span agg)) + explode(sequence) keeps
+      // a plan-PROVEN bounded side and avoids a driver action. Unlike
+      // hourlyGrid (user x hours — budget-guarded, span collected),
+      // this grid's key side is event_type: single-digit cardinality,
+      // so the densified size is ~hours and needs no budget
       val span = e.agg(min("hb").as("lo"), max("hb").as("hi"))
       val grid = e.select(col("event_type")).distinct()
         .crossJoin(broadcast(span))

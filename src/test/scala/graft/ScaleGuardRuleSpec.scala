@@ -127,6 +127,52 @@ class ScaleGuardRuleSpec extends SparkFunSuite {
     } finally spark.conf.unset(ScaleGuard.ModeKey)
   }
 
+  test("grid-budget guard: over-budget densification throws in error " +
+       "mode, passes under budget, and off disables") {
+    // the ts_fill/ts_interp hourlyGrid shape: grid rows = keys x span,
+    // a function of the corpus's TIME EXTENT — data the logical plan
+    // cannot see, so the check is a runtime budget, not a plan rule
+    try {
+      spark.conf.set(ScaleGuard.ModeKey, "error")
+      spark.conf.set(ScaleGuard.GridCellsKey, "1000")
+      val e = intercept[SparkException] {
+        ScaleGuard.gridBudget(spark, 5000L, "10 users x 500 hours")
+      }
+      assert(e.getMessage.contains("grid-budget") &&
+        e.getMessage.contains("5000"))
+      ScaleGuard.gridBudget(spark, 999L, "under budget") // no throw
+      spark.conf.set(ScaleGuard.ModeKey, "off")
+      ScaleGuard.gridBudget(spark, 5000L, "guard off") // no throw
+      // warn (default) logs and continues
+      spark.conf.unset(ScaleGuard.ModeKey)
+      ScaleGuard.gridBudget(spark, 5000L, "warn only")
+    } finally {
+      spark.conf.unset(ScaleGuard.ModeKey)
+      spark.conf.unset(ScaleGuard.GridCellsKey)
+    }
+  }
+
+  test("grid-budget guard: ts_fill fails fast end-to-end past a tiny " +
+       "budget and is unchanged under the default") {
+    try {
+      spark.conf.set(ScaleGuard.ModeKey, "error")
+      spark.conf.set(ScaleGuard.GridCellsKey, "10")
+      // sf0.001 grid is ~15 users x ~721 hours >> 10 cells; the guard
+      // must fire while BUILDING the query (before any action)
+      val e = intercept[SparkException] {
+        SparkEntry.queries("ts_fill")(spark, "/root/testdata/sf0.001")
+      }
+      assert(e.getMessage.contains("grid-budget"))
+    } finally {
+      spark.conf.unset(ScaleGuard.ModeKey)
+      spark.conf.unset(ScaleGuard.GridCellsKey)
+    }
+    // default budget: query builds and runs unchanged
+    val n = SparkEntry.queries("ts_fill")(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(n > 0)
+  }
+
   test("hot-key-window advisory flags agg-only windows on raw scan keys") {
     // the round-10 Dedup shape: count(1) OVER (PARTITION BY <raw data
     // column>) — a skewed key (exact-clone signature group) funnels its
