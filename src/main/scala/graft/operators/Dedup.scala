@@ -123,6 +123,94 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Exact-clone collapse (round 12): (membership, reps) where
+    * `membership` = (id, rep) with rep = min id over identical-text
+    * rows and `reps` = one (rep, text) row per distinct text. Grouping
+    * is on the text VALUE itself (exact equality — no hash-collision
+    * hazard; at 100 TB swap the shuffle key for (length, md5) and keep
+    * the equality semantics). Both frames are staged: membership is a
+    * narrow two-long frame feeding several branches; reps bounds every
+    * downstream sketch/band/join by text DIVERSITY, not corpus size.
+    */
+  def textGroups(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val norm = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val reps = Stage.materialize(
+      norm.groupBy("text").agg(min("id").as("rep")), "text_reps")
+    val membership = Stage.materialize(
+      norm.join(reps, Seq("text")).select("id", "rep"), "text_membership")
+    (membership, reps.select(col("rep"), col("text")))
+  }
+
+  /** `minhashPairs` with clone-collapsed candidate generation: sketch
+    * and band one REPRESENTATIVE per distinct text, then expand back to
+    * document pairs only at the output boundary. Same result set as
+    * the doc-level path (signatures are functions of the text, so every
+    * member of a clone group carries its rep's signature verbatim —
+    * intra-group pairs agree on all k minima, est exactly 1.0), but
+    * LSH work scales with text diversity while the quadratic clone-pair
+    * blow-up is confined to output-bounded equi-join expansions — the
+    * 100× bench measured the doc-level path's banded self-join paying
+    * ~25M candidate rows per clone decade (the r10 SimHash lesson,
+    * now applied to the MinHash family too).
+    */
+  def minhashPairsDistinct(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, n: Int = 3,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val (membership, reps) = textGroups(df, idCol, textCol)
+    val repPairs = minhashPairs(reps, "rep", "text", bands, rowsPerBand,
+      n, threshold, seed, maxBucketSize)
+    // cross-group: every member of rep_a pairs with every member of
+    // rep_b at the reps' est — two equi-joins, row count = output size
+    val cross = repPairs
+      .join(membership.select(col("rep").as("id_a"), col("id").as("m_a")),
+        "id_a")
+      .join(membership.select(col("rep").as("id_b"), col("id").as("m_b")),
+        "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("est_jaccard"))
+    // intra-group: identical signatures agree on every band and every
+    // minimum — est is exactly 1.0 and recall is certain, so the pairs
+    // enumerate directly (output-inherent quadratic, no banding pass)
+    val m = membership.select(col("rep"), col("id"))
+    val intra = m
+      .join(m.withColumnRenamed("id", "id2"), Seq("rep"))
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionByName(intra)
+  }
+
+  /** Near-dup component labels over the MinHash pair graph, clone-
+    * collapsed: CC runs on the tiny rep-pair graph UNION one star edge
+    * per non-representative document (id → its rep) — the same
+    * components as doc-level pairs (every clone group is connected
+    * through its rep; groups connect through rep pairs) with LINEARLY
+    * many edges, where materializing doc-level pairs grows ~mult² per
+    * clone group (the 100× bench's cc_edges stage: 91 s of
+    * corpus_split_safe's 96 s). Returns (id, cluster) for EVERY input
+    * document, cluster = min doc id of the component (singletons map to
+    * themselves) — the contract dedup_cluster/corpus_split_safe/
+    * dedup_best share.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, n: Int = 3,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val (membership, reps) = textGroups(df, idCol, textCol)
+    val repPairs = minhashPairs(reps, "rep", "text", bands, rowsPerBand,
+      n, threshold, seed, maxBucketSize).select("id_a", "id_b")
+    val star = membership.filter(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
+    val labels = ConnectedComponents.labels(
+      repPairs.unionByName(star), "id_a", "id_b")
+    membership.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** SimHash near-duplicate pairs: block on 8 8-bit chunks — by pigeonhole
     * any pair with Hamming distance <= 7 shares at least one exact chunk,
     * so recall is guaranteed for maxDist <= 7. The sketch is one long per

@@ -189,13 +189,13 @@ object CorpusQ {
     Q("dedup_best",
       (s, d) => {
         val docs = TextQ.plantedDocs(s, d)
-        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-          threshold = 0.35).select(col("id_a"), col("id_b"))
-        val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+        // r12: clone-collapsed component labels (Dedup.minhashClusters)
+        // instead of CC over materialized doc-level pairs
+        val labels = Dedup.minhashClusters(docs, "doc_id", "text",
+          threshold = 0.35)
         val labeled = docs
-          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("cluster").as("cluster_id"),
             length(col("text")).cast("long").as("n_chars"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("cluster_id")

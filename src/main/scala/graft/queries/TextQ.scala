@@ -299,8 +299,11 @@ object TextQ {
     // est >= 0.35. Equality also certifies that 16x4 banding loses no
     // est-qualifying pair on this corpus.
     Q("dedup_minhash",
-      (s, d) => Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text",
-        threshold = 0.35)
+      // clone-collapsed candidate generation (r12): identical result
+      // set, but banding work bounded by text diversity — see
+      // Dedup.minhashPairsDistinct
+      (s, d) => Dedup.minhashPairsDistinct(plantedDocs(s, d), "doc_id",
+        "text", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4)
           .as("est_jaccard")),
       Some(MinhashOracle.sql)),
@@ -940,18 +943,12 @@ object TextQ {
     // algorithm family entirely, so the gate verifies both the sketch
     // AND the star-contraction's transitive closure.
     Q("dedup_cluster",
-      (s, d) => {
-        val docs = plantedDocs(s, d)
-        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-          threshold = 0.35).select(col("id_a"), col("id_b"))
-        val labels = graft.operators.ConnectedComponents
-          .labels(pairs, "id_a", "id_b")
-        docs.select(col("doc_id"))
-          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
-          .withColumn("keep", col("doc_id") === col("cluster_id"))
-      },
+      // r12: CC over rep pairs + doc→rep star edges (same components,
+      // linearly many edges) — Dedup.minhashClusters
+      (s, d) => Dedup.minhashClusters(plantedDocs(s, d), "doc_id", "text",
+          threshold = 0.35)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .withColumn("keep", col("doc_id") === col("cluster_id")),
       Some(MinhashOracle.clusterSql)),
 
     // corpus_split_safe [EXT]: leakage-free train/val/test split — the
@@ -963,17 +960,13 @@ object TextQ {
     // replays the full sketch + recursive-CTE ground-truth components
     // + the md5 membership on the cluster id.
     Q("corpus_split_safe",
+      // r12: clone-collapsed clusters (Dedup.minhashClusters) — the
+      // 100x bench's worst residue (96 s, 91 s of it materializing
+      // quadratic clone-pair cc_edges) drops to the linear star graph
       (s, d) => {
-        val docs = plantedDocs(s, d)
-        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-          threshold = 0.35).select(col("id_a"), col("id_b"))
-        val labels = graft.operators.ConnectedComponents
-          .labels(pairs, "id_a", "id_b")
-        val labeled = docs.select(col("doc_id"))
-          .join(labels.withColumnRenamed("id", "doc_id"),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+        val labeled = Dedup.minhashClusters(plantedDocs(s, d), "doc_id",
+            "text", threshold = 0.35)
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         graft.operators.Sampling.assignSplits(labeled, col("cluster_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
           portable = true)

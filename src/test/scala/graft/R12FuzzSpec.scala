@@ -69,4 +69,37 @@ class R12FuzzSpec extends SparkFunSuite {
         s"trial $trial seed $seed: partitioning changed the sum: $byPlan")
     }
   }
+
+  test("minhashPairsDistinct / minhashClusters: exact parity with the " +
+       "doc-level path on a clone-heavy corpus") {
+    import graft.operators.{ConnectedComponents, Dedup}
+    // clone-heavy fixture: sf0.001 planted docs x5 verbatim clones with
+    // offset ids — the shape that made doc-level banding quadratic
+    val base = queries.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val clones = ReplicateCorpus.fanOut(spark, base, "documents",
+      Seq("doc_id"), mult = 5, skew = 0)
+    val tau = 0.35
+
+    val docPairs = Dedup.minhashPairs(clones, "doc_id", "text",
+      threshold = tau).select("id_a", "id_b", "est_jaccard")
+    val distPairs = Dedup.minhashPairsDistinct(clones, "doc_id", "text",
+      threshold = tau).select("id_a", "id_b", "est_jaccard")
+    assert(docPairs.exceptAll(distPairs).isEmpty &&
+           distPairs.exceptAll(docPairs).isEmpty,
+      "pair sets (incl. est) must be identical")
+
+    val docLabels = {
+      val labels = ConnectedComponents.labels(
+        docPairs.select("id_a", "id_b"), "id_a", "id_b")
+      clones.select(col("doc_id").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    }
+    val distLabels = Dedup.minhashClusters(clones, "doc_id", "text",
+      threshold = tau)
+    assert(docLabels.exceptAll(distLabels).isEmpty &&
+           distLabels.exceptAll(docLabels).isEmpty,
+      "component labels must be identical")
+  }
 }
