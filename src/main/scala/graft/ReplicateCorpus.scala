@@ -53,18 +53,89 @@ import org.apache.spark.sql.functions._
   * The replica fan-out itself is ONE scan per table: a broadcast
   * cross join against a `mult`-row replica-index frame (not a
   * `mult`-way self-union, whose plan re-reads the source per branch).
+  *
+  * **Skew mode** (round 12, 5th arg `skew` = divisor d, 0 = off):
+  * uniform replication is gentle on hot-key handling — every replica
+  * is disjoint, so NO key's group grows with mult and a straggler-prone
+  * plan still looks flat. With `skew=d`, the GROUPING keys (events
+  * `user_id`, orders `o_custkey`, lineitem `l_suppkey` — not the row
+  * ids, which stay unique) FOLD back to their original value on every
+  * replica for the ~1/d of keys with `xxhash64(key) % d == 0`:
+  *   - a hot user/customer/supplier carries mult× its sf-calibrated
+  *     row count in ONE group (per-key windows, sessions, stateful
+  *     streams, per-key series all see a true straggler group);
+  *   - self-joins keyed on a hot key (join_overlap's per-user
+  *     time-window pairs) grow ~mult² for that key — the genuine
+  *     power-law shape;
+  *   - the co-purchase graph gains hub vertices (a hot supplier ships
+  *     into every replica's orders), stressing degree-orientation and
+  *     per-round PageRank fan-in.
+  * Folding preserves referential integrity — the folded value is the
+  * ORIGINAL key, present in replica 0 of the dimension — and
+  * determinism (xxhash64, no rand()). Oracles are unaffected: the
+  * checker replays whatever parquet says.
   */
 object ReplicateCorpus {
   val Off = 1000000000L // > any source key at any shipped SF
 
+  /** Grouping keys that fold under skew mode: hot-key pressure wants
+    * the key that DEFINES groups/joins, never the row identity (ids
+    * must stay corpus-unique or dedup/count semantics change).
+    */
+  private val SkewFoldCols = Set("user_id", "o_custkey", "l_suppkey")
+
+  /** The per-table replica fan-out (factored from main for spec
+    * coverage): mult copies via one broadcast cross join, entity keys
+    * offset per replica — except, under `skew` = d > 0, fold-eligible
+    * grouping keys keep their ORIGINAL value when
+    * `xxhash64(key) % d == 0` (see the skew-mode contract above).
+    */
+  def fanOut(spark: SparkSession, base: DataFrame, table: String,
+      keys: Seq[String], mult: Int, skew: Int): DataFrame = {
+    if (keys.isEmpty) return base
+    keys.foreach { k =>
+      // offset keys must be 64-bit: an int key would overflow at
+      // m >= 3 and silently corrupt the join graph. Every shipped
+      // key column is bigint; fail loudly if a future data
+      // generation changes that.
+      require(base.schema(k).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"$table.$k is ${base.schema(k).dataType}, expected bigint")
+    }
+    val replicas = spark.range(mult).toDF("__m")
+    val fanned = base.crossJoin(broadcast(replicas))
+    val shifted = keys.foldLeft(fanned) { (df, k) =>
+      val offset = col(k) + col("__m") * lit(Off)
+      df.withColumn(k,
+        if (skew > 0 && SkewFoldCols(k))
+          when(pmod(xxhash64(col(k)), lit(skew.toLong)) === 0L, col(k))
+            .otherwise(offset)
+        else offset)
+    }
+    val nudged =
+      if (table == "embeddings")
+        // same float math as replica-loop Scala (0.001f * m):
+        // FLOAT multiply then FLOAT add, replica 0 exactly verbatim
+        shifted.withColumn("embedding",
+          when(col("__m") === 0L, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (x, i) => when(i === 0,
+                x + lit(0.001f) * col("__m").cast("float"))
+                .otherwise(x))))
+      else shifted
+    nudged.drop("__m")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ReplicateCorpus <srcSfDir> <dstDir> [mult=10] [files=1]")
+      "usage: ReplicateCorpus <srcSfDir> <dstDir> [mult=10] [files=1] [skew=0]")
     val (src, dst) = (args(0), args(1))
     val mult = if (args.length > 2) args(2).toInt else 10
     val files = if (args.length > 3) args(3).toInt else 1
+    val skew = if (args.length > 4) args(4).toInt else 0
     require(mult >= 1, s"mult must be >= 1, got $mult")
     require(files >= 1, s"files must be >= 1, got $files")
+    require(skew >= 0, s"skew must be >= 0, got $skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,39 +188,10 @@ object ReplicateCorpus {
 
     keyCols.foreach { case (table, keys) =>
       val base = queries.t(spark, src, table)
-      val out =
-        if (keys.isEmpty) base
-        else {
-          keys.foreach { k =>
-            // offset keys must be 64-bit: an int key would overflow at
-            // m >= 3 and silently corrupt the join graph. Every shipped
-            // key column is bigint; fail loudly if a future data
-            // generation changes that.
-            require(base.schema(k).dataType ==
-              org.apache.spark.sql.types.LongType,
-              s"$table.$k is ${base.schema(k).dataType}, expected bigint")
-          }
-          val replicas = spark.range(mult).toDF("__m")
-          val fanned = base.crossJoin(broadcast(replicas))
-          val shifted = keys.foldLeft(fanned) { (df, k) =>
-            df.withColumn(k, col(k) + col("__m") * lit(Off))
-          }
-          val nudged =
-            if (table == "embeddings")
-              // same float math as replica-loop Scala (0.001f * m):
-              // FLOAT multiply then FLOAT add, replica 0 exactly verbatim
-              shifted.withColumn("embedding",
-                when(col("__m") === 0L, col("embedding"))
-                  .otherwise(transform(col("embedding"),
-                    (x, i) => when(i === 0,
-                      x + lit(0.001f) * col("__m").cast("float"))
-                      .otherwise(x))))
-            else shifted
-          nudged.drop("__m")
-        }
+      val out = fanOut(spark, base, table, keys, mult, skew)
       val t0 = System.nanoTime()
       write(out, table)
-      println(f"[replicate] $table%-10s x$mult files=$files -> " +
+      println(f"[replicate] $table%-10s x$mult files=$files skew=$skew -> " +
         f"$dst/$table.parquet (${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
     spark.stop()

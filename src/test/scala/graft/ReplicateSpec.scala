@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The replicator's fan-out contract (graft.ReplicateCorpus.fanOut) —
+  * the transform every 10×/30×/100× audit corpus is built from, now
+  * spec-pinned since round 12 adds the skew mode.
+  */
+class ReplicateSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val mult = 5
+  private def events = queries.t(spark, "/root/testdata/sf0.001", "events")
+
+  test("uniform fan-out: mult x rows, disjoint replicas, unique ids") {
+    val base = events
+    val n0 = base.count()
+    val out = ReplicateCorpus.fanOut(spark, base, "events",
+      Seq("event_id", "user_id"), mult, skew = 0)
+    assert(out.count() === n0 * mult)
+    assert(out.select("event_id").distinct().count() === n0 * mult)
+    // every user appears with exactly its original row count — no
+    // group grows with mult (the property skew mode exists to break)
+    val grp = out.groupBy("user_id").count()
+      .agg(max("count")).as[Long].first()
+    val orig = base.groupBy("user_id").count()
+      .agg(max("count")).as[Long].first()
+    assert(grp === orig)
+  }
+
+  test("skew fan-out: hot users fold to mult x groups, cold users stay " +
+       "disjoint, row ids stay unique") {
+    val base = events
+    val skew = 2
+    val out = ReplicateCorpus.fanOut(spark, base, "events",
+      Seq("event_id", "user_id"), mult, skew)
+    // row identity never folds: ids unique at full mult x cardinality
+    assert(out.select("event_id").distinct().count() ===
+      base.count() * mult)
+    val origCounts = base.groupBy("user_id").count()
+      .withColumnRenamed("count", "n0")
+    val hot = origCounts
+      .filter(pmod(xxhash64(col("user_id")), lit(skew.toLong)) === 0L)
+    assert(hot.count() > 0, "fixture must contain at least one hot user")
+    // hot: the ORIGINAL key carries mult x its original rows — the
+    // straggler group uniform replication can never produce
+    val hotOut = out.join(hot, "user_id")
+      .groupBy("user_id", "n0").count()
+      .filter(col("count") =!= col("n0") * mult)
+    assert(hotOut.isEmpty, s"hot groups must be exactly mult x original")
+    // cold: no group anywhere exceeds its source count (replicas are
+    // offset-disjoint), and each cold key yields mult offset copies
+    val cold = origCounts.filter(
+      pmod(xxhash64(col("user_id")), lit(skew.toLong)) =!= 0L)
+    val coldBad = out
+      .withColumn("orig_key", pmod(col("user_id"), lit(ReplicateCorpus.Off)))
+      .join(cold.withColumnRenamed("user_id", "orig_key"), "orig_key")
+      .groupBy("orig_key", "n0")
+      .agg(countDistinct("user_id").as("copies"), count(lit(1)).as("rows"))
+      .filter(col("copies") =!= mult || col("rows") =!= col("n0") * mult)
+    assert(coldBad.isEmpty,
+      "cold keys must appear as exactly mult disjoint offset copies")
+  }
+
+  test("skew fold is deterministic and referentially consistent") {
+    val base = events
+    val a = ReplicateCorpus.fanOut(spark, base, "events",
+      Seq("event_id", "user_id"), 3, 2)
+    val b = ReplicateCorpus.fanOut(spark, base, "events",
+      Seq("event_id", "user_id"), 3, 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // folded keys are a subset of the ORIGINAL key domain (they join
+    // back to replica 0 of any dimension — integrity preserved)
+    val folded = a.filter(col("user_id") < ReplicateCorpus.Off)
+      .select("user_id").distinct()
+    val origKeys = base.select("user_id").distinct()
+    assert(folded.exceptAll(origKeys).isEmpty)
+  }
+}
