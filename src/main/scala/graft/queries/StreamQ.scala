@@ -478,18 +478,29 @@ object StreamQ {
     Q("stream_changepoint",
       (s, d) => graft.streaming.EventStreams.cusumMonitor(
         s, t(s, d, "events")).toDF(),
+      // r12: prefix moments as exact integer cent sums (see
+      // stream_anomaly) — the z snap can no longer straddle a float
+      // drift between Welford and var_samp on hot-key histories
       Some("""WITH RECURSIVE v AS (SELECT user_id, epoch_us(ts) AS o1,
-             |    event_id AS o2, value::DOUBLE AS x FROM events),
-             |w AS (SELECT user_id, o1, o2, x,
-             |    count(x) OVER wp AS pn,
-             |    avg(x) OVER wp AS pmean,
-             |    var_samp(x) OVER wp AS pvar
+             |    event_id AS o2,
+             |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |w AS (SELECT user_id, o1, o2, c,
+             |    count(c) OVER wp AS pn,
+             |    sum(c) OVER wp AS s1,
+             |    sum(c * c) OVER wp AS s2
              |  FROM v
              |  WINDOW wp AS (PARTITION BY user_id ORDER BY o1, o2
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
              |z AS (SELECT user_id, o1, o2,
-             |    CASE WHEN pn >= 12 AND pvar > 0
-             |      THEN floor((x - pmean) / sqrt(pvar) * 1e4 + 0.5) / 1e4
+             |    CASE WHEN pn >= 12 AND
+             |        (CAST(s2 AS DOUBLE)
+             |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / pn)
+             |          / (pn - 1) > 0
+             |      THEN floor((CAST(c AS DOUBLE)
+             |          - CAST(s1 AS DOUBLE) / pn)
+             |        / sqrt((CAST(s2 AS DOUBLE)
+             |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / pn)
+             |          / (pn - 1)) * 1e4 + 0.5) / 1e4
              |    END AS z
              |  FROM w),
              |sq AS (SELECT user_id, count(*)::BIGINT AS ntot,
@@ -713,25 +724,43 @@ object StreamQ {
     // Session start is emitted as floor-epoch-seconds so ns (DuckDB) vs
     // µs (Spark) precision never crosses the compare.
     Q("stream_session",
+      // r12: session sums through Cols.sumCents — a hot user's sessions
+      // carry 30x the summands under skew, and a plain double sum's
+      // reassociation drift crossed the round(2) boundary there
+      // (events.value sub-cent quantization per the sumCents contract)
       (s, d) => t(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"),
           col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Cols.sumCents(col("value")).as("sum_v"))
         .select(col("w.start").cast("long").as("session_start_s"),
           col("user_id"), col("n"), col("sum_v")),
-      Some("""WITH g AS (SELECT user_id, ts, value,
+      // The gaps-and-islands replay sessionizes DISTINCT (user, ts)
+      // rows and joins event membership back (r12): a ROWS-frame
+      // cumulative sum over an ORDER BY with duplicate timestamps
+      // splits a tie group across two sessions nondeterministically
+      // (DuckDB's peer order is arbitrary), which the skewed corpus's
+      // 30-deep ts clones exposed — session semantics depend only on
+      // the distinct timestamp sequence, so dedup-first is both
+      // deterministic and the cheaper replay.
+      Some("""WITH d AS (SELECT DISTINCT user_id, ts FROM events),
+             g AS (SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-             FROM events
+             FROM d
              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-             s AS (SELECT user_id, ts, value,
+             s AS (SELECT user_id, ts,
                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
                  ROWS UNBOUNDED PRECEDING) AS sess
-             FROM g)
+             FROM g),
+             j AS (SELECT e.user_id, e.ts, e.value, s.sess
+               FROM events e JOIN s ON e.user_id = s.user_id
+                 AND e.ts = s.ts)
              SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
-               user_id, count(*) AS n, round(sum(value), 2) AS sum_v
-             FROM s GROUP BY user_id, sess""")),
+               user_id, count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_v
+             FROM j GROUP BY user_id, sess""")),
 
     // stream_join: stream-stream interval join (batch twin; the true
     // two-watermark streaming path is EventStreams.intervalJoin driven
@@ -821,19 +850,35 @@ object StreamQ {
           s, t(s, d, "events")).toDF()
         .select(col("user_id"), col("event_id"),
           round(col("value"), 2).as("value"), round(col("z"), 4).as("z")),
-      Some("""WITH p AS (SELECT user_id, event_id, value,
-             |    count(*) OVER w AS n_prev,
-             |    avg(value) OVER w AS mean_prev,
-             |    var_samp(value) OVER w AS var_prev
-             |  FROM events
+      // r12: prefix moments are EXACT integer cent sums (Σc, Σc² over
+      // BIGINT windows — the MomentState twin); mean/var/z derive from
+      // those identical integers with the identical double expression
+      // tree, so a hot user's 30×-longer history cannot drift the two
+      // engines apart (the skew audit measured 74 borderline-z flips
+      // under float Welford vs windowed var_samp)
+      Some("""WITH c AS (SELECT user_id, event_id, ts, value,
+             |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |p AS (SELECT user_id, event_id, value, c,
+             |    count(c) OVER w AS n_prev,
+             |    sum(c) OVER w AS s1,
+             |    sum(c * c) OVER w AS s2
+             |  FROM c
              |  WINDOW w AS (PARTITION BY user_id
              |    ORDER BY epoch_us(ts), event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT user_id, event_id, value,
+             |    (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n_prev)
+             |      / sqrt((CAST(s2 AS DOUBLE)
+             |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_prev)
+             |        / (n_prev - 1)) AS z
+             |  FROM p
+             |  WHERE n_prev >= 12
+             |    AND (CAST(s2 AS DOUBLE)
+             |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_prev)
+             |        / (n_prev - 1) > 0)
              |SELECT user_id, event_id, round(value, 2) AS value,
-             |  round((value - mean_prev) / sqrt(var_prev), 4) AS z
-             |FROM p
-             |WHERE n_prev >= 12 AND var_prev > 0
-             |  AND abs((value - mean_prev) / sqrt(var_prev)) > 3""".stripMargin)),
+             |  round(z, 4) AS z
+             |FROM z WHERE abs(z) > 3""".stripMargin)),
 
     // stream_funnel [EXT]: ONLINE ordered-funnel tracking — the
     // incremental twin of funnel_conv (operators.Funnel). Per-user

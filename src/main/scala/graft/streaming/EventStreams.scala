@@ -212,11 +212,24 @@ object EventStreams {
     }
   }
 
-  /** Per-user Welford accumulator: count, running mean, and running
-    * sum of squared deviations (M2) — THREE scalars per user, numerically
-    * stable, mergeable-free single-stream form.
+  /** Per-user prefix-moment accumulator: count plus EXACT integer
+    * sums of cent-quantized values (Σc, Σc²) — THREE scalars per user.
+    *
+    * Round 12 replaced the float Welford triple (n, mean, m2): the
+    * skewed-corpus audit showed Welford's incremental rounding and the
+    * oracle's windowed avg/var_samp drifting apart over hot users'
+    * 30×-longer histories — 74 borderline |z|>3 flips and a z-snap
+    * boundary crossing in the CUSUM fold. Integer sums are
+    * plan/engine/order-free (the Cols.sumCents discipline applied to
+    * second moments); both engines derive mean/var/z from the
+    * IDENTICAL integers with the IDENTICAL double expression tree, so
+    * the comparison can never flip. Values quantize to cents first —
+    * the registry's standing sub-cent convention for events.value.
+    * Long bounds: Σc² overflows past ~9.2e18 (e.g. 10⁹ events/user at
+    * ~$1k magnitudes); the step guards and fails loudly — widen the
+    * state to Decimal(38,0) when a corpus legitimately crosses that.
     */
-  final case class WelfordState(n: Long, mean: Double, m2: Double)
+  final case class MomentState(n: Long, s1c: Long, s2c2: Long)
   /** One emitted row per flagged event. */
   final case class AnomalyHit(user_id: Long, event_id: Long,
                               value: Double, z: Double)
@@ -237,39 +250,65 @@ object EventStreams {
     * watermark needed for correctness (only as an eviction policy for
     * unbounded key spaces).
     */
-  /** Per-group Welford scan — shared step core for both state APIs. */
+  /** z of the current cent value against the EXACT prefix moments,
+    * computed with the expression tree the oracle SQL mirrors verbatim:
+    * mean = s1/n, var = (s2 − s1·s1/n)/(n−1), z = (c − mean)/sqrt(var).
+    * Integer→double casts round identically in any IEEE engine, so the
+    * result is bit-equal wherever the inputs are. NaN when var ≤ 0 or
+    * n < 2 — callers gate on prefix length and positivity.
+    */
+  @inline private def prefixZ(c: Long, n: Long, s1c: Long,
+      s2c2: Long): Double = {
+    val cd = c.toDouble; val s1d = s1c.toDouble; val s2d = s2c2.toDouble
+    val varc = (s2d - s1d * s1d / n) / (n - 1)
+    (cd - s1d / n) / math.sqrt(varc)
+  }
+
+  @inline private def prefixVar(n: Long, s1c: Long, s2c2: Long): Double = {
+    val s1d = s1c.toDouble; val s2d = s2c2.toDouble
+    (s2d - s1d * s1d / n) / (n - 1)
+  }
+
+  @inline private def absorb(st: MomentState, c: Long): MomentState = {
+    val c2 = c * c
+    require(st.s2c2 <= Long.MaxValue - c2,
+      s"prefix Σc² would overflow long (n=${st.n}): widen MomentState " +
+        "to Decimal(38,0) for this corpus")
+    MomentState(st.n + 1, st.s1c + c, st.s2c2 + c2)
+  }
+
+  /** Per-group prefix-moment scan — shared step core for both state
+    * APIs. Values quantize to integer cents on entry (the events.value
+    * sub-cent convention); the emitted `value` stays the raw double.
+    */
   private def welfordStep(threshold: Double, minObs: Long, uid: Long,
-                          prev: WelfordState,
+                          prev: MomentState,
                           rows: Iterator[(Long, Long, Long, Double)])
-      : (WelfordState, Seq[AnomalyHit]) = {
-    var n = prev.n
-    var mean = prev.mean
-    var m2 = prev.m2
+      : (MomentState, Seq[AnomalyHit]) = {
+    var st = prev
     val hits = Seq.newBuilder[AnomalyHit]
     rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
       case (_, _, eid, x) =>
-        if (n >= minObs && m2 > 0) {
-          val z = (x - mean) / math.sqrt(m2 / (n - 1))
+        val c = math.round(x * 100)
+        if (st.n >= minObs && prefixVar(st.n, st.s1c, st.s2c2) > 0) {
+          val z = prefixZ(c, st.n, st.s1c, st.s2c2)
           if (math.abs(z) > threshold) hits += AnomalyHit(uid, eid, x, z)
         }
-        n += 1
-        val d = x - mean
-        mean += d / n
-        m2 += d * (x - mean)
+        st = absorb(st, c)
     }
-    (WelfordState(n, mean, m2), hits.result())
+    (st, hits.result())
   }
 
   private class AnomalyProc(threshold: Double, minObs: Long)
       extends StatefulProcessor[Long, (Long, Long, Long, Double), AnomalyHit] {
-    @transient private var st: ValueState[WelfordState] = _
+    @transient private var st: ValueState[MomentState] = _
     override def init(om: OutputMode, tm: TimeMode): Unit =
-      st = StateApi.valueState[WelfordState](getHandle, "welford",
-        Encoders.product[WelfordState], TTLConfig.NONE)
+      st = StateApi.valueState[MomentState](getHandle, "welford",
+        Encoders.product[MomentState], TTLConfig.NONE)
     override def handleInputRows(uid: Long,
                                  rows: Iterator[(Long, Long, Long, Double)],
                                  tv: TimerValues): Iterator[AnomalyHit] = {
-      val prev = Option(st.get()).getOrElse(WelfordState(0L, 0.0, 0.0))
+      val prev = Option(st.get()).getOrElse(MomentState(0L, 0L, 0L))
       val (next, hits) = welfordStep(threshold, minObs, uid, prev, rows)
       st.update(next)
       hits.iterator
@@ -292,22 +331,23 @@ object EventStreams {
     if (StateApi.useTws(spark))
       keyed.transformWithState(new AnomalyProc(threshold, minObs),
         TimeMode.None(), OutputMode.Append(), Encoders.product[AnomalyHit])
-    else keyed.flatMapGroupsWithState[WelfordState, AnomalyHit](
+    else keyed.flatMapGroupsWithState[MomentState, AnomalyHit](
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
-       state: GroupState[WelfordState]) =>
+       state: GroupState[MomentState]) =>
         val (next, hits) = welfordStep(threshold, minObs, uid,
-          state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0)), rows)
+          state.getOption.getOrElse(MomentState(0L, 0L, 0L)), rows)
         state.update(next)
         hits.iterator
     }
   }
 
-  /** Per-user CUSUM accumulator: the three Welford scalars plus the
+  /** Per-user CUSUM accumulator: the three exact prefix-moment scalars
+    * (see [[MomentState]] — integer cent sums since round 12) plus the
     * running one-sided CUSUM statistic and its lifetime stats — SIX
     * scalars per user, no event retention.
     */
-  final case class CusumState(n: Long, mean: Double, m2: Double,
+  final case class CusumState(n: Long, s1c: Long, s2c2: Long,
                               s: Double, alarms: Long, maxS: Double)
   /** One emitted summary row per user per trigger. */
   final case class CusumUpdate(user_id: Long, n: Long, alarms: Long,
@@ -349,7 +389,7 @@ object EventStreams {
       (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
        state: GroupState[CusumState]) =>
         val (next, out) = cusumStep(k, h, minObs, uid,
-          state.getOption.getOrElse(CusumState(0L, 0.0, 0.0, 0.0, 0L, 0.0)),
+          state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0.0, 0L, 0.0)),
           rows)
         state.update(next)
         Iterator.single(out)
@@ -361,24 +401,22 @@ object EventStreams {
                         prev: CusumState,
                         rows: Iterator[(Long, Long, Long, Double)])
       : (CusumState, CusumUpdate) = {
-    var n = prev.n; var mean = prev.mean; var m2 = prev.m2
+    var mom = MomentState(prev.n, prev.s1c, prev.s2c2)
     var s = prev.s; var alarms = prev.alarms; var maxS = prev.maxS
     rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
       case (_, _, _, x) =>
-        if (n >= minObs && m2 > 0) {
-          val zRaw = (x - mean) / math.sqrt(m2 / (n - 1))
+        val c = math.round(x * 100)
+        if (mom.n >= minObs && prefixVar(mom.n, mom.s1c, mom.s2c2) > 0) {
+          val zRaw = prefixZ(c, mom.n, mom.s1c, mom.s2c2)
           val z = math.floor(zRaw * 1e4 + 0.5) / 1e4
           s = math.max(0.0, s + z - k)
           if (s > h) alarms += 1
           if (s > maxS) maxS = s
         }
-        n += 1
-        val d = x - mean
-        mean += d / n
-        m2 += d * (x - mean)
+        mom = absorb(mom, c)
     }
-    (CusumState(n, mean, m2, s, alarms, maxS),
-      CusumUpdate(uid, n, alarms, math.floor(maxS * 1e4 + 0.5) / 1e4))
+    (CusumState(mom.n, mom.s1c, mom.s2c2, s, alarms, maxS),
+      CusumUpdate(uid, mom.n, alarms, math.floor(maxS * 1e4 + 0.5) / 1e4))
   }
 
   private class CusumProc(k: Double, h: Double, minObs: Long)
@@ -391,7 +429,7 @@ object EventStreams {
                                  rows: Iterator[(Long, Long, Long, Double)],
                                  tv: TimerValues): Iterator[CusumUpdate] = {
       val prev = Option(st.get())
-        .getOrElse(CusumState(0L, 0.0, 0.0, 0.0, 0L, 0.0))
+        .getOrElse(CusumState(0L, 0L, 0L, 0.0, 0L, 0.0))
       val (next, out) = cusumStep(k, h, minObs, uid, prev, rows)
       st.update(next)
       Iterator.single(out)
