@@ -803,22 +803,52 @@ object ScaleQ {
       (s, d) => graft.operators.ConnectedComponents
         .labels(coPurchasePairs(s, d), "a", "b")
         .groupBy("cluster").agg(count(lit(1)).as("size")),
-      Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_suppkey
-             |  FROM lineitem
-             |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
-             |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
-             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-             |    AND a.l_suppkey < b.l_suppkey),
-             |ed AS (SELECT a AS src, b AS dst FROM e
-             |       UNION ALL SELECT b AS src, a AS dst FROM e),
-             |r(node, lab) AS (
-             |  SELECT DISTINCT src AS node, src AS lab FROM ed
-             |  UNION
-             |  SELECT ed.dst, r.lab FROM r JOIN ed ON ed.src = r.node),
-             |m AS (SELECT node, min(lab)::BIGINT AS cluster
-             |  FROM r GROUP BY 1)
-             |SELECT cluster, count(*)::BIGINT AS size
-             |FROM m GROUP BY 1""".stripMargin)),
+      // r12: the old recursive-CTE ground truth enumerated every
+      // (node, reachable-smaller-label) pair — |component|² state, and
+      // the skewed corpus's hub suppliers fuse most of the graph into
+      // ONE giant component (>35 min of spill at 80 GB). Replaced with
+      // MIN-LABEL PROPAGATION + POINTER JUMPING, one MATERIALIZED
+      // |V|-row frame per round: lab ← least(lab, min over in-
+      // neighbors' lab, lab(lab)). The jump doubles resolved distance
+      // per round, so 12 rounds cover diameter ≫ any gate graph; a
+      // 13th round materializes the convergence CHECK — any label
+      // still moving emits a poison row (cluster −1, impossible
+      // otherwise: labels are positive suppkeys), failing the compare
+      // loudly instead of silently blessing an unconverged replay.
+      Some {
+        def round(i: Int): String = {
+          val p = s"l${i - 1}"
+          s"""l$i AS MATERIALIZED (
+             |  SELECT c.node,
+             |    least(c.lab,
+             |      coalesce(nb.mn, c.lab), coalesce(j.jlab, c.lab)) AS lab
+             |  FROM $p c
+             |  LEFT JOIN (SELECT ed.dst AS node, min(p.lab) AS mn
+             |             FROM ed JOIN $p p ON p.node = ed.src
+             |             GROUP BY ed.dst) nb USING (node)
+             |  LEFT JOIN (SELECT c2.node, p2.lab AS jlab
+             |             FROM $p c2 JOIN $p p2 ON p2.node = c2.lab) j
+             |    USING (node))"""
+        }
+        ("""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey
+           |  FROM lineitem
+           |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+           |e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS a,
+           |    b.l_suppkey AS b
+           |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_suppkey < b.l_suppkey),
+           |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+           |       UNION ALL SELECT b AS src, a AS dst FROM e),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab
+           |  FROM ed),
+           |""" + (1 to 13).map(round).mkString(",\n") + """
+           |SELECT lab::BIGINT AS cluster, count(*)::BIGINT AS size
+           |FROM l12 GROUP BY 1
+           |UNION ALL
+           |SELECT -1::BIGINT, count(*)::BIGINT
+           |FROM (SELECT * FROM l13 EXCEPT SELECT * FROM l12)
+           |HAVING count(*) > 0""").stripMargin
+      }),
 
     // dq_checksum [EXT, new r8]: order-free table content fingerprints —
     // the migration/replication validation primitive ("did every row
