@@ -60,8 +60,13 @@ object PageRank {
             undirected: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val base = edgesIn.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"))
+    // ids keep their INPUT type end-to-end (r12 — was cast("string")):
+    // five rounds of join+aggregate shuffle the id on every exchange,
+    // so an integral vertex key is materially narrower and cheaper to
+    // hash than its string rendering at 100 TB; callers with composite
+    // string ids still work unchanged.
+    val base = edgesIn.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"))
     val dir = if (undirected)
       base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
     else base

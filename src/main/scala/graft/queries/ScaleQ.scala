@@ -381,14 +381,28 @@ object ScaleQ {
     // raw O(1/N) ranks would vanish under the rounding.
     Q("graph_pagerank",
       (s, d) => {
+        // r12: the ENGINE runs the same integer-vertex encoding the
+        // r12 oracle adopted (customers even = 2·custkey, suppliers
+        // odd = 2·suppkey+1) — five rounds of join+aggregate shuffle
+        // the vertex id on every exchange, and a bigint key is
+        // materially narrower and cheaper to hash than the 'c…'/'s…'
+        // string it renders to. The strings appear only in the final
+        // projection, so the output is unchanged.
         val e = t(s, d, "lineitem")
           .join(t(s, d, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
         // no distinct here: the operator's single edge-prep exchange
         // dedups the mirrored pairs anyway
         graft.operators.PageRank.ranks(e, "a", "b", iters = 5)
+          .select(
+            when(col("id") % 2 === 0,
+              concat(lit("c"), (col("id") / 2).cast("long")))
+              .otherwise(
+                concat(lit("s"), ((col("id") - 1) / 2).cast("long")))
+              .as("id"),
+            col("rank"))
       },
       // r12: vertices carry INTEGER ids through the replay (customers
       // even = 2·custkey, suppliers odd = 2·suppkey+1); the 'c…'/'s…'
