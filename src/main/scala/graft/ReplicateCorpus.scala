@@ -74,6 +74,18 @@ import org.apache.spark.sql.functions._
   * ORIGINAL key, present in replica 0 of the dimension — and
   * determinism (xxhash64, no rand()). Oracles are unaffected: the
   * checker replays whatever parquet says.
+  *
+  * **Fat mode** (round 13, 6th arg `fat` = 0/1): volume (10-100×),
+  * hot KEYS (skew) and hot VALUES are independent failure axes, and a
+  * 100-TB web corpus always has the third — a power-law record-size
+  * tail. `fat=1` appends the [[fatDocs]] rows to `documents` after
+  * replication: one 64 MB giant document plus a 100-document band at
+  * 1 MB whose first 15 rows form 5 exact-clone triples (the clone
+  * collapse under fat values). Ids sit far above every replica range;
+  * text is deterministic, token-namespaced away from the corpus (no
+  * cross shingles), newline-structured for line operators; two band
+  * ids ≡ 0 (mod 50) intentionally pick up plantedDocs' perturbed
+  * copies so the near-dup family verifies a megabyte-record pair.
   */
 object ReplicateCorpus {
   val Off = 1000000000L // > any source key at any shipped SF
@@ -126,16 +138,75 @@ object ReplicateCorpus {
     nudged.drop("__m")
   }
 
+  /** Fat-mode document ids live far above every replicated key range
+    * (mult ≤ 800 at Off = 1e9) and are chosen ≠ 0 (mod 50) for the
+    * 64 MB giant so plantedDocs does not double IT — the two band ids
+    * that ARE ≡ 0 (mod 50) deliberately pick up a planted perturbed
+    * copy, giving the near-dup family a 1 MB-record pair to verify.
+    */
+  val FatGiantId = 900000000001L
+  val FatBandBase = 900000001001L
+  val FatBandCount = 100
+  val FatCloneGroups = 5 // first 15 band docs = 5 exact-clone triples
+
+  /** Deterministic fat-record text: space-separated `f<tag>w<i%999983>`
+    * tokens (own namespace — shares no shingle with the TPC-H-ish
+    * corpus text), a newline every 64 tokens so line-oriented operators
+    * see real lines, until `targetBytes` is reached. The 999983 token
+    * period keeps the distinct-shingle set ~1M for the 64 MB giant
+    * (boilerplate-like internal repetition — the realistic shape) while
+    * every byte stays a pure function of (tag, targetBytes).
+    */
+  def fatText(tag: Long, targetBytes: Long): String = {
+    require(targetBytes <= Int.MaxValue - 64,
+      s"fatText bounded by one JVM string ($targetBytes)")
+    val sb = new java.lang.StringBuilder(targetBytes.toInt + 64)
+    var i = 0L
+    while (sb.length < targetBytes) {
+      sb.append('f').append(tag).append('w').append(i % 999983L)
+      sb.append(if (i % 64L == 63L) '\n' else ' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The fat-mode (hot-VALUE) document rows: one 64 MB giant, plus a
+    * 100-doc band at 1 MB of which the first 15 form 5 exact-clone
+    * triples (clone collapse under fat values) — appended ONCE, after
+    * replication, as (doc_id, tag, bytes) specs expanded to text ON THE
+    * EXECUTORS (spark.range + per-row generation, no driver-side
+    * 164 MB string batch — the shape that still works when a future
+    * sweep wants a 10 GB fat band).
+    */
+  def fatDocs(spark: SparkSession): DataFrame = {
+    val specs =
+      (FatGiantId, 0L, 64L * 1024 * 1024) +:
+      (0 until FatBandCount).map { i =>
+        val tag = if (i < 3 * FatCloneGroups) 1L + i / 3 else 100L + i
+        (FatBandBase + i, tag, 1L * 1024 * 1024)
+      }
+    val gen = udf((tag: Long, bytes: Long) => fatText(tag, bytes))
+    spark.createDataFrame(specs).toDF("doc_id", "tag", "bytes")
+      .repartition(specs.size) // one giant string per task, not 101 in one
+      .select(col("doc_id"),
+        gen(col("tag"), col("bytes")).as("text"),
+        lit("zz").as("lang"), lit("fat").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ReplicateCorpus <srcSfDir> <dstDir> [mult=10] [files=1] [skew=0]")
+      "usage: ReplicateCorpus <srcSfDir> <dstDir> [mult=10] [files=1] " +
+        "[skew=0] [fat=0]")
     val (src, dst) = (args(0), args(1))
     val mult = if (args.length > 2) args(2).toInt else 10
     val files = if (args.length > 3) args(3).toInt else 1
     val skew = if (args.length > 4) args(4).toInt else 0
+    val fat = if (args.length > 5) args(5).toInt else 0
     require(mult >= 1, s"mult must be >= 1, got $mult")
     require(files >= 1, s"files must be >= 1, got $files")
     require(skew >= 0, s"skew must be >= 0, got $skew")
+    require(fat == 0 || fat == 1, s"fat must be 0 or 1, got $fat")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -188,11 +259,16 @@ object ReplicateCorpus {
 
     keyCols.foreach { case (table, keys) =>
       val base = queries.t(spark, src, table)
-      val out = fanOut(spark, base, table, keys, mult, skew)
+      val fanned = fanOut(spark, base, table, keys, mult, skew)
+      val out =
+        if (fat == 1 && table == "documents")
+          fanned.unionByName(fatDocs(spark))
+        else fanned
       val t0 = System.nanoTime()
       write(out, table)
-      println(f"[replicate] $table%-10s x$mult files=$files skew=$skew -> " +
-        f"$dst/$table.parquet (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      println(f"[replicate] $table%-10s x$mult files=$files skew=$skew " +
+        f"fat=$fat -> $dst/$table.parquet " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
     spark.stop()
   }

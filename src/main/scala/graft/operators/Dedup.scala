@@ -123,22 +123,45 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Exact-clone collapse (round 12): (membership, reps) where
-    * `membership` = (id, rep) with rep = min id over identical-text
-    * rows and `reps` = one (rep, text) row per distinct text. Grouping
-    * is on the text VALUE itself (exact equality — no hash-collision
-    * hazard; at 100 TB swap the shuffle key for (length, md5) and keep
-    * the equality semantics). Both frames are staged: membership is a
-    * narrow two-long frame feeding several branches; reps bounds every
-    * downstream sketch/band/join by text DIVERSITY, not corpus size.
+  /** Exact-clone collapse (round 12, re-keyed round 13): (membership,
+    * reps) where `membership` = (id, rep) with rep = min id over
+    * identical-text rows and `reps` = one (rep, text) row per distinct
+    * text. Both frames are staged: membership is a narrow two-long
+    * frame feeding several branches; reps bounds every downstream
+    * sketch/band/join by text DIVERSITY, not corpus size.
+    *
+    * Shuffle keying (round 13): grouping and the membership join key on
+    * the 128-bit content hash `unhex(md5(text))` — 16 bytes — instead
+    * of the raw text (round 12 shuffled the corpus's heaviest column
+    * through BOTH exchanges). Text now crosses the wire exactly once,
+    * inside the partially-aggregated groupBy (one row per hash key per
+    * map task — bounded by per-mapper diversity, never corpus rows),
+    * and the membership join carries nothing but (hkey, id). Equality
+    * semantics are hash-equality: a 128-bit collision would merge two
+    * distinct texts, P ≈ n²/2^129 ≈ 1e-15 at a trillion documents —
+    * the same regime the MD5-keyed DuckDB oracle accepts.
+    *
+    * NULL texts: SQL equality never equates NULLs, so null-text rows
+    * are NOT clones of each other — each is its own singleton
+    * (id, id) membership row, excluded from `reps` (a null sketch
+    * can never pair). Round 12's equi-join on text silently DROPPED
+    * them from membership, breaking the "(id, cluster) for EVERY
+    * input document" contract downstream.
     */
   def textGroups(df: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val norm = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val nn = norm.filter(col("text").isNotNull)
+      .withColumn("hkey", unhex(md5(col("text"))))
     val reps = Stage.materialize(
-      norm.groupBy("text").agg(min("id").as("rep")), "text_reps")
+      nn.groupBy("hkey").agg(min("id").as("rep"),
+        first(col("text")).as("text")), "text_reps")
     val membership = Stage.materialize(
-      norm.join(reps, Seq("text")).select("id", "rep"), "text_membership")
+      nn.select("id", "hkey")
+        .join(reps.select("hkey", "rep"), Seq("hkey")).select("id", "rep")
+        .unionByName(norm.filter(col("text").isNull)
+          .select(col("id"), col("id").as("rep"))),
+      "text_membership")
     (membership, reps.select(col("rep"), col("text")))
   }
 
@@ -147,7 +170,12 @@ object Dedup {
     * document pairs only at the output boundary. Same result set as
     * the doc-level path (signatures are functions of the text, so every
     * member of a clone group carries its rep's signature verbatim —
-    * intra-group pairs agree on all k minima, est exactly 1.0), but
+    * intra-group pairs agree on all k minima, est exactly 1.0) WHILE
+    * no band-bucket exceeds `maxBucketSize`: past the cap the doc-level
+    * path's salt probabilistically drops intra-clone and cross pairs
+    * that this path (correctly) keeps, so beyond the cap the collapsed
+    * path strictly improves recall toward the lossless oracle rather
+    * than matching the doc-level output bit-for-bit. Cost-wise,
     * LSH work scales with text diversity while the quadratic clone-pair
     * blow-up is confined to output-bounded equi-join expansions — the
     * 100× bench measured the doc-level path's banded self-join paying
@@ -566,10 +594,32 @@ object Dedup {
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
                     bands: Int = 16, rowsPerBand: Int = 4, n: Int = 3,
                     finalThreshold: Double = 0.5, seed: Long = 42L,
-                    maxBucketSize: Int = 1000): DataFrame = {
-    val k = bands * rowsPerBand
-    val sets = Stage.materialize(df.select(col(idCol).as("id"),
+                    maxBucketSize: Int = 1000): DataFrame =
+    verifiedPairsOfSets(fitShingleSets(df, idCol, textCol, n), bands,
+      rowsPerBand, finalThreshold, seed, maxBucketSize)
+
+  /** The staged (id, shingle-hash-set) posting frame [[verifiedPairs]]
+    * consumes — ONE tokenize/shingle pass over the corpus, written to a
+    * stage file. Factored out (round 13) so a session running the
+    * verify pipeline repeatedly over the SAME corpus (bench reps, a
+    * long-lived service) fits the postings once and replays
+    * [[verifiedPairsOfSets]] from the staged scan, instead of paying
+    * the corpus scan + hash inside a random rep — the
+    * NearDupModel/ModelCache discipline applied to the jaccard family.
+    */
+  def fitShingleSets(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame =
+    Stage.materialize(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("sh")), "verified_sets")
+
+  /** [[verifiedPairs]] over an ALREADY-FITTED posting frame from
+    * [[fitShingleSets]] (columns (id, sh)).
+    */
+  def verifiedPairsOfSets(sets: DataFrame,
+                          bands: Int = 16, rowsPerBand: Int = 4,
+                          finalThreshold: Double = 0.5, seed: Long = 42L,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
     val banded = sets.select(col("id"),
       posexplode(Shim.column(BandHashes(Shim.expression(
         minhashSignatureOfSets(col("sh"), k, seed)), bands, rowsPerBand))))

@@ -44,13 +44,31 @@ object RobustStats {
 
   private val Buckets = 2048
   private val DriverSliceMax = 65536L
+  // Mechanical driver-OOM backstop (round 13): the narrowing loop's
+  // exit invariant says the final slice holds <= DriverSliceMax rows
+  // (the last histogram pass counted them), but that invariant rests
+  // on the input being deterministic between the counting job and the
+  // collect job — a non-deterministic source (rand()-derived column,
+  // a table rewritten mid-query) can hand the collect arbitrarily more
+  // rows than were counted. The cap re-counts the slice before
+  // collecting and falls back to value-group selection (bounded by the
+  // DISTINCT count) instead of trusting the stale count.
+  private val SliceHardCap = 1048576L
 
   /** Exact median of `valueCol` (non-null rows) under the
     * `percentile_cont(0.5)` convention (average of the two middle
     * values for even n). Returns the driver scalar — the caller
     * composes it as a literal.
     */
-  def medianExact(df: DataFrame, valueCol: Column): Double = {
+  def medianExact(df: DataFrame, valueCol: Column): Double =
+    medianExactImpl(df, valueCol, DriverSliceMax, SliceHardCap)
+
+  /** [[medianExact]] with injectable collect bounds — package-private
+    * so RobustStatsSpec can drive the hard-cap fallback without a
+    * million-row fixture.
+    */
+  private[graft] def medianExactImpl(df: DataFrame, valueCol: Column,
+                                     sliceMax: Long, hardCap: Long): Double = {
     val vals = df.select(valueCol.cast("double").as("__rs_x"))
       .filter(col("__rs_x").isNotNull)
     val head = vals.agg(count(lit(1)), min(col("__rs_x")),
@@ -66,7 +84,7 @@ object RobustStats {
     var hiVal: Option[Double] =     // second target once it leaves the interval
       if (kHi == kLo) Some(Double.NaN) else None // NaN marker: same as loVal
 
-    while (cnt > DriverSliceMax && lo < hi) {
+    while (cnt > sliceMax && lo < hi) {
       val w = (hi - lo) / Buckets
       val bucket = least(greatest(
         floor((col("__rs_x") - lit(lo)) / lit(w)), lit(0.0)),
@@ -103,13 +121,20 @@ object RobustStats {
       // all remaining candidates hold ONE value (tie mass): no need to
       // collect any of them, however many rows that is
       (lo + hiVal.map(v => if (v.isNaN) lo else v).getOrElse(lo)) / 2.0
-    else finishSlice(vals, lo, hi, k, hiVal)
+    else finishSlice(vals, lo, hi, k, hiVal, hardCap)
   }
 
   private def finishSlice(vals: DataFrame, lo: Double, hi: Double,
-                          k: Long, hiVal: Option[Double]): Double = {
-    val slice = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
-      .select(col("__rs_x")).collect().map(_.getDouble(0))
+                          k: Long, hiVal: Option[Double],
+                          hardCap: Long): Double = {
+    val filtered = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+      .select(col("__rs_x"))
+    // hard cap: re-count before collecting (see SliceHardCap) — a
+    // slice the narrowing invariant no longer vouches for selects by
+    // value groups instead of materializing rows on the driver
+    if (filtered.count() > hardCap)
+      return finishByValue(vals, lo, hi, k, hiVal)
+    val slice = filtered.collect().map(_.getDouble(0))
     java.util.Arrays.sort(slice)
     val loVal = slice((k - 1).toInt)
     val second = hiVal match {
@@ -125,8 +150,17 @@ object RobustStats {
     */
   private def finishByValue(vals: DataFrame, lo: Double, hi: Double,
                             k: Long, hiVal: Option[Double]): Double = {
-    val groups = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+    val grouped = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
       .groupBy(col("__rs_x")).agg(count(lit(1)).as("c"))
+    // last line of defense: value groups are bounded by the DISTINCT
+    // count — normally a handful (ULP-degenerate interval) or at most
+    // the capped slice's diversity. A group count only reachable via a
+    // source mutating between jobs fails loudly instead of OOMing.
+    val ng = grouped.count()
+    require(ng <= 16L * 1024 * 1024,
+      s"median selection degenerate: $ng distinct values in [$lo, $hi] " +
+        "— non-deterministic input changed between narrowing passes?")
+    val groups = grouped
       .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
     def rankValue(r: Long): Double = {
       var acc = 0L
@@ -174,7 +208,18 @@ object RobustStats {
     */
   def weightedQuantileExact(df: DataFrame, valueCol: Column,
                             weightCol: Column,
-                            num: Long, den: Long): (Double, Long) = {
+                            num: Long, den: Long): (Double, Long) =
+    weightedQuantileImpl(df, valueCol, weightCol, num, den,
+      DriverSliceMax, SliceHardCap)
+
+  /** [[weightedQuantileExact]] with injectable collect bounds (see
+    * [[medianExactImpl]]).
+    */
+  private[graft] def weightedQuantileImpl(df: DataFrame, valueCol: Column,
+                                          weightCol: Column,
+                                          num: Long, den: Long,
+                                          sliceMax: Long,
+                                          hardCap: Long): (Double, Long) = {
     require(num >= 1 && den >= 1 && num <= den,
       s"quantile fraction must satisfy 1 <= num <= den (got $num/$den)")
     val vals = df.select(valueCol.cast("double").as("__rs_x"),
@@ -197,7 +242,7 @@ object RobustStats {
     // RESULT k <= W always fits a Long
     var k = ((BigInt(num) * totalW + den - 1) / den).toLong
 
-    while (cnt > DriverSliceMax && lo < hi) {
+    while (cnt > sliceMax && lo < hi) {
       val w = (hi - lo) / Buckets
       val bucket = least(greatest(
         floor((col("__rs_x") - lit(lo)) / lit(w)), lit(0.0)),
@@ -219,23 +264,18 @@ object RobustStats {
         }
       }
       val (_, c, _, mn, mx) = stats(idx)
-      if (mn == lo && mx == hi && c == cnt) {
+      if (mn == lo && mx == hi && c == cnt)
         // ULP-degenerate interval: select among the few distinct
         // values by weight groups (bounded by the distinct count)
-        val groups = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
-          .groupBy(col("__rs_x")).agg(sum(col("__rs_w")).as("ws"))
-          .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
-        var a = 0L
-        groups.foreach { case (v, gw) =>
-          a += gw
-          if (a >= k) return (v, totalW)
-        }
-        return (groups.last._1, totalW)
-      }
+        return (weightedByValue(vals, lo, hi, k), totalW)
       lo = mn; hi = mx; k -= below; cnt = c
     }
     if (lo == hi) return (lo, totalW)
-    val slice = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+    val filtered = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+    // same hard cap as finishSlice: re-count before materializing rows
+    if (filtered.count() > hardCap)
+      return (weightedByValue(vals, lo, hi, k), totalW)
+    val slice = filtered
       .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
     var a = 0L
     slice.foreach { case (v, sw) =>
@@ -243,6 +283,28 @@ object RobustStats {
       if (a >= k) return (v, totalW)
     }
     (slice.last._1, totalW)
+  }
+
+  /** Weight-rank selection by (value, weight-sum) groups — bounded by
+    * the DISTINCT count, shared by the ULP-degenerate branch and the
+    * hard-cap fallback of [[weightedQuantileImpl]].
+    */
+  private def weightedByValue(vals: DataFrame, lo: Double, hi: Double,
+                              k: Long): Double = {
+    val grouped = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
+      .groupBy(col("__rs_x")).agg(sum(col("__rs_w")).as("ws"))
+    val ng = grouped.count()
+    require(ng <= 16L * 1024 * 1024,
+      s"weighted selection degenerate: $ng distinct values in [$lo, $hi] " +
+        "— non-deterministic input changed between narrowing passes?")
+    val groups = grouped
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    var a = 0L
+    groups.foreach { case (v, gw) =>
+      a += gw
+      if (a >= k) return v
+    }
+    groups.last._1
   }
 
   /** One-row robust summary of `valueCol`:

@@ -84,6 +84,13 @@ object TextQ {
   private[queries] val neardupCache =
     new ModelCache[Similarity.NearDupModel](4)
 
+  /** Staged-once jaccard shingle postings (Dedup.fitShingleSets) —
+    * round 13: dedup_jaccard's posting fit used to land inside a
+    * random bench rep (the 21-52 s 100× median swing); fit-once keyed
+    * per (session, corpus) like every other model here.
+    */
+  private[queries] val jaccardSetsCache = new ModelCache[DataFrame](4)
+
   /** embeddings ∪ +0.01-perturbed copies of every 50th vector — the
     * planted near-dup corpus shared by sim_neardup_cos/dedup_semantic
     * (cheap to rebuild: two narrow scans; the expensive sketch state is
@@ -389,8 +396,14 @@ object TextQ {
     // pair in this corpus sits at j >= 0.9 where recall ≈ 1 - 4e-8).
     // Spark computes Jaccard over 31-bit hashed shingles — exact modulo
     // collisions (P ≈ 4e-5 per pair at these set sizes).
+    // r13: the shingle-posting fit stages ONCE per (session, corpus)
+    // via jaccardSetsCache — before, the corpus scan + shingle hash
+    // landed inside whichever gate/bench rep ran first (a 21-52 s
+    // median swing at 100×); now reps replay from the staged postings.
     Q("dedup_jaccard",
-      (s, d) => Dedup.verifiedPairs(plantedDocs(s, d), "doc_id", "text",
+      (s, d) => Dedup.verifiedPairsOfSets(
+        jaccardSetsCache.getOrFit(s, d,
+          Dedup.fitShingleSets(plantedDocs(s, d), "doc_id", "text")),
         finalThreshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
           .as("jaccard")),

@@ -269,13 +269,28 @@ object EventStreams {
     (s2d - s1d * s1d / n) / (n - 1)
   }
 
-  @inline private def absorb(st: MomentState, c: Long): MomentState = {
-    val c2 = c * c
-    require(st.s2c2 <= Long.MaxValue - c2,
-      s"prefix Σc² would overflow long (n=${st.n}): widen MomentState " +
-        "to Decimal(38,0) for this corpus")
-    MomentState(st.n + 1, st.s1c + c, st.s2c2 + c2)
-  }
+  /** Sign-symmetric cent quantization (round half AWAY FROM ZERO) —
+    * the semantics of both DuckDB's `round(value * 100)` and Spark's
+    * `round()` in Cols.sumCents. A bare `math.round` rounds half
+    * toward +infinity, so a NEGATIVE exact-half-cent value (-12.125 →
+    * -1212.5) would quantize to a different cent here than in the
+    * oracle, breaking bit-equal parity.
+    */
+  @inline private def toCents(x: Double): Long =
+    if (x >= 0) math.round(x * 100) else -math.round(-x * 100)
+
+  @inline private def absorb(st: MomentState, c: Long): MomentState =
+    // every step is overflow-CHECKED: c*c itself wraps silently for
+    // |c| >= ~3.04e9 cents (c = 2^32 squares to exactly 0), so the
+    // old `s2c2 <= Long.MaxValue - c2` guard never saw the wrap, and
+    // the s1c accumulation was unchecked entirely
+    try MomentState(st.n + 1, Math.addExact(st.s1c, c),
+      Math.addExact(st.s2c2, Math.multiplyExact(c, c)))
+    catch {
+      case _: ArithmeticException => throw new IllegalStateException(
+        s"prefix moment would overflow long (n=${st.n}, c=$c): widen " +
+          "MomentState to Decimal(38,0) for this corpus")
+    }
 
   /** Per-group prefix-moment scan — shared step core for both state
     * APIs. Values quantize to integer cents on entry (the events.value
@@ -289,7 +304,7 @@ object EventStreams {
     val hits = Seq.newBuilder[AnomalyHit]
     rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
       case (_, _, eid, x) =>
-        val c = math.round(x * 100)
+        val c = toCents(x)
         if (st.n >= minObs && prefixVar(st.n, st.s1c, st.s2c2) > 0) {
           val z = prefixZ(c, st.n, st.s1c, st.s2c2)
           if (math.abs(z) > threshold) hits += AnomalyHit(uid, eid, x, z)
@@ -405,7 +420,7 @@ object EventStreams {
     var s = prev.s; var alarms = prev.alarms; var maxS = prev.maxS
     rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
       case (_, _, _, x) =>
-        val c = math.round(x * 100)
+        val c = toCents(x)
         if (mom.n >= minObs && prefixVar(mom.n, mom.s1c, mom.s2c2) > 0) {
           val zRaw = prefixZ(c, mom.n, mom.s1c, mom.s2c2)
           val z = math.floor(zRaw * 1e4 + 0.5) / 1e4

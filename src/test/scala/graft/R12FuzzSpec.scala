@@ -77,8 +77,14 @@ class R12FuzzSpec extends SparkFunSuite {
     // offset ids — the shape that made doc-level banding quadratic
     val base = queries.t(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
+    // r13: three NULL-text docs ride along — the clone collapse must
+    // keep them as self-singleton membership rows (SQL equality never
+    // equates NULLs), where the r12 text-keyed equi-join dropped them
+    // from membership entirely
     val clones = ReplicateCorpus.fanOut(spark, base, "documents",
-      Seq("doc_id"), mult = 5, skew = 0)
+        Seq("doc_id"), mult = 5, skew = 0)
+      .unionByName(Seq(9000000001L, 9000000002L, 9000000003L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
     val tau = 0.35
 
     val docPairs = Dedup.minhashPairs(clones, "doc_id", "text",
@@ -101,5 +107,12 @@ class R12FuzzSpec extends SparkFunSuite {
     assert(docLabels.exceptAll(distLabels).isEmpty &&
            distLabels.exceptAll(docLabels).isEmpty,
       "component labels must be identical")
+    // the null-text docs are present, each its own singleton cluster
+    val nullClusters = distLabels.filter(col("id") >= 9000000001L)
+      .as[(Long, Long)].collect().toMap
+    assert(nullClusters ==
+      Map(9000000001L -> 9000000001L, 9000000002L -> 9000000002L,
+          9000000003L -> 9000000003L),
+      s"null-text docs must self-cluster, got $nullClusters")
   }
 }

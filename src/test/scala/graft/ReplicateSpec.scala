@@ -76,4 +76,41 @@ class ReplicateSpec extends SparkFunSuite {
     val origKeys = base.select("user_id").distinct()
     assert(folded.exceptAll(origKeys).isEmpty)
   }
+
+  test("fat mode: 64 MB giant + 1 MB band with 5 exact-clone triples, " +
+       "deterministic, schema-compatible, ids above every replica range") {
+    import ReplicateCorpus._
+    val fat = fatDocs(spark)
+    val rows = fat.select(col("doc_id"), length(col("text")).as("len"),
+      col("lang"), col("source"), col("n_chars")).collect()
+    assert(rows.length === 1 + FatBandCount)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // the giant: ~64 MB (generation overshoots by < one token)
+    val giant = byId(FatGiantId)
+    assert(giant.getInt(1) >= 64 * 1024 * 1024 &&
+           giant.getInt(1) < 64 * 1024 * 1024 + 64)
+    assert(giant.getLong(4) === giant.getInt(1).toLong) // n_chars = length
+    // the band: 100 docs at ~1 MB each
+    val band = (0 until FatBandCount).map(i => byId(FatBandBase + i))
+    assert(band.forall(r => r.getInt(1) >= 1024 * 1024 &&
+                            r.getInt(1) < 1024 * 1024 + 64))
+    // ids sit above any replica's key range (mult <= 800 at Off = 1e9)
+    assert(rows.forall(_.getLong(0) > 800L * Off))
+    // clone structure: first 15 band docs = 5 triples of IDENTICAL
+    // text, everything else (incl. the giant) pairwise distinct
+    val texts = fat.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tripleHashes = (0 until 3 * FatCloneGroups).map(i =>
+      texts(FatBandBase + i)).grouped(3).toSeq
+    assert(tripleHashes.forall(g => g.distinct.size == 1))
+    val allHashes = texts.values.toSeq
+    assert(allHashes.distinct.size ===
+      1 + FatCloneGroups + (FatBandCount - 3 * FatCloneGroups))
+    // deterministic: a second generation is byte-identical
+    val again = fatDocs(spark).select(col("doc_id"), md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === texts)
+    // text namespace shares no token with the regular corpus text
+    assert(fat.filter(col("text").rlike("[^f0-9w\\s]")).count() === 0L)
+  }
 }

@@ -63,6 +63,32 @@ class RobustStatsSpec extends SparkFunSuite {
     assert(RobustStats.medianExact(df2, col("x")) === 7.5)
   }
 
+  test("hard cap: an over-cap final slice falls back to value-group " +
+       "selection instead of a row collect") {
+    // adversarial near-degenerate distribution: 601 rows packed into a
+    // sub-bucket-width interval around 500, holding the median rank.
+    // With sliceMax=1000 the narrowing loop exits on that 601-row
+    // bucket; with hardCap=500 the slice re-count trips and selection
+    // must finish through finishByValue (3 value groups) — the
+    // driver-OOM backstop path for a slice the loop invariant no
+    // longer vouches for.
+    val df = spark.range(2001).selectExpr(
+      """CASE
+         WHEN id < 700 THEN CAST(id % 100 AS DOUBLE)
+         WHEN id < 900 THEN 500.0000001D
+         WHEN id < 1101 THEN 500.0000002D
+         WHEN id < 1301 THEN 500.0000003D
+         ELSE CAST(900 + id % 100 AS DOUBLE) END AS x""")
+    assert(RobustStats.medianExactImpl(df, col("x"),
+      sliceMax = 1000L, hardCap = 500L) === 500.0000002)
+    // unchanged caps give the same answer through the normal path
+    assert(RobustStats.medianExact(df, col("x")) === 500.0000002)
+    // the weighted twin takes the same fallback (unit weights, p=1/2:
+    // weight rank 1001 lands in the packed groups)
+    assert(RobustStats.weightedQuantileImpl(df, col("x"), lit(1L),
+      1L, 2L, sliceMax = 1000L, hardCap = 500L) === ((500.0000002, 2001L)))
+  }
+
   test("dq_outlier gate query is non-vacuous at gate SF") {
     val out = SparkEntry.queries("dq_outlier")(spark, sfDir).head()
     assert(out.getAs[Long]("n") > 0L)

@@ -168,6 +168,14 @@ def check_one(job):
         # skipping on it alone throws away legitimate verdicts — while
         # the truly fatal replays (clone-pair joins) die inside the
         # timeout instead of spilling for 20 min into a malloc death.
+        sn, sh1, sh2, scols = digest_sql(con, spark_sql)
+        if sql is None:
+            v = f"rows_only({sn})" + (" EMPTY!" if sn == 0 else "")
+            return name, v, time.time() - t0
+        # the interrupt timer covers ONLY the oracle replay: the Spark
+        # dump digest above is a plain parquet scan whose slowness (cold
+        # page cache, a big dump) must never be misclassified as an
+        # oracle OVER_BUDGET_TIMEOUT
         timer = None
         if cost is not None and max_cost and cost > max_cost:
             import threading
@@ -175,10 +183,6 @@ def check_one(job):
             timer = threading.Timer(OVER_BUDGET_TIMEOUT, con.interrupt)
             timer.daemon = True
             timer.start()
-        sn, sh1, sh2, scols = digest_sql(con, spark_sql)
-        if sql is None:
-            v = f"rows_only({sn})" + (" EMPTY!" if sn == 0 else "")
-            return name, v, time.time() - t0
         on, oh1, oh2, ocols = digest_sql(con, f"SELECT * FROM ({sql})")
         if timer is not None:
             timer.cancel()
@@ -224,11 +228,14 @@ def main():
                     help="max rows for the exact pandas re-check on a "
                          "hash mismatch (default 2M)")
     ap.add_argument("--max-oracle-cost", type=int, default=20_000_000_000,
-                    help="fail-fast budget on the replay's EXPLAIN "
-                         "rows-touched estimate (sum of EC). A replay "
-                         "estimated above this is reported OVER_BUDGET "
-                         "without running. 0 disables. (default 20e9 — "
-                         "~10x the heaviest restructured 100x replay)")
+                    help="EC budget on the replay's EXPLAIN rows-touched "
+                         "estimate (sum of EC). A replay estimated above "
+                         "this still RUNS, but under a wall-clock "
+                         f"interrupt ({OVER_BUDGET_TIMEOUT}s, then "
+                         "con.interrupt()) and is classified "
+                         "OVER_BUDGET_TIMEOUT if it hits the limit. "
+                         "0 disables. (default 20e9 — ~10x the heaviest "
+                         "restructured 100x replay)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
