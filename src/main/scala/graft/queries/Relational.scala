@@ -437,8 +437,13 @@ object Relational {
         // ~37M pairs of the 10x corpus drifts past the round(2)
         // boundary between engines (the r10 sweep caught +0.54 at
         // 10^12 magnitude); the 1x gate never saw it
-        graft.operators.IntervalJoin.overlap(
-            a, b, "a_lo", "a_hi", "b_lo", "b_hi", cellWidth = 16L)
+        // r13: width from IntervalJoin.autoCellWidth — the a side's
+        // spans are length-0 here (keys %100==0 make o_orderkey%20
+        // vanish), so the model picks ~sqrt(1*Lb) ≈ 3, not the old
+        // fixed 16: fewer candidate tests per cell at slightly more
+        // cells per b-interval (sweep data in SWEEP_CELLW_r13.md)
+        graft.operators.IntervalJoin.overlapAuto(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi")
           .groupBy("a_st", "b_st")
           .agg(count(lit(1)).as("n"),
             (sum(round(col("b_price") * 100).cast("long")) / 100.0)
@@ -481,7 +486,10 @@ object Relational {
         val supp = t(s, d, "supplier").select(col("s_suppkey"),
           coord(col("s_suppkey"), 9).as("sx"),
           coord(col("s_suppkey"), 10).as("sy"))
-        graft.operators.Spatial.radiusJoin(
+        // r13: auto plan — replicates whichever side is smaller
+        // (supplier, 10x fewer rows) and moves to r/2 sub-cells only
+        // past the per-cell density bound
+        graft.operators.Spatial.radiusJoinAuto(
             cust, supp, "cx", "cy", "sx", "sy", r = 5.0)
           .groupBy("c_custkey")
           .agg(count(lit(1)).as("n_near"),

@@ -64,5 +64,38 @@ class IntervalJoinSpec extends SparkFunSuite {
     assert(naive.nonEmpty)
     for (w <- Seq(1L, 7L, 64L))
       assert(pairs(a, b, w) === naive, s"width $w diverged")
+    // auto width: same exact output, and the chosen width sits at the
+    // cost model's optimum sqrt(La*Lb) — mean lengths ~14.5 and ~5.5
+    // here, so w* ∈ [6, 12]
+    val wAuto = IntervalJoin.autoCellWidth(a, b, "a_lo", "a_hi",
+      "b_lo", "b_hi")
+    assert(wAuto >= 6L && wAuto <= 12L, s"auto width $wAuto off-model")
+    val auto = IntervalJoin.overlapAuto(a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(auto === naive, "auto width diverged")
+    // the per-cell volume bound kicks in when maxCellPairs is tiny:
+    // width drops toward 1 but the result stays exact
+    val wTight = IntervalJoin.autoCellWidth(a, b, "a_lo", "a_hi",
+      "b_lo", "b_hi", maxCellPairs = 1.0)
+    assert(wTight === 1L, s"tight bound chose $wTight")
+    val tight = IntervalJoin.overlapAuto(a, b, "a_lo", "a_hi",
+        "b_lo", "b_hi", maxCellPairs = 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(tight === naive, "tight-bound width diverged")
+  }
+
+  test("autoCellWidth: empty side, degenerate zero-length intervals") {
+    val a = af((1L, 5L, 5L), (2L, 9L, 9L))
+    val b = bf()
+    assert(IntervalJoin.autoCellWidth(a, b, "a_lo", "a_hi",
+      "b_lo", "b_hi") === 1L)
+    // zero mean lengths floor at 1 → width 1, never 0
+    val b2 = bf((3L, 5L, 5L))
+    assert(IntervalJoin.autoCellWidth(a, b2, "a_lo", "a_hi",
+      "b_lo", "b_hi") === 1L)
+    val got = IntervalJoin.overlapAuto(a, b2, "a_lo", "a_hi",
+        "b_lo", "b_hi")
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 3L)))
   }
 }

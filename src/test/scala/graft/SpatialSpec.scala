@@ -60,6 +60,21 @@ class SpatialSpec extends SparkFunSuite {
         .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
       assert(naive.nonEmpty, s"radius $r fixture is vacuous")
       assert(pairs(a, b, r) === naive, s"radius $r diverged")
+      // sub-cell grid (k=2: r/2-wide cells, 5x5 replication) — the
+      // dense-corpus physical plan — must be pair-for-pair identical
+      val sub = Spatial.radiusJoin(a, b, "ax", "ay", "bx", "by", r,
+          subCells = 2)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(sub === naive, s"radius $r subCells=2 diverged")
+      // auto plan selection (side swap + density-derived k): same set
+      val auto = Spatial.radiusJoinAuto(a, b, "ax", "ay", "bx", "by", r)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(auto === naive, s"radius $r auto diverged")
+      // force the dense branch (k=2 via a tiny per-cell budget)
+      val dense = Spatial.radiusJoinAuto(a, b, "ax", "ay", "bx", "by", r,
+          maxCellPairs = 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(dense === naive, s"radius $r dense-auto diverged")
     }
   }
 }
