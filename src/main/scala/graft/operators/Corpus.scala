@@ -258,22 +258,27 @@ object Corpus {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
+    // r13 (fat-record sweep): chunks come from the ONE-PASS native
+    // ChunkSlices expression, not a per-chunk substr(). substr(k, size)
+    // on a UTF8String is O(k) — the byte scan restarts from 0 to find
+    // character k — so the exploded-substr formulation priced a 64 MB
+    // document's ~447k chunks at ~10^13 byte reads (one task pinned
+    // for hours, measured in the r13 sweep). ChunkSlices walks the
+    // bytes once and copies each chunk out: O(text + output), same
+    // output contract (offsets, counts, slices — ChunkSpec parity).
     docs.select(col(idCol), coalesce(col(textCol), lit("")).as("t"))
       .withColumn("len", length(col("t")).cast("long"))
-      // integer ceil: docs longer than one chunk add one chunk per
-      // stride of the remainder — exact in 64-bit on both engines
-      .withColumn("n_chunks",
-        when(col("len") <= chunkSize, lit(1L))
-          .otherwise(expr(s"(len - $chunkSize + ${stride - 1}) DIV $stride")
-            + lit(1L)))
-      .select(col(idCol), col("t"), col("len"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("len"),
+        posexplode(org.apache.spark.sql.graftshim.Shim.column(
+          graft.expressions.ChunkSlices(
+            org.apache.spark.sql.graftshim.Shim.expression(col("t")),
+            chunkSize, overlap))))
+      .withColumn("chunk_id", col("pos").cast("long"))
       .withColumn("start_off", col("chunk_id") * stride)
       .select(col(idCol), col("chunk_id"), col("start_off"),
         least(lit(chunkSize.toLong), col("len") - col("start_off"))
           .as("chunk_len"),
-        col("t").substr((col("start_off") + 1).cast("int"),
-          lit(chunkSize)).as("chunk_text"))
+        col("col").as("chunk_text"))
   }
 
   /** Per-group document cap — the C4/RefinedWeb-style "at most N pages

@@ -199,6 +199,39 @@ class CorpusSpec extends SparkFunSuite {
     assert(covered == (0L until 20L).toSet)
   }
 
+  test("chunkText: multibyte characters — parity with the substr " +
+       "formulation across 2/3/4-byte code points") {
+    // the r13 one-pass ChunkSlices must count CHARACTERS exactly like
+    // SQL substr: é (2-byte), 中 (3-byte), 𝄞 (4-byte / surrogate pair
+    // in UTF-16) all land on chunk boundaries here
+    val texts = Seq(
+      (1L, "héllo wörld çafé über nöel straße 0123456789"),
+      (2L, "中文分词测试中文分词测试中文分词测试中文分词测试"),
+      (3L, "a𝄞b𝄞c𝄞d𝄞e𝄞f𝄞g𝄞h𝄞i𝄞j𝄞k𝄞l𝄞m𝄞n𝄞"),
+      (4L, "mixàd 中 ascii 𝄞 and wide 字 chars here padded out"))
+    val docs = texts.toDF("doc_id", "text")
+    for ((cs, ov) <- Seq((10, 3), (7, 0), (5, 4))) {
+      val stride = cs - ov
+      val got = Corpus.chunkText(docs, "doc_id", "text", cs, ov)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+      // oracle: the old per-chunk substr, straight from Spark SQL
+      val want = docs
+        .selectExpr("doc_id", "text AS t", "length(text) AS len")
+        .selectExpr("doc_id", "t", "len",
+          s"explode(sequence(0L, CASE WHEN len <= $cs THEN 0L ELSE " +
+            s"(len - $cs + ${stride - 1}) DIV $stride END)) AS cid")
+        .selectExpr("doc_id", "cid",
+          s"substring(t, CAST(cid * $stride + 1 AS INT), $cs) AS body")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      texts.foreach { case (id, _) =>
+        assert(got(id).map(_._5) == want(id),
+          s"doc $id diverged at chunkSize=$cs overlap=$ov")
+      }
+    }
+  }
+
   test("chunkText rejects overlap >= chunkSize") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
