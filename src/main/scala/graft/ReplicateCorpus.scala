@@ -207,6 +207,12 @@ object ReplicateCorpus {
     require(files >= 1, s"files must be >= 1, got $files")
     require(skew >= 0, s"skew must be >= 0, got $skew")
     require(fat == 0 || fat == 1, s"fat must be 0 or 1, got $fat")
+    // fat-doc ids start at FatGiantId > 800 * ReplicaOffset; a larger
+    // mult would collide replica doc_ids with fat-doc ids and silently
+    // corrupt the corpus (duplicate keys, double-counted planted pairs)
+    require(fat == 0 || mult <= 800,
+      s"fat mode supports mult <= 800 (got $mult): replica ids would " +
+        "collide with the fat-doc id range")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -130,16 +130,22 @@ object Dedup {
     * frame feeding several branches; reps bounds every downstream
     * sketch/band/join by text DIVERSITY, not corpus size.
     *
-    * Shuffle keying (round 13): grouping and the membership join key on
-    * the 128-bit content hash `unhex(md5(text))` — 16 bytes — instead
-    * of the raw text (round 12 shuffled the corpus's heaviest column
-    * through BOTH exchanges). Text now crosses the wire exactly once,
-    * inside the partially-aggregated groupBy (one row per hash key per
-    * map task — bounded by per-mapper diversity, never corpus rows),
-    * and the membership join carries nothing but (hkey, id). Equality
-    * semantics are hash-equality: a 128-bit collision would merge two
-    * distinct texts, P ≈ n²/2^129 ≈ 1e-15 at a trillion documents —
-    * the same regime the MD5-keyed DuckDB oracle accepts.
+    * Shuffle keying (round 13, re-keyed round 14): grouping and the
+    * membership join key on the 256-bit content hash
+    * `unhex(sha2(text, 256))` — 32 bytes — instead of the raw text
+    * (round 12 shuffled the corpus's heaviest column through BOTH
+    * exchanges). Text now crosses the wire exactly once, inside the
+    * partially-aggregated groupBy (one row per hash key per map task —
+    * bounded by per-mapper diversity, never corpus rows), and the
+    * membership join carries nothing but (hkey, id). Equality
+    * semantics are hash-equality. Round 13 keyed on md5; an untrusted
+    * web corpus can contain CHOSEN-PREFIX md5 collisions (two distinct
+    * documents constructed to share a digest would silently merge into
+    * one clone group — the random-collision n²/2^129 argument does not
+    * cover an adversary), so round 14 moved to SHA-256, where no
+    * collision is publicly known and construction is infeasible. Same
+    * shuffle shape: a fixed-width 32-byte key still beats megabyte
+    * texts on the wire by orders of magnitude.
     *
     * NULL texts: SQL equality never equates NULLs, so null-text rows
     * are NOT clones of each other — each is its own singleton
@@ -152,7 +158,7 @@ object Dedup {
       textCol: String): (DataFrame, DataFrame) = {
     val norm = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val nn = norm.filter(col("text").isNotNull)
-      .withColumn("hkey", unhex(md5(col("text"))))
+      .withColumn("hkey", unhex(sha2(col("text"), 256)))
     val reps = Stage.materialize(
       nn.groupBy("hkey").agg(min("id").as("rep"),
         first(col("text")).as("text")), "text_reps")

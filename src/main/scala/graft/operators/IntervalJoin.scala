@@ -82,8 +82,8 @@ object IntervalJoin {
     *  - shuffle floor: w never drops below 1 and never above the span
     *    (a span-wide cell is the degenerate single-bucket join).
     *
-    * The sf corpus sweep (reports/SWEEP_CELLW_r13.md) measured the
-    * model against wall clock across w ∈ {4..64} at 30×/100×.
+    * The sf corpus sweep (reports/SWEEP_CELLW_r14.md) measured the
+    * model against wall clock across w ∈ {1..64} at 30×/100×.
     */
   def autoCellWidth(a: DataFrame, b: DataFrame,
                     aLo: String, aHi: String, bLo: String, bHi: String,

@@ -50,9 +50,10 @@ object RobustStats {
   // on the input being deterministic between the counting job and the
   // collect job — a non-deterministic source (rand()-derived column,
   // a table rewritten mid-query) can hand the collect arbitrarily more
-  // rows than were counted. The cap re-counts the slice before
-  // collecting and falls back to value-group selection (bounded by the
-  // DISTINCT count) instead of trusting the stale count.
+  // rows than were counted. The cap collects through limit(cap + 1) —
+  // a single bounded job — and falls back to value-group selection
+  // (bounded by the DISTINCT count) when the slice fills the limit,
+  // instead of trusting the stale count.
   private val SliceHardCap = 1048576L
 
   /** Exact median of `valueCol` (non-null rows) under the
@@ -129,12 +130,17 @@ object RobustStats {
                           hardCap: Long): Double = {
     val filtered = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
       .select(col("__rs_x"))
-    // hard cap: re-count before collecting (see SliceHardCap) — a
-    // slice the narrowing invariant no longer vouches for selects by
-    // value groups instead of materializing rows on the driver
-    if (filtered.count() > hardCap)
+    // hard cap in ONE pass (r14): collect through limit(hardCap + 1) —
+    // the driver materializes at most hardCap + 1 rows whatever the
+    // source does between jobs, and a full result means the slice
+    // overflowed the cap, so selection falls back to value groups.
+    // (r13 ran a separate count() job first — one extra full scan on
+    // the common well-under-cap path.)
+    val lim = math.min(hardCap + 1, Int.MaxValue.toLong).toInt
+    val capped = filtered.limit(lim).collect()
+    if (capped.length >= lim)
       return finishByValue(vals, lo, hi, k, hiVal)
-    val slice = filtered.collect().map(_.getDouble(0))
+    val slice = capped.map(_.getDouble(0))
     java.util.Arrays.sort(slice)
     val loVal = slice((k - 1).toInt)
     val second = hiVal match {
@@ -272,11 +278,13 @@ object RobustStats {
     }
     if (lo == hi) return (lo, totalW)
     val filtered = vals.filter(col("__rs_x") >= lo && col("__rs_x") <= hi)
-    // same hard cap as finishSlice: re-count before materializing rows
-    if (filtered.count() > hardCap)
+    // same single-pass hard cap as finishSlice: limit(hardCap + 1)
+    // bounds the driver materialization; a full result = overflow
+    val lim = math.min(hardCap + 1, Int.MaxValue.toLong).toInt
+    val capped = filtered.limit(lim).collect()
+    if (capped.length >= lim)
       return (weightedByValue(vals, lo, hi, k), totalW)
-    val slice = filtered
-      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val slice = capped.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
     var a = 0L
     slice.foreach { case (v, sw) =>
       a += sw

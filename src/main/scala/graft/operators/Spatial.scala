@@ -59,7 +59,7 @@ object Spatial {
     require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
       "a and b must have disjoint column names")
     val k = subCells.toLong
-    val w = r / subCells
+    val w = cellWidth(r, subCells)
     val a2 = a
       .withColumn("_cx", floor(col(ax) / w).cast("long"))
       .withColumn("_cy", floor(col(ay) / w).cast("long"))
@@ -89,9 +89,43 @@ object Spatial {
     *    shows k>2 buys <10% more comparison saving for ≥ 2× more
     *    replication. Sparse corpora keep the plain 3×3 plan.
     */
+  /** Grid cell width for radius `r` at `subCells` sub-divisions. The
+    * coverage proof ("a qualifying pair is never more than `subCells`
+    * cells apart on an axis") needs w·subCells >= r EXACTLY in floating
+    * point: fl(r/k)·k rounds BELOW r for most non-power-of-two k, and a
+    * pair with axis distance in (k·w, r] could then land k+1 cells
+    * apart and be silently dropped (r13 ADVICE). Bump by ULPs until the
+    * product clears r — at most a couple of iterations, and the width
+    * stays within a relative 2⁻⁵⁰ of r/k, so the cost model is
+    * unaffected.
+    */
+  private[graft] def cellWidth(r: Double, subCells: Int): Double = {
+    var w = r / subCells
+    while (w * subCells < r) w = Math.nextUp(w)
+    w
+  }
+
   def radiusJoinAuto(a: DataFrame, b: DataFrame,
                      ax: String, ay: String, bx: String, by: String,
-                     r: Double, maxCellPairs: Double = 4e6): DataFrame = {
+                     r: Double, maxCellPairs: Double = 4e6): DataFrame =
+    radiusJoinPlanned(a, b, ax, ay, bx, by, r,
+      radiusPlan(a, b, ax, ay, bx, by, r, maxCellPairs))
+
+  /** The physical choice [[radiusJoinAuto]] derives from its two
+    * aggregate passes: which side replicates, and the sub-cell factor.
+    * A pure function of static corpus statistics — CACHEABLE per
+    * (session, corpus) by callers that re-run the same join (the r13
+    * form re-ran both stats aggregates on every call; pure fixed cost
+    * on a static corpus and most of join_spatial's gate-SF regression).
+    */
+  final case class RadiusPlan(swapSides: Boolean, subCells: Int)
+
+  /** Derive the [[RadiusPlan]]: two aggregate-only passes (count +
+    * bounding box per side, EIGHT driver scalars total).
+    */
+  def radiusPlan(a: DataFrame, b: DataFrame,
+                 ax: String, ay: String, bx: String, by: String,
+                 r: Double, maxCellPairs: Double = 4e6): RadiusPlan = {
     def box(df: DataFrame, x: String, y: String) = {
       val h = df.agg(count(lit(1)), min(col(x)).cast("double"),
         max(col(x)).cast("double"), min(col(y)).cast("double"),
@@ -108,7 +142,15 @@ object Spatial {
     val cellsInArea = area / (r * r)
     val pairsPerCell = (na / cellsInArea) * (nb / cellsInArea)
     val k = if (pairsPerCell > maxCellPairs) 2 else 1
-    if (nb <= na) radiusJoin(a, b, ax, ay, bx, by, r, k)
-    else radiusJoin(b, a, bx, by, ax, ay, r, k)
+    RadiusPlan(swapSides = nb > na, subCells = k)
   }
+
+  /** Apply a previously derived (possibly cached) [[RadiusPlan]] —
+    * the exact predicate and output are those of [[radiusJoin]].
+    */
+  def radiusJoinPlanned(a: DataFrame, b: DataFrame,
+                        ax: String, ay: String, bx: String, by: String,
+                        r: Double, plan: RadiusPlan): DataFrame =
+    if (plan.swapSides) radiusJoin(b, a, bx, by, ax, ay, r, plan.subCells)
+    else radiusJoin(a, b, ax, ay, bx, by, r, plan.subCells)
 }

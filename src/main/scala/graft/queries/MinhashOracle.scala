@@ -52,7 +52,11 @@ object MinhashOracle {
     * inside the agreement aggregation: ~2.9 GB of (id_a, id_b) groups
     * became >160 GB of DuckDB hash/spill and killed a 90 GB box. Here
     * the sketch (tokenize → FNV-1a → mix64 shingles → 64 universal-
-    * hash minima) runs once per DISTINCT text keyed by md5(text), the
+    * hash minima) runs once per DISTINCT text keyed by md5(text) (kept
+    * on md5 deliberately after r14 moved the engine's clone key to
+    * SHA-256: the two engines now group by DIFFERENT hash functions, so
+    * an engineered md5 collision in the corpus would surface as a gate
+    * mismatch instead of both engines silently agreeing), the
     * agreement join runs over distinct-signature pairs (clone-count-
     * free), and [[agreeExpand]] re-expands to doc pairs as a pure
     * streaming join against `dmap` — constant aggregate state, no

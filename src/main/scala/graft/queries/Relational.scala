@@ -11,6 +11,19 @@ import graft.functions.Cols
   */
 object Relational {
 
+  /** Auto-planner statistics cached per (session, corpus) — r14. The
+    * grid width (join_overlap) and the radius plan (join_spatial) are
+    * pure functions of STATIC corpus statistics, so their stats
+    * aggregates are pure fixed cost on every repeat call (r13 ran them
+    * per call — most of join_overlap's 0.34→0.66 s and join_spatial's
+    * 0.41→0.56 s gate-SF regressions). Same fit-once ModelCache
+    * discipline as the ANN indexes: static instances, session-identity
+    * validated, purged with the stage directories.
+    */
+  private val overlapWidthCache = new TextQ.ModelCache[Long](4)
+  private val radiusPlanCache =
+    new TextQ.ModelCache[graft.operators.Spatial.RadiusPlan](4)
+
   val all: Seq[Q] = Seq(
 
     // ---- aggregations -------------------------------------------------
@@ -441,9 +454,14 @@ object Relational {
         // spans are length-0 here (keys %100==0 make o_orderkey%20
         // vanish), so the model picks ~sqrt(1*Lb) ≈ 3, not the old
         // fixed 16: fewer candidate tests per cell at slightly more
-        // cells per b-interval (sweep data in SWEEP_CELLW_r13.md)
-        graft.operators.IntervalJoin.overlapAuto(
-            a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+        // cells per b-interval (sweep data in reports/SWEEP_CELLW_r14.md)
+        // r14: the width is cached per (session, corpus) — the two
+        // stats aggregates run once, not per call
+        val w = overlapWidthCache.getOrFit(s, d,
+          graft.operators.IntervalJoin.autoCellWidth(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi"))
+        graft.operators.IntervalJoin.overlap(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
           .groupBy("a_st", "b_st")
           .agg(count(lit(1)).as("n"),
             (sum(round(col("b_price") * 100).cast("long")) / 100.0)
@@ -488,9 +506,13 @@ object Relational {
           coord(col("s_suppkey"), 10).as("sy"))
         // r13: auto plan — replicates whichever side is smaller
         // (supplier, 10x fewer rows) and moves to r/2 sub-cells only
-        // past the per-cell density bound
-        graft.operators.Spatial.radiusJoinAuto(
-            cust, supp, "cx", "cy", "sx", "sy", r = 5.0)
+        // past the per-cell density bound. r14: the plan is cached per
+        // (session, corpus) — the two box aggregates run once
+        val plan = radiusPlanCache.getOrFit(s, d,
+          graft.operators.Spatial.radiusPlan(
+            cust, supp, "cx", "cy", "sx", "sy", r = 5.0))
+        graft.operators.Spatial.radiusJoinPlanned(
+            cust, supp, "cx", "cy", "sx", "sy", r = 5.0, plan)
           .groupBy("c_custkey")
           .agg(count(lit(1)).as("n_near"),
             round(sqrt(min((col("cx") - col("sx")) * (col("cx") - col("sx"))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * fat-record audit. Each step is try/caught and reported
   * individually, so the output is a defect LEDGER, not a crash.
   *
-  * Findings land in reports/SWEEP_FAT_r13.md; the shipped corpus
+  * Findings land in reports/SWEEP_FAT_r14.md; the shipped corpus
   * fat mode stays at 64 MB — the biggest size every gate family
   * handles — while this probe documents the measured ceiling and the
   * first failing component past it.

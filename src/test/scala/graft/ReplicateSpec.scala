@@ -113,4 +113,19 @@ class ReplicateSpec extends SparkFunSuite {
     // text namespace shares no token with the regular corpus text
     assert(fat.filter(col("text").rlike("[^f0-9w\\s]")).count() === 0L)
   }
+
+  test("fat mode rejects mult > 800 (replica ids would collide with " +
+       "the fat-doc id range)") {
+    // FatGiantId sits just above 800 * Off; a mult past 800 would put
+    // replica doc_ids inside the fat range and silently corrupt the
+    // corpus — main must refuse loudly (r13 ADVICE)
+    val e = intercept[IllegalArgumentException] {
+      ReplicateCorpus.main(Array("/nonexistent-src", "/nonexistent-dst",
+        "801", "1", "0", "1"))
+    }
+    assert(e.getMessage.contains("mult <= 800"))
+    // and the boundary itself is structurally safe
+    import ReplicateCorpus._
+    assert(FatGiantId > 800L * Off && FatBandBase > 800L * Off)
+  }
 }

@@ -46,6 +46,44 @@ class SpatialSpec extends SparkFunSuite {
     assert(got === Seq((1L, 2L)))
   }
 
+  test("cellWidth: w * subCells >= r exactly, for every subCells") {
+    // fl(r/k)*k rounds below r for most non-power-of-two k; a width
+    // one ULP short breaks the k-cell coverage proof (r13 ADVICE).
+    val rnd = new scala.util.Random(7331)
+    var bumped = 0
+    for (_ <- 1 to 2000; k <- 1 to 16) {
+      val r = math.exp(rnd.nextDouble() * 20 - 10) // 4.5e-5 .. 2.2e4
+      val w = Spatial.cellWidth(r, k)
+      assert(w * k >= r, s"cellWidth($r, $k) = $w: w*k < r")
+      // and it stays essentially r/k — never a coarser-grid rewrite
+      assert(w <= Math.nextUp(Math.nextUp(r / k)),
+        s"cellWidth($r, $k) drifted above r/k")
+      if (w != r / k) bumped += 1
+    }
+    assert(bumped > 0, "fixture never exercised the ULP-bump branch")
+  }
+
+  test("non-power-of-two subCells keep boundary pairs (parity, k=3,5,7)") {
+    val rnd = new scala.util.Random(40714)
+    def pts(ids: Range) = ids.map(i =>
+      (i.toLong, rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+    val a = af(pts(1 to 150): _*)
+    val b = bf(pts(1001 to 1120): _*)
+    val r = 3.7
+    val naive = a.crossJoin(b)
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx"))
+        + (col("ay") - col("by")) * (col("ay") - col("by"))
+        <= lit(r * r))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty)
+    for (k <- Seq(3, 5, 7)) {
+      val got = Spatial.radiusJoin(a, b, "ax", "ay", "bx", "by", r,
+          subCells = k)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === naive, s"subCells=$k diverged")
+    }
+  }
+
   test("randomized parity with the naive quadratic join, 3 radii") {
     val rnd = new scala.util.Random(1123)
     def pts(ids: Range) = ids.map(i =>
