@@ -149,77 +149,91 @@ object DataQuality {
     require(buckets >= 2, s"need >= 2 buckets (got $buckets)")
     val spark = a.sparkSession
 
-    // one-row frame of shared bucket bounds per numeric column: per-side
-    // min/max aggregates (one scan each) combined elementwise — never a
-    // union re-scan of both versions
-    def sideBounds(df: DataFrame, tag: String) =
-      df.agg(lit(1).as(s"one_$tag"),
+    // Shared bucket bounds per numeric column, collected to the driver
+    // as 2·|numericCols| scalars per side (a documented bounded
+    // collect — column COUNT, never row count) and re-embedded as
+    // literals. r13 kept bounds as a one-row frame crossJoin-broadcast
+    // into each side's scan, which re-ran the four min/max aggregates
+    // inside BOTH staged sides — most of dq_drift's job count and its
+    // bench variance. Literal bounds cost two aggregate jobs total and
+    // constant-fold into the cell expression.
+    def sideBounds(df: DataFrame): Array[Option[Double]] = {
+      val r = df.agg(lit(1).as("one"),
         numericCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"lo_${tag}_$c"),
-          max(col(c).cast("double")).as(s"hi_${tag}_$c"))): _*)
-    // one-row frame, broadcast into each side's exploding scan; its
-    // min/max lineage re-runs once per staged side below — cheap
-    // pushdown-friendly aggregates, not worth a stage write of one row
-    val bounds = sideBounds(a, "a").crossJoin(sideBounds(b, "b"))
-      .select(numericCols.flatMap(c => Seq(
-        least(col(s"lo_a_$c"), col(s"lo_b_$c")).as(s"lo_$c"),
-        greatest(col(s"hi_a_$c"), col(s"hi_b_$c")).as(s"hi_$c"))): _*)
+          min(col(c).cast("double")).as(s"lo_$c"),
+          max(col(c).cast("double")).as(s"hi_$c"))): _*).head()
+      Array.tabulate[Option[Double]](2 * numericCols.size)(j =>
+        if (r.isNullAt(1 + j)) None else Some(r.getDouble(1 + j)))
+    }
+    val ba = sideBounds(a)
+    val bb = sideBounds(b)
+    // elementwise min/max across sides; an all-null column (no bound on
+    // either side) never produces a cell anyway, so any finite
+    // placeholder is unobservable — matches the r12 null-propagation
+    def comb(x: Option[Double], y: Option[Double],
+             f: (Double, Double) => Double): Option[Double] = (x, y) match {
+      case (Some(u), Some(v)) => Some(f(u, v))
+      case _ => x.orElse(y)
+    }
+    val bounds: Map[String, (Double, Double)] =
+      numericCols.zipWithIndex.map { case (c, i) =>
+        val lo = comb(ba(2 * i), bb(2 * i), math.min)
+        val hi = comb(ba(2 * i + 1), bb(2 * i + 1), math.max)
+        c -> (lo.getOrElse(0.0), hi.getOrElse(0.0))
+      }.toMap
 
-    // one exploding scan per side: every row contributes one
-    // (col_name, kind, cell) per drift column; cells count in one
-    // (column, cell)-keyed aggregate
-    def cellCounts(df: DataFrame, tag: String) = {
+    // ONE exploding scan per side fused into ONE (column, cell)-keyed
+    // exchange: every row contributes one (col_name, kind, cell) per
+    // drift column tagged with its side, and both sides' counts come
+    // out of the same partial-aggregated groupBy (r13 ran one scan,
+    // one shuffle, and one parquet stage write PER SIDE, then joined)
+    def exploded(df: DataFrame, side: String) = {
       val numCells = numericCols.map { c =>
+        val (lo, hi) = bounds(c)
         val x = col(c).cast("double")
-        val cell = when(col(s"hi_$c") <= col(s"lo_$c"), lit(0L))
-          .otherwise(least(floor((x - col(s"lo_$c")) /
-            ((col(s"hi_$c") - col(s"lo_$c")) / buckets)),
-            lit((buckets - 1).toLong)))
+        // same expression shape as r12, with the bounds constant-folded
+        // — bit-identical cells on identical inputs
+        val cell = if (hi <= lo) lit(0L)
+          else least(floor((x - lit(lo)) /
+            ((lit(hi) - lit(lo)) / buckets)), lit((buckets - 1).toLong))
         struct(lit(c).as("col_name"), lit("numeric").as("kind"),
           when(x.isNotNull, cell.cast("string")).as("cell"))
       }
       val catCells = categoricalCols.map(c =>
         struct(lit(c).as("col_name"), lit("categorical").as("kind"),
           col(c).cast("string").as("cell")))
-      df.crossJoin(broadcast(bounds))
-        .select(explode(array(numCells ++ catCells: _*)).as("e"))
-        .select(col("e.col_name"), col("e.kind"), col("e.cell"))
+      df.select(explode(array(numCells ++ catCells: _*)).as("e"))
+        .select(col("e.col_name"), col("e.kind"), col("e.cell"),
+          lit(side).as("side"))
         .filter(col("cell").isNotNull) // null values sit out, per column
-        .groupBy("col_name", "kind", "cell")
-        .agg(count(lit(1)).cast("double").as(tag))
     }
+    val counts = exploded(a, "a").unionByName(exploded(b, "b"))
+      .groupBy("col_name", "kind", "cell")
+      .agg(count(when(col("side") === "a", 1)).cast("double").as("ca"),
+        count(when(col("side") === "b", 1)).cast("double").as("cb"))
 
-    // all-cells key frame: the fixed numeric grid (empty buckets count)
-    // plus every observed categorical value from either side
+    // fixed numeric grid (empty buckets count toward k and carry the
+    // 0.5 smoothing mass) unioned in with zero counts; the re-aggregate
+    // is over the TINY cell frame (≤ cols × cells rows)
     val grid = spark.range(buckets).crossJoin(
         spark.createDataFrame(numericCols.map(Tuple1(_)))
           .toDF("col_name"))
       .select(col("col_name"), lit("numeric").as("kind"),
-        col("id").cast("string").as("cell"))
-    // staged: each side's aggregated cell counts feed TWO branches
-    // (the key-frame union and the PSI join) — one exploding scan per
-    // side total, as the contract above promises, instead of two
-    val ca = graft.operators.Stage.materialize(
-      cellCounts(a, "ca"), "dq_drift_ca")
-    val cb = graft.operators.Stage.materialize(
-      cellCounts(b, "cb"), "dq_drift_cb")
-    val keys = grid
-      .unionByName(ca.select("col_name", "kind", "cell"))
-      .unionByName(cb.select("col_name", "kind", "cell"))
-      .distinct()
-    val cells = keys
-      .join(ca, Seq("col_name", "kind", "cell"), "left")
-      .join(cb, Seq("col_name", "kind", "cell"), "left")
-      .select(col("col_name"), col("kind"),
-        coalesce(col("ca"), lit(0.0)).as("ca"),
-        coalesce(col("cb"), lit(0.0)).as("cb"))
+        col("id").cast("string").as("cell"),
+        lit(0.0).as("ca"), lit(0.0).as("cb"))
+    val cells = counts.unionByName(grid)
+      .groupBy("col_name", "kind", "cell")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
 
-    val tot = cells.groupBy("col_name")
-      .agg(sum("ca").as("na"), sum("cb").as("nb"),
-        count(lit(1)).cast("double").as("k"))
+    // per-column totals as a window over the cell frame — no re-scan,
+    // no join; partitioned by column (never a global window)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
     val p = (col("ca") + 0.5) / (col("na") + lit(0.5) * col("k"))
     val q = (col("cb") + 0.5) / (col("nb") + lit(0.5) * col("k"))
-    cells.join(broadcast(tot), Seq("col_name"))
+    cells
+      .withColumn("na", sum("ca").over(w))
+      .withColumn("nb", sum("cb").over(w))
+      .withColumn("k", count(lit(1)).over(w).cast("double"))
       .select(col("col_name"), col("kind"),
         ((p - q) * log(p / q)).as("term"))
       .groupBy("col_name", "kind")
