@@ -57,13 +57,27 @@ object HashUtil {
   }
 }
 
-/** Distinct 31-bit hashes of word n-gram shingles over a token array.
-  * Input: array<string> (pre-normalized tokens); output: array<bigint>.
-  * Documents shorter than n tokens produce one shingle over all tokens
-  * (same convention as the HOF formulation it replaces).
+/** Distinct `bits`-bit hashes of word n-gram shingles over a token
+  * array. Input: array<string> (pre-normalized tokens); output:
+  * array<bigint>. Documents shorter than n tokens produce one shingle
+  * over all tokens (same convention as the HOF formulation it
+  * replaces).
+  *
+  * Width (r14): default 31 — the MinHash universal-hash params are
+  * < 2^31 so (a·x + b) stays in a long, and the dedup_jaccard oracle
+  * replays the same 31-bit mask, so its collisions cancel across
+  * engines. Callers whose ORACLE is exact strings (text_novelty) pass
+  * bits = 63: the r14 fat sweep showed a ~1M-distinct-shingle document
+  * books ~230 expected 31-bit collisions (n²/2^32), visibly bending
+  * n_shingles/shared_frac away from the string-exact oracle, while at
+  * 63 bits the expectation is ~5e-8 — collision-free for any
+  * realistic document.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, bits: Int = 31)
     extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63] (got $bits)")
+  private val mask: Long = (1L << bits) - 1L
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
@@ -83,14 +97,14 @@ case class ShingleHashes(child: Expression, n: Int)
       var h = 0xcbf29ce484222325L
       i = 0
       while (i < numToks) { h = HashUtil.mix64(h ^ tokHash(i)); i += 1 }
-      out.add(h & 0x7fffffffL)
+      out.add(h & mask)
     } else {
       var start = 0
       while (start <= numToks - n) {
         var h = 0xcbf29ce484222325L
         var j = start
         while (j < start + n) { h = HashUtil.mix64(h ^ tokHash(j)); j += 1 }
-        out.add(h & 0x7fffffffL)
+        out.add(h & mask)
         start += 1
       }
     }

@@ -35,10 +35,16 @@ object Dedup {
     split(graft.functions.TextFns.normalizedBytes(text).cast("string"), " ")
 
   /** Distinct 31-bit hashes of word n-gram shingles — the MinHash input
-    * set, computed in one native pass from the token array.
+    * set, computed in one native pass from the token array. `bits`
+    * widens the hash for callers whose oracle is exact strings
+    * (text_novelty; 63-bit is collision-free at any realistic per-doc
+    * distinct count, where 31-bit books ~n²/2^32 collisions — ~230 on
+    * the fat corpus giant). MinHash consumers MUST stay at the 31-bit
+    * default: `MinHashSig`'s universal hash (a·x + b) mod p only fits
+    * a long for x < 2^31.
     */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    Shim.column(ShingleHashes(Shim.expression(normTokens(text)), n))
+  def shingleHashes(text: Column, n: Int = 3, bits: Int = 31): Column =
+    Shim.column(ShingleHashes(Shim.expression(normTokens(text)), n, bits))
 
   /** MinHash signature: k minima of universal hashes over the shingle
     * set. One k·S primitive loop per row, no shuffle.

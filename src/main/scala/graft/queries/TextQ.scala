@@ -724,15 +724,21 @@ object TextQ {
     // copies score near 1.0 shared). One shingle pass; the (doc, sh)
     // stream repartitions by shingle ONCE and both the doc-frequency
     // aggregate and the join-back ride that exchange (the tfidf
-    // single-exchange shape). The 31-bit shingle hash is the
+    // single-exchange shape). The 63-BIT shingle hash is the
     // production key (8 B shuffles, not n-gram strings); the oracle
-    // replays with exact STRING shingles — equal up to 31-bit hash
-    // collisions, which the gate empirically has none of (the same
-    // exactness regime dedup_jaccard's SortedJaccard gate rests on).
+    // replays with exact STRING shingles — equal up to 63-bit hash
+    // collisions (~n²/2^64, ~5e-8 even at the fat giant's 1M distinct
+    // shingles). r14: WAS 31-bit, which the fat sweep caught red-
+    // handed — ~230 expected collisions on the giant doc merged
+    // distinct string shingles and bent n_shingles/shared_frac off
+    // the exact oracle (reports/SWEEP_FAT_r14.md). dedup_jaccard's
+    // gate is unaffected: its oracle replays the same 31-bit mask, so
+    // collisions cancel engine-to-engine there.
     Q("text_novelty",
       (s, d) => {
         val sh = plantedDocs(s, d).select(col("doc_id"),
-          explode(Dedup.shingleHashes(col("text"))).as("sh"))
+          explode(Dedup.shingleHashes(col("text"), n = 3, bits = 63))
+            .as("sh"))
           .repartition(col("sh"))
         val dfq = sh.groupBy("sh").agg(count(lit(1)).as("ndocs"))
         sh.join(dfq, "sh")

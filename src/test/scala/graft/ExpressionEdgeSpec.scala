@@ -27,6 +27,29 @@ class ExpressionEdgeSpec extends SparkFunSuite {
     assert(r.length === 1) // the single empty-window shingle
   }
 
+  test("shingle hash width: 63-bit escapes the 31-bit range, low 31 " +
+       "bits agree with the default, distinct counts never shrink") {
+    // a vocabulary big enough that SOME shingle hash exceeds 2^31 at
+    // 63 bits (probability a given hash stays below is 2^-32)
+    val toks = (1 to 5000).map(i => s"tok$i")
+    val df = Seq(toks).toDF("toks")
+    val (h31, h63) = df.select(
+        Shim.column(ShingleHashes(Shim.expression(col("toks")), 3))
+          .as("a"),
+        Shim.column(ShingleHashes(Shim.expression(col("toks")), 3, 63))
+          .as("b"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(h63.exists(_ > 0x7fffffffL), "63-bit hashes never left 31-bit range")
+    assert(h63.forall(_ >= 0L))
+    // same underlying mix: masking 63-bit values to 31 bits recovers
+    // exactly the 31-bit set (collisions can only SHRINK the 31 set)
+    assert(h63.map(_ & 0x7fffffffL).toSet === h31.toSet)
+    assert(h63.size >= h31.size)
+    intercept[IllegalArgumentException] {
+      ShingleHashes(Shim.expression(col("toks")), 3, 64)
+    }
+  }
+
   test("cosine guards: empty arrays and zero vectors give 0.0, never NaN") {
     val r = Seq((Seq.empty[Float], Seq.empty[Float]),
       (Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
