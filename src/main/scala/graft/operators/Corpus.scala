@@ -13,6 +13,71 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Exact corpus-wide top-k terms with a Space-Saving fast path —
+    * the adaptive form the r14 FAT audit forced (a single 64 MB
+    * document with a ~1M-token namespace drowns any fixed-capacity
+    * sketch: its N/capacity error bound (~65k counts) dwarfs the true
+    * top terms (~960), so the sketch's answer is eviction-slot noise
+    * while the exact answer is unreachable by ANY capacity a sketch
+    * could afford).
+    *
+    * Plan: ONE sketch pass first (capacity-bounded partials, one
+    * serialized summary row per partition at the exchange — the
+    * vocabulary never shuffles), emitting ALL `capacity` slots. If the
+    * merged summary holds FEWER than `capacity` slots, then no partial
+    * ever reached capacity, so nothing was ever evicted or trimmed
+    * anywhere — every count is exact and the summary IS the complete
+    * vocabulary: top-k membership, order, and counts are all certified,
+    * and the result builds driver-side from the ≤ capacity collected
+    * slots (bounded by construction). Otherwise the distribution is
+    * uncertifiable (the boundary case "exactly capacity distinct
+    * terms" deliberately lands here — indistinguishable from eviction
+    * from the outside) and the EXACT path runs: map-side-combined
+    * `groupBy(term).count` + `orderBy.limit(k)` — Spark plans the
+    * limit as TakeOrderedAndProject (per-partition top-k, driver
+    * merge of k·partitions rows), so the only wide exchange is the
+    * vocabulary-keyed count, the honest price of exactness under an
+    * adversarial distribution. Both paths tie-break (cnt DESC, term
+    * ASC) — identical to the SQL replay.
+    *
+    * At 100 TB: natural-language corpora whose working vocabulary fits
+    * `capacity` (stopword/label/enum domains) stay on the one-pass
+    * sketch; open vocabularies pay one extra aggregation instead of
+    * returning silently wrong numbers. Driver memory is bounded by
+    * `capacity + k` rows on every path.
+    */
+  def topTermsExact(tok: DataFrame, termCol: String, k: Int,
+                    capacity: Int): DataFrame = {
+    val spark = tok.sparkSession
+    val slots = topTermsSketch(tok, termCol, capacity).collect()
+    val top: Seq[(String, Long)] =
+      if (slots.length < capacity)
+        slots.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .sortBy { case (t, c) => (-c, t) }.take(k)
+      else
+        tok.groupBy(col(termCol).as("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(k)
+          .collect().iterator
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    top.zipWithIndex
+      .map { case ((t, c), i) => (i + 1, t, c) }
+      .toDF("rank", "term", "cnt")
+  }
+
+  /** The sketch stage of [[topTermsExact]] — all `capacity` summary
+    * slots as (term, cnt) rows. Factored out so plan tests can assert
+    * the map-side partial sketch shape without running the adaptive
+    * collect.
+    */
+  def topTermsSketch(tok: DataFrame, termCol: String,
+                     capacity: Int): DataFrame =
+    tok.agg(graft.functions.TextFns.topTerms(col(termCol), capacity,
+        capacity).as("tt"))
+      .select(explode(col("tt")).as("x"))
+      .select(col("x.term"), col("x.cnt"))
+
   /** CCNet-style line-level boilerplate removal: a LINE that occurs in
     * at least `minDocs` distinct documents (headers, footers, cookie
     * banners, nav text) is stripped from every document; per-document

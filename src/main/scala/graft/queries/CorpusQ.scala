@@ -530,25 +530,26 @@ object CorpusQ {
              |  round(c2.c, 4) AS c, n3.n
              |FROM c2 JOIN n3 USING (cid)""".stripMargin)),
 
-    // text_topterms [EXT]: corpus-wide top-20 terms via the native
-    // Space-Saving aggregate — ONE pass, capacity-bounded partial
-    // sketches merged at the exchange (the vocabulary never shuffles;
-    // contrast groupBy(term).count.orderBy.limit, which shuffles every
-    // distinct n-gram at 100 TB). Oracle validity: the corpus
-    // vocabulary (31 distinct terms) is far below capacity 256, so the
-    // sketch is in its EXACT regime (no eviction, err = 0) and plain
-    // SQL counts replay it — the same exact-case gating rule as
-    // text_stats_approx's GK sketch. Any sketch regression (wrong
-    // merge, lost counts, unstable ordering) breaks the gate.
+    // text_topterms [EXT]: EXACT corpus-wide top-20 terms, adaptive
+    // (operators.Corpus.topTermsExact): one Space-Saving pass first
+    // (capacity-bounded partials, vocabulary never shuffles); when the
+    // merged summary certifies itself (< capacity slots ⇒ nothing was
+    // ever evicted ⇒ counts exact AND complete), the result builds
+    // from the ≤ 256 collected slots — the gate corpora (31 distinct
+    // terms) take this path, so any sketch regression (wrong merge,
+    // lost counts, unstable ordering) still breaks the gate. An
+    // uncertifiable vocabulary falls back to the exact distributed
+    // count + TakeOrdered top-k — the r14 FAT audit's forcing case: a
+    // 64 MB doc with ~1M distinct tokens pushes the sketch's error
+    // bound (~N/256 ≈ 65k) past the true top counts (~960), a regime
+    // where NO affordable sketch capacity recovers the answer, caught
+    // as a VALUE_MISMATCH by the fat sweep (reports/SWEEP_FAT_r14.md).
     Q("text_topterms",
       (s, d) => {
         val tok = t(s, d, "documents")
           .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
           .filter(col("term") =!= "")
-        tok.agg(graft.functions.TextFns.topTerms(col("term"), 20, 256).as("tt"))
-          .select(posexplode(col("tt")).as(Seq("i", "x")))
-          .select((col("i") + 1).cast("int").as("rank"),
-            col("x.term").as("term"), col("x.cnt").as("cnt"))
+        graft.operators.Corpus.topTermsExact(tok, "term", 20, 256)
       },
       Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(text),
              |    '[^a-z0-9]+')) AS term FROM documents),

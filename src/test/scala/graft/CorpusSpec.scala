@@ -104,6 +104,42 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.isEmpty)
   }
 
+  test("topTermsExact: certified sketch path equals the exact count (vocab < capacity)") {
+    val terms = Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      Seq.fill(20)("bravo") ++ Seq.fill(10)("gamma") ++ Seq("eps")
+    val df = scala.util.Random.shuffle(terms).map(Tuple1(_)).toDF("term")
+      .repartition(4)
+    val got = Corpus.topTermsExact(df, "term", 3, 16)
+      .as[(Int, String, Long)].collect().toList
+    // beta/bravo tie at 20 → term ASC breaks it, the oracle's order
+    assert(got == List((1, "alpha", 30L), (2, "beta", 20L), (3, "bravo", 20L)))
+  }
+
+  test("topTermsExact: uncertifiable vocabulary falls back to the exact count") {
+    // 300 distinct singletons through capacity 16 — the sketch's top
+    // slots are eviction noise (est ≈ N/capacity), the fat-corpus
+    // regime (reports/SWEEP_FAT_r14.md). The planted heavies sit at
+    // counts 9/8 — far BELOW the eviction error, unrecoverable by any
+    // sketch, so only the fallback can answer.
+    val terms = Seq.fill(9)("heavy1") ++ Seq.fill(8)("heavy2") ++
+      (0 until 300).map(i => s"noise$i")
+    val df = scala.util.Random.shuffle(terms).map(Tuple1(_)).toDF("term")
+      .repartition(4)
+    val got = Corpus.topTermsExact(df, "term", 2, 16)
+      .as[(Int, String, Long)].collect().toList
+    assert(got == List((1, "heavy1", 9L), (2, "heavy2", 8L)))
+  }
+
+  test("topTermsExact: exactly-capacity distinct lands on the fallback and stays exact") {
+    // the deliberately-ambiguous boundary: 16 distinct == capacity 16
+    // is indistinguishable from eviction from the outside → fallback
+    val terms = (0 until 16).flatMap(i => Seq.fill(i + 1)(s"t$i"))
+    val df = terms.map(Tuple1(_)).toDF("term").repartition(3)
+    val got = Corpus.topTermsExact(df, "term", 2, 16)
+      .as[(Int, String, Long)].collect().toList
+    assert(got == List((1, "t15", 16L), (2, "t14", 15L)))
+  }
+
   test("topTerms over capacity: heavy hitter survives with a valid error bound") {
     // 1 heavy item + 40 distinct light items through capacity-8 sketches:
     // evictions must keep the heavy item and keep est-err <= true <= est

@@ -158,7 +158,16 @@ class PlanSpec extends SparkFunSuite {
   }
 
   test("text_topterms: partial sketches merge at the exchange (vocabulary never shuffles)") {
-    val p = plan("text_topterms")
+    // r14: the registered query collapses to a LocalRelation at build
+    // time (topTermsExact certifies or falls back via a bounded
+    // collect), so the plan guard targets the sketch STAGE it runs —
+    // same frame, pre-collect.
+    import org.apache.spark.sql.functions._
+    val tok = queries.t(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    val p = graft.operators.Corpus.topTermsSketch(tok, "term", 256)
+      .queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       "typed-imperative sketch aggregate missing")
     assert(p.contains("partial_graft_space_saving_topk"),
