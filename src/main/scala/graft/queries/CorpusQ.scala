@@ -29,12 +29,19 @@ object CorpusQ {
     * apply oracle can map word → encoded symbols.
     */
   private def bpeStageSql(numMerges: Int): String = {
+    // Every w/i stage is MATERIALIZED (same lesson as graph_pagerank,
+    // reports/SWEEP100X_r12.md): DuckDB 1.0 inlines CTEs, and each
+    // w_k is referenced twice (by i_{k+1} and w_{k+1}) — inlined, the
+    // evaluation tree doubles per merge round (2^numMerges scans; the
+    // r14 fat sweep watched the apply replay spill 73 GB and die).
+    // Materialized, each round evaluates once over the word table.
     val head =
       """WITH dtok AS (SELECT doc_id, unnest(string_split_regex(lower(text),
         |    '[^a-z0-9]+')) AS w FROM documents),
-        |tok AS (SELECT doc_id, w FROM dtok WHERE w <> ''),
+        |tok AS MATERIALIZED (SELECT doc_id, w FROM dtok WHERE w <> ''),
         |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY w),
-        |w0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+        |w0 AS MATERIALIZED (SELECT w,
+        |  trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
         |  freq FROM words)""".stripMargin
     val stages = (1 to numMerges).map { k =>
       s"""i$k AS (SELECT unnest(generate_series(1, len(tok) - 1)) AS i,
@@ -44,11 +51,12 @@ object CorpusQ {
          |p$k AS (SELECT tok[i] || ' ' || tok[i + 1] AS pair,
          |    sum(freq)::BIGINT AS f
          |  FROM i$k GROUP BY 1),
-         |m$k AS (SELECT pair, f, string_split(pair, ' ')[1] AS lhs,
+         |m$k AS MATERIALIZED (SELECT pair, f,
+         |    string_split(pair, ' ')[1] AS lhs,
          |    string_split(pair, ' ')[2] AS rhs,
          |    replace(pair, ' ', '') AS merged
          |  FROM p$k ORDER BY f DESC, pair LIMIT 1),
-         |w$k AS (SELECT w, CASE WHEN m.lhs IS NULL THEN syms
+         |w$k AS MATERIALIZED (SELECT w, CASE WHEN m.lhs IS NULL THEN syms
          |    ELSE list_reduce(string_split(syms, ' '),
          |    (acc, x) -> CASE
          |      WHEN acc = m.lhs AND x = m.rhs THEN m.merged
@@ -621,23 +629,39 @@ object CorpusQ {
     // Narrow exploding projection, no shuffle; integer-DIV chunk count
     // so the oracle replays offsets exactly. The oracle recomputes
     // count, offsets, lengths, and the substring slices from raw text.
+    // r14 (fat sweep): the replay must NEVER carry the raw text across
+    // the per-chunk fan-out — DuckDB copies the referenced string into
+    // every output row, so `unnest(...), t` priced 447k × 64 MB on the
+    // fat giant (the replay ran 5+ h without finishing). Restructured
+    // to the tile discipline: split the text ONCE into 150-char tiles
+    // (regexp_extract_all, dotall), and each chunk reassembles from
+    // tile k + the first 50 chars of tile k+1 via narrow equi-joins —
+    // 3 s on the same corpus, byte-identical output.
     Q("text_chunk",
       (s, d) => Corpus.chunkText(
         t(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", chunkSize = 200, overlap = 50),
       Some("""WITH dd AS (SELECT doc_id, coalesce(text, '') AS t,
              |    length(coalesce(text, ''))::BIGINT AS len FROM documents),
-             |n AS (SELECT doc_id, t, len,
+             |n AS MATERIALIZED (SELECT doc_id, len,
              |    CASE WHEN len <= 200 THEN 1
-             |      ELSE (len - 200 + 149) // 150 + 1 END AS n_chunks
+             |      ELSE (len - 200 + 149) // 150 + 1 END AS n_chunks,
+             |    regexp_extract_all(t, '.{1,150}', 0, 's') AS tl
              |  FROM dd),
-             |c AS (SELECT doc_id, t, len,
+             |tile AS MATERIALIZED (SELECT doc_id, unnest(tl) AS tile,
+             |    generate_subscripts(tl, 1) AS ti FROM n),
+             |c AS (SELECT doc_id, len,
              |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
              |  FROM n)
-             |SELECT doc_id, chunk_id, chunk_id * 150 AS start_off,
-             |  least(200, len - chunk_id * 150) AS chunk_len,
-             |  substr(t, (chunk_id * 150 + 1)::INT, 200) AS chunk_text
-             |FROM c""".stripMargin)),
+             |SELECT c.doc_id, chunk_id, chunk_id * 150 AS start_off,
+             |  least(200, c.len - chunk_id * 150) AS chunk_len,
+             |  coalesce(t1.tile, '') || coalesce(left(t2.tile, 50), '')
+             |    AS chunk_text
+             |FROM c
+             |LEFT JOIN tile t1
+             |  ON t1.doc_id = c.doc_id AND t1.ti = chunk_id + 1
+             |LEFT JOIN tile t2
+             |  ON t2.doc_id = c.doc_id AND t2.ti = chunk_id + 2""".stripMargin)),
 
     // corpus_cap [EXT]: per-source document cap (C4-style "at most N
     // pages per domain") — deterministic md5 priority, top-10 kept per
@@ -667,14 +691,21 @@ object CorpusQ {
       (s, d) => Corpus.collocations(
         t(s, d, "documents").select(col("text")), "text",
         minCount = 5L, k = 20),
-      Some("""WITH tk AS (SELECT list_filter(string_split_regex(lower(text),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text),
              |    '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-             |bgi AS (SELECT unnest(generate_series(1, len(t) - 1)) AS j, t
-             |  FROM tk),
-             |bgp AS (SELECT t[j] AS w1, t[j + 1] AS w2 FROM bgi),
-             |bg AS (SELECT w1, w2, count(*) AS c_ab FROM bgp GROUP BY 1, 2),
-             |uni AS (SELECT unnest(t) AS w FROM tk),
-             |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+             |-- r14 (fat sweep): flatten tokens to narrow rows FIRST;
+             |-- `unnest(generate_series(...)), t` copied the giant
+             |-- doc's full 6.7M-token list into every bigram row.
+             |-- Adjacent pairs come from a (doc_id, j+1) self-join on
+             |-- the narrow token frame instead.
+             |tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS w,
+             |    generate_subscripts(t, 1) AS j FROM tk),
+             |bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+             |  FROM tok a JOIN tok b
+             |    ON a.doc_id = b.doc_id AND b.j = a.j + 1
+             |  GROUP BY 1, 2),
+             |u AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
              |nb AS (SELECT sum(c_ab)::BIGINT AS nb FROM bg),
              |nu AS (SELECT sum(c)::BIGINT AS nu FROM u),
              |sc AS (SELECT bg.w1, bg.w2, bg.c_ab,

@@ -679,11 +679,26 @@ object TextQ {
       Some("""WITH d AS (SELECT doc_id,
                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
              FROM documents),
-             g AS (SELECT doc_id, length(nt) - 7 AS ng,
-               unnest(generate_series(1, length(nt) - 7)) AS i, nt
+             -- r14 (fat sweep): never carry nt across the per-position
+             -- fan-out (DuckDB copies the referenced string per row —
+             -- 64M positions x 64 MB on the fat giant). Tile discipline:
+             -- split nt once into 256-char tiles, extend each with the
+             -- next tile's first 7 chars so every 8-gram starting in a
+             -- tile is local, then fan out positions per ~263-char tile.
+             dn AS MATERIALIZED (SELECT doc_id, length(nt) - 7 AS ng,
+               regexp_extract_all(nt, '.{1,256}', 0, 's') AS tl
              FROM d WHERE length(nt) >= 8),
-             h AS (SELECT doc_id, ng, i,
-               ('0x' || substr(md5(substr(nt, i::INT, 8)), 1, 15))::BIGINT AS hv
+             tile AS MATERIALIZED (SELECT doc_id, ng, unnest(tl) AS tile,
+               generate_subscripts(tl, 1) AS k FROM dn),
+             xt AS MATERIALIZED (SELECT t1.doc_id, t1.ng, t1.k,
+               t1.tile || coalesce(left(t2.tile, 7), '') AS xt
+             FROM tile t1 LEFT JOIN tile t2
+               ON t2.doc_id = t1.doc_id AND t2.k = t1.k + 1),
+             g AS (SELECT doc_id, ng, k, xt,
+               unnest(generate_series(1, length(xt) - 7)) AS j
+             FROM xt),
+             h AS (SELECT doc_id, ng, (k - 1) * 256 + j AS i,
+               ('0x' || substr(md5(substr(xt, j::INT, 8)), 1, 15))::BIGINT AS hv
              FROM g),
              m AS (SELECT doc_id, ng, i,
                min(hv) OVER (PARTITION BY doc_id ORDER BY i
