@@ -910,12 +910,32 @@ object TextQ {
                SELECT doc_id + 5000000 AS doc_id, tk[4:23] AS tk
                FROM norm WHERE doc_id % 25 = 0
              ),
-             tg AS (
-               SELECT doc_id, unnest(list_distinct(
-                 [array_to_string(tk[i:i+12], ' ')
-                  FOR i IN generate_series(1, greatest(len(tk) - 12, 0))]))
-                 AS g
+             -- r14 (fat sweep): the list comprehension over tk slices
+             -- re-referenced the giant doc's 6.7M-token list per gram
+             -- (DuckDB priced the vector at 256 GiB and aborted).
+             -- Train grams now build from narrow token rows + 12 lead
+             -- windows — linear, per-row payload one gram string. The
+             -- bench side keeps the comprehension: its docs are
+             -- 20-token slices, bounded by construction.
+             tokn AS MATERIALIZED (
+               SELECT doc_id, unnest(tk) AS w,
+                 generate_subscripts(tk, 1) AS j
                FROM norm
+             ),
+             gr AS (
+               SELECT doc_id, j, count(*) OVER (PARTITION BY doc_id) AS n,
+                 concat_ws(' ', w,
+                   lead(w, 1) OVER win, lead(w, 2) OVER win,
+                   lead(w, 3) OVER win, lead(w, 4) OVER win,
+                   lead(w, 5) OVER win, lead(w, 6) OVER win,
+                   lead(w, 7) OVER win, lead(w, 8) OVER win,
+                   lead(w, 9) OVER win, lead(w, 10) OVER win,
+                   lead(w, 11) OVER win, lead(w, 12) OVER win) AS g
+               FROM tokn
+               WINDOW win AS (PARTITION BY doc_id ORDER BY j)
+             ),
+             tg AS (
+               SELECT DISTINCT doc_id, g FROM gr WHERE j <= n - 12
              ),
              bg AS (
                SELECT doc_id, unnest(list_distinct(
@@ -946,14 +966,25 @@ object TextQ {
              |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
              |    '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
              |  FROM documents),
-             |base AS (SELECT doc_id, tk, len(tk) - 7 AS n_grams FROM norm
+             |base AS (SELECT doc_id, len(tk) - 7 AS n_grams FROM norm
              |         WHERE len(tk) - 7 > 0),
-             |p AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
-             |        SELECT doc_id,
-             |          unnest([{'pos': i,
-             |                   'g': array_to_string(tk[i:i+7], ' ')}
-             |            FOR i IN generate_series(1, n_grams)]) AS u
-             |        FROM base)),
+             |-- r14 (fat sweep): the struct comprehension re-referenced
+             |-- the giant doc's token list per gram position and OOM'd;
+             |-- positions now come from narrow token rows + 7 lead
+             |-- windows (see decontam_ngram for the same restructure).
+             |tokn AS MATERIALIZED (
+             |  SELECT doc_id, unnest(tk) AS w,
+             |    generate_subscripts(tk, 1) AS j FROM norm),
+             |p AS MATERIALIZED (
+             |  SELECT doc_id, j AS pos, g FROM (
+             |    SELECT doc_id, j, count(*) OVER (PARTITION BY doc_id) AS n,
+             |      concat_ws(' ', w,
+             |        lead(w, 1) OVER win, lead(w, 2) OVER win,
+             |        lead(w, 3) OVER win, lead(w, 4) OVER win,
+             |        lead(w, 5) OVER win, lead(w, 6) OVER win,
+             |        lead(w, 7) OVER win) AS g
+             |    FROM tokn WINDOW win AS (PARTITION BY doc_id ORDER BY j))
+             |  WHERE j <= n - 7),
              |dup AS (SELECT g FROM (SELECT g, doc_id FROM p GROUP BY 1, 2)
              |        GROUP BY g HAVING count(*) >= 2),
              |sp AS (SELECT doc_id, count(*) AS n_dup,
