@@ -163,18 +163,25 @@ object Dedup {
   def textGroups(df: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val norm = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // both staged sides consume the hashed frame; persist it across
+    // the two materializes so the corpus text is scanned and SHA-256'd
+    // once, not once per side (operator-owned lifecycle: persist →
+    // materialize both → unpersist)
     val nn = norm.filter(col("text").isNotNull)
       .withColumn("hkey", unhex(sha2(col("text"), 256)))
-    val reps = Stage.materialize(
-      nn.groupBy("hkey").agg(min("id").as("rep"),
-        first(col("text")).as("text")), "text_reps")
-    val membership = Stage.materialize(
-      nn.select("id", "hkey")
-        .join(reps.select("hkey", "rep"), Seq("hkey")).select("id", "rep")
-        .unionByName(norm.filter(col("text").isNull)
-          .select(col("id"), col("id").as("rep"))),
-      "text_membership")
-    (membership, reps.select(col("rep"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val reps = Stage.materialize(
+        nn.groupBy("hkey").agg(min("id").as("rep"),
+          first(col("text")).as("text")), "text_reps")
+      val membership = Stage.materialize(
+        nn.select("id", "hkey")
+          .join(reps.select("hkey", "rep"), Seq("hkey")).select("id", "rep")
+          .unionByName(norm.filter(col("text").isNull)
+            .select(col("id"), col("id").as("rep"))),
+        "text_membership")
+      (membership, reps.select(col("rep"), col("text")))
+    } finally { val _ = nn.unpersist(blocking = false) }
   }
 
   /** `minhashPairs` with clone-collapsed candidate generation: sketch
@@ -623,6 +630,54 @@ object Dedup {
                      n: Int = 3): DataFrame =
     Stage.materialize(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("sh")), "verified_sets")
+
+  /** [[verifiedPairsOfSets]]' clone-collapsed twin — the
+    * distinct-text discipline ([[minhashPairsDistinct]]) applied to
+    * the EXACT-verify pipeline. The r14 targeted 100× bench measured
+    * the doc-level path at 150 s steady-state: with ~100 verbatim
+    * clones per text, every band bucket holds whole clone groups, the
+    * banded self-join emits ~clone² candidate rows, and the verify
+    * join drags both ~1.3 kB shingle arrays across the exchange for
+    * every one of the ~25M doc pairs. Collapsed: band + verify once
+    * per DISTINCT text over `repSets` (jaccard is a pure function of
+    * the two texts), then expand to doc pairs at the output boundary
+    * via narrow (rep → id) equi-joins. Intra-group pairs take the
+    * rep's SELF-jaccard (SortedJaccard(sh, sh): 1.0 for any non-empty
+    * shingle set, 0.0 for the empty set — exactly the value the
+    * doc-level path computes for two identical docs, so degenerate
+    * texts filter identically). Null-text docs are singleton groups in
+    * `membership` and pair with nothing, matching the doc-level path's
+    * null-signature behavior.
+    *
+    * @param membership (id, rep) from [[textGroups]]
+    * @param repSets    (id = rep, sh) from [[fitShingleSets]] over the
+    *                   reps frame
+    */
+  def verifiedPairsDistinct(membership: DataFrame, repSets: DataFrame,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      finalThreshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val repPairs = verifiedPairsOfSets(repSets, bands, rowsPerBand,
+      finalThreshold, seed, maxBucketSize)
+    val cross = repPairs
+      .join(membership.select(col("rep").as("id_a"), col("id").as("m_a")),
+        "id_a")
+      .join(membership.select(col("rep").as("id_b"), col("id").as("m_b")),
+        "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    val selfJ = repSets.select(col("id").as("rep"),
+        Shim.column(SortedJaccard(Shim.expression(col("sh")),
+          Shim.expression(col("sh")))).as("jaccard"))
+      .filter(col("jaccard") >= finalThreshold)
+    val m = membership.select(col("rep"), col("id"))
+    val intra = m
+      .join(m.withColumnRenamed("id", "id2"), Seq("rep"))
+      .filter(col("id") < col("id2"))
+      .join(selfJ, Seq("rep"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"), col("jaccard"))
+    cross.unionByName(intra)
+  }
 
   /** [[verifiedPairs]] over an ALREADY-FITTED posting frame from
     * [[fitShingleSets]] (columns (id, sh)).

@@ -84,12 +84,15 @@ object TextQ {
   private[queries] val neardupCache =
     new ModelCache[Similarity.NearDupModel](4)
 
-  /** Staged-once jaccard shingle postings (Dedup.fitShingleSets) —
-    * round 13: dedup_jaccard's posting fit used to land inside a
-    * random bench rep (the 21-52 s 100× median swing); fit-once keyed
-    * per (session, corpus) like every other model here.
+  /** Staged-once jaccard fit — round 13 staged the doc-level shingle
+    * postings; round 14 collapses to the distinct-text discipline, so
+    * the cached fit is (membership, repSets): the (id → rep) clone map
+    * plus the per-DISTINCT-text shingle postings. Fit-once keyed per
+    * (session, corpus) like every other model here (the 21-52 s 100×
+    * median swing of an in-rep fit was the r13 lesson).
     */
-  private[queries] val jaccardSetsCache = new ModelCache[DataFrame](4)
+  private[queries] val jaccardSetsCache =
+    new ModelCache[(DataFrame, DataFrame)](4)
 
   /** embeddings ∪ +0.01-perturbed copies of every 50th vector — the
     * planted near-dup corpus shared by sim_neardup_cos/dedup_semantic
@@ -397,16 +400,23 @@ object TextQ {
     // Spark computes Jaccard over 31-bit hashed shingles — exact modulo
     // collisions (P ≈ 4e-5 per pair at these set sizes).
     // r13: the shingle-posting fit stages ONCE per (session, corpus)
-    // via jaccardSetsCache — before, the corpus scan + shingle hash
-    // landed inside whichever gate/bench rep ran first (a 21-52 s
-    // median swing at 100×); now reps replay from the staged postings.
+    // via jaccardSetsCache. r14: clone-collapsed
+    // (Dedup.verifiedPairsDistinct) — band + exact-verify once per
+    // DISTINCT text, expand to doc pairs at the output boundary; the
+    // doc-level path measured 150 s steady-state at 100× (clone²
+    // banded candidates, ~1.3 kB shingle arrays per verify-join row).
     Q("dedup_jaccard",
-      (s, d) => Dedup.verifiedPairsOfSets(
-        jaccardSetsCache.getOrFit(s, d,
-          Dedup.fitShingleSets(plantedDocs(s, d), "doc_id", "text")),
-        finalThreshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
-          .as("jaccard")),
+      (s, d) => {
+        val (membership, repSets) = jaccardSetsCache.getOrFit(s, d, {
+          val (m, reps) = Dedup.textGroups(plantedDocs(s, d),
+            "doc_id", "text")
+          (m, Dedup.fitShingleSets(reps, "rep", "text"))
+        })
+        Dedup.verifiedPairsDistinct(membership, repSets,
+            finalThreshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
+            .as("jaccard"))
+      },
       Some("""WITH planted AS (
                SELECT doc_id, text FROM documents
                UNION ALL

@@ -115,4 +115,41 @@ class R12FuzzSpec extends SparkFunSuite {
           9000000003L -> 9000000003L),
       s"null-text docs must self-cluster, got $nullClusters")
   }
+
+  test("verifiedPairsDistinct: exact parity (incl. jaccard values) with " +
+       "the doc-level verified path on a clone-heavy corpus") {
+    import graft.operators.Dedup
+    // same clone-heavy fixture as the minhash parity test, plus
+    // null-text riders (must never pair — singleton membership) and a
+    // pair of EMPTY-text clones (ShingleHashes emits ONE whole-text
+    // shingle for <= n tokens, so the doc-level contract pairs them at
+    // jaccard 1.0 — the collapsed intra path must reproduce that, not
+    // drop them)
+    val base = queries.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val clones = ReplicateCorpus.fanOut(spark, base, "documents",
+        Seq("doc_id"), mult = 5, skew = 0)
+      .unionByName(Seq(9000000001L, 9000000002L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+      .unionByName(Seq(9000000003L, 9000000004L).toDF("doc_id")
+        .withColumn("text", lit("")))
+
+    val docPairs = Dedup.verifiedPairs(clones, "doc_id", "text",
+      finalThreshold = 0.5).select("id_a", "id_b", "jaccard")
+    val (membership, reps) = Dedup.textGroups(clones, "doc_id", "text")
+    val distPairs = Dedup.verifiedPairsDistinct(membership,
+        Dedup.fitShingleSets(reps, "rep", "text"), finalThreshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+    assert(docPairs.exceptAll(distPairs).isEmpty &&
+           distPairs.exceptAll(docPairs).isEmpty,
+      "verified pair sets (incl. exact jaccard) must be identical")
+    // sanity: the clone corpus actually produces intra-group pairs
+    assert(distPairs.filter(col("jaccard") === 1.0).count() > 0)
+    // null-text docs never pair; the empty-text clone pair IS emitted
+    // at exactly 1.0 (the whole-text-shingle contract), on both paths
+    val riders = distPairs.filter(col("id_a") >= 9000000001L)
+      .as[(Long, Long, Double)].collect().toList
+    assert(riders == List((9000000003L, 9000000004L, 1.0)),
+      s"degenerate riders: $riders")
+  }
 }
