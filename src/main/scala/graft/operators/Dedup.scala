@@ -649,6 +649,18 @@ object Dedup {
     * `membership` and pair with nothing, matching the doc-level path's
     * null-signature behavior.
     *
+    * Parity scope (r15, ADVICE): exact pair-set parity with the
+    * doc-level path holds while every CLONE GROUP fits
+    * `maxBucketSize`. Above it the two paths intentionally diverge —
+    * the doc-level path's oversize salting ([[saltOversized]]) splits
+    * same-text clones across sub-buckets and can DROP intra-clone
+    * pairs, while the collapsed path emits every intra-group pair via
+    * `selfJ` regardless of group size (strictly better recall; the
+    * group never enters a band bucket, so no salt can split it).
+    * R12FuzzSpec pins both regimes: parity at mult=5, and the
+    * collapsed path's full C(n,2) intra-pair emission on a clone
+    * group > maxBucketSize where the doc-level path under-emits.
+    *
     * @param membership (id, rep) from [[textGroups]]
     * @param repSets    (id = rep, sh) from [[fitShingleSets]] over the
     *                   reps frame

@@ -13,6 +13,21 @@ import graft.operators.{ConnectedComponents, Corpus, Dedup}
   */
 object CorpusQ {
 
+  /** The ONE source of truth for text_chunk's geometry — both the
+    * Spark call and the DuckDB oracle SQL interpolate these, so the
+    * engine and the replay cannot drift (r15, ADVICE). The oracle's
+    * tile discipline (split once into stride-wide tiles, reassemble
+    * chunk k from tile k + the first `overlap` chars of tile k+1)
+    * requires overlap <= stride, asserted here at class-load.
+    */
+  private object ChunkCfg {
+    val size = 200
+    val overlap = 50
+    val stride: Int = size - overlap
+    require(overlap <= stride,
+      s"tile oracle requires overlap <= stride ($overlap > $stride)")
+  }
+
   /** DuckDB replay of `numMerges` rounds of BPE training, unrolled as
     * one CTE chain per round: pair counting (unnest of adjacent token
     * pairs weighted by word freq), the argmax with the engine-portable
@@ -637,25 +652,37 @@ object CorpusQ {
     // (regexp_extract_all, dotall), and each chunk reassembles from
     // tile k + the first 50 chars of tile k+1 via narrow equi-joins —
     // 3 s on the same corpus, byte-identical output.
+    // r15: the tile width (= stride) and next-tile carry (= overlap)
+    // in the SQL derive from the SAME constants the Spark side uses,
+    // so the two cannot drift independently (r14 hardcoded 150/50 and
+    // a parameter change would have broken the oracle silently). The
+    // tile reassembly is only valid while overlap <= stride (chunk =
+    // tile k + first `overlap` chars of tile k+1), checked here.
     Q("text_chunk",
       (s, d) => Corpus.chunkText(
         t(s, d, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", chunkSize = 200, overlap = 50),
-      Some("""WITH dd AS (SELECT doc_id, coalesce(text, '') AS t,
+        "doc_id", "text", chunkSize = ChunkCfg.size,
+        overlap = ChunkCfg.overlap),
+      Some(s"""WITH dd AS (SELECT doc_id, coalesce(text, '') AS t,
              |    length(coalesce(text, ''))::BIGINT AS len FROM documents),
              |n AS MATERIALIZED (SELECT doc_id, len,
-             |    CASE WHEN len <= 200 THEN 1
-             |      ELSE (len - 200 + 149) // 150 + 1 END AS n_chunks,
-             |    regexp_extract_all(t, '.{1,150}', 0, 's') AS tl
+             |    CASE WHEN len <= ${ChunkCfg.size} THEN 1
+             |      ELSE (len - ${ChunkCfg.size} + ${ChunkCfg.stride - 1})
+             |        // ${ChunkCfg.stride} + 1 END AS n_chunks,
+             |    regexp_extract_all(t, '.{1,${ChunkCfg.stride}}', 0, 's')
+             |      AS tl
              |  FROM dd),
              |tile AS MATERIALIZED (SELECT doc_id, unnest(tl) AS tile,
              |    generate_subscripts(tl, 1) AS ti FROM n),
              |c AS (SELECT doc_id, len,
              |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
              |  FROM n)
-             |SELECT c.doc_id, chunk_id, chunk_id * 150 AS start_off,
-             |  least(200, c.len - chunk_id * 150) AS chunk_len,
-             |  coalesce(t1.tile, '') || coalesce(left(t2.tile, 50), '')
+             |SELECT c.doc_id, chunk_id, chunk_id * ${ChunkCfg.stride}
+             |    AS start_off,
+             |  least(${ChunkCfg.size}, c.len - chunk_id * ${ChunkCfg.stride})
+             |    AS chunk_len,
+             |  coalesce(t1.tile, '')
+             |    || coalesce(left(t2.tile, ${ChunkCfg.overlap}), '')
              |    AS chunk_text
              |FROM c
              |LEFT JOIN tile t1
@@ -698,7 +725,10 @@ object CorpusQ {
              |-- `unnest(generate_series(...)), t` copied the giant
              |-- doc's full 6.7M-token list into every bigram row.
              |-- Adjacent pairs come from a (doc_id, j+1) self-join on
-             |-- the narrow token frame instead.
+             |-- the narrow token frame instead. The self-join keys on
+             |-- doc_id being UNIQUE in documents (the table's key by
+             |-- contract — TESTDATA.md; duplicate doc_id rows would
+             |-- cross-match tokens between copies).
              |tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS w,
              |    generate_subscripts(t, 1) AS j FROM tk),
              |bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab

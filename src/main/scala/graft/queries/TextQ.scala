@@ -926,7 +926,10 @@ object TextQ {
              -- Train grams now build from narrow token rows + 12 lead
              -- windows — linear, per-row payload one gram string. The
              -- bench side keeps the comprehension: its docs are
-             -- 20-token slices, bounded by construction.
+             -- 20-token slices, bounded by construction. The windowed
+             -- gram rebuild keys on doc_id being UNIQUE in documents
+             -- (the table key by contract — TESTDATA.md; duplicates
+             -- would interleave token streams in the PARTITION BY).
              tokn AS MATERIALIZED (
                SELECT doc_id, unnest(tk) AS w,
                  generate_subscripts(tk, 1) AS j
@@ -981,7 +984,9 @@ object TextQ {
              |-- r14 (fat sweep): the struct comprehension re-referenced
              |-- the giant doc's token list per gram position and OOM'd;
              |-- positions now come from narrow token rows + 7 lead
-             |-- windows (see decontam_ngram for the same restructure).
+             |-- windows (see decontam_ngram for the same restructure;
+             |-- like there, the PARTITION BY keys on doc_id being
+             |-- UNIQUE in documents — the table key by contract).
              |tokn AS MATERIALIZED (
              |  SELECT doc_id, unnest(tk) AS w,
              |    generate_subscripts(tk, 1) AS j FROM norm),

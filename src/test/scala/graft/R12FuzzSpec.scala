@@ -152,4 +152,40 @@ class R12FuzzSpec extends SparkFunSuite {
     assert(riders == List((9000000003L, 9000000004L, 1.0)),
       s"degenerate riders: $riders")
   }
+
+  test("verifiedPairsDistinct: clone group > maxBucketSize — collapsed " +
+       "path emits ALL C(n,2) intra pairs where doc-level salting drops " +
+       "some (intended divergence, Dedup.scala parity-scope contract)") {
+    import graft.operators.Dedup
+    // 100 verbatim clones of one text with maxBucketSize = 5: every
+    // band bucket holds the whole group (identical minhash rows), so
+    // saltOversized splits it into ~20 hash sub-buckets per band and
+    // the doc-level self-join only pairs ids that co-land in SOME
+    // band's sub-bucket (P ≈ 1-(19/20)^16 ≈ 0.56 per pair —
+    // deterministic here: fixed ids, fixed seed). The collapsed path
+    // never bands the group at all — one rep, selfJ jaccard 1.0, and
+    // the intra expansion emits every pair.
+    val n = 100
+    val text = "the quick brown fox jumps over the lazy dog while " +
+      "the sun sets slowly behind the tall green hills tonight"
+    val clones = (1 to n).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val cap = 5
+
+    val docPairs = Dedup.verifiedPairs(clones, "doc_id", "text",
+      finalThreshold = 0.5, maxBucketSize = cap)
+    val (membership, reps) = Dedup.textGroups(clones, "doc_id", "text")
+    val distPairs = Dedup.verifiedPairsDistinct(membership,
+      Dedup.fitShingleSets(reps, "rep", "text"),
+      finalThreshold = 0.5, maxBucketSize = cap)
+
+    val all = n.toLong * (n - 1) / 2
+    assert(distPairs.count() == all,
+      s"collapsed path must emit all $all intra-clone pairs")
+    assert(distPairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    val docCount = docPairs.count()
+    assert(docCount < all,
+      s"doc-level path expected to under-emit under oversize salting " +
+        s"(got $docCount of $all — if equal, the divergence contract " +
+        s"in Dedup.verifiedPairsDistinct's scaladoc no longer holds)")
+  }
 }
