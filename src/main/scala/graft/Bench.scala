@@ -172,6 +172,17 @@ object Bench {
       val out = new java.io.File(
         if (root != null) root else new java.io.File("."), "bench_full.json")
       java.nio.file.Files.write(out.toPath, (fullLine + "\n").getBytes("UTF-8"))
+      // r15 (VERDICT r14 #3): bench_full.json is overwritten by every
+      // invocation, so the per-query minimums — the protocol's own
+      // window-resistant comparator — never survived a round.
+      // SPARK_GRAFT_BENCH_FULL_OUT names an ADDITIONAL stable copy
+      // (e.g. reports/bench_full_r15_100x.json) written in the same
+      // breath, so the committed snapshot can never diverge from the
+      // run that produced the headline line.
+      sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT").foreach { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (fullLine + "\n").getBytes("UTF-8"))
+      }
     } catch { case _: Exception => () } // bench result > artifact write
     // Stdout line: the driver keeps only the LAST 2000 chars of output
     // (rounds 2-4 lost the line head to that window → parsed:null), and
