@@ -90,6 +90,56 @@ import org.apache.spark.sql.functions._
 object ReplicateCorpus {
   val Off = 1000000000L // > any source key at any shipped SF
 
+  /** Value columns nulled under NULL mode (round 15, 7th arg
+    * `nulls` = pct 0-100): the shipped corpus contains ZERO nulls in
+    * any table, so six audit dimensions exercised the registry's
+    * null contracts only through spec-injected rows — a 100 TB web
+    * corpus is never that clean. With `nulls` = p, each listed VALUE
+    * cell goes NULL deterministically when
+    * `xxhash64(anchor-keys…, colName) % 100 < p` — per (row, column),
+    * so rows lose different column subsets (the realistic shape:
+    * partial records, not missing records). Entity/row keys are NEVER
+    * nulled (id uniqueness and the replication contract stay intact;
+    * the doc_id-uniqueness assumption several oracles key on is part
+    * of the table contract) — but FK columns (c_nationkey,
+    * s_nationkey) ARE in the list: null FKs are the canonical
+    * referential-quality defect, inner joins drop them identically on
+    * both engines, and dq_referential counts them identically from
+    * the same parquet. Dimensions (region/nation) stay verbatim, and
+    * fat-mode docs are appended AFTER nulling (the fat contract's
+    * planted clone triples must stay intact).
+    */
+  private[graft] val NullableCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority"),
+    "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("ts", "event_type", "value", "props"),
+    "documents" -> Seq("text", "lang", "source"),
+    "embeddings" -> Seq("embedding", "label"))
+
+  /** Apply NULL mode to one fanned table (factored for spec
+    * coverage). `anchor` must be non-nullable key columns — the hash
+    * is keyed on the POST-offset keys, so each replica draws an
+    * independent null pattern.
+    */
+  def withNulls(df: DataFrame, table: String, anchor: Seq[String],
+                pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"nulls pct must be 0-100, got $pct")
+    val cols = NullableCols.getOrElse(table, Nil)
+    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      val h = pmod(xxhash64(anchor.map(col) :+ lit(c): _*), lit(100L))
+      d.withColumn(c, when(h < pct,
+          lit(null).cast(d.schema(c).dataType))
+        .otherwise(col(c)))
+    }
+  }
+
   /** Grouping keys that fold under skew mode: hot-key pressure wants
     * the key that DEFINES groups/joins, never the row identity (ids
     * must stay corpus-unique or dedup/count semantics change).
@@ -197,16 +247,19 @@ object ReplicateCorpus {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: ReplicateCorpus <srcSfDir> <dstDir> [mult=10] [files=1] " +
-        "[skew=0] [fat=0]")
+        "[skew=0] [fat=0] [nulls=0]")
     val (src, dst) = (args(0), args(1))
     val mult = if (args.length > 2) args(2).toInt else 10
     val files = if (args.length > 3) args(3).toInt else 1
     val skew = if (args.length > 4) args(4).toInt else 0
     val fat = if (args.length > 5) args(5).toInt else 0
+    val nulls = if (args.length > 6) args(6).toInt else 0
     require(mult >= 1, s"mult must be >= 1, got $mult")
     require(files >= 1, s"files must be >= 1, got $files")
     require(skew >= 0, s"skew must be >= 0, got $skew")
     require(fat == 0 || fat == 1, s"fat must be 0 or 1, got $fat")
+    require(nulls >= 0 && nulls <= 100,
+      s"nulls must be 0-100 (a pct), got $nulls")
     // fat-doc ids start at FatGiantId > 800 * ReplicaOffset; a larger
     // mult would collide replica doc_ids with fat-doc ids and silently
     // corrupt the corpus (duplicate keys, double-counted planted pairs)
@@ -266,14 +319,22 @@ object ReplicateCorpus {
     keyCols.foreach { case (table, keys) =>
       val base = queries.t(spark, src, table)
       val fanned = fanOut(spark, base, table, keys, mult, skew)
+      // per-row null anchor: the table's entity keys, plus the line
+      // number for lineitem (its keyCols triple repeats across rows)
+      val anchor =
+        if (table == "lineitem") keys :+ "l_linenumber" else keys
+      val nulled =
+        if (nulls > 0 && keys.nonEmpty) withNulls(fanned, table, anchor,
+          nulls)
+        else fanned
       val out =
         if (fat == 1 && table == "documents")
-          fanned.unionByName(fatDocs(spark))
-        else fanned
+          nulled.unionByName(fatDocs(spark))
+        else nulled
       val t0 = System.nanoTime()
       write(out, table)
       println(f"[replicate] $table%-10s x$mult files=$files skew=$skew " +
-        f"fat=$fat -> $dst/$table.parquet " +
+        f"fat=$fat nulls=$nulls -> $dst/$table.parquet " +
         f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
     spark.stop()

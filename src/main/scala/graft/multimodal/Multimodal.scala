@@ -176,7 +176,11 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, df: DataFrame,
                       idCol: String = "id", binCol: String = "payload"): Dataset[Feature] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), sniffKind(col(binCol)), col(binCol))
+    // null contract (r15, NULL audit): a NULL payload is a MISSING
+    // asset — it produces no feature row (the skip-missing-asset
+    // behavior of any media pipeline), never an NPE inside the codec
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), sniffKind(col(binCol)), col(binCol))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would happen here (once, not per row)
@@ -337,7 +341,9 @@ object Multimodal {
                    maxFrames: Int = 16, idCol: String = "id",
                    binCol: String = "payload"): Dataset[Frames] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), sniffKind(col(binCol)), col(binCol))
+    // null payload = missing asset -> no frames (see extractFeatures)
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), sniffKind(col(binCol)), col(binCol))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>

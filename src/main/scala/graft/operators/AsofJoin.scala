@@ -65,7 +65,14 @@ object AsofJoin {
     // side: right=0 sorts before left=1 at the same (key, time) → a left
     // row at time t sees a right row at exactly t (<= semantics)
     val l = left.withColumn("_side", lit(1))
-    val r = right.select(
+    // r15 null contract: a RIGHT row with a null time cannot be "as
+    // of" anything (ANSI ASOF `l.t >= r.t` can never match it) — drop
+    // it before the union, or Spark's nulls-first sort would carry it
+    // as the phantom "earliest checkpoint" into every probe. A LEFT
+    // row with a null time keeps LEFT-join semantics: nulls sort
+    // first, so it sees an empty carry → null payload, exactly the
+    // no-match row ASOF produces.
+    val r = right.filter(col(timeCol).isNotNull).select(
       (keyCols :+ timeCol).map(col) :+
         struct(lit(1).as("_m") +: (col(timeCol).as("_t") +:
           payload.map(col)): _*).as("_pay"): _*)

@@ -52,7 +52,14 @@ object Classify {
     */
   def trainNb(train: DataFrame, idCol: String, textCol: String,
               classCol: String, maxClasses: Int = 64): NbModel = {
-    val wc = toks(train, idCol, textCol, Seq(classCol))
+    // null contract (r15, NULL audit): a null label is an UNLABELED
+    // document, not a class — such rows never enter training (the
+    // r15 null-corpus sweep caught `classes.sorted` NPE-ing on a null
+    // class string). Null/empty TEXT is already covered by the
+    // zero-token drop contract above. Oracles mirror with
+    // `WHERE <label> IS NOT NULL` on the training CTE.
+    val labeled = train.filter(col(classCol).isNotNull)
+    val wc = toks(labeled, idCol, textCol, Seq(classCol))
       .groupBy(col(classCol).as("cls"), col("w"))
       .agg(count(lit(1)).as("c"))
     val staged = Stage.materialize(wc, "nb_wordcounts")
@@ -64,7 +71,7 @@ object Classify {
     require(cstat.size <= maxClasses,
       s"${cstat.size} classes exceed maxClasses=$maxClasses")
     val vocab = staged.select(countDistinct("w")).head().getLong(0)
-    val nDocs = train.groupBy(col(classCol).as("cls"))
+    val nDocs = labeled.groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val classes = cstat.keys.toSeq.sorted

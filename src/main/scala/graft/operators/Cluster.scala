@@ -40,14 +40,20 @@ object Cluster {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val spark = vecs.sparkSession
-    var centers = vecs.orderBy(col(idCol)).limit(k)
+    // null contract (r15, NULL audit): a NULL vector has no position —
+    // it can neither seed nor join a cluster, so such rows drop at
+    // entry (the r15 null-corpus sweep caught the lowest-id INIT
+    // collecting a null row and NPE-ing in getSeq). Oracle CTEs
+    // mirror with WHERE embedding IS NOT NULL.
+    val clean = vecs.filter(col(vecCol).isNotNull)
+    var centers = clean.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
     require(centers.nonEmpty, "empty input corpus")
     val dim = centers(0).length
 
     def assigned(cs: Array[Array[Float]]): DataFrame =
-      vecs.select(col(idCol), col(vecCol),
+      clean.select(col(idCol), col(vecCol),
         Shim.column(graft.expressions.NearestCentroid(
           Shim.expression(col(vecCol)), cs)).as("cluster_id"))
 

@@ -43,7 +43,9 @@ object Cohort {
     */
   def retention(events: DataFrame, entityCol: String,
                 tsCol: Column): DataFrame = {
+    // r15 null contract: an event without a time belongs to no week
     val perEntity = events
+      .filter(tsCol.isNotNull)
       .select(col(entityCol).as("e"),
         date_trunc("week", tsCol).cast("date").as("wk"))
       .groupBy("e")

@@ -36,7 +36,10 @@ object Funnel {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     val stepArr = array(steps.map(lit): _*)
+    // r15 null contract: strict-after matching needs an event time —
+    // a null ts would sort engine-dependently inside the fold
     val packed = events
+      .filter(col(tsCol).isNotNull)
       .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol),
         struct(col(tsCol).as("ts"), col(idCol).as("id"),

@@ -24,6 +24,22 @@ import graft.functions.VecFns
   */
 object Similarity {
 
+  /** Vector null contract (r15, NULL audit dimension): a NULL
+    * embedding can be neither indexed, encoded, nor scored — every
+    * fit/scan path drops such CORPUS rows at entry (the standard
+    * vector-store NOT NULL column constraint), and every probe path
+    * drops null-vector QUERIES the same way (a query with no vector
+    * has no answer set, not an error). Oracles mirror with
+    * `WHERE embedding IS NOT NULL` on the corpus/query CTEs. The r15
+    * null-corpus sweep caught the driver-side codebook/centroid
+    * trainers NPE-ing on collected null rows — and, worse, the brute
+    * paths silently ranking NULL cosine scores by engine-coincidence
+    * (both engines happen to sort nulls last) rather than by
+    * contract.
+    */
+  private def nonNullVec(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+
   /** Exact top-k by cosine: every query vector against every corpus
     * vector. `queries` must be small enough to broadcast.
     * Deterministic: rank on (raw sim desc, vec_id asc); round only the
@@ -43,9 +59,10 @@ object Similarity {
   private def rankedCosine(corpus: DataFrame, queries: DataFrame, k: Int,
                            roundTo: Int,
                            band: Option[(Double, Double)]): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec")))
-    val scored0 = corpus.select(col("vec_id"), col("embedding"))
+    val q = broadcast(nonNullVec(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val scored0 = nonNullVec(corpus)
+      .select(col("vec_id"), col("embedding"))
       .crossJoin(q)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
@@ -213,7 +230,8 @@ object Similarity {
     */
   def fitIvf(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
              maxTrainRows: Long = 100000L): IvfModel = {
-    val featured = corpus.select(col("vec_id"), col("embedding"))
+    val featured = nonNullVec(corpus)
+      .select(col("vec_id"), col("embedding"))
     val sample = boundedSample(featured, maxTrainRows, seed)
     val centers = KMeansLite.fit(sample, nlist, seed)
     val cells = Stage.materialize(featured.select(
@@ -235,8 +253,8 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val centersDf = broadcast(model.centers.toDF("cell", "centroid"))
-    val qcells = queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec"))
+    val qcells = nonNullVec(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .crossJoin(centersDf)
       .select(col("qid"), col("qvec"), col("cell"),
         VecFns.cosine(col("qvec"), col("centroid")).as("csim"))
@@ -290,7 +308,8 @@ object Similarity {
   def fitPq(corpus: DataFrame, dim: Int, m: Int = 8, kSub: Int = 256,
             seed: Long = 42L, maxTrainRows: Long = 100000L): PqModel = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val featured = corpus.select(col("vec_id"), col("embedding"))
+    val featured = nonNullVec(corpus)
+      .select(col("vec_id"), col("embedding"))
     val codebooks = trainCodebooks(
       unitize(boundedSample(featured, maxTrainRows, seed)), dim, m, kSub, seed)
     val codes = Stage.materialize(featured.select(col("vec_id"),
@@ -312,8 +331,8 @@ object Similarity {
     */
   def probePq(model: PqModel, corpus: DataFrame, queries: DataFrame,
               k: Int, rerank: Int = 64, roundTo: Int = 6): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec")))
+    val q = broadcast(nonNullVec(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
     val shortlist = model.codes.crossJoin(q)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("qvec"), col("vec_id"),
@@ -359,7 +378,8 @@ object Similarity {
                kSub: Int = 256, seed: Long = 42L,
                maxTrainRows: Long = 100000L): IvfPqModel = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val featured = corpus.select(col("vec_id"), col("embedding"))
+    val featured = nonNullVec(corpus)
+      .select(col("vec_id"), col("embedding"))
     val sample = boundedSample(featured, maxTrainRows, seed)
     val centers = KMeansLite.fit(sample, nlist, seed)
     val codebooks = trainCodebooks(unitize(sample), dim, m, kSub, seed)
@@ -391,8 +411,8 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val centersDf = broadcast(model.centers.toDF("cell", "centroid"))
-    val qcells = queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec"))
+    val qcells = nonNullVec(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .crossJoin(centersDf)
       .select(col("qid"), col("qvec"), col("cell"),
         VecFns.cosine(col("qvec"), col("centroid")).as("csim"))

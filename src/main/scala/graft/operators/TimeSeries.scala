@@ -111,8 +111,11 @@ object TimeSeries {
            horizon: Int = 3): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    // r15 null contract: an ordered fold needs BOTH a value and an
+    // order key — null-ts rows would sort engine-dependently (Spark
+    // nulls-first vs DuckDB nulls-last) and corrupt the fold order
     val packed = events
-      .filter(valueCol.isNotNull)
+      .filter(valueCol.isNotNull && tsCol.isNotNull)
       .select(col(entityCol),
         struct(tsCol.as("o1"), seqCol.as("o2"),
           valueCol.cast("double").as("x")).as("p"))
@@ -168,7 +171,8 @@ object TimeSeries {
   def cusum(events: DataFrame, entityCol: String, tsCol: Column,
             seqCol: Column, valueCol: Column,
             k: Double = 0.5, h: Double = 4.0): DataFrame = {
-    val vals = events.filter(valueCol.isNotNull)
+    // r15 null contract: see ewma — order keys must be non-null
+    val vals = events.filter(valueCol.isNotNull && tsCol.isNotNull)
       .select(col(entityCol), tsCol.as("__ts_o1"), seqCol.as("__ts_o2"),
         valueCol.cast("double").as("__ts_x"))
     val moments = vals.groupBy(entityCol)
@@ -212,8 +216,11 @@ object TimeSeries {
            seqCol: Column, valueCol: Column,
            alpha: Double = 0.25): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    // r15 null contract: an ordered fold needs BOTH a value and an
+    // order key — null-ts rows would sort engine-dependently (Spark
+    // nulls-first vs DuckDB nulls-last) and corrupt the fold order
     val packed = events
-      .filter(valueCol.isNotNull)
+      .filter(valueCol.isNotNull && tsCol.isNotNull)
       .select(col(entityCol),
         struct(tsCol.as("o1"), seqCol.as("o2"),
           valueCol.cast("double").as("x")).as("p"))

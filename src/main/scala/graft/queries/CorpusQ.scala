@@ -251,8 +251,12 @@ object CorpusQ {
     Q("class_centroid",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // r15 null contract (classifier family, same as class_nb /
+        // cluster_kmeans): null label = unlabeled (no training row,
+        // no confusion-matrix row), null embedding = unscorable
         val q = graft.operators.Stage.materialize(
           t(s, d, "embeddings")
+            .filter(col("label").isNotNull && col("embedding").isNotNull)
             .select(col("vec_id"), col("label"), explode(expr(
               "transform(sequence(1, 64), i -> struct(i AS i, " +
                 "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
@@ -279,7 +283,8 @@ object CorpusQ {
       Some("""WITH q AS (SELECT vec_id, label, g.i AS i,
              |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 2097152.0)
              |      AS BIGINT) AS qv
-             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |  FROM embeddings, generate_series(1, 64) g(i)
+             |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
              |tr AS (SELECT label AS cand, i,
              |    CAST(round(sum(qv)::DOUBLE / count(*)::DOUBLE)
              |      AS BIGINT) AS c
@@ -451,7 +456,10 @@ object CorpusQ {
     // quantize to level 0 and reconstruct exactly.
     Q("embed_quant",
       (s, d) => {
+        // r15 null contract: a NULL vector has nothing to quantize —
+        // no output row (the oracle's unnest drops it identically)
         val emb = t(s, d, "embeddings")
+          .filter(col("embedding").isNotNull)
         val stats = emb
           .select(posexplode(col("embedding")).as(Seq("i", "x")))
           .select(col("i"), col("x").cast("double").as("xd"))
@@ -514,9 +522,12 @@ object CorpusQ {
         t(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 2),
       Some("""WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
              |    generate_subscripts(embedding, 1) - 1 AS i
-             |  FROM embeddings),
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |-- r15 null contract: null vectors neither seed nor join
+             |-- clusters (mirrors Cluster.kmeans' entry filter)
              |sel AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id)
-             |    - 1 AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+             |    - 1 AS cid FROM embeddings
+             |  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4),
              |c0 AS (SELECT sel.cid, ev.i, ev.x AS c
              |  FROM sel JOIN ev USING (vec_id)),
              |d1 AS (SELECT ev.vec_id, c0.cid,
@@ -597,9 +608,14 @@ object CorpusQ {
     // empty split tokens instead (matches TextSignals n_words on
     // tab/newline-led text), with the same empty→1 floor.
     Q("corpus_pack",
+      // r15 null contract: every doc packs — a null/empty text takes
+      // the same 1-token floor the oracle's greatest(len, 1) encodes
+      // (DuckDB's greatest skips the NULL; Spark must coalesce first
+      // or the cumulative sum poisons the whole shard with NaN)
       (s, d) => graft.operators.Corpus.packChunks(
         t(s, d, "documents").select(col("doc_id"), col("text")),
-        "doc_id", graft.functions.TextFns.wsTokenCount(col("text")),
+        "doc_id", greatest(graft.functions.TextFns.wsTokenCount(
+          coalesce(col("text"), lit(""))), lit(1L)),
         window = 256L, shards = 4, portable = true),
       Some("""WITH tkn AS (SELECT doc_id,
              |    greatest(len(list_filter(string_split_regex(text, '\s+'),
@@ -1017,15 +1033,21 @@ object CorpusQ {
              |    AS w
              |  FROM documents),
              |tok2 AS (SELECT * FROM tok WHERE len(w) > 0),
-             |trn AS (SELECT * FROM tok2 WHERE doc_id % 2 = 0),
+             |-- r15 null contract: null source = UNLABELED, never a
+             |-- training class (mirrors Classify.trainNb's filter)
+             |trn AS (SELECT * FROM tok2
+             |        WHERE doc_id % 2 = 0 AND source IS NOT NULL),
              |wc AS (SELECT source AS cls, w, count(*) AS c
              |       FROM trn GROUP BY 1, 2),
              |cstat AS (SELECT cls, sum(c) AS n_tok FROM wc GROUP BY 1),
              |v AS (SELECT count(DISTINCT w) AS v FROM trn),
              |pri AS (SELECT source AS cls, ln(count(*) * 1.0 /
-             |          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0))
+             |          (SELECT count(*) FROM documents
+             |           WHERE doc_id % 2 = 0 AND source IS NOT NULL))
              |          AS prior_lp
-             |        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |        FROM documents
+             |        WHERE doc_id % 2 = 0 AND source IS NOT NULL
+             |        GROUP BY 1),
              |lp AS (SELECT wc.cls, wc.w,
              |         ln((wc.c + 1.0) / (cs.n_tok + v.v)) AS lp
              |       FROM wc JOIN cstat cs ON wc.cls = cs.cls CROSS JOIN v),
@@ -1133,9 +1155,10 @@ object CorpusQ {
                   .cast("double")).as("ndcg"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-             |    AS qe, label AS qlabel FROM embeddings WHERE vec_id < 25),
+             |    AS qe, label AS qlabel FROM embeddings
+             |  WHERE vec_id < 25 AND embedding IS NOT NULL),
              |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
-             |    label FROM embeddings),
+             |    label FROM embeddings WHERE embedding IS NOT NULL),
              |sc AS (SELECT qid, qlabel, vec_id, label,
              |    list_cosine_similarity(qe, ce) AS sim_raw
              |  FROM q CROSS JOIN c WHERE vec_id != qid),
@@ -1191,9 +1214,10 @@ object CorpusQ {
               .otherwise(round(lit(1.0) / col("first_rank"), 4)).as("rr"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-             |    AS qe, label AS qlabel FROM embeddings WHERE vec_id < 25),
+             |    AS qe, label AS qlabel FROM embeddings
+             |  WHERE vec_id < 25 AND embedding IS NOT NULL),
              |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
-             |    label FROM embeddings),
+             |    label FROM embeddings WHERE embedding IS NOT NULL),
              |r AS (SELECT qid, qlabel, label, row_number() OVER (
              |    PARTITION BY qid ORDER BY
              |      list_cosine_similarity(qe, ce) DESC, vec_id) AS rk
@@ -1248,9 +1272,10 @@ object CorpusQ {
                 (lit(2520L) * col("n_found")).cast("double")).as("ap"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-             |    AS qe, label AS qlabel FROM embeddings WHERE vec_id < 25),
+             |    AS qe, label AS qlabel FROM embeddings
+             |  WHERE vec_id < 25 AND embedding IS NOT NULL),
              |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
-             |    label FROM embeddings),
+             |    label FROM embeddings WHERE embedding IS NOT NULL),
              |r AS (SELECT qid, qlabel, label, row_number() OVER (
              |    PARTITION BY qid ORDER BY
              |      list_cosine_similarity(qe, ce) DESC, vec_id) AS rk
@@ -1337,9 +1362,10 @@ object CorpusQ {
           .toDF("qid", "step", "vec_id", "score")
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-             |    AS qe FROM embeddings WHERE vec_id < 15),
+             |    AS qe FROM embeddings
+             |  WHERE vec_id < 15 AND embedding IS NOT NULL),
              |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-             |  FROM embeddings),
+             |  FROM embeddings WHERE embedding IS NOT NULL),
              |sc AS (SELECT qid, vec_id,
              |    list_cosine_similarity(qe, ce) AS raw, ce
              |  FROM q CROSS JOIN c WHERE vec_id != qid),
@@ -1433,8 +1459,11 @@ object CorpusQ {
             row_number().over(Window.partitionBy("source")
               .orderBy(col("hk"), col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("source"), col("src_rank"))
+        // r15: the interleave ORDER crosses a NULLABLE key (source) —
+        // null placement must be PINNED (Spark defaults nulls-first,
+        // DuckDB nulls-last; the r15 null sweep caught the off-by-one)
         graft.operators.GlobalRank.withGlobalRank(ranked,
-          Seq(col("src_rank"), col("source")), "pos")
+          Seq(col("src_rank"), col("source").asc_nulls_last), "pos")
       },
       Some("""WITH h AS (SELECT doc_id, source,
              |    ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))
@@ -1443,7 +1472,8 @@ object CorpusQ {
              |    PARTITION BY source ORDER BY hk, doc_id) AS src_rank
              |  FROM h)
              |SELECT doc_id, source, src_rank,
-             |  row_number() OVER (ORDER BY src_rank, source) AS pos
+             |  row_number() OVER (ORDER BY src_rank, source NULLS LAST)
+             |    AS pos
              |FROM r""".stripMargin)),
 
     // corpus_gini [EXT, new r7]: source-concentration audit — the Gini

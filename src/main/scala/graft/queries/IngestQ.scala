@@ -704,8 +704,15 @@ object IngestQ {
       (s, d) => {
         val g = t(s, d, "documents").groupBy("lang", "source")
           .agg(count(lit(1)).as("n"))
+        // r15 null contract: the noise hash must ENCODE a null group
+        // key (concat_ws silently skips nulls, so (NULL,'x') and
+        // ('x',NULL) would draw the SAME noise; the oracle's || chain
+        // would instead null-propagate) — both sides coalesce to the
+        // chr(2) sentinel
         val h = conv(substring(md5(concat_ws("|",
-          col("lang"), col("source"), lit("dp7"))), 1, 15), 16, 10)
+          coalesce(col("lang"), lit("\u0002")),
+          coalesce(col("source"), lit("\u0002")), lit("dp7"))),
+          1, 15), 16, 10)
           .cast("long")
         val u = (pmod(h, lit(1000000L)).cast("double") + lit(0.5)) /
           lit(1000000.0) - lit(0.5)
@@ -717,7 +724,8 @@ object IngestQ {
       Some("""WITH g AS (SELECT lang, source, count(*)::BIGINT AS n
              |  FROM documents GROUP BY 1, 2),
              |h AS (SELECT lang, source, n,
-             |    ('0x' || substring(md5(lang || '|' || source || '|dp7'),
+             |    ('0x' || substring(md5(coalesce(lang, chr(2)) || '|'
+             |      || coalesce(source, chr(2)) || '|dp7'),
              |      1, 15))::BIGINT % 1000000 AS hb
              |  FROM g),
              |u AS (SELECT lang, source, n,
@@ -1061,8 +1069,12 @@ object IngestQ {
             // 100×), and a 10-char field would silently shift every
             // later column — fixed-width encodes must budget max key
             // width (16 here covers 10¹⁶ ids)
+            // null lang renders as BLANKS (format_string would print
+            // the literal "null"); Fwf.read turns the blank field
+            // back into NULL — the round-trip contract
             .select(format_string("%-16d%-6s%-10d",
-              col("doc_id"), col("lang"), col("n_chars")).as("value"))
+              col("doc_id"), coalesce(col("lang"), lit("")),
+              col("n_chars")).as("value"))
             .write.mode("overwrite").text(p)
           p
         })

@@ -166,7 +166,8 @@ object Relational {
                 count(*) OVER (PARTITION BY user_id ORDER BY es
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
                 FROM (SELECT event_id, user_id, value,
-                  CAST(ts AS LONG) AS es FROM v_events)""")
+                  CAST(ts AS LONG) AS es FROM v_events
+                  WHERE ts IS NOT NULL)""")
       },
       Some("""SELECT event_id, user_id,
              round(avg(value) OVER (PARTITION BY user_id ORDER BY es
@@ -177,7 +178,9 @@ object Relational {
              FROM (SELECT event_id, user_id, value,
                -- floor, not CAST: DuckDB casts double→int by ROUNDING,
                -- Spark's timestamp→long floors
-               CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)""")),
+               CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+               -- r15: a RANGE-by-time frame needs a non-null order key
+               WHERE ts IS NOT NULL)""")),
 
     // join_lateral [EXT]: correlated LATERAL subquery — per customer,
     // their two most expensive orders. Catalyst decorrelates the
@@ -214,15 +217,18 @@ object Relational {
                 ntile(10) OVER w AS decile
                 FROM v_customer
                 WINDOW w AS (PARTITION BY c_mktsegment
-                  ORDER BY c_acctbal, c_custkey)""")
+                  ORDER BY c_acctbal NULLS LAST, c_custkey)""")
       },
       Some("""SELECT c_custkey,
              round(percent_rank() OVER w, 6) AS pr,
              round(cume_dist() OVER w, 6) AS cd,
              ntile(10) OVER w AS decile
              FROM customer
+             -- r15: a ranking over a NULLABLE key must PIN null
+             -- placement — Spark ASC defaults nulls-first, DuckDB
+             -- nulls-last, so the bare ORDER BY diverges the ranks
              WINDOW w AS (PARTITION BY c_mktsegment
-               ORDER BY c_acctbal, c_custkey)""")),
+               ORDER BY c_acctbal NULLS LAST, c_custkey)""")),
 
     // agg_corr [EXT]: the covariance/correlation aggregate family over
     // a grouped frame — single-pass partially-aggregatable moments on
@@ -585,10 +591,21 @@ object Relational {
       Some("""WITH e AS (SELECT event_id, user_id,
                date_trunc('millisecond', ts) AS ts, value FROM events),
              cp AS (SELECT user_id, ts, value AS rate FROM e
-               WHERE event_id % 97 = 0)
+               WHERE event_id % 97 = 0 AND ts IS NOT NULL)
+             -- r15 null contract: an event with no time has NO as-of
+             -- match (DuckDB's ASOF would sort a NULL probe LAST and
+             -- hand it the NEWEST rate — the sorted-merge artifact,
+             -- not the predicate's three-valued semantics); null-ts
+             -- probes union back as explicit no-match rows, and
+             -- null-ts checkpoints can never be "latest" (AsofJoin
+             -- drops them the same way)
              SELECT e.event_id, e.user_id, round(cp.rate, 2) AS rate
-             FROM e ASOF LEFT JOIN cp
-               ON e.user_id = cp.user_id AND e.ts >= cp.ts""")),
+             FROM (SELECT * FROM e WHERE ts IS NOT NULL) e
+             ASOF LEFT JOIN cp
+               ON e.user_id = cp.user_id AND e.ts >= cp.ts
+             UNION ALL
+             SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS rate
+             FROM e WHERE ts IS NULL""")),
 
     // join_asof_tol [EXT, new r8]: as-of join with a STALENESS BOUND —
     // the feature-store contract ("latest feature value, but never
@@ -668,7 +685,8 @@ object Relational {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id")
           .orderBy(col("tsu"), col("event_id"))
-        t(s, d, "events").filter(col("value").isNotNull)
+        t(s, d, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
             col("event_id"),
             round(col("value") * lit(100)).cast("long").as("c"))
@@ -684,7 +702,8 @@ object Relational {
              |    CAST(round(value * 100) AS BIGINT) AS c,
              |    lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS p1,
              |    lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS p2
-             |  FROM events WHERE value IS NOT NULL
+             |  FROM events
+             |  WHERE value IS NOT NULL AND ts IS NOT NULL
              |  WINDOW w AS (PARTITION BY user_id
              |    ORDER BY epoch_us(ts), event_id))
              |SELECT user_id, count(*)::BIGINT AS n_windows,

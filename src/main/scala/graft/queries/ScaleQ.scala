@@ -113,8 +113,12 @@ object ScaleQ {
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
         val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-          unix_millis(Cols.toMillis(col("ts"))).as("ts_ms"))
+        // r15 null contract: sessionization needs an event time —
+        // null-ts rows would order engine-dependently and join the
+        // wrong (or a phantom) session
+        val ev = t(s, d, "events").filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(Cols.toMillis(col("ts"))).as("ts_ms"))
         val sess = ev
           .withColumn("new_s",
             when(lag("ts_ms", 1).over(w).isNull ||
@@ -132,7 +136,7 @@ object ScaleQ {
       },
       Some("""WITH e AS (SELECT user_id, event_id,
                     epoch_ms(date_trunc('millisecond', ts)) AS ts_ms
-                    FROM events),
+                    FROM events WHERE ts IS NOT NULL),
              f AS (SELECT user_id, event_id, ts_ms,
                    CASE WHEN lag(ts_ms) OVER w IS NULL
                           OR ts_ms - lag(ts_ms) OVER w > 600000
@@ -198,8 +202,13 @@ object ScaleQ {
               to_date(lit("1992-01-01"))).cast("long").as("d"))
           .withColumn("zval",
             ZOrder.zvalue(Seq(col("o_custkey"), col("d")), 16))
+        // r15: a layout key over a NULLABLE dimension must PIN null
+        // placement (a null o_orderdate nulls the whole zval) — the
+        // all-null-key rows cluster in the first bucket, explicitly,
+        // on both engines
         graft.operators.GlobalRank.withNtile(base,
-            Seq(col("zval"), col("o_orderkey")), 32, "bucket")
+            Seq(col("zval").asc_nulls_first, col("o_orderkey")), 32,
+            "bucket")
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
@@ -212,7 +221,8 @@ object ScaleQ {
                    ${ZOrder.zvalueSql(Seq("o_custkey", "d"), 16)} AS zval
                    FROM o),
              b AS (SELECT o_custkey, d,
-                   ntile(32) OVER (ORDER BY zval, o_orderkey) AS bucket
+                   ntile(32) OVER (ORDER BY zval NULLS FIRST,
+                     o_orderkey) AS bucket
                    FROM z)
              SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
                     min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
@@ -262,7 +272,11 @@ object ScaleQ {
       },
       Some("""WITH li AS (SELECT l_quantity::DOUBLE AS v,
              |    round(l_extendedprice * 100)::BIGINT AS w,
-             |    l_orderkey, l_linenumber FROM lineitem),
+             |    l_orderkey, l_linenumber FROM lineitem
+             |  -- r15: mirrors RobustStats' null contract — an
+             |  -- observation needs BOTH a value and a weight
+             |  WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL),
              |r AS (SELECT v, sum(w) OVER (
              |      ORDER BY v, l_orderkey, l_linenumber
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -291,7 +305,11 @@ object ScaleQ {
       },
       Some("""WITH li AS (SELECT l_quantity::DOUBLE AS v,
              |    round(l_extendedprice * 100)::BIGINT AS w,
-             |    l_orderkey, l_linenumber FROM lineitem),
+             |    l_orderkey, l_linenumber FROM lineitem
+             |  -- r15: mirrors RobustStats' null contract — an
+             |  -- observation needs BOTH a value and a weight
+             |  WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL),
              |r AS (SELECT v, sum(w) OVER (
              |      ORDER BY v, l_orderkey, l_linenumber
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -326,7 +344,8 @@ object ScaleQ {
         Seq("view", "click", "purchase")),
       Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type
              |  FROM events
-             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |  WHERE ts IS NOT NULL
+             |    AND event_type IN ('view', 'click', 'purchase')),
              |u AS (SELECT DISTINCT user_id FROM ev),
              |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
              |  WHERE event_type = 'view' GROUP BY 1),
@@ -358,7 +377,7 @@ object ScaleQ {
         t(s, d, "events"), "user_id", col("ts")),
       Some("""WITH uw AS (SELECT user_id AS e,
              |    date_trunc('week', ts)::DATE AS wk
-             |  FROM events GROUP BY 1, 2),
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
              |cu AS (SELECT e, min(wk) AS cw FROM uw GROUP BY 1),
              |a AS (SELECT cu.cw AS cohort_week,
              |    datediff('day', cu.cw, uw.wk) // 7 AS week_offset,
@@ -890,10 +909,17 @@ object ScaleQ {
           .unionByName(fp("nation", t(s, d, "nation"),
             concat_ws(sep, col("n_nationkey").cast("string"), col("n_name"),
               col("n_regionkey").cast("string"))))
+          // r15 null contract: a row checksum must ENCODE null, not
+          // skip it — concat_ws drops null fields, so ('a', NULL, 'b')
+          // and a shifted ('a', 'b', NULL) would collide; every
+          // nullable field coalesces to the chr(2) sentinel first
+          // (chr(1) stays the field separator)
           .unionByName(fp("supplier", t(s, d, "supplier"),
-            concat_ws(sep, col("s_suppkey").cast("string"), col("s_name"),
-              col("s_nationkey").cast("string"),
-              round(col("s_acctbal") * 100).cast("long").cast("string"))))
+            concat_ws(sep, col("s_suppkey").cast("string"),
+              coalesce(col("s_name"), lit("\u0002")),
+              coalesce(col("s_nationkey").cast("string"), lit("\u0002")),
+              coalesce(round(col("s_acctbal") * 100).cast("long")
+                .cast("string"), lit("\u0002")))))
       },
       Some("""WITH r AS (SELECT ('0x' || substr(md5(
              |      r_regionkey::VARCHAR || chr(1) || r_name), 1, 15))
@@ -903,9 +929,11 @@ object ScaleQ {
              |      || n_regionkey::VARCHAR), 1, 15))
              |      ::UBIGINT::BIGINT AS h FROM nation),
              |sp AS (SELECT ('0x' || substr(md5(
-             |      s_suppkey::VARCHAR || chr(1) || s_name || chr(1)
-             |      || s_nationkey::VARCHAR || chr(1)
-             |      || CAST(round(s_acctbal * 100) AS BIGINT)::VARCHAR),
+             |      s_suppkey::VARCHAR || chr(1)
+             |      || coalesce(s_name, chr(2)) || chr(1)
+             |      || coalesce(s_nationkey::VARCHAR, chr(2)) || chr(1)
+             |      || coalesce(CAST(round(s_acctbal * 100) AS BIGINT)
+             |           ::VARCHAR, chr(2))),
              |      1, 15))::UBIGINT::BIGINT AS h FROM supplier)
              |SELECT 'region' AS tbl, count(*)::BIGINT AS n_rows,
              |  bit_xor(h)::BIGINT AS content_xor FROM r
@@ -993,7 +1021,10 @@ object ScaleQ {
     // these cardinalities, so the bound also catches a broken union).
     Q("agg_hll_rollup",
       (s, d) => {
-        val e = t(s, d, "events")
+        // r15 null contract: an event without a time belongs to no
+        // day/week bucket (the null-w join key would silently drop
+        // the group engine-side while the oracle kept it)
+        val e = t(s, d, "events").filter(col("ts").isNotNull)
         val daily = e.groupBy(to_date(col("ts")).as("d"))
           .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
         val weekly = daily.groupBy(weekofyear(col("d")).as("w"))
@@ -1008,6 +1039,6 @@ object ScaleQ {
       },
       Some("""SELECT weekofyear(ts::DATE)::INT AS w,
              |  count(DISTINCT user_id)::BIGINT AS nd_users, true AS ok
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin))
   )
 }

@@ -233,7 +233,9 @@ object StreamQ {
         unix_micros(col("ts")), col("event_id"), col("value")),
       Some("""WITH sq AS (SELECT user_id,
              |    list(value ORDER BY epoch_us(ts), event_id) AS xs
-             |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+             |  FROM events
+             |  WHERE value IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY user_id)
              |SELECT user_id, len(xs)::BIGINT AS n,
              |  round(list_reduce(xs,
              |    (acc, x) -> 0.25 * x + 0.75 * acc), 4) AS ewma
@@ -254,7 +256,8 @@ object StreamQ {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id")
           .orderBy(col("tsu"), col("event_id"))
-        t(s, d, "events").filter(col("value").isNotNull)
+        t(s, d, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
             col("event_id"), col("value"))
           .withColumn("prev", lag(col("value"), 1).over(w))
@@ -266,7 +269,8 @@ object StreamQ {
       Some("""WITH v AS (SELECT user_id, value,
              |    lag(value) OVER (PARTITION BY user_id
              |      ORDER BY epoch_us(ts), event_id) AS prev
-             |  FROM events WHERE value IS NOT NULL)
+             |  FROM events
+             |  WHERE value IS NOT NULL AND ts IS NOT NULL)
              |SELECT user_id, count(*)::BIGINT AS n_pairs,
              |  round(corr(prev, value), 4) AS ac1
              |FROM v WHERE prev IS NOT NULL GROUP BY user_id""".stripMargin)),
@@ -483,7 +487,8 @@ object StreamQ {
       // drift between Welford and var_samp on hot-key histories
       Some("""WITH RECURSIVE v AS (SELECT user_id, epoch_us(ts) AS o1,
              |    event_id AS o2,
-             |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL),
              |w AS (SELECT user_id, o1, o2, c,
              |    count(c) OVER wp AS pn,
              |    sum(c) OVER wp AS s1,
@@ -539,7 +544,8 @@ object StreamQ {
         unix_micros(col("ts")), col("event_id"), col("value")),
       Some("""WITH RECURSIVE v AS (SELECT user_id, epoch_us(ts) AS o1,
              |    event_id AS o2, value::DOUBLE AS x
-             |  FROM events WHERE value IS NOT NULL),
+             |  FROM events
+             |  WHERE value IS NOT NULL AND ts IS NOT NULL),
              |a AS (SELECT user_id, count(*)::DOUBLE AS n,
              |    sum(x) AS s1, sum(x * x) AS s2
              |  FROM v GROUP BY 1),
@@ -639,7 +645,9 @@ object StreamQ {
         unix_micros(col("ts")), col("event_id"), col("value")),
       Some("""WITH RECURSIVE sq AS (SELECT user_id,
              |    list(value ORDER BY epoch_us(ts), event_id) AS xs
-             |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+             |  FROM events
+             |  WHERE value IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY user_id),
              |base AS (SELECT user_id, xs, len(xs)::BIGINT AS n
              |  FROM sq WHERE len(xs) >= 2),
              |rec AS (
@@ -684,7 +692,7 @@ object StreamQ {
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
                AS window_s, event_type, count(*) AS n,
                round(sum(value), 2) AS sum_v
-             FROM events GROUP BY 1, 2""")),
+             FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""")),
 
     // stream_slide: 1h windows sliding every 30min (each event lands in
     // exactly two windows on the 30-minute grid).
@@ -697,7 +705,7 @@ object StreamQ {
       Some("""SELECT CAST(floor(epoch(ts)/1800)*1800 - u AS BIGINT)
                AS window_s, count(*) AS n, round(sum(value), 2) AS sum_v
              FROM events CROSS JOIN UNNEST([0, 1800]) AS t(u)
-             GROUP BY 1""")),
+             WHERE ts IS NOT NULL GROUP BY 1""")),
 
     // stream_dedup: late-duplicate-tolerant dedup (batch form of
     // withWatermark().dropDuplicates("event_id")) over a corpus with
@@ -803,7 +811,7 @@ object StreamQ {
                AS window_s, c_mktsegment, count(*) AS n,
                round(sum(value), 2) AS sum_v
              FROM events JOIN customer ON user_id = c_custkey
-             GROUP BY 1, 2""")),
+             WHERE ts IS NOT NULL GROUP BY 1, 2""")),
 
     // stream_neardup [EXT]: ONLINE near-duplicate detection — the
     // streaming twin of dedup_minhash (banded LSH state per bucket via
@@ -833,7 +841,7 @@ object StreamQ {
       (s, d) => graft.streaming.EventStreams
         .runningUserState(s, t(s, d, "events")).toDF(),
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_v
-             FROM events GROUP BY user_id""")),
+             FROM events WHERE value IS NOT NULL GROUP BY user_id""")),
 
     // stream_anomaly [EXT]: ONLINE per-user z-score anomaly detection —
     // each event scores against the user's OWN strictly-preceding
@@ -857,7 +865,8 @@ object StreamQ {
       // engines apart (the skew audit measured 74 borderline-z flips
       // under float Welford vs windowed var_samp)
       Some("""WITH c AS (SELECT user_id, event_id, ts, value,
-             |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL),
              |p AS (SELECT user_id, event_id, value, c,
              |    count(c) OVER w AS n_prev,
              |    sum(c) OVER w AS s1,
@@ -895,7 +904,8 @@ object StreamQ {
         s, t(s, d, "events"), Seq("view", "click", "purchase")).toDF(),
       Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type
              |  FROM events
-             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |  WHERE ts IS NOT NULL
+             |    AND event_type IN ('view', 'click', 'purchase')),
              |u AS (SELECT DISTINCT user_id FROM ev),
              |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
              |  WHERE event_type = 'view' GROUP BY 1),
@@ -930,7 +940,9 @@ object StreamQ {
           col("x.term").as("event_type"), col("x.cnt").as("n")),
       Some("""WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
                AS window_s, event_type, count(*) AS n
-             FROM events GROUP BY 1, 2),
+             FROM events
+             WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY 1, 2),
              r AS (SELECT window_s, event_type, n, row_number() OVER (
                PARTITION BY window_s ORDER BY n DESC, event_type) AS rank
              FROM c)
@@ -952,7 +964,12 @@ object StreamQ {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id")
           .orderBy(col("tsu"), col("event_id"))
+        // r15 null contract: a transition needs an order key and both
+        // endpoint types — null ts would sequence engine-dependently
+        // (Spark nulls-first vs DuckDB nulls-last), and a typeless
+        // event is not an action
         val tr = t(s, d, "events")
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
             col("event_id"), col("event_type"))
           .withColumn("nxt", lead(col("event_type"), 1).over(w))
@@ -968,7 +985,8 @@ object StreamQ {
       Some("""WITH s AS (SELECT user_id, event_type,
              |    lead(event_type) OVER (PARTITION BY user_id
              |      ORDER BY epoch_us(ts), event_id) AS nxt
-             |  FROM events),
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
              |c AS (SELECT event_type AS from_type, nxt AS to_type,
              |    count(*)::BIGINT AS n
              |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
@@ -994,6 +1012,7 @@ object StreamQ {
           .orderBy(col("tsu"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
         t(s, d, "events")
+          .filter(col("ts").isNotNull) // r15: as-of order needs a key
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
             col("event_id"), col("event_type"),
             round(col("value") * lit(100)).cast("long").as("c"))
@@ -1012,7 +1031,7 @@ object StreamQ {
              |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              |      AS attr
-             |  FROM events)
+             |  FROM events WHERE ts IS NOT NULL)
              |SELECT coalesce(attr, 'direct') AS channel,
              |  count(*)::BIGINT AS n_purchases,
              |  sum(c)::BIGINT::DOUBLE / 100.0 AS revenue
@@ -1040,7 +1059,8 @@ object StreamQ {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              |      AS attr
              |  FROM events
-             |  WHERE event_type IN ('view', 'click', 'purchase'))
+             |  WHERE ts IS NOT NULL
+             |    AND event_type IN ('view', 'click', 'purchase'))
              |SELECT user_id, event_id, coalesce(attr, 'direct') AS channel,
              |  cents
              |FROM s WHERE event_type = 'purchase'""".stripMargin)),
@@ -1064,7 +1084,7 @@ object StreamQ {
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
              |    AS window_s,
              |  count(DISTINCT user_id)::BIGINT AS nd_users, true AS ok
-             |FROM events GROUP BY 1""".stripMargin)),
+             |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin)),
 
     // ts_decompose [EXT, new r8]: additive seasonal decomposition of
     // the per-type hourly traffic — trend = centered 24 h moving

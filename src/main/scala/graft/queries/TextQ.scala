@@ -251,9 +251,13 @@ object TextQ {
     // within-document hash collision, P ≈ m²/2⁻⁶⁵ — the same tolerance
     // every sketch oracle here accepts.)
     Q("text_repetition",
+      // r15 null contract (per-doc signal family): every doc gets an
+      // output row; null text = empty text = all-zero signals (the
+      // oracle's coalesce(n2, 0) tail already says exactly this)
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
-          TextFns.repetitionSignals(col("text")).as("_r"))
+          TextFns.repetitionSignals(coalesce(col("text"), lit("")))
+            .as("_r"))
         .select(col("doc_id"),
           col("_r.n2").as("n2"), col("_r.top2").as("top2"),
           col("_r.dup2").as("dup2"), col("_r.n3").as("n3"),
@@ -483,9 +487,10 @@ object TextQ {
           roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-               AS qe FROM embeddings WHERE vec_id < 5),
+               AS qe FROM embeddings
+               WHERE vec_id < 5 AND embedding IS NOT NULL),
              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
              sc AS (SELECT qid, vec_id,
                list_cosine_similarity(qe, ce) AS sim_raw
                FROM q CROSS JOIN c WHERE vec_id != qid),
@@ -506,9 +511,10 @@ object TextQ {
           k = 5, loSim = 0.2, hiSim = 0.6, roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-               AS qe FROM embeddings WHERE vec_id < 5),
+               AS qe FROM embeddings
+               WHERE vec_id < 5 AND embedding IS NOT NULL),
              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
              sc AS (SELECT qid, vec_id,
                list_cosine_similarity(qe, ce) AS sim_raw
                FROM q CROSS JOIN c WHERE vec_id != qid),
@@ -561,9 +567,10 @@ object TextQ {
         """,
           |ann AS (SELECT qid, vec_id FROM r WHERE rk <= 5),
           |eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-          |    AS qe FROM embeddings WHERE vec_id < 5),
+          |    AS qe FROM embeddings
+          |  WHERE vec_id < 5 AND embedding IS NOT NULL),
           |ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-          |  FROM embeddings),
+          |  FROM embeddings WHERE embedding IS NOT NULL),
           |esc AS (SELECT qid, vec_id,
           |    list_cosine_similarity(qe, ce) AS sim_raw
           |  FROM eq CROSS JOIN ec WHERE vec_id != qid),
@@ -599,9 +606,10 @@ object TextQ {
           nprobe = 7, roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-               AS qe FROM embeddings WHERE vec_id < 5),
+               AS qe FROM embeddings
+               WHERE vec_id < 5 AND embedding IS NOT NULL),
              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
              sc AS (SELECT qid, vec_id,
                list_cosine_similarity(qe, ce) AS sim_raw
                FROM q CROSS JOIN c WHERE vec_id != qid),
@@ -626,9 +634,10 @@ object TextQ {
           k = 5, rerank = 256, roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-               AS qe FROM embeddings WHERE vec_id < 5),
+               AS qe FROM embeddings
+               WHERE vec_id < 5 AND embedding IS NOT NULL),
              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
              sc AS (SELECT qid, vec_id,
                list_cosine_similarity(qe, ce) AS sim_raw
                FROM q CROSS JOIN c WHERE vec_id != qid),
@@ -663,9 +672,10 @@ object TextQ {
           k = 5, nprobe = 7, rerank = 256, roundTo = 3)
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])
-               AS qe FROM embeddings WHERE vec_id < 5),
+               AS qe FROM embeddings
+               WHERE vec_id < 5 AND embedding IS NOT NULL),
              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
              sc AS (SELECT qid, vec_id,
                list_cosine_similarity(qe, ce) AS sim_raw
                FROM q CROSS JOIN c WHERE vec_id != qid),
@@ -683,8 +693,11 @@ object TextQ {
     // so SQL character positions equal the expression's byte offsets.)
     // The Rabin-Karp rolling hash stays the 100 TB default.
     Q("text_winnow",
+      // r15 null contract (per-doc signal family): null text = empty
+      // text = the single whole-text fingerprint the n<k branch emits
       (s, d) => t(s, d, "documents").select(col("doc_id"),
-        size(graft.functions.TextFns.winnowFingerprint(col("text"),
+        size(graft.functions.TextFns.winnowFingerprint(
+          coalesce(col("text"), lit("")),
           portable = true)).as("n_fingerprints")),
       Some("""WITH d AS (SELECT doc_id,
                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
@@ -718,7 +731,7 @@ object TextQ {
              FROM m WHERE i >= least(16, ng) GROUP BY doc_id
              UNION ALL
              SELECT doc_id, 1 AS n_fingerprints FROM d
-             WHERE length(nt) < 8""")),
+             WHERE nt IS NULL OR length(nt) < 8""")),
 
     // sim_neardup_cos [EXT]: embedding-cosine near-dup pairs over a
     // corpus with planted perturbed copies. Independent oracle: DuckDB
@@ -1236,7 +1249,12 @@ object TextQ {
     // pinned dump; at larger SF the sketch compresses and only the
     // rank-error bound holds.
     Q("text_stats_approx",
-      (s, d) => t(s, d, "documents")
+      // r15 null contract: a doc with no text has no token count —
+      // it is absent from the distribution (NOT a zero: Spark's
+      // sketch would silently skip the null while DuckDB's rank
+      // walks it, so the two percentiles diverge unless the row is
+      // excluded explicitly on both sides)
+      (s, d) => t(s, d, "documents").filter(col("text").isNotNull)
         .select(col("lang"), TextFns.wsTokenCount(col("text")).as("n_ws"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -1246,7 +1264,7 @@ object TextQ {
           element_at(col("p"), 2).as("p90")),
       Some("""WITH v AS (SELECT lang,
                len(string_split_regex(trim(text), '\s+')) AS n_ws
-             FROM documents),
+             FROM documents WHERE text IS NOT NULL),
              r AS (SELECT lang, n_ws,
                row_number() OVER (PARTITION BY lang ORDER BY n_ws) AS rk,
                count(*) OVER (PARTITION BY lang) AS n FROM v)
@@ -1913,7 +1931,10 @@ object TextQ {
         import s.implicits._
         import graft.multimodal.{Multimodal, Wav}
         import graft.multimodal.Multimodal.{GifHeader, JpegHeader, PngHeader}
+        // r15 null contract: a doc with no text has no media payload
+        // in this synthetic fixture — skipped on both engines
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull)
           .as[(Long, String)]
           .map { case (id, text) =>
             val payload: Array[Byte] =
@@ -1937,7 +1958,8 @@ object TextQ {
           .select(col("id"), col("kind"), col("n_bytes"),
             round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
       },
-      Some("""WITH base AS (SELECT doc_id AS id, text FROM documents),
+      Some("""WITH base AS (SELECT doc_id AS id, text FROM documents
+               WHERE text IS NOT NULL),
              wav AS (SELECT id, 'wav' AS kind, CAST(172 AS BIGINT) AS n_bytes,
                round(avg(CASE WHEN (id*31 + g.i*7) % 4096 < 256
                  THEN 1.0 ELSE 0.0 END), 4) AS f0

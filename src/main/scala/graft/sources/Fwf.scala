@@ -45,9 +45,14 @@ object Fwf {
     // plain cast of '' or a mangled slice THROWS and kills the whole
     // scan — one bad line in a billion-row feed must yield one null,
     // not a dead job
+    // r15 null contract: an all-blank field IS the fixed-width
+    // encoding of NULL (the format has no other way to say missing) —
+    // string fields read blank -> NULL, matching try_cast('') -> NULL
+    // on the typed fields; writers render null fields as blanks
     val carved: Seq[Column] = cols.map { c =>
       if (c.dataType == "string")
-        trim(substring(col("value"), c.start, c.width)).as(c.name)
+        nullif(trim(substring(col("value"), c.start, c.width)), lit(""))
+          .as(c.name)
       else expr(s"try_cast(trim(substring(value, ${c.start}, ${c.width}))" +
         s" AS ${c.dataType})").as(c.name)
     }

@@ -19,6 +19,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Null contract (round 15, NULL audit dimension): a row whose
+    * EVENT-TIME or another field the operator FOLDS INTO STATE is
+    * null never enters a stateful computation — the batch analog of
+    * what event-time processing already does natively (Spark's
+    * TimeWindowing rewrite filters null-ts rows before every
+    * window()/session_window() aggregate, and a watermark cannot be
+    * computed from a null event time). The typed operators below must
+    * enforce it EXPLICITLY because their tuple encoders decode into
+    * primitive Long/Double fields — a null consumed field is a
+    * runtime NOT_NULL_ASSERT_VIOLATION, not a skipped value (the r15
+    * null-corpus sweep caught exactly this: `value` was filtered
+    * since r12 but `ts` reached unix_micros un-checked). Fields the
+    * operator does NOT fold (e.g. a grouping column with SQL
+    * null-group semantics) keep their engine-native behavior.
+    */
+  private def wellFormed(events: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(events)((d, c) => d.filter(col(c).isNotNull))
+
   /** Tumbling-window counts/sums per event type, watermark-bounded. */
   def tumble(events: DataFrame, watermark: String = "10 minutes",
              width: String = "1 hour"): DataFrame =
@@ -193,7 +211,10 @@ object EventStreams {
                    steps: Seq[String]): Dataset[FunnelProgress] = {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
-    val keyed = events.filter(col("event_type").isin(steps: _*))
+    // isin() already drops null event_type (three-valued logic);
+    // ts must not reach unix_micros null (primitive tuple decode)
+    val keyed = wellFormed(events, "ts")
+      .filter(col("event_type").isin(steps: _*))
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("event_type"))
       .as[(Long, Long, Long, String)]
@@ -334,11 +355,11 @@ object EventStreams {
                 threshold: Double = 3.0, minObs: Long = 12): Dataset[AnomalyHit] = {
     import spark.implicits._
     require(minObs >= 2, s"minObs must be >= 2 (got $minObs)")
-    // null values drop BEFORE the primitive decode: a null events.value
-    // would throw "Null value appeared in non-nullable field" inside
-    // .as[(…, Double)], while the oracle's count/avg skip nulls —
-    // filtering keeps both engines on the same per-user history
-    val keyed = events.filter(col("value").isNotNull)
+    // null values AND null event times drop BEFORE the primitive
+    // decode (wellFormed contract above): either would throw
+    // NOT_NULL_ASSERT_VIOLATION inside .as[(…, Double)]; the oracle
+    // mirrors with WHERE ts IS NOT NULL AND value IS NOT NULL
+    val keyed = wellFormed(events, "ts", "value")
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
@@ -387,11 +408,11 @@ object EventStreams {
                    minObs: Long = 12): Dataset[CusumUpdate] = {
     import spark.implicits._
     require(minObs >= 2, s"minObs must be >= 2 (got $minObs)")
-    // null values drop BEFORE the primitive decode: a null events.value
-    // would throw "Null value appeared in non-nullable field" inside
-    // .as[(…, Double)], while the oracle's count/avg skip nulls —
-    // filtering keeps both engines on the same per-user history
-    val keyed = events.filter(col("value").isNotNull)
+    // null values AND null event times drop BEFORE the primitive
+    // decode (wellFormed contract above): either would throw
+    // NOT_NULL_ASSERT_VIOLATION inside .as[(…, Double)]; the oracle
+    // mirrors with WHERE ts IS NOT NULL AND value IS NOT NULL
+    val keyed = wellFormed(events, "ts", "value")
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
@@ -480,7 +501,10 @@ object EventStreams {
 
   def runningUserState(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
     import spark.implicits._
-    val keyed = events
+    // the state folds `value` — a null would NOT_NULL-throw in the
+    // primitive tuple decode (wellFormed contract above); oracle
+    // mirrors with WHERE value IS NOT NULL
+    val keyed = wellFormed(events, "value")
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
@@ -570,7 +594,11 @@ object EventStreams {
   def lastTouchAttribution(spark: SparkSession,
                            events: DataFrame): Dataset[AttributedPurchase] = {
     import spark.implicits._
-    val keyed = events
+    // ts folds into the as-of ordering state (null would NOT_NULL-
+    // throw in unix_micros' tuple decode); null value stays — it
+    // attributes 0 cents per the contract above. isin() drops null
+    // event_type natively.
+    val keyed = wellFormed(events, "ts")
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("event_type"),

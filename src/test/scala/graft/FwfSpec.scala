@@ -42,7 +42,10 @@ class FwfSpec extends SparkFunSuite {
     val rows = df.collect()
     assert(rows.length === 2)
     val shrimp = rows.find(_.getString(0) == "shrimp").get
-    assert(shrimp.isNullAt(1) && shrimp.getString(2) === "")
+    // r15 null contract: an all-blank field IS the FWF encoding of
+    // NULL — string fields read blank -> NULL, same as the typed
+    // fields' try_cast('')
+    assert(shrimp.isNullAt(1) && shrimp.isNullAt(2))
   }
 
   test("empty numeric slice parses to null, not zero") {

@@ -54,10 +54,13 @@ class R8FuzzSpec extends SparkFunSuite {
         case ((st, w), i) => Fwf.Col(s"c$i", st, w)
       }
       val got = Fwf.read(spark, dir.toString, cols)
-        .collect().map(r => (0 until nCols).map(r.getString))
-      // all-empty rows render as all-space lines and carve back as
-      // empty cells; rows order is not guaranteed — compare as bags
-      val want = rows.map(_.map(_.trim))
+        .collect().map(r => (0 until nCols).map(i =>
+          if (r.isNullAt(i)) "<NULL>" else r.getString(i)))
+      // r15 null contract: an all-blank field carves back as NULL
+      // (FWF cannot distinguish "" from missing — blank IS null);
+      // rows order is not guaranteed — compare as bags
+      val want = rows.map(_.map(v =>
+        if (v.trim.isEmpty) "<NULL>" else v.trim))
       assert(got.map(_.mkString("|")).sorted.toSeq ===
         want.map(_.mkString("|")).sorted,
         s"trial $trial widths=$widths rows=$nRows")

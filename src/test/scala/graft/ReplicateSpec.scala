@@ -128,4 +128,42 @@ class ReplicateSpec extends SparkFunSuite {
     import ReplicateCorpus._
     assert(FatGiantId > 800L * Off && FatBandBase > 800L * Off)
   }
+
+  test("null mode: per-(row,column) deterministic nulling at ~pct, " +
+       "keys never null, patterns independent across columns") {
+    val base = events
+    val pct = 20
+    val out = ReplicateCorpus.withNulls(
+      ReplicateCorpus.fanOut(spark, base, "events",
+        Seq("event_id", "user_id"), mult, skew = 0),
+      "events", Seq("event_id", "user_id"), pct)
+    val n = out.count()
+    assert(n === base.count() * mult)
+    // keys stay non-null and unique
+    assert(out.filter(col("event_id").isNull ||
+      col("user_id").isNull).count() === 0L)
+    assert(out.select("event_id").distinct().count() === n)
+    // each listed column nulls at ~pct (binomial tolerance, n = 5000)
+    for (c <- Seq("ts", "event_type", "value", "props")) {
+      val frac = out.filter(col(c).isNull).count().toDouble / n
+      assert(math.abs(frac - pct / 100.0) < 0.05,
+        s"$c null fraction $frac vs expected ${pct / 100.0}")
+    }
+    // per-column independence: rows null in ONE of (ts, value) only
+    // must exist — a shared per-row coin would null both together
+    assert(out.filter(col("ts").isNull && col("value").isNotNull)
+      .count() > 0L)
+    assert(out.filter(col("ts").isNotNull && col("value").isNull)
+      .count() > 0L)
+    // determinism: a second application is bit-identical
+    val again = ReplicateCorpus.withNulls(
+      ReplicateCorpus.fanOut(spark, base, "events",
+        Seq("event_id", "user_id"), mult, skew = 0),
+      "events", Seq("event_id", "user_id"), pct)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // pct=0 is the identity
+    val id0 = ReplicateCorpus.withNulls(base, "events",
+      Seq("event_id", "user_id"), 0)
+    assert(id0.exceptAll(base).isEmpty && base.exceptAll(id0).isEmpty)
+  }
 }
