@@ -745,8 +745,14 @@ object TextQ {
                SELECT vec_id, embedding FROM embeddings
                UNION ALL
                SELECT vec_id + 1000000,
-                 list_prepend(CAST(embedding[1] + '0.01'::FLOAT AS FLOAT),
-                   embedding[2:])
+                 -- r15: a NULL embedding perturbs to a NULL LIST
+                 -- (Spark's transform(null) = null -> cosine NULL ->
+                 -- singleton), never a list with a NULL element
+                 -- (DuckDB's list_cosine_similarity hard-errors)
+                 CASE WHEN embedding IS NULL THEN NULL
+                   ELSE list_prepend(
+                     CAST(embedding[1] + '0.01'::FLOAT AS FLOAT),
+                     embedding[2:]) END
                FROM embeddings WHERE vec_id % 50 = 0
              ),
              p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -829,8 +835,10 @@ object TextQ {
              |  SELECT vec_id, embedding FROM embeddings
              |  UNION ALL
              |  SELECT vec_id + 1000000,
-             |    list_prepend(CAST(embedding[1] + '0.01'::FLOAT AS FLOAT),
-             |      embedding[2:])
+             |    CASE WHEN embedding IS NULL THEN NULL
+             |      ELSE list_prepend(
+             |        CAST(embedding[1] + '0.01'::FLOAT AS FLOAT),
+             |        embedding[2:]) END
              |  FROM embeddings WHERE vec_id % 50 = 0),
              |p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
              |  FROM planted),
