@@ -159,28 +159,43 @@ object Relational {
     Q("win_moving_avg",
       (s, d) => {
         t(s, d, "events").createOrReplaceTempView("v_events")
+        // r15 (null x skew sweep): avg() folds doubles in frame order —
+        // over a skew-folded hot user's 30x-longer RANGE frames the two
+        // engines' summation orders drift past the 4-decimal rounding.
+        // The standing integer-cent discipline applies: sum exact cent
+        // LONGs over the frame, divide once (count of NON-NULL values,
+        // the avg denominator) — bit-identical cross-engine.
+        // display rounding via the floor-snap (sim_mmr convention):
+        // sum(c)/100/n lands on EXACT decimal halves (the cent sum is
+        // integer), where Spark's BigDecimal HALF_UP and DuckDB's
+        // float round() disagree — floor(x*1e4 + 0.5) computes in
+        // doubles identically on both engines
         s.sql("""SELECT event_id, user_id,
-                round(avg(value) OVER (PARTITION BY user_id ORDER BY es
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
-                  AS avg_1h,
-                count(*) OVER (PARTITION BY user_id ORDER BY es
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+                floor(CAST(sum(c) OVER w AS DOUBLE) / 100.0
+                  / CAST(count(value) OVER w AS DOUBLE)
+                  * 10000.0 + 0.5) / 10000.0 AS avg_1h,
+                count(*) OVER w AS n_1h
                 FROM (SELECT event_id, user_id, value,
+                  CAST(round(value * 100) AS LONG) AS c,
                   CAST(ts AS LONG) AS es FROM v_events
-                  WHERE ts IS NOT NULL)""")
+                  WHERE ts IS NOT NULL)
+                WINDOW w AS (PARTITION BY user_id ORDER BY es
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")
       },
       Some("""SELECT event_id, user_id,
-             round(avg(value) OVER (PARTITION BY user_id ORDER BY es
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
-               AS avg_1h,
-             count(*) OVER (PARTITION BY user_id ORDER BY es
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+             floor(CAST(sum(c) OVER w AS DOUBLE) / 100.0
+               / CAST(count(value) OVER w AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS avg_1h,
+             count(*) OVER w AS n_1h
              FROM (SELECT event_id, user_id, value,
+               CAST(round(value * 100) AS BIGINT) AS c,
                -- floor, not CAST: DuckDB casts double→int by ROUNDING,
                -- Spark's timestamp→long floors
                CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
                -- r15: a RANGE-by-time frame needs a non-null order key
-               WHERE ts IS NOT NULL)""")),
+               WHERE ts IS NOT NULL)
+             WINDOW w AS (PARTITION BY user_id ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
 
     // join_lateral [EXT]: correlated LATERAL subquery — per customer,
     // their two most expensive orders. Catalyst decorrelates the
