@@ -80,7 +80,7 @@ object Cols {
     * filt_conj / agg_cube exactly this way; join_overlap hit it at 10×
     * in round 10). Long addition is associative: any plan, any engine,
     * any scale produces the identical bit pattern. The SQL twin is
-    * `sum(CAST(round(x * 100) AS BIGINT)) / 100.0` — but in SPARK SQL
+    * `sum(CAST(floor(x * 100 + 0.5) AS BIGINT)) / 100.0` — but in SPARK SQL
     * text write `100.0D`: a bare `100.0` literal is DECIMAL there, the
     * division result becomes DECIMAL(p,6), and once the scaled int128
     * mantissa passes 2^53 a reader's decimal→double cast is no longer
@@ -89,18 +89,37 @@ object Cols {
     * oracle text is fine as written.
     *
     * PRECONDITION: inputs are money-like, i.e. exactly representable
-    * at 2 decimals. For such inputs the per-value round is the
+    * at 2 decimals. For such inputs the per-value snap is the
     * identity and this equals the exact sum. For a source with
     * SUB-CENT precision (events.value is the one such source in the
-    * registry) the per-value round is a real quantization, so the
-    * query's defined result is "the sum of values rounded to cents" —
+    * registry) the per-value snap is a real quantization, so the
+    * query's defined result is "the sum of values snapped to cents" —
     * NOT round(sum(x), 2). Any call site feeding sub-cent data must
-    * state that choice (join_overlap does) or pre-round explicitly;
+    * state that choice (join_overlap does) or pre-snap explicitly;
     * the SQL oracle twin must always carry the identical per-value
-    * round so both engines quantize the same multiset.
+    * snap so both engines quantize the same multiset.
     */
-  def sumCents(c: Column): Column =
-    sum(round(c * 100).cast("long")) / 100.0
+  def sumCents(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** Portable cent snap: `floor(x·100 + 0.5)` — round-half-UP (toward
+    * +inf) computed entirely in IEEE doubles, so it is bit-identical
+    * in Spark, DuckDB (any version), and plain JVM math
+    * (EventStreams.toCents is the scalar mirror). Engine-native
+    * `round()` is a FAULT LINE here: Spark rounds the shortest decimal
+    * string via BigDecimal HALF_UP while DuckDB rounds the binary
+    * double in libm, and DuckDB's tie convention has CHANGED across
+    * releases — a sub-cent input landing exactly on a half-cent (e.g.
+    * 0.125·100 = 12.5, exact in binary) quantizes differently per
+    * engine/version. r15's win_moving_avg driver-gate hash regression
+    * was exactly this (green under local duckdb 1.0.0, red under the
+    * driver's build). floor() has no tie case and no version history.
+    * For money-like exact-2-decimal inputs (|x·100 − k| ≤ ~1e-10, k
+    * integer, including NEGATIVE acctbals) floor-snap equals round()
+    * exactly; they differ only on true sub-cent halves, where the
+    * defined semantics is now half-up on BOTH engines. The SQL twin is
+    * `CAST(floor(x * 100 + 0.5) AS BIGINT)`.
+    */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
   /** Projection tolerant of absent columns — `select(any_of(cols))`,
     * `assess_changes.qmd:281-287`.

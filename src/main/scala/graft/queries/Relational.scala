@@ -48,7 +48,7 @@ object Relational {
           count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price,
              round(avg(l_quantity), 4) AS avg_qty,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
              count(*) AS n
@@ -111,14 +111,14 @@ object Relational {
         t(s, d, "region").createOrReplaceTempView("v_region")
         s.sql("""SELECT /*+ BROADCAST(v_nation, v_region) */
                 r_name, n_name, count(*) AS n_cust,
-                sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0D AS sum_bal
+                sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0D AS sum_bal
                 FROM v_customer
                 JOIN v_nation ON c_nationkey = n_nationkey
                 JOIN v_region ON n_regionkey = r_regionkey
                 GROUP BY ROLLUP(r_name, n_name)""")
       },
       Some("""SELECT r_name, n_name, count(*) AS n_cust,
-             sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
+             sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_bal
              FROM customer
              JOIN nation ON c_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
@@ -176,7 +176,7 @@ object Relational {
                   * 10000.0 + 0.5) / 10000.0 AS avg_1h,
                 count(*) OVER w AS n_1h
                 FROM (SELECT event_id, user_id, value,
-                  CAST(round(value * 100) AS LONG) AS c,
+                  CAST(floor(value * 100 + 0.5) AS LONG) AS c,
                   CAST(ts AS LONG) AS es FROM v_events
                   WHERE ts IS NOT NULL)
                 WINDOW w AS (PARTITION BY user_id ORDER BY es
@@ -188,7 +188,7 @@ object Relational {
                * 10000.0 + 0.5) / 10000.0 AS avg_1h,
              count(*) OVER w AS n_1h
              FROM (SELECT event_id, user_id, value,
-               CAST(round(value * 100) AS BIGINT) AS c,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
                -- floor, not CAST: DuckDB casts double→int by ROUNDING,
                -- Spark's timestamp→long floors
                CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
@@ -341,13 +341,13 @@ object Relational {
         t(s, d, "orders").createOrReplaceTempView("v_orders")
         s.sql("""SELECT o_orderstatus, o_orderpriority,
                 count(*) AS n_ord,
-                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS sum_price
+                sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0D AS sum_price
                 FROM v_orders
                 GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
       },
       Some("""SELECT o_orderstatus, o_orderpriority,
              count(*) AS n_ord,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price
              FROM orders
              GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
 
@@ -370,7 +370,7 @@ object Relational {
         .agg(Cols.sumCents(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders")),
       Some("""SELECT n_name,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
              count(*) AS n_orders
              FROM orders JOIN customer ON o_custkey = c_custkey
              JOIN nation ON c_nationkey = n_nationkey
@@ -433,7 +433,7 @@ object Relational {
             Cols.sumCents(col("b_value")).as("sum_v"))
       },
       Some("""SELECT a.event_type, count(*) AS n,
-             sum(CAST(round(b.value * 100) AS BIGINT)) / 100.0 AS sum_v
+             sum(CAST(floor(b.value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_v
              FROM (SELECT user_id, event_id,
                    date_trunc('millisecond', ts) AS ts, event_type
                    FROM events) a
@@ -499,7 +499,7 @@ object Relational {
              |    day AS b_lo, day + o_orderkey % 15 AS b_hi FROM o
              |  WHERE o_orderkey % 2 = 1)
              |SELECT a_st, b_st, count(*)::BIGINT AS n,
-             |  sum(CAST(round(b_price * 100) AS BIGINT)) / 100.0 AS sum_p
+             |  sum(CAST(floor(b_price * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_p
              |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
              |GROUP BY 1, 2""".stripMargin)),
 
@@ -581,7 +581,7 @@ object Relational {
             Cols.sumCents(col("o_totalprice")).as("revenue"))
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
              FROM orders JOIN customer ON o_custkey = c_custkey
              GROUP BY c_mktsegment""")),
 
@@ -704,7 +704,7 @@ object Relational {
           .filter(col("value").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
             col("event_id"),
-            round(col("value") * lit(100)).cast("long").as("c"))
+            Cols.cents(col("value")).as("c"))
           .withColumn("p1", lag(col("c"), 1).over(w))
           .withColumn("p2", lag(col("c"), 2).over(w))
           .filter(col("p2").isNotNull)
@@ -714,9 +714,9 @@ object Relational {
               .otherwise(0L)).as("n_vshapes"))
       },
       Some("""WITH s AS (SELECT user_id,
-             |    CAST(round(value * 100) AS BIGINT) AS c,
-             |    lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS p1,
-             |    lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS p2
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS p1,
+             |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS p2
              |  FROM events
              |  WHERE value IS NOT NULL AND ts IS NOT NULL
              |  WINDOW w AS (PARTITION BY user_id
@@ -856,7 +856,7 @@ object Relational {
         .groupBy("metric")
         .agg(count(lit(1)).as("n"), Cols.sumCents(col("value")).as("sum_v")),
       Some("""SELECT metric, count(*) AS n,
-             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_v
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_v
              FROM (
                SELECT 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
                UNION ALL
@@ -906,7 +906,7 @@ object Relational {
         .groupBy(col("p_type").as("ptype"))
         .agg(count(lit(1)).as("n"), Cols.sumCents(col("p_retailprice")).as("tot")),
       Some("""SELECT p_type AS ptype, count(*) AS n,
-             sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS tot
+             sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) / 100.0 AS tot
              FROM part WHERE regexp_matches(p_type, '(?i)^(promo|econ).*')
              GROUP BY p_type""")),
 
@@ -916,7 +916,7 @@ object Relational {
         .filter(col("l_discount") > 0.03 && col("l_quantity") < 25)
         .agg(count(lit(1)).as("n"), Cols.sumCents(col("l_extendedprice")).as("tot")),
       Some("""SELECT count(*) AS n,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS tot
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS tot
              FROM lineitem WHERE l_discount > 0.03 AND l_quantity < 25""")),
 
     // filt_notin: R `!x %in% set` fidelity — NULL rows are KEPT
@@ -971,7 +971,7 @@ object Relational {
         .agg(count(lit(1)).as("n"), Cols.sumCents(col("o_totalprice")).as("tot")),
       Some("""SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
              count(*) AS n,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS tot
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS tot
              FROM orders GROUP BY 1, 2""")),
 
     // src_parquet (SURVEY.md §2.1).

@@ -174,7 +174,7 @@ object ScaleQ {
         .agg(count(lit(1)).as("n"),
           Cols.sumCents(col("l_extendedprice")).as("sum_price")),
       Some("""SELECT l_returnflag, count(*) AS n,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price
              FROM lineitem
              WHERE EXISTS (SELECT 1 FROM supplier
                WHERE s_suppkey = l_suppkey AND s_acctbal > 6000)
@@ -271,7 +271,7 @@ object ScaleQ {
         Seq((wm, tw)).toDF("wmedian", "total_w")
       },
       Some("""WITH li AS (SELECT l_quantity::DOUBLE AS v,
-             |    round(l_extendedprice * 100)::BIGINT AS w,
+             |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS w,
              |    l_orderkey, l_linenumber FROM lineitem
              |  -- r15: mirrors RobustStats' null contract — an
              |  -- observation needs BOTH a value and a weight
@@ -304,7 +304,7 @@ object ScaleQ {
         Seq((wq, tw)).toDF("wp90", "total_w")
       },
       Some("""WITH li AS (SELECT l_quantity::DOUBLE AS v,
-             |    round(l_extendedprice * 100)::BIGINT AS w,
+             |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS w,
              |    l_orderkey, l_linenumber FROM lineitem
              |  -- r15: mirrors RobustStats' null contract — an
              |  -- observation needs BOTH a value and a weight
@@ -918,7 +918,7 @@ object ScaleQ {
             concat_ws(sep, col("s_suppkey").cast("string"),
               coalesce(col("s_name"), lit("\u0002")),
               coalesce(col("s_nationkey").cast("string"), lit("\u0002")),
-              coalesce(round(col("s_acctbal") * 100).cast("long")
+              coalesce(Cols.cents(col("s_acctbal"))
                 .cast("string"), lit("\u0002")))))
       },
       Some("""WITH r AS (SELECT ('0x' || substr(md5(
@@ -932,7 +932,7 @@ object ScaleQ {
              |      s_suppkey::VARCHAR || chr(1)
              |      || coalesce(s_name, chr(2)) || chr(1)
              |      || coalesce(s_nationkey::VARCHAR, chr(2)) || chr(1)
-             |      || coalesce(CAST(round(s_acctbal * 100) AS BIGINT)
+             |      || coalesce(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
              |           ::VARCHAR, chr(2))),
              |      1, 15))::UBIGINT::BIGINT AS h FROM supplier)
              |SELECT 'region' AS tbl, count(*)::BIGINT AS n_rows,

@@ -298,7 +298,7 @@ object StreamQ {
         val e = graft.operators.Stage.materialize(
           t(s, d, "events").filter(col("value").isNotNull)
             .select(col("event_type"), hour(col("ts")).as("hr"),
-              round(col("value") * lit(100)).cast("long").as("c")),
+              graft.functions.Cols.cents(col("value")).as("c")),
           "ts_seasonal_vals")
         val nD = col("n").cast("double")
         val prof = e.groupBy("event_type", "hr")
@@ -322,7 +322,7 @@ object StreamQ {
               .as("sd"), col("n_out"))
       },
       Some("""WITH e AS (SELECT event_type, hour(ts) AS hr,
-             |    CAST(round(value * 100) AS BIGINT) AS c
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
              |  FROM events WHERE value IS NOT NULL),
              |p AS (SELECT event_type, hr, count(*)::BIGINT AS n,
              |    sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS ss
@@ -487,7 +487,7 @@ object StreamQ {
       // drift between Welford and var_samp on hot-key histories
       Some("""WITH RECURSIVE v AS (SELECT user_id, epoch_us(ts) AS o1,
              |    event_id AS o2,
-             |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
              |  WHERE ts IS NOT NULL AND value IS NOT NULL),
              |w AS (SELECT user_id, o1, o2, c,
              |    count(c) OVER wp AS pn,
@@ -767,7 +767,7 @@ object StreamQ {
                  AND e.ts = s.ts)
              SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
                user_id, count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_v
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_v
              FROM j GROUP BY user_id, sess""")),
 
     // stream_join: stream-stream interval join (batch twin; the true
@@ -865,7 +865,7 @@ object StreamQ {
       // engines apart (the skew audit measured 74 borderline-z flips
       // under float Welford vs windowed var_samp)
       Some("""WITH c AS (SELECT user_id, event_id, ts, value,
-             |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
              |  WHERE ts IS NOT NULL AND value IS NOT NULL),
              |p AS (SELECT user_id, event_id, value, c,
              |    count(c) OVER w AS n_prev,
@@ -1015,7 +1015,7 @@ object StreamQ {
           .filter(col("ts").isNotNull) // r15: as-of order needs a key
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
             col("event_id"), col("event_type"),
-            round(col("value") * lit(100)).cast("long").as("c"))
+            graft.functions.Cols.cents(col("value")).as("c"))
           .withColumn("attr", last(
             when(col("event_type").isin("view", "click"),
               col("event_type")), ignoreNulls = true).over(w))
@@ -1025,7 +1025,7 @@ object StreamQ {
             (sum("c").cast("double") / lit(100.0)).as("revenue"))
       },
       Some("""WITH s AS (SELECT user_id, event_type,
-             |    CAST(round(value * 100) AS BIGINT) AS c,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
              |    last_value(CASE WHEN event_type IN ('view', 'click')
              |        THEN event_type END IGNORE NULLS) OVER (
              |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
@@ -1052,7 +1052,7 @@ object StreamQ {
       (s, d) => graft.streaming.EventStreams
         .lastTouchAttribution(s, t(s, d, "events")).toDF(),
       Some("""WITH s AS (SELECT user_id, event_id, event_type,
-             |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents,
+             |    coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0) AS cents,
              |    last_value(CASE WHEN event_type IN ('view', 'click')
              |        THEN event_type END IGNORE NULLS) OVER (
              |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id

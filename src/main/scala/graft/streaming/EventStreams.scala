@@ -290,15 +290,18 @@ object EventStreams {
     (s2d - s1d * s1d / n) / (n - 1)
   }
 
-  /** Sign-symmetric cent quantization (round half AWAY FROM ZERO) —
-    * the semantics of both DuckDB's `round(value * 100)` and Spark's
-    * `round()` in Cols.sumCents. A bare `math.round` rounds half
-    * toward +infinity, so a NEGATIVE exact-half-cent value (-12.125 →
-    * -1212.5) would quantize to a different cent here than in the
-    * oracle, breaking bit-equal parity.
+  /** Portable cent snap — the scalar mirror of Cols.cents and the
+    * oracle's `CAST(floor(x * 100 + 0.5) AS BIGINT)`: floor(x·100 +
+    * 0.5), round-half-UP computed entirely in IEEE doubles, so it is
+    * bit-identical here, in Spark SQL, and in ANY DuckDB version.
+    * (r16: replaced the sign-symmetric round-half-away quantization —
+    * engine-native round() is a cross-version fault line at exact
+    * half-cents, the r15 win_moving_avg driver-gate regression. floor
+    * has no tie case. math.floor(x·100 + 0.5) and the engines' floor
+    * evaluate the identical double expression.)
     */
   @inline private def toCents(x: Double): Long =
-    if (x >= 0) math.round(x * 100) else -math.round(-x * 100)
+    math.floor(x * 100 + 0.5).toLong
 
   @inline private def absorb(st: MomentState, c: Long): MomentState =
     // every step is overflow-CHECKED: c*c itself wraps silently for
@@ -602,7 +605,7 @@ object EventStreams {
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("event_type"),
-        coalesce(round(col("value") * lit(100)).cast("long"), lit(0L)))
+        coalesce(graft.functions.Cols.cents(col("value")), lit(0L)))
       .as[(Long, Long, Long, String, Long)]
       .groupByKey(_._1)
     if (StateApi.useTws(spark))

@@ -66,4 +66,22 @@ class ColsSpec extends SparkFunSuite {
     val r = Seq(2500000L).toDF("b").select(Cols.sizeMb($"b")).as[Double].head()
     assert(r === 2.5)
   }
+
+  test("cents is the portable floor-snap: identity on money, half-UP " +
+      "on true sub-cent halves, exact on negatives (r16 convention)") {
+    // r15 regression class: engine-native round() differs between
+    // Spark (BigDecimal HALF_UP on the shortest decimal string) and
+    // DuckDB (libm on the binary double, tie mode CHANGED across
+    // releases). floor(x*100 + 0.5) has no tie case — pin its values.
+    val got = Seq(123.45, -123.45, 0.125, -0.125, 9999.99, -999.99,
+        0.005, 0.004999)
+      .toDF("v").select(Cols.cents($"v").as("c")).as[Long].collect().toSeq
+    //              money identity      true halves -> half-UP
+    assert(got == Seq(12345L, -12345L, 13L, -12L, 999999L, -99999L,
+      1L, 0L), got.mkString(","))
+    // scalar mirror contract: math.floor(x*100 + 0.5) — same values
+    val jvm = Seq(123.45, -123.45, 0.125, -0.125, 9999.99, -999.99,
+      0.005, 0.004999).map(x => math.floor(x * 100 + 0.5).toLong)
+    assert(jvm == got, jvm.mkString(","))
+  }
 }
