@@ -179,11 +179,19 @@ object Bench {
       // (e.g. reports/bench_full_r15_100x.json) written in the same
       // breath, so the committed snapshot can never diverge from the
       // run that produced the headline line.
-      sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT").foreach { p =>
-        java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (fullLine + "\n").getBytes("UTF-8"))
-      }
     } catch { case _: Exception => () } // bench result > artifact write
+    // The env-named snapshot gets its OWN catch (ADVICE r15): a typo'd
+    // path silently dropping the committed copy would undermine the
+    // "snapshot can never diverge from the headline run" guarantee —
+    // keep the bench result alive but make the miss visible on stderr.
+    sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_BENCH_FULL_OUT=$p write failed: $e")
+      }
+    }
     // Stdout line: the driver keeps only the LAST 2000 chars of output
     // (rounds 2-4 lost the line head to that window → parsed:null), and
     // sbt's trailing "[success] ..." eats ~80 of them. Budget the

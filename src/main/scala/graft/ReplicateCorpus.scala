@@ -316,6 +316,17 @@ object ReplicateCorpus {
       }
     }
 
+    // ADVICE r15 (other half of the loud-skip guard below): a table
+    // listed in NullableCols but absent from keyCols would never enter
+    // this loop at all — its null dimension would silently not exist.
+    if (nulls > 0) {
+      val orphans = NullableCols.keySet -- keyCols.keySet
+      require(orphans.isEmpty,
+        s"nulls=$nulls requested but NullableCols tables ${orphans
+          .toSeq.sorted.mkString(",")} are not in keyCols — " +
+          "their null dimension would be silently skipped")
+    }
+
     keyCols.foreach { case (table, keys) =>
       val base = queries.t(spark, src, table)
       val fanned = fanOut(spark, base, table, keys, mult, skew)
@@ -323,6 +334,16 @@ object ReplicateCorpus {
       // number for lineitem (its keyCols triple repeats across rows)
       val anchor =
         if (table == "lineitem") keys :+ "l_linenumber" else keys
+      // ADVICE r15: a silently-skipped nulling makes the sweep report
+      // clean results for a dimension that was never exercised — fail
+      // loudly if a table that DECLARES nullable columns can't be
+      // nulled (no anchor keys to hash the pattern on).
+      if (nulls > 0 && keys.isEmpty &&
+          NullableCols.getOrElse(table, Nil).nonEmpty)
+        throw new IllegalStateException(
+          s"nulls=$nulls requested but table '$table' has NullableCols " +
+            "and no keyCols anchor — the null dimension would be " +
+            "silently skipped for it")
       val nulled =
         if (nulls > 0 && keys.nonEmpty) withNulls(fanned, table, anchor,
           nulls)

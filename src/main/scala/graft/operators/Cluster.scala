@@ -49,7 +49,16 @@ object Cluster {
     var centers = clean.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(centers.nonEmpty, "empty input corpus")
+    // limit(k) returns min(k, non-null count) rows, so this single
+    // check enforces nonNullCount >= k without an extra count job —
+    // under the r15 null contract (null vector = no position) a
+    // high-nulls corpus can legitimately have fewer than k usable
+    // vectors, and silently seeding fewer than k centers would skew
+    // every later cluster_id; fail loudly instead (ADVICE r15).
+    require(centers.length == k,
+      s"null contract: kmeans needs >= $k non-null '$vecCol' vectors " +
+        s"to seed, corpus has ${centers.length} (null vectors are " +
+        "neither indexed nor clustered)")
     val dim = centers(0).length
 
     def assigned(cs: Array[Array[Float]]): DataFrame =

@@ -708,7 +708,13 @@ object IngestQ {
         // key (concat_ws silently skips nulls, so (NULL,'x') and
         // ('x',NULL) would draw the SAME noise; the oracle's || chain
         // would instead null-propagate) — both sides coalesce to the
-        // chr(2) sentinel
+        // chr(2) sentinel. DATA ASSUMPTION (ADVICE r15, shared with
+        // dq_checksum's supplier fingerprint): no real field value
+        // equals "" and none contains the "|" / chr(1)
+        // separators — a corpus violating that could alias a null to
+        // a real value or shift fields. Holds for every shipped and
+        // ReplicateCorpus-derived corpus (ASCII word/enum fields);
+        // lives next to the doc_id-uniqueness contract notes.
         val h = conv(substring(md5(concat_ws("|",
           coalesce(col("lang"), lit("\u0002")),
           coalesce(col("source"), lit("\u0002")), lit("dp7"))),

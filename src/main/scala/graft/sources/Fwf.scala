@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * any file count. Predicate pushdown on the parsed columns happens
   * after the projection, which is the best any fwf reader can do (the
   * format has no column statistics to prune on).
+  *
+  * NULL CONTRACT (r15, ADVICE-pinned r16): an all-blank field IS the
+  * fixed-width encoding of NULL — the format has no other way to say
+  * "missing". Consequence: an empty-but-non-null string value ('')
+  * and a whitespace-only value are UNREPRESENTABLE in a round-trip;
+  * they read back as NULL and merge into the NULL group downstream.
+  * Writers must therefore coalesce(null → blanks) and must never rely
+  * on '' being distinct from NULL (no shipped corpus carries '' in a
+  * string field; a writer feeding one should pre-map it to a real
+  * sentinel of its own choosing before encoding).
   */
 object Fwf {
 

@@ -68,4 +68,20 @@ class ClusterSpec extends SparkFunSuite {
     // (seeded with the identical vec 2) ends empty and drops out
     assert(d.forall(_._1 == 0L) && d.forall(_._4 == 3L), d.mkString(","))
   }
+
+  test("fewer non-null vectors than k fails loudly (null contract)") {
+    // ADVICE r15: limit(k) would silently seed < k centers when the
+    // null contract (null vector = no position) has eaten the corpus;
+    // the require names the contract instead.
+    val rows = Seq(1L -> Seq(0f, 0f), 2L -> Seq(1f, 1f))
+    val withNull = vecsDF(rows).unionByName(
+      Seq((3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Cluster.kmeans(withNull, "vec_id", "embedding", k = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("null contract"), e.getMessage)
+    // exactly k non-null still seeds fine
+    assert(Cluster.kmeans(withNull, "vec_id", "embedding", k = 2,
+      iters = 1).count() > 0)
+  }
 }
