@@ -853,4 +853,95 @@ object Dedup {
         round(coalesce(col("n_dup"), lit(0L)) /
           col("n_grams").cast("double"), 4).as("dup_frac"))
   }
+
+  /** Exact substring-level dedup CUT (Lee et al. '22, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * filter): emit the corpus with every duplicated passage of at
+    * least `n` tokens REMOVED, not just profiled (dedup_span is the
+    * profile twin). A passage of >= n tokens duplicated across >=
+    * `minDocs` documents is exactly the union of its duplicated
+    * n-gram windows, so the removal set is "every token position
+    * covered by an n-gram that starts within the last n-1 positions
+    * and occurs in >= minDocs distinct documents". Removal applies to
+    * EVERY occurrence (both the original and its copies — Lee et al.
+    * note keeping one canonical copy changes results negligibly, and
+    * removing all is the deterministic cross-engine contract).
+    *
+    * Scale shape (100 TB): token and gram streams are NARROW rows —
+    * grams build from `n-1` lead() windows per doc partition (never by
+    * re-slicing the doc's token array, the r14 fat-OOM lesson), and
+    * duplicate detection is STAGED like dedup_jaccard: a first pass
+    * shuffles only (xxhash64(gram), doc) — 16 bytes/position — and
+    * only hash-candidate positions (>= minDocs docs share the hash)
+    * re-shuffle their full gram strings for the EXACT string
+    * confirmation, so the oracle's string-join semantics hold
+    * collision-free while the corpus-sized shuffle stays 16 B/row.
+    * Coverage, span counting, and the text rebuild are per-doc
+    * partitioned windows + one ordered collect per doc (the rebuilt
+    * doc is one row's value by definition — the fat giant pays a
+    * single-task rebuild, the standing per-VALUE ceiling).
+    *
+    * Null contract (#8): null text = empty text, row PRESERVED —
+    * (n_tokens 0, n_removed 0, n_spans 0, scrubbed '').
+    *
+    * @return (idCol, n_tokens, n_removed, n_spans, scrubbed) — one row
+    *         per input document; scrubbed is the space-joined kept
+    *         tokens in original order
+    */
+  def scrubSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 50, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"substring length must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val tkRaw = normTokens(col(textCol))
+    // normalizedBytes('') splits to [''] — coerce the phantom token
+    // (and null text, contract #8) to a true empty array
+    val base = docs.select(col(idCol),
+        when(tkRaw.isNull || (size(tkRaw) === 1 &&
+          element_at(tkRaw, 1) === ""), typedLit(Seq.empty[String]))
+          .otherwise(tkRaw).as("tk"))
+      .select(col(idCol), col("tk"),
+        size(col("tk")).cast("long").as("n_tokens"))
+    val tokn = base.select(col(idCol),
+        posexplode(col("tk")).as(Seq("p0", "w")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("p"), col("w"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val gramCol = concat_ws(" ",
+      col("w") +: (1 until n).map(i => lead(col("w"), i).over(byDoc)): _*)
+    val grams = tokn
+      .withColumn("g", gramCol)
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(col("p") <= col("nn") - (n - 1))
+      .select(col(idCol), col("p"), col("g"), xxhash64(col("g")).as("h"))
+    // stage 1: 8-byte hash prefilter (the corpus-sized shuffle)
+    val candH = grams.select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val cand = grams.join(candH, "h")
+    // stage 2: exact string confirmation on the surviving positions
+    val dupG = cand.select(col("g"), col(idCol)).distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("g")
+    val starts = cand.join(dupG, "g").select(col(idCol), col("p"))
+    val flagged = tokn.join(
+        starts.withColumn("s", lit(1)), Seq(idCol, "p"), "left")
+      .withColumn("c", max(coalesce(col("s"), lit(0)))
+        .over(byDoc.rowsBetween(-(n - 1), 0)))
+    val removed = flagged.filter(col("c") === 1)
+      .withColumn("rn", row_number().over(byDoc))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed"),
+        countDistinct(col("p") - col("rn")).as("n_spans"))
+    val scrub = flagged.filter(col("c") === 0)
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("w")))),
+        s => s.getField("w")), " ").as("scrubbed"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(removed, Seq(idCol), "left")
+      .join(scrub, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
 }

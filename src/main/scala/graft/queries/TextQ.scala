@@ -130,6 +130,104 @@ object TextQ {
         "planted_docs")
     })
 
+
+  /** DuckDB replay of the exact-substring scrub (dedup_substr): the
+    * planted corpus, narrow token rows, 50-grams from 49 lead windows
+    * (the r14 fat-OOM-safe form), duplicate grams joined on the RAW
+    * STRING (no hashes — the engine's xxhash64 prefilter is exactness-
+    * preserving and invisible here), window-max coverage, and the
+    * ordered string_agg rebuild.
+    */
+  private val substrScrubSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zz'
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |norm AS (SELECT doc_id,
+       |    CASE WHEN tk = [''] THEN []::VARCHAR[] ELSE tk END AS tk
+       |  FROM (SELECT doc_id, string_split(trim(regexp_replace(
+       |      lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' ')
+       |      AS tk FROM planted)),
+       |tokn AS MATERIALIZED (SELECT doc_id, unnest(tk) AS w,
+       |    generate_subscripts(tk, 1) AS p FROM norm),
+       |gr AS (SELECT doc_id, p,
+       |      count(*) OVER (PARTITION BY doc_id) AS nn,
+       |      concat_ws(' ', w,
+       |        lead(w, 1) OVER win,
+             |        lead(w, 2) OVER win,
+             |        lead(w, 3) OVER win,
+             |        lead(w, 4) OVER win,
+             |        lead(w, 5) OVER win,
+             |        lead(w, 6) OVER win,
+             |        lead(w, 7) OVER win,
+             |        lead(w, 8) OVER win,
+             |        lead(w, 9) OVER win,
+             |        lead(w, 10) OVER win,
+             |        lead(w, 11) OVER win,
+             |        lead(w, 12) OVER win,
+             |        lead(w, 13) OVER win,
+             |        lead(w, 14) OVER win,
+             |        lead(w, 15) OVER win,
+             |        lead(w, 16) OVER win,
+             |        lead(w, 17) OVER win,
+             |        lead(w, 18) OVER win,
+             |        lead(w, 19) OVER win,
+             |        lead(w, 20) OVER win,
+             |        lead(w, 21) OVER win,
+             |        lead(w, 22) OVER win,
+             |        lead(w, 23) OVER win,
+             |        lead(w, 24) OVER win,
+             |        lead(w, 25) OVER win,
+             |        lead(w, 26) OVER win,
+             |        lead(w, 27) OVER win,
+             |        lead(w, 28) OVER win,
+             |        lead(w, 29) OVER win,
+             |        lead(w, 30) OVER win,
+             |        lead(w, 31) OVER win,
+             |        lead(w, 32) OVER win,
+             |        lead(w, 33) OVER win,
+             |        lead(w, 34) OVER win,
+             |        lead(w, 35) OVER win,
+             |        lead(w, 36) OVER win,
+             |        lead(w, 37) OVER win,
+             |        lead(w, 38) OVER win,
+             |        lead(w, 39) OVER win,
+             |        lead(w, 40) OVER win,
+             |        lead(w, 41) OVER win,
+             |        lead(w, 42) OVER win,
+             |        lead(w, 43) OVER win,
+             |        lead(w, 44) OVER win,
+             |        lead(w, 45) OVER win,
+             |        lead(w, 46) OVER win,
+             |        lead(w, 47) OVER win,
+             |        lead(w, 48) OVER win,
+             |        lead(w, 49) OVER win) AS g
+       |    FROM tokn WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+       |gq AS MATERIALIZED (SELECT doc_id, p, g FROM gr WHERE p <= nn - 49),
+       |dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gq)
+       |        GROUP BY g HAVING count(*) >= 2),
+       |starts AS (SELECT doc_id, p FROM gq JOIN dup USING (g)),
+       |cov AS (SELECT t.doc_id, t.p, t.w,
+       |    max(CASE WHEN s.p IS NULL THEN 0 ELSE 1 END) OVER (
+       |      PARTITION BY t.doc_id ORDER BY t.p
+       |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS c
+       |  FROM tokn t LEFT JOIN starts s
+       |    ON t.doc_id = s.doc_id AND t.p = s.p),
+       |rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed,
+       |    count(DISTINCT p - rn)::BIGINT AS n_spans
+       |  FROM (SELECT doc_id, p, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY p) AS rn FROM cov WHERE c = 1)
+       |  GROUP BY 1),
+       |scr AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p)
+       |    FILTER (WHERE c = 0) AS scrubbed FROM cov GROUP BY 1)
+       |SELECT n.doc_id, len(n.tk)::BIGINT AS n_tokens,
+       |  coalesce(r.n_removed, 0) AS n_removed,
+       |  coalesce(r.n_spans, 0) AS n_spans,
+       |  coalesce(s.scrubbed, '') AS scrubbed
+       |FROM norm n LEFT JOIN rem r ON n.doc_id = r.doc_id
+       |LEFT JOIN scr s ON n.doc_id = s.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // text_tokens: whitespace + BPE-ish token counting.
@@ -1033,6 +1131,22 @@ object TextQ {
              |  coalesce(sp.n_spans, 0) AS n_spans,
              |  round(coalesce(sp.n_dup, 0) * 1.0 / b.n_grams, 4) AS dup_frac
              |FROM base b LEFT JOIN sp ON b.doc_id = sp.doc_id""".stripMargin)),
+
+
+    // dedup_substr [EXT, new r16]: the exact-substring dedup CUT
+    // (Lee et al. '22 ExactSubstr) — the corpus re-emitted with every
+    // >= 50-token passage duplicated across >= 2 docs REMOVED
+    // (dedup_span is the profile twin; this is the standard
+    // pretraining dedup cut itself). Runs on the planted corpus so
+    // the gate fires non-vacuously: each planted clone shares its
+    // full token stream with its original, so both lose the shared
+    // passage. Oracle rebuilds the scrub from raw text with direct
+    // gram-STRING joins — the engine's staged hash prefilter must be
+    // exactness-invisible or the scrubbed text diverges.
+    Q("dedup_substr",
+      (s, d) => graft.operators.Dedup.scrubSubstrings(
+        plantedDocs(s, d), "doc_id", "text", n = 50, minDocs = 2),
+      Some(substrScrubSql)),
 
     // dedup_cluster [EXT]: the clustering stage of the dedup pipeline —
     // MinHash candidate PAIRS contracted to connected COMPONENTS

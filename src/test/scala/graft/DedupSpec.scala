@@ -284,4 +284,47 @@ class DedupSpec extends SparkFunSuite {
       assert(r._4 === 2L, s"expected 2 separate spans, got $r")
     }
   }
+
+  test("scrubSubstrings removes every occurrence of a duplicated " +
+      ">= n-token passage and keeps unique text (hand-checked)") {
+    // docs 1 and 2 share the 6-token passage "alpha beta gamma delta
+    // epsilon zeta"; with n = 5 its two 5-gram windows are duplicated,
+    // so all 6 tokens go from BOTH docs; doc 3 shares only 4 tokens —
+    // below the cut, untouched. Null text (doc 4) keeps its row.
+    val docs = Seq(
+      (1L, "one two alpha beta gamma delta epsilon zeta three"),
+      (2L, "alpha beta gamma delta epsilon zeta four five six"),
+      (3L, "alpha beta gamma delta seven eight nine ten eleven"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .scrubSubstrings(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 9L, 6L, 1L, "one two three"),
+      (2L, 9L, 6L, 1L, "four five six"),
+      (3L, 9L, 0L, 0L, "alpha beta gamma delta seven eight nine ten eleven"),
+      (4L, 0L, 0L, 0L, "")), got.mkString("\n"))
+  }
+
+  test("scrubSubstrings merges overlapping duplicated windows into " +
+      "one span and is partitioning-invariant") {
+    // three copies of a 7-token run: with n = 5, starts at 3 positions
+    // cover one contiguous 7-token span per doc (n_spans = 1)
+    val run = "p q r s t u v"
+    val docs = Seq(
+      (1L, s"a b $run c d"), (2L, s"e $run f g h"), (3L, s"$run w x y z"))
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 7)) {
+      val got = graft.operators.Dedup
+        .scrubSubstrings(docs.repartition(parts), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      assert(got == Seq(
+        (1L, 11L, 7L, 1L, "a b c d"),
+        (2L, 11L, 7L, 1L, "e f g h"),
+        (3L, 11L, 7L, 1L, "w x y z")), s"parts=$parts\n" + got.mkString("\n"))
+    }
+  }
 }
