@@ -104,6 +104,95 @@ object CorpusQ {
          |  round(ag.ns / ag.nw, 4) AS fertility
          |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin
 
+
+  /** DuckDB replay of `rounds` Viterbi-EM unigram-LM training rounds
+    * (tok_unigram), unrolled like the BPE replay: the seed substring
+    * counts, then per round 16 MATERIALIZED Viterbi DP stages (one per
+    * word position; candidates from the <= 4 piece lengths, winner by
+    * the portable (score DESC, np ASC, last-piece ASC, seg ASC)
+    * order), the usage M-step, and the prune. Scores are the same
+    * fixed IEEE expression tree the operator computes — one double
+    * division per piece, left-to-right products — so every comparison
+    * is on bit-identical values (see operators/Unigram.scala).
+    */
+  private def unigramOracleSql(rounds: Int): String = {
+    val (mpl, mwl, seedM, keepM) = (4, 16, 64, 48)
+    val head =
+      s"""WITH tok AS (SELECT unnest(string_split_regex(lower(text),
+         |    '[^a-z0-9]+')) AS w FROM documents),
+         |words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
+         |  FROM tok WHERE w <> '' AND len(w) <= $mwl GROUP BY w),
+         |subs AS (SELECT substr(w, i, l) AS piece,
+         |    sum(freq)::BIGINT AS cnt
+         |  FROM words,
+         |    (SELECT unnest(generate_series(1, $mpl)) AS l) ll,
+         |    (SELECT unnest(generate_series(1, $mwl)) AS i) ii
+         |  WHERE l <= len(w) AND i <= len(w) - l + 1
+         |  GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subs
+         |    WHERE len(piece) > 1
+         |    ORDER BY cnt DESC, piece LIMIT $seedM)),
+         |n0 AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS v
+         |  FROM v0)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      val pv = r - 1
+      val dp0 =
+        s"""dp${r}_0 AS (SELECT w, freq, len(w) AS len,
+           |  CAST(1.0 AS DOUBLE) AS score, 0 AS np, '' AS seg
+           |  FROM words)""".stripMargin
+      val dps = (1 to mwl).map { i =>
+        val branches = (1 to math.min(mpl, i)).map { l =>
+          s"""      SELECT d.w, d.freq, d.len,
+             |        d.score * ((v.cnt + 1)::DOUBLE
+             |          / (nn.n + nn.v)::DOUBLE) AS score,
+             |        d.np + 1 AS np,
+             |        CASE WHEN d.seg = '' THEN v.piece
+             |          ELSE d.seg || ' ' || v.piece END AS seg,
+             |        v.piece AS lastp
+             |      FROM dp${r}_${i - l} d CROSS JOIN n$pv nn
+             |      JOIN v$pv v ON v.piece = substr(d.w, ${i - l + 1}, $l)
+             |      WHERE d.len >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""dp${r}_$i AS MATERIALIZED (
+           |  SELECT w, freq, len, score, np, seg FROM (
+           |    SELECT w, freq, len, score, np, seg, row_number() OVER (
+           |      PARTITION BY w ORDER BY score DESC, np ASC,
+           |        lastp ASC, seg ASC) AS rn
+           |    FROM (
+           |$branches
+           |    )) WHERE rn = 1)""".stripMargin
+      }
+      val segs = (1 to mwl)
+        .map(i => s"SELECT freq, seg FROM dp${r}_$i WHERE len = $i")
+        .mkString("\n  UNION ALL\n  ")
+      val tail =
+        s"""seg$r AS (
+           |  $segs),
+           |u$r AS MATERIALIZED (SELECT v.piece,
+           |    coalesce(uu.u, 0)::BIGINT AS usage
+           |  FROM v$pv v LEFT JOIN (
+           |    SELECT piece, sum(freq)::BIGINT AS u FROM (
+           |      SELECT unnest(string_split(seg, ' ')) AS piece, freq
+           |      FROM seg$r) GROUP BY 1) uu ON v.piece = uu.piece),
+           |v$r AS MATERIALIZED (
+           |  SELECT piece, usage AS cnt FROM u$r WHERE len(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, cnt FROM (SELECT piece, usage AS cnt FROM u$r
+           |    WHERE len(piece) > 1 AND usage > 0
+           |    ORDER BY usage DESC, piece LIMIT $keepM)),
+           |n$r AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS v
+           |  FROM v$r)""".stripMargin
+      (dp0 +: dps :+ tail).mkString(",\n")
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r::INT AS em_round, piece, usage FROM u$r")
+      .mkString("\nUNION ALL\n")
+    head + ",\n" + roundsSql + "\n" + out
+  }
+
   val all: Seq[Q] = Seq(
 
     // tok_bpe [EXT]: BPE tokenizer-merge training (Sennrich'16) — 8
@@ -117,6 +206,21 @@ object CorpusQ {
       (s, d) => graft.operators.Bpe.trainMerges(
         t(s, d, "documents").select(col("text")), "text", numMerges = 8),
       Some(bpeOracleSql(8))),
+
+
+    // tok_unigram [EXT, new r16]: unigram-LM tokenizer training
+    // (Kudo '18 / SentencePiece), the deterministic Viterbi-EM
+    // variant — seed substring vocabulary, two EM rounds of exact
+    // Viterbi segmentation + usage re-estimation + pruning, integer
+    // usage counts as the gate output. Independent oracle: the full
+    // 2-round replay in SQL (unrolled DP stages; the score arithmetic
+    // is the identical IEEE expression tree, so the argmaxes cannot
+    // drift). Any regression in seeding, the DP order, the tie-break,
+    // or the prune diverges the usage table and breaks the gate.
+    Q("tok_unigram",
+      (s, d) => graft.operators.Unigram.train(
+        t(s, d, "documents").select(col("text")), "text", rounds = 2),
+      Some(unigramOracleSql(2))),
 
     // tok_bpe_apply [EXT]: the apply side of the tokenizer lifecycle —
     // encode the corpus under the 8 learned merges and report per-doc

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Unigram
+
+/** Unigram-LM Viterbi-EM training (BpeSpec twin): hand-computed
+  * Viterbi segmentations and EM usage counts, driver-side vs
+  * distributed-loop parity, and the prune/tie-break contracts.
+  */
+class UnigramSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("viterbi picks the fewest-pieces path on equal scores and " +
+      "the higher-probability path otherwise") {
+    // vocab: a:4 b:4 ab:4 — with add-one smoothing probs are
+    // (5/15, 5/15, 5/15): "ab" as one piece (5/15) beats a·b
+    // (25/225) on score, not just on piece count.
+    val cnt = Map("a" -> 4L, "b" -> 4L, "ab" -> 4L)
+    assert(Unigram.viterbi("ab", cnt, n = 12L, vsz = 3L,
+      maxPieceLen = 4) == Seq("ab"))
+    // "aba": [ab a] vs [a ba?] — ba not in vocab; [ab a] (2 pieces)
+    // vs [a b a] (3 pieces, smaller product) → ab a
+    assert(Unigram.viterbi("aba", cnt, n = 12L, vsz = 3L,
+      maxPieceLen = 4) == Seq("ab", "a"))
+    // exact score tie: vocab x:1 y:1 xy:1 z:9 — "xy" as one piece
+    // scores 2/14; as [x y] scores (2/14)^2 — one piece wins. Force a
+    // TRUE tie with xy:0-like? use equal smoothed probs at equal
+    // piece count: "xyxy" via [xy xy] vs [xy x y]... np ASC breaks it.
+    val cnt2 = Map("x" -> 1L, "y" -> 1L, "xy" -> 1L, "z" -> 9L)
+    assert(Unigram.viterbi("xyxy", cnt2, n = 12L, vsz = 4L,
+      maxPieceLen = 4) == Seq("xy", "xy"))
+  }
+
+  test("train: hand-computed seed, usage, and prune on a tiny corpus") {
+    // corpus: "ab ab b" → words ab:2, b:1
+    // seed substrings: a:2 b:3 ab:2 → singles {a:2, b:3}, multis {ab:2}
+    // V0 = {a, ab, b}, N0 = 7, |V0| = 3, den = 10
+    // E1: "ab" → [ab] (3/10 beats (3/10)(4/10)); "b" → [b]
+    // u1: a = 0, ab = 2, b = 1
+    // V1 = singles {a:0, b:1} + multis>0 {ab:2}; N1 = 3, |V1| = 3
+    // E2 (den 6): "ab" → [ab] ((2+1)/6 = .5 vs (1/6)(2/6)); "b" → [b]
+    // u2: a = 0, ab = 2, b = 1
+    val docs = Seq("ab ab b").toDF("text")
+    val got = Unigram.train(docs, "text", rounds = 2)
+      .as[(Int, String, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1, "a", 0L), (1, "ab", 2L), (1, "b", 1L),
+      (2, "a", 0L), (2, "ab", 2L), (2, "b", 1L)), got.mkString(","))
+  }
+
+  test("distributed loop is bit-identical to the driver-side fast path") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the lazy dog sleeps while the quick fox runs",
+      "pack my box with five dozen liquor jugs quickly")
+      .toDF("text")
+    val local = Unigram.train(docs, "text", rounds = 2)
+      .as[(Int, String, Long)].collect().toSeq.sorted
+    val dist = Unigram.train(docs.repartition(5), "text", rounds = 2,
+        localVocabLimit = 0L)
+      .as[(Int, String, Long)].collect().toSeq.sorted
+    assert(local == dist,
+      local.diff(dist).mkString(",") + " | " + dist.diff(local).mkString(","))
+    assert(local.exists { case (r, p, u) => r == 2 && p.length > 1 && u > 0 },
+      "round 2 should keep live multi-char pieces: " + local.mkString(","))
+  }
+
+  test("words longer than maxWordLen are excluded from estimation") {
+    val docs = Seq("supercalifragilisticexpialidocious ab ab").toDF("text")
+    val got = Unigram.train(docs, "text", rounds = 1)
+      .as[(Int, String, Long)].collect().toSeq
+    // only 'ab' trains: pieces a, b, ab
+    assert(got.map(_._2).toSet == Set("a", "b", "ab"), got.mkString(","))
+  }
+}
