@@ -14,6 +14,21 @@ ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
 ap.add_argument("out_dir", nargs="?", default="/tmp/verify_out")
 ap.add_argument("--only", help="comma-separated: check just these queries")
 ap.add_argument("--skip", help="comma-separated: check all but these")
+ap.add_argument("--hash", action="store_true", dest="hash_mode",
+                help="also compute the driver-style canonical hash of each "
+                     "side (sorted columns, sorted rows, canonicalized cell "
+                     "values -> sha256) and fail on HASH_MISMATCH even when "
+                     "exact value equality passes. Mirrors the r16 "
+                     "RECONSTRUCTION of the driver's verdict (the driver "
+                     "source is not in this repo): the one documented fact "
+                     "is that it sorts columns by name before hashing "
+                     "values; cell canonicalization here is repr() of the "
+                     "python value (shortest float repr), NaN/None -> \\x00. "
+                     "A bit-level float difference (e.g. -0.0 vs 0.0, or a "
+                     "last-ulp drift) flips this hash while the == compare "
+                     "can still pass -- exactly the class a driver "
+                     "hash_match=false / local-OK split (r15 win_moving_avg) "
+                     "would come from. See reports/ORACLEENV_r16.md.")
 args = ap.parse_args()
 sf_dir, out_dir = args.sf_dir, args.out_dir
 only_q = set(args.only.split(",")) if args.only else None
@@ -94,14 +109,51 @@ for name in sorted(os.listdir(out_dir)):
         if not eq.all():
             idx = (~eq).idxmax()
             mismatched.append(f"{c}[row{idx}]: spark={av[idx]!r} oracle={bv[idx]!r} dtypes {av.dtype}/{bv.dtype}")
-    if not mismatched:
-        # an empty frame matching an empty oracle is a VACUOUS pass —
-        # join_fuzzy once shipped a blocking refinement that silently
-        # zeroed its own output and the gate kept passing on 0 == 0.
-        # Flag it as a local FAILURE so it gets looked at.
-        results[name] = _verdict("VACUOUS_EMPTY_MATCH" if len(a) == 0 else "OK")
-    else:
+    if mismatched:
         results[name] = _verdict("VALUE_MISMATCH " + "; ".join(mismatched[:3]))
+        continue
+    if args.hash_mode:
+        import hashlib
+        import numpy as np
+        def canon_cell(v):
+            # unwrap numpy scalars FIRST (numpy 2.x repr is
+            # 'np.float64(0.1)'); plain-python repr is the shortest
+            # round-trip string, so any BIT difference between the two
+            # engines' doubles (incl. -0.0 vs 0.0, which == treats as
+            # equal) changes the hash
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            if isinstance(v, np.floating):
+                v = float(v)
+            elif isinstance(v, np.integer):
+                v = int(v)
+            elif isinstance(v, np.bool_):
+                v = bool(v)
+            if isinstance(v, (list, tuple)):
+                return "[" + ",".join(canon_cell(x) for x in v) + "]"
+            if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                return "\x00"
+            return repr(v)
+        def canon_hash(df):
+            h = hashlib.sha256()
+            for row in df.itertuples(index=False):
+                for v in row:
+                    h.update(canon_cell(v).encode())
+                    h.update(b"\x01")
+                h.update(b"\x02")
+            return h.hexdigest()
+        ha, hb = canon_hash(a), canon_hash(b)
+        if ha != hb:
+            results[name] = _verdict(
+                f"HASH_MISMATCH (values == but canonical hash differs: "
+                f"spark={ha[:12]} oracle={hb[:12]} — bit-level float "
+                f"drift, run a cell-by-cell struct.pack comparison)")
+            continue
+    # an empty frame matching an empty oracle is a VACUOUS pass —
+    # join_fuzzy once shipped a blocking refinement that silently
+    # zeroed its own output and the gate kept passing on 0 == 0.
+    # Flag it as a local FAILURE so it gets looked at.
+    results[name] = _verdict("VACUOUS_EMPTY_MATCH" if len(a) == 0 else "OK")
 
 ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows_only("))
 bad = {k: v for k, v in results.items() if not (v == "OK" or (v.startswith("rows_only") and "EMPTY" not in v))}
