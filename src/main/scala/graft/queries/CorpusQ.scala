@@ -122,7 +122,7 @@ object CorpusQ {
          |    '[^a-z0-9]+')) AS w FROM documents),
          |words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
          |  FROM tok WHERE w <> '' AND len(w) <= $mwl GROUP BY w),
-         |subs AS (SELECT substr(w, i, l) AS piece,
+         |subs AS MATERIALIZED (SELECT substr(w, i, l) AS piece,
          |    sum(freq)::BIGINT AS cnt
          |  FROM words,
          |    (SELECT unnest(generate_series(1, $mpl)) AS l) ll,
