@@ -61,6 +61,18 @@ object Unigram {
     */
   def train(docs: DataFrame, textCol: String, rounds: Int = 2,
             cfg: Cfg = Cfg(), localVocabLimit: Long = -1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainCore(docs, textCol, rounds, cfg, localVocabLimit)._1
+      .toDF("em_round", "piece", "usage")
+  }
+
+  /** Shared trainer: the per-round usage rows plus the FINAL pruned
+    * vocabulary (piece -> usage) the apply path encodes under.
+    */
+  private def trainCore(docs: DataFrame, textCol: String, rounds: Int,
+                        cfg: Cfg, localVocabLimit: Long)
+      : (Seq[(Int, String, Long)], Array[(String, Long)]) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(cfg.maxPieceLen >= 2 && cfg.maxPieceLen <= cfg.maxWordLen,
       s"bad cfg: $cfg")
@@ -152,7 +164,55 @@ object Unigram {
           .sortBy { case (p, u) => (-u, p) }.take(cfg.keepMulti))
         .sortBy(_._1)
     }
-    out.result().toDF("em_round", "piece", "usage")
+    (out.result(), vocab)
+  }
+
+  /** Per-document subword statistics under the TRAINED unigram
+    * vocabulary — the apply side of the tokenizer lifecycle, the twin
+    * of [[Bpe.subwordStats]]: every distinct corpus word of length <=
+    * `applyMaxWordLen` (32; the oracle replay unrolls that many DP
+    * stages, so both engines pin the same encoding cap — estimation
+    * already capped at Cfg.maxWordLen) Viterbi-encodes ONCE under the
+    * final pruned vocabulary's smoothed scores, with the UNK
+    * convention: a single character absent from the vocabulary scores
+    * as count 0 (probability 1/(N+|V|) after add-one smoothing), so
+    * words excluded from estimation still encode. Documents then join
+    * their tokens to the encoded word table — the corpus-sized stream
+    * is (doc, word) scalars, exactly the BPE apply shape.
+    *
+    * @return (idCol, n_words, n_subwords, fertility); token-less
+    *         documents keep a (0, 0, NULL) row; fertility snaps to 4
+    *         decimals through the portable floor-snap
+    */
+  def subwordStats(docs: DataFrame, idCol: String, textCol: String,
+                   rounds: Int = 2, cfg: Cfg = Cfg(),
+                   localVocabLimit: Long = -1L,
+                   applyMaxWordLen: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, vocabF) = trainCore(docs, textCol, rounds, cfg,
+      localVocabLimit)
+    val nF = vocabF.map(_._2).sum
+    val vszF = vocabF.length.toLong
+    val vmapF = vocabF.toMap
+    val mpl = cfg.maxPieceLen
+    val tok = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= applyMaxWordLen)
+    val nsub = tok.select("w").distinct().as[String]
+      .map(w => (w, viterbi(w, vmapF, nF, vszF, mpl,
+        unkSingle = true).length.toLong))
+      .toDF("w", "n_sub")
+    val agg = tok.join(nsub, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nw"), sum("n_sub").as("ns"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("ns"), lit(0L)).as("n_subwords"),
+        (floor(col("ns").cast("double") / col("nw").cast("double")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("fertility"))
   }
 
   /** The exact Viterbi best segmentation of one word under smoothed
@@ -163,7 +223,8 @@ object Unigram {
     * (score DESC, pieces ASC, last-piece ASC, segmentation ASC).
     */
   private[graft] def viterbi(w: String, cnt: Map[String, Long], n: Long,
-                             vsz: Long, maxPieceLen: Int): Seq[String] = {
+                             vsz: Long, maxPieceLen: Int,
+                             unkSingle: Boolean = false): Seq[String] = {
     val den = (n + vsz).toDouble
     final case class P(score: Double, np: Int, seg: String, last: String)
     def better(a: P, b: P): Boolean =
@@ -181,7 +242,15 @@ object Unigram {
       while (l <= math.min(maxPieceLen, i)) {
         if (dp(i - l) != null) {
           val piece = w.substring(i - l, i)
-          cnt.get(piece) match {
+          // ENCODING mode (unkSingle): a single char absent from the
+          // vocabulary scores as an UNK piece with count 0 — the
+          // add-one smoothing gives it probability 1/(N+|V|), the
+          // SentencePiece UNK convention — so every word has a path
+          val c0 = cnt.get(piece) match {
+            case None if unkSingle && l == 1 => Some(0L)
+            case x => x
+          }
+          c0 match {
             case Some(c) =>
               val q = (c + 1L).toDouble / den
               val prev = dp(i - l)

@@ -115,7 +115,7 @@ object CorpusQ {
     * division per piece, left-to-right products — so every comparison
     * is on bit-identical values (see operators/Unigram.scala).
     */
-  private def unigramOracleSql(rounds: Int): String = {
+  private def unigramStageSql(rounds: Int): String = {
     val (mpl, mwl, seedM, keepM) = (4, 16, 64, 48)
     val head =
       s"""WITH tok AS (SELECT unnest(string_split_regex(lower(text),
@@ -187,10 +187,78 @@ object CorpusQ {
            |  FROM v$r)""".stripMargin
       (dp0 +: dps :+ tail).mkString(",\n")
     }.mkString(",\n")
+    head + ",\n" + roundsSql
+  }
+
+  private def unigramOracleSql(rounds: Int): String = {
     val out = (1 to rounds)
       .map(r => s"SELECT $r::INT AS em_round, piece, usage FROM u$r")
       .mkString("\nUNION ALL\n")
-    head + ",\n" + roundsSql + "\n" + out
+    unigramStageSql(rounds) + "\n" + out
+  }
+
+  /** The APPLY oracle: encode every distinct corpus word (length <= 32,
+    * the pinned encoding cap) under the final pruned vocabulary with
+    * 32 more unrolled DP stages — the l = 1 candidate branch LEFT-joins
+    * the vocabulary and coalesces the count to 0 (the UNK convention:
+    * add-one smoothing gives an out-of-vocabulary character probability
+    * 1/(N+|V|)), so every word has a path. Then the per-doc
+    * word/subword aggregate, the tok_bpe_apply shape.
+    */
+  private def unigramApplySql(rounds: Int): String = {
+    val applyMax = 32
+    val vF = s"v$rounds"
+    val nF = s"n$rounds"
+    val dps = (1 to applyMax).map { i =>
+      val branches = (1 to math.min(4, i)).map { l =>
+        val joinKind = if (l == 1) "LEFT JOIN" else "JOIN"
+        val cntExpr = if (l == 1) "coalesce(v.cnt, 0)" else "v.cnt"
+        s"""      SELECT d.w, d.len,
+           |        d.score * (($cntExpr + 1)::DOUBLE
+           |          / (nn.n + nn.v)::DOUBLE) AS score,
+           |        d.np + 1 AS np,
+           |        CASE WHEN d.seg = '' THEN substr(d.w, ${i - l + 1}, $l)
+           |          ELSE d.seg || ' ' || substr(d.w, ${i - l + 1}, $l)
+           |          END AS seg,
+           |        substr(d.w, ${i - l + 1}, $l) AS lastp
+           |      FROM dpA_${i - l} d CROSS JOIN $nF nn
+           |      $joinKind $vF v ON v.piece = substr(d.w, ${i - l + 1}, $l)
+           |      WHERE d.len >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""dpA_$i AS MATERIALIZED (
+         |  SELECT w, len, score, np, seg FROM (
+         |    SELECT w, len, score, np, seg, row_number() OVER (
+         |      PARTITION BY w ORDER BY score DESC, np ASC,
+         |        lastp ASC, seg ASC) AS rn
+         |    FROM (
+         |$branches
+         |    )) WHERE rn = 1)""".stripMargin
+    }
+    val segs = (1 to applyMax)
+      .map(i => s"SELECT w, len(string_split(seg, ' '))::BIGINT AS n_sub " +
+        s"FROM dpA_$i WHERE len = $i")
+      .mkString("\n  UNION ALL\n  ")
+    unigramStageSql(rounds) +
+      s""",
+         |dtokA AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+         |    '[^a-z0-9]+')) AS w FROM documents),
+         |tokA AS MATERIALIZED (SELECT doc_id, w FROM dtokA
+         |  WHERE w <> '' AND len(w) <= $applyMax),
+         |wordsA AS MATERIALIZED (SELECT w, len(w) AS len
+         |  FROM (SELECT DISTINCT w FROM tokA)),
+         |dpA_0 AS (SELECT w, len, CAST(1.0 AS DOUBLE) AS score,
+         |  0 AS np, '' AS seg FROM wordsA),
+         |${dps.mkString(",\n")},
+         |segA AS (
+         |  $segs),
+         |agA AS (SELECT t.doc_id, count(*)::BIGINT AS nw,
+         |    sum(s.n_sub)::BIGINT AS ns
+         |  FROM tokA t JOIN segA s USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agA.nw, 0) AS n_words,
+         |  coalesce(agA.ns, 0) AS n_subwords,
+         |  floor(agA.ns::DOUBLE / agA.nw::DOUBLE * 10000.0 + 0.5)
+         |    / 10000.0 AS fertility
+         |FROM documents d LEFT JOIN agA ON d.doc_id = agA.doc_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -221,6 +289,20 @@ object CorpusQ {
       (s, d) => graft.operators.Unigram.train(
         t(s, d, "documents").select(col("text")), "text", rounds = 2),
       Some(unigramOracleSql(2))),
+
+
+    // tok_unigram_apply [EXT, new r16]: encode the corpus under the
+    // trained unigram vocabulary (the tok_bpe_apply twin) — every
+    // distinct word <= 32 chars Viterbi-encodes once under the final
+    // pruned vocab (UNK single-char fallback at count 0), documents
+    // join their tokens on the word, per-doc word/subword counts and
+    // floor-snapped fertility. Oracle: the training replay extended by
+    // 32 unrolled apply-DP stages and the doc join-back.
+    Q("tok_unigram_apply",
+      (s, d) => graft.operators.Unigram.subwordStats(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", rounds = 2),
+      Some(unigramApplySql(2))),
 
     // tok_bpe_apply [EXT]: the apply side of the tokenizer lifecycle —
     // encode the corpus under the 8 learned merges and report per-doc

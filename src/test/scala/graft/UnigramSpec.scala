@@ -71,4 +71,45 @@ class UnigramSpec extends SparkFunSuite {
     // only 'ab' trains: pieces a, b, ab
     assert(got.map(_._2).toSet == Set("a", "b", "ab"), got.mkString(","))
   }
+
+  test("subwordStats: hand-computed fertility; UNK chars (only seen " +
+      "in estimation-excluded words) still encode") {
+    // doc 1: "ab ab b" — trained vocab keeps {a, b, ab}; 'ab' encodes
+    // as 1 piece, 'b' as 1 -> n_words 3, n_subwords 3, fertility 1.0
+    // doc 2: one 17-char word (excluded from ESTIMATION, so 'q' is
+    // not in the vocabulary) -> encodes via UNK single chars: the
+    // score is uniform so the DP's np/last/seg tie-break still picks
+    // a deterministic path; n_words 1, n_subwords = 17
+    // doc 3: null text -> (0, 0, NULL)
+    val docs = Seq(
+      (1L, "ab ab b"),
+      (2L, "qqqqqqqqqqqqqqqqq"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.operators.Unigram
+      .subwordStats(docs, "doc_id", "text", rounds = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // 17 chars, maxPieceLen 4: UNK pieces score equally at any length?
+    // no — only SINGLE chars get the UNK fallback, so the encoding is
+    // 17 singles
+    assert(got == Seq(
+      (1L, 3L, 3L, Some(1.0)),
+      (2L, 1L, 17L, Some(17.0)),
+      (3L, 0L, 0L, None)), got.mkString(","))
+  }
+
+  test("subwordStats distributed path matches the local fast path") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the lazy dog sleeps while the quick fox runs"))
+      .toDF("doc_id", "text")
+    val a = graft.operators.Unigram
+      .subwordStats(docs, "doc_id", "text", rounds = 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.operators.Unigram
+      .subwordStats(docs.repartition(3), "doc_id", "text", rounds = 2,
+        localVocabLimit = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, a.mkString(",") + " vs " + b.mkString(","))
+  }
 }
