@@ -101,9 +101,88 @@ object CorpusQ {
          |  FROM tok t JOIN sub s USING (w) GROUP BY t.doc_id)
          |SELECT d.doc_id, coalesce(ag.nw, 0) AS n_words,
          |  coalesce(ag.ns, 0) AS n_subwords,
-         |  round(ag.ns / ag.nw, 4) AS fertility
+         |  floor(ag.ns::DOUBLE / ag.nw::DOUBLE * 10000.0 + 0.5)
+         |    / 10000.0 AS fertility
          |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin
 
+
+  /** DuckDB replay of `numMerges` WordPiece training rounds
+    * (tok_wordpiece), the BPE replay's twin with the two WordPiece
+    * deltas: symbols seed `##`-marked (word-initial char unmarked),
+    * and the per-round argmax maximizes the likelihood-ratio score
+    * `f::DOUBLE / (cl*cr)::DOUBLE` — one double division of exact
+    * integers, the identical IEEE expression the operator computes
+    * (operators/WordPiece.scala), so the argmax cannot drift — with
+    * the (score DESC, pair ASC) tie-break. Stages MATERIALIZED for
+    * the same 2^k-inlining reason as the BPE chain.
+    */
+  private def wordpieceStageSql(numMerges: Int): String = {
+    val head =
+      """WITH dtok AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+        |    '[^a-z0-9]+')) AS w FROM documents),
+        |tok AS MATERIALIZED (SELECT doc_id, w FROM dtok WHERE w <> ''),
+        |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY w),
+        |x0 AS MATERIALIZED (SELECT w,
+        |  substr(w, 1, 1) ||
+        |    regexp_replace(substr(w, 2), '(.)', ' ##\1', 'g') AS syms,
+        |  freq FROM words)""".stripMargin
+    val stages = (1 to numMerges).map { k =>
+      s"""xi$k AS (SELECT unnest(generate_series(1, len(tok) - 1)) AS i,
+         |    tok, freq
+         |  FROM (SELECT string_split(syms, ' ') AS tok, freq
+         |        FROM x${k - 1})),
+         |xp$k AS (SELECT tok[i] || ' ' || tok[i + 1] AS pair,
+         |    sum(freq)::BIGINT AS f
+         |  FROM xi$k GROUP BY 1),
+         |xs$k AS MATERIALIZED (SELECT sym, sum(freq)::BIGINT AS c
+         |  FROM (SELECT unnest(string_split(syms, ' ')) AS sym, freq
+         |        FROM x${k - 1})
+         |  GROUP BY 1),
+         |xm$k AS MATERIALIZED (SELECT pair, f, lhs, rhs,
+         |    lhs || substr(rhs, 3) AS merged, cl, cr
+         |  FROM (SELECT p.pair, p.f,
+         |      string_split(p.pair, ' ')[1] AS lhs,
+         |      string_split(p.pair, ' ')[2] AS rhs,
+         |      ca.c AS cl, cb.c AS cr,
+         |      p.f::DOUBLE / (ca.c * cb.c)::DOUBLE AS score
+         |    FROM xp$k p
+         |    JOIN xs$k ca ON ca.sym = string_split(p.pair, ' ')[1]
+         |    JOIN xs$k cb ON cb.sym = string_split(p.pair, ' ')[2]
+         |    ORDER BY score DESC, pair LIMIT 1)),
+         |x$k AS MATERIALIZED (SELECT w, CASE WHEN m.lhs IS NULL THEN syms
+         |    ELSE list_reduce(string_split(syms, ' '),
+         |    (acc, y) -> CASE
+         |      WHEN acc = m.lhs AND y = m.rhs THEN m.merged
+         |      WHEN ends_with(acc, ' ' || m.lhs) AND y = m.rhs
+         |        THEN left(acc, length(acc) - length(m.lhs) - 1)
+         |          || ' ' || m.merged
+         |      ELSE acc || ' ' || y END) END AS syms, freq
+         |  FROM x${k - 1} LEFT JOIN xm$k m ON true)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  private def wordpieceOracleSql(numMerges: Int): String = {
+    val union = (1 to numMerges)
+      .map(k => s"SELECT $k::INT AS step, lhs, rhs, merged, f AS pair_freq, " +
+        s"cl AS left_freq, cr AS right_freq FROM xm$k")
+      .mkString("\nUNION ALL\n")
+    wordpieceStageSql(numMerges) + "\n" + union
+  }
+
+  private def wordpieceApplySql(numMerges: Int): String =
+    wordpieceStageSql(numMerges) +
+      s""",
+         |sub AS (SELECT w, len(string_split(syms, ' '))::BIGINT AS n_sub
+         |  FROM x$numMerges),
+         |ag AS (SELECT t.doc_id, count(*)::BIGINT AS nw,
+         |    sum(s.n_sub)::BIGINT AS ns
+         |  FROM tok t JOIN sub s USING (w) GROUP BY t.doc_id)
+         |SELECT d.doc_id, coalesce(ag.nw, 0) AS n_words,
+         |  coalesce(ag.ns, 0) AS n_subwords,
+         |  floor(ag.ns::DOUBLE / ag.nw::DOUBLE * 10000.0 + 0.5)
+         |    / 10000.0 AS fertility
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin
 
   /** DuckDB replay of `rounds` Viterbi-EM unigram-LM training rounds
     * (tok_unigram), unrolled like the BPE replay: the seed substring
@@ -317,6 +396,31 @@ object CorpusQ {
         t(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", numMerges = 8),
       Some(bpeApplySql(8))),
+
+    // tok_wordpiece [EXT, new r16]: WordPiece tokenizer training
+    // (Schuster & Nakajima '12 / BERT) — completes the production
+    // tokenizer trio next to tok_bpe and tok_unigram. Two observable
+    // deltas vs BPE, both gate-pinned: `##` continuation marking
+    // (word-initial vs internal pieces are DIFFERENT symbols), and
+    // the likelihood-ratio merge criterion count(ab)/(count(a)·
+    // count(b)) — the gate output carries the left/right symbol
+    // counts so the criterion's INPUTS are pinned, not just its
+    // winner. Independent oracle: the full 8-round replay in SQL with
+    // the identical one-division IEEE score.
+    Q("tok_wordpiece",
+      (s, d) => graft.operators.WordPiece.trainMerges(
+        t(s, d, "documents").select(col("text")), "text", numMerges = 8),
+      Some(wordpieceOracleSql(8))),
+
+    // tok_wordpiece_apply [EXT, new r16]: encode the corpus under the
+    // learned WordPiece merges (merge-replay over the VOCABULARY, the
+    // tok_bpe_apply shape) — per-doc word/subword counts and
+    // floor-snapped fertility.
+    Q("tok_wordpiece_apply",
+      (s, d) => graft.operators.WordPiece.subwordStats(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", numMerges = 8),
+      Some(wordpieceApplySql(8))),
 
     // line_dedup [EXT]: CCNet-style boilerplate line removal — a line
     // occurring in >= 10 distinct docs (headers/footers/banners) is
@@ -910,6 +1014,125 @@ object CorpusQ {
              |  FROM p)
              |SELECT doc_id, source, cap_rank FROM r
              |WHERE cap_rank <= 10""".stripMargin)),
+
+    // corpus_dsir [EXT, new r16]: DSIR importance-resampling selection
+    // (Xie et al. '23) — rank every document by how src0-like its
+    // hashed-unigram profile is (add-one-smoothed per-bucket
+    // likelihood ratio, snapped once to integer ten-thousandths; the
+    // per-doc score is an order-free INTEGER sum), keep the top 100
+    // by (points per token DESC, doc_id). md5-bucketed like
+    // text_fingerprint so the oracle replays bucketing exactly;
+    // deltas from the paper (ratio- not log-points, deterministic
+    // top-k not Gumbel resampling) documented at operators/Dsir.scala.
+    Q("corpus_dsir",
+      (s, d) => graft.operators.Dsir.select(
+        t(s, d, "documents").select(col("doc_id"), col("text"),
+          col("source")),
+        "doc_id", "text", isTarget = col("source") === "src0",
+        topK = 100),
+      Some("""WITH tk AS (SELECT doc_id, source,
+             |    list_filter(string_split_regex(lower(text),
+             |    '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+             |tok AS (SELECT doc_id, source, unnest(t) AS w FROM tk),
+             |bt AS MATERIALIZED (SELECT doc_id,
+             |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+             |    ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 AS b
+             |  FROM tok),
+             |bc AS MATERIALIZED (SELECT b, count(*)::BIGINT AS cr,
+             |    sum(is_t)::BIGINT AS ct FROM bt GROUP BY 1),
+             |n AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt
+             |  FROM bc),
+             |pts AS (SELECT b, floor(
+             |    ((ct + 1) * (nr + 4096))::DOUBLE
+             |      / ((cr + 1) * (nt + 4096))::DOUBLE
+             |      * 10000.0 + 0.5)::BIGINT AS p
+             |  FROM bc, n),
+             |ds AS (SELECT bt.doc_id, count(*)::BIGINT AS n_tokens,
+             |    sum(p)::BIGINT AS pts FROM bt JOIN pts USING (b)
+             |  GROUP BY 1)
+             |SELECT doc_id, n_tokens, pts, pts // n_tokens AS avg_pts
+             |FROM ds ORDER BY pts // n_tokens DESC, doc_id
+             |LIMIT 100""".stripMargin)),
+
+    // lm_kn [EXT, new r16]: interpolated Kneser-Ney bigram LM training
+    // (Kneser & Ney '95 / Chen & Goodman '98) — the KenLM-style count
+    // LM a CCNet-shape pipeline trains for perplexity filtering;
+    // text_perplexity's unigram model upgraded with continuation-count
+    // smoothing. NO transcendentals: KN is rational, the probability
+    // is one fixed IEEE expression over exact integers (the SAME
+    // interpolated string on both engines — NgramLm.probExpr),
+    // floor-snapped to 8 decimals. Gate output: top-300 bigrams by
+    // (c12 DESC, pair) with every smoothing input pinned as integers.
+    Q("lm_kn",
+      (s, d) => graft.operators.NgramLm.trainKnBigram(
+        t(s, d, "documents").select(col("text")), "text", topK = 300),
+      Some(s"""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text),
+             |    '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+             |tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS w,
+             |    generate_subscripts(t, 1) AS j FROM tk),
+             |bg AS MATERIALIZED (SELECT a.w AS w1, b.w AS w2,
+             |    count(*)::BIGINT AS c12
+             |  FROM tok a JOIN tok b
+             |    ON a.doc_id = b.doc_id AND b.j = a.j + 1
+             |  GROUP BY 1, 2),
+             |h AS (SELECT w1, sum(c12)::BIGINT AS c1,
+             |    count(*)::BIGINT AS n1fwd FROM bg GROUP BY 1),
+             |r AS (SELECT w2, count(*)::BIGINT AS n1rev FROM bg GROUP BY 1),
+             |n AS (SELECT count(*)::BIGINT AS ntot FROM bg),
+             |p AS (SELECT w1, w2, c12, n1fwd, n1rev,
+             |    ${graft.operators.NgramLm.probExpr(c => s"$c::DOUBLE")}
+             |      AS prob
+             |  FROM bg JOIN h USING (w1) JOIN r USING (w2), n)
+             |SELECT w1, w2, c12, n1fwd, n1rev, prob FROM p
+             |ORDER BY c12 DESC, w1, w2 LIMIT 300""".stripMargin)),
+
+    // lm_kn_score [EXT, new r16]: score the WHOLE corpus under a KN
+    // bigram LM trained on its even-doc_id half (the class_nb
+    // train/score split) — per doc the INTEGER surprise profile a
+    // perplexity filter thresholds on: bigram count, in-model count,
+    // and how many known bigrams score below 0.01. Integers only
+    // cross the gate — no accumulated-float hash surface at all; the
+    // 0.01 threshold compares the same bit-identical snapped double
+    // on both engines.
+    Q("lm_kn_score",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        graft.operators.NgramLm.scoreKnBigram(
+          docs.filter(col("doc_id") % 2 === 0), docs,
+          "doc_id", "text", lowProb = 0.01)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text),
+             |    '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+             |tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS w,
+             |    generate_subscripts(t, 1) AS j FROM tk),
+             |bg AS MATERIALIZED (SELECT a.w AS w1, b.w AS w2,
+             |    count(*)::BIGINT AS c12
+             |  FROM tok a JOIN tok b
+             |    ON a.doc_id = b.doc_id AND b.j = a.j + 1
+             |  WHERE a.doc_id % 2 = 0
+             |  GROUP BY 1, 2),
+             |h AS (SELECT w1, sum(c12)::BIGINT AS c1,
+             |    count(*)::BIGINT AS n1fwd FROM bg GROUP BY 1),
+             |r AS (SELECT w2, count(*)::BIGINT AS n1rev FROM bg GROUP BY 1),
+             |n AS (SELECT count(*)::BIGINT AS ntot FROM bg),
+             |model AS MATERIALIZED (SELECT w1, w2, c12, n1fwd, n1rev,
+             |    ${graft.operators.NgramLm.probExpr(c => s"$c::DOUBLE")}
+             |      AS prob
+             |  FROM bg JOIN h USING (w1) JOIN r USING (w2), n),
+             |sbg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+             |  FROM tok a JOIN tok b
+             |    ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+             |sc AS (SELECT s.doc_id, count(*)::BIGINT AS nb,
+             |    count(m.prob)::BIGINT AS nh,
+             |    sum(CASE WHEN m.prob < 0.01 THEN 1 ELSE 0 END)::BIGINT
+             |      AS nl
+             |  FROM sbg s LEFT JOIN model m USING (w1, w2) GROUP BY 1)
+             |SELECT d.doc_id, coalesce(sc.nb, 0) AS n_bigrams,
+             |  coalesce(sc.nh, 0) AS n_in_lm, coalesce(sc.nl, 0) AS n_low
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+        .stripMargin)),
 
     // text_colloc [EXT]: PMI collocations — top-20 adjacent word pairs
     // by ln(p(ab)/(p(a)p(b))) among pairs occurring >= 5 times. Integer

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.NgramLm
+
+/** Kneser-Ney bigram LM: hand-computed smoothed probabilities, the
+  * snap convention, and the integer scoring profile.
+  */
+class NgramLmSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("trainKnBigram: hand-computed interpolated KN probabilities") {
+    // "a b a b c": bigrams (a,b):2 (b,a):1 (b,c):1
+    //   c(a)=2 N1+(a,·)=1; c(b)=2 N1+(b,·)=2
+    //   N1+(·,a)=1 N1+(·,b)=1 N1+(·,c)=1; N1+(··)=3
+    // P(b|a) = (2-.75)/2 + .75/2·1·(1/3) = .625+.125  = .75
+    // P(a|b) = (1-.75)/2 + .75/2·2·(1/3) = .125+.25   = .375
+    // P(c|b) = same as P(a|b) structurally               .375
+    val docs = Seq("a b a b c").toDF("text")
+    val out = NgramLm.trainKnBigram(docs, "text", topK = 10)
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().sortBy(r => (-r._3, r._1, r._2)).toList
+    assert(out == List(
+      ("a", "b", 2L, 1L, 1L, 0.75),
+      ("b", "a", 1L, 2L, 1L, 0.375),
+      ("b", "c", 1L, 2L, 1L, 0.375)))
+  }
+
+  test("full-vocabulary probabilities per history sum to ~1") {
+    // KN is a proper conditional distribution over the WHOLE
+    // vocabulary: observed continuations carry the discounted +
+    // interpolated mass, UNSEEN w2 get lambda(w1)*Pcont(w2). Sum of
+    // the observed rows plus lambda(w1)*(1 - sum of observed Pcont)
+    // must be 1 for every history (up to the 8-decimal snap).
+    val docs = Seq("the cat sat on the mat the cat ran", "a cat a mat")
+      .toDF("text")
+    val rows = NgramLm.knBigramTable(docs, "text")
+      .select("w1", "c12", "c1", "n1fwd", "n1rev", "ntot", "prob")
+      .collect()
+    val ntot = rows.head.getLong(5).toDouble
+    rows.groupBy(_.getString(0)).foreach { case (w1, rs) =>
+      val c1 = rs.head.getLong(2).toDouble
+      val lambda = NgramLm.D / c1 * rs.head.getLong(3).toDouble
+      val seenCont = rs.map(_.getLong(4).toDouble / ntot).sum
+      val total = rs.map(_.getDouble(6)).sum + lambda * (1.0 - seenCont)
+      assert(math.abs(total - 1.0) < 1e-6, s"P(.|$w1) totals $total")
+    }
+  }
+
+  test("every table row matches the locally recomputed formula") {
+    val docs = Seq("the cat sat on the mat the cat ran", "a cat a mat",
+      "sat on a ran the the the").toDF("text")
+    val rows = NgramLm.knBigramTable(docs, "text")
+      .select("c12", "c1", "n1fwd", "n1rev", "ntot", "prob").collect()
+    rows.foreach { r =>
+      val (c12, c1, n1f, n1r, nt) = (r.getLong(0).toDouble,
+        r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble, r.getLong(4).toDouble)
+      val expect = math.floor(((c12 - 0.75) / c1 +
+        0.75 / c1 * n1f * (n1r / nt)) * 1e8 + 0.5) / 1e8
+      assert(r.getDouble(5) == expect, s"row $r")
+    }
+  }
+
+  test("topK bounds the output by (c12 desc, pair)") {
+    val docs = Seq("a b a b c", "b c b a").toDF("text")
+    val out = NgramLm.trainKnBigram(docs, "text", topK = 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(2)).forall(_ >= 1L))
+  }
+
+  test("scoreKnBigram: integer surprise profile, split train/score") {
+    val docs = Seq((0L, "a b a b c"), (1L, "a b x"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = NgramLm.scoreKnBigram(
+      docs.filter($"doc_id" % 2 === 0), docs, "doc_id", "text",
+      lowProb = 0.01)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(out == List(
+      (0L, 4L, 4L, 0L), // all 4 bigram tokens known, none below 0.01
+      (1L, 2L, 1L, 0L), // (b,x) unseen by the even-doc model
+      (2L, 0L, 0L, 0L)), s"got $out") // token-less doc keeps a row
+  }
+
+  test("lowProb threshold counts snapped probabilities") {
+    // rare continuation in a big history: make P small by a hot w1
+    // with many distinct continuations, then threshold above it
+    val text = (1 to 40).map(i => s"h w$i").mkString(" ") // h→w1..w40 once each, wi→h
+    val docs = Seq(text).toDF("text")
+    val tbl = NgramLm.knBigramTable(docs, "text")
+    val minP = tbl.filter($"w1" === "h").agg(
+      org.apache.spark.sql.functions.min("prob")).first().getDouble(0)
+    val docs2 = Seq((7L, text)).toDF("doc_id", "text")
+    val prof = NgramLm.scoreKnBigram(docs2, docs2, "doc_id", "text",
+      lowProb = minP + 1e-9).as[(Long, Long, Long, Long)].first()
+    assert(prof._2 == 79L) // 80 tokens → 79 bigrams
+    assert(prof._3 == 79L)
+    assert(prof._4 >= 40L, s"all h→wi bigrams are below the cut: $prof")
+  }
+}
