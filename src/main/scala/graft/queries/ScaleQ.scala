@@ -883,6 +883,45 @@ object ScaleQ {
            |HAVING count(*) > 0""").stripMargin
       }),
 
+    // graph_label_prop [EXT, new r16]: community detection by
+    // synchronous label propagation (Raghavan et al. '07) over the
+    // co-purchase graph — the graph-family gap between components
+    // (connectivity) and PageRank (authority): densely-linked groups
+    // INSIDE one component. Deterministic variant: synchronous
+    // updates, fixed 3 rounds, most-frequent neighbor label with ties
+    // to the smallest (operators/LabelProp.scala — argmax as a
+    // (cnt, -lab) struct-max aggregate, never a window). The oracle
+    // unrolls the same 3 rounds; its per-node row_number argmax is
+    // oracle-only machinery.
+    Q("graph_label_prop",
+      (s, d) => graft.operators.LabelProp.communities(
+        coPurchasePairs(s, d), "a", "b", rounds = 3),
+      Some {
+        def round(r: Int): String =
+          s"""c$r AS (SELECT ed.dst AS node, p.lab,
+             |    count(*)::BIGINT AS cnt
+             |  FROM ed JOIN l${r - 1} p ON p.node = ed.src
+             |  GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT node, lab FROM (
+             |  SELECT node, lab, row_number() OVER (
+             |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+             |  FROM c$r) WHERE rn = 1)"""
+        ("""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey
+           |  FROM lineitem
+           |  WHERE l_orderkey % 20 = 0 AND l_linenumber <= 3),
+           |e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS a,
+           |    b.l_suppkey AS b
+           |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_suppkey < b.l_suppkey),
+           |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+           |       UNION ALL SELECT b AS src, a AS dst FROM e),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab
+           |  FROM ed),
+           |""" + (1 to 3).map(round).mkString(",\n") + """
+           |SELECT lab::BIGINT AS community, count(*)::BIGINT AS size
+           |FROM l3 GROUP BY 1""").stripMargin
+      }),
+
     // dq_checksum [EXT, new r8]: order-free table content fingerprints —
     // the migration/replication validation primitive ("did every row
     // survive the copy?") that needs no sort, no driver collect, and
