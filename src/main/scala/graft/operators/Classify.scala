@@ -99,7 +99,18 @@ object Classify {
 
   /** Score documents: predicted class (argmax posterior; ties break to
     * the lexicographically-largest class on both engines), token count,
-    * and the winning log-posterior rounded to 4 decimals.
+    * and the winning log-posterior PER TOKEN ((prior + Σ lp)/n_tok)
+    * rounded to 4 decimals.
+    *
+    * Per-token, not the raw sum (r16, null×fat sweep): a float sum's
+    * partition-reorder jitter grows with the record — on the fat
+    * corpus's 64 MB giant (6.8M tokens, |score| ≈ 1e8) the raw sum's
+    * engine difference crossed the 4-decimal rounding and hash-failed
+    * the gate, while every bounded doc agreed. Normalizing divides
+    * the jitter by n_tok, so the gate surface is record-size-robust;
+    * the ARGMAX still compares the raw sums (division by a positive
+    * count cannot change the winner), and class separation grows with
+    * n the same way the jitter does.
     */
   def scoreNb(docs: DataFrame, model: NbModel, idCol: String,
               textCol: String): DataFrame = {
@@ -117,6 +128,7 @@ object Classify {
       struct((col(s"s_$i") + model.priorLp(i)).as("score"),
         lit(model.classes(i)).as("cls"))): _*))
     scored.select(col(idCol), best.getField("cls").as("pred"),
-      col("n_tok"), round(best.getField("score"), 4).as("score"))
+      col("n_tok"),
+      round(best.getField("score") / col("n_tok"), 4).as("score"))
   }
 }

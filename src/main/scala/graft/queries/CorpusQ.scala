@@ -235,14 +235,22 @@ object CorpusQ {
              |      JOIN v$pv v ON v.piece = substr(d.w, ${i - l + 1}, $l)
              |      WHERE d.len >= $i""".stripMargin
         }.mkString("\n      UNION ALL\n")
+        // argmax per word as a STRUCT-MIN HASH AGGREGATE, not a
+        // row_number window (r16, null×fat sweep): 16 window stages
+        // over the fat corpus's 9.77M-word vocabulary spilled the
+        // replay past 60 GB; min of {-score, np, lastp, seg} compares
+        // fields in order — the IDENTICAL total order (score DESC,
+        // np ASC, lastp ASC, seg ASC; negation of a positive double
+        // is exact), so the winner per (w, stage) cannot change
         s"""dp${r}_$i AS MATERIALIZED (
-           |  SELECT w, freq, len, score, np, seg FROM (
-           |    SELECT w, freq, len, score, np, seg, row_number() OVER (
-           |      PARTITION BY w ORDER BY score DESC, np ASC,
-           |        lastp ASC, seg ASC) AS rn
+           |  SELECT w, best.freq AS freq, best.len AS len,
+           |    -best.ns AS score, best.np AS np, best.seg AS seg
+           |  FROM (SELECT w, min({'ns': -score, 'np': np,
+           |      'lastp': lastp, 'seg': seg, 'freq': freq,
+           |      'len': len}) AS best
            |    FROM (
            |$branches
-           |    )) WHERE rn = 1)""".stripMargin
+           |    ) GROUP BY w))""".stripMargin
       }
       val segs = (1 to mwl)
         .map(i => s"SELECT freq, seg FROM dp${r}_$i WHERE len = $i")
@@ -304,14 +312,17 @@ object CorpusQ {
            |      $joinKind $vF v ON v.piece = substr(d.w, ${i - l + 1}, $l)
            |      WHERE d.len >= $i""".stripMargin
       }.mkString("\n      UNION ALL\n")
+      // same struct-min rewrite as the training DP (see above): the
+      // apply side runs 32 stages over every distinct corpus word —
+      // the null×fat replay's worst spill surface
       s"""dpA_$i AS MATERIALIZED (
-         |  SELECT w, len, score, np, seg FROM (
-         |    SELECT w, len, score, np, seg, row_number() OVER (
-         |      PARTITION BY w ORDER BY score DESC, np ASC,
-         |        lastp ASC, seg ASC) AS rn
+         |  SELECT w, best.len AS len, -best.ns AS score,
+         |    best.np AS np, best.seg AS seg
+         |  FROM (SELECT w, min({'ns': -score, 'np': np,
+         |      'lastp': lastp, 'seg': seg, 'len': len}) AS best
          |    FROM (
          |$branches
-         |    )) WHERE rn = 1)""".stripMargin
+         |    ) GROUP BY w))""".stripMargin
     }
     val segs = (1 to applyMax)
       .map(i => s"SELECT w, len(string_split(seg, ' '))::BIGINT AS n_sub " +
@@ -1424,9 +1435,12 @@ object CorpusQ {
     // into word -> per-class log-prob arrays so scoring joins 1x the
     // token stream (operators/Classify.scala); the oracle replays the
     // identical Laplace math in long form (token x class) and breaks
-    // argmax ties identically (score DESC, class DESC). Scores rounded
-    // to 4 decimals; both engines sum doubles, so the last-ulp
-    // summation-order jitter is far inside the rounding.
+    // argmax ties identically (score DESC, class DESC). The reported
+    // score is the winning log-posterior PER TOKEN, rounded to 4
+    // decimals: summation-order jitter grows with the doc (the null×
+    // fat sweep's 6.8M-token giant pushed the RAW sum's jitter across
+    // the rounding), while the per-token value keeps it ~n× inside —
+    // see Classify.scoreNb's scaladoc.
     Q("class_nb",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -1469,7 +1483,8 @@ object CorpusQ {
              |       LEFT JOIN lp l ON l.cls = cs.cls AND l.w = tt.w
              |       JOIN pri p ON p.cls = cs.cls
              |       GROUP BY 1, 2)
-             |SELECT doc_id, cls AS pred, n_tok, round(score, 4) AS score
+             |SELECT doc_id, cls AS pred, n_tok,
+             |  round(score / n_tok, 4) AS score
              |FROM sc
              |QUALIFY row_number() OVER (PARTITION BY doc_id
              |  ORDER BY score DESC, cls DESC) = 1""".stripMargin)),

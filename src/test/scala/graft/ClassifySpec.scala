@@ -52,7 +52,8 @@ class ClassifySpec extends SparkFunSuite {
       model, "doc_id", "text").as[(Long, String, Long, Double)].head()
     assert(got._2 === "fruit")
     assert(got._3 === 2L)
-    val want = math.log(0.5) + 2 * math.log(1.0 / 16)
+    // score is per token: (prior + n*default)/n
+    val want = (math.log(0.5) + 2 * math.log(1.0 / 16)) / 2
     assert(math.abs(got._4 - math.rint(want * 1e4) / 1e4) < 1e-9)
   }
 
