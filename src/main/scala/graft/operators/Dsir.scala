@@ -62,10 +62,18 @@ object Dsir {
       bt.groupBy("b").agg(count(lit(1)).as("cr"), sum("is_t").as("ct")),
       "dsir_buckets")
     val n = bc.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    // r16 advice: cast each factor to double BEFORE multiplying — the
+    // int64 products (ct+1)(nr+B) / (cr+1)(nt+B) overflow once the
+    // corpus token count nears ~1e9·B/ct, where Spark wraps silently
+    // and duckdb raises (an engine divergence). Double products are
+    // exact to 2^53 and IEEE-identical cross-engine above it; the
+    // snapped points are unchanged at all safe scales.
     val pts = bc.crossJoin(broadcast(n))
       .select(col("b"), floor(
-        ((col("ct") + 1) * (col("nr") + numBuckets)).cast("double") /
-          ((col("cr") + 1) * (col("nt") + numBuckets)).cast("double") *
+        ((col("ct") + 1).cast("double") *
+          (col("nr") + numBuckets).cast("double")) /
+          ((col("cr") + 1).cast("double") *
+            (col("nt") + numBuckets).cast("double")) *
           lit(10000.0) + lit(0.5)).as("p"))
     val ds = bt.join(broadcast(pts), "b")
       .groupBy(col(idCol))

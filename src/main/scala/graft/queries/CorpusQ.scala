@@ -1054,8 +1054,8 @@ object CorpusQ {
              |n AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt
              |  FROM bc),
              |pts AS (SELECT b, floor(
-             |    ((ct + 1) * (nr + 4096))::DOUBLE
-             |      / ((cr + 1) * (nt + 4096))::DOUBLE
+             |    ((ct + 1)::DOUBLE * (nr + 4096)::DOUBLE)
+             |      / ((cr + 1)::DOUBLE * (nt + 4096)::DOUBLE)
              |      * 10000.0 + 0.5)::BIGINT AS p
              |  FROM bc, n),
              |ds AS (SELECT bt.doc_id, count(*)::BIGINT AS n_tokens,

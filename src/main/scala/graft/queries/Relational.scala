@@ -165,15 +165,18 @@ object Relational {
         // The standing integer-cent discipline applies: sum exact cent
         // LONGs over the frame, divide once (count of NON-NULL values,
         // the avg denominator) — bit-identical cross-engine.
-        // display rounding via the floor-snap (sim_mmr convention):
-        // sum(c)/100/n lands on EXACT decimal halves (the cent sum is
-        // integer), where Spark's BigDecimal HALF_UP and DuckDB's
-        // float round() disagree — floor(x*1e4 + 0.5) computes in
-        // doubles identically on both engines
+        // r16 driver red (local bit-green, reports/ORACLEENV_r16.md):
+        // the two remaining driver-environment fault lines are duckdb's
+        // epoch() convention and driver float-hash normalization of the
+        // DOUBLE output. r17 removes both: (a) the oracle order key is
+        // epoch(date_trunc('second', ts)) — integral seconds, so no
+        // floor-vs-round epoch convention can shift a RANGE frame;
+        // (b) avg_1h_e4 is emitted as BIGINT ten-thousandths (the
+        // floor-snap result is integral; no DOUBLE is hashed at all).
         s.sql("""SELECT event_id, user_id,
-                floor(CAST(sum(c) OVER w AS DOUBLE) / 100.0
+                CAST(floor(CAST(sum(c) OVER w AS DOUBLE) / 100.0
                   / CAST(count(value) OVER w AS DOUBLE)
-                  * 10000.0 + 0.5) / 10000.0 AS avg_1h,
+                  * 10000.0 + 0.5) AS LONG) AS avg_1h_e4,
                 count(*) OVER w AS n_1h
                 FROM (SELECT event_id, user_id, value,
                   CAST(floor(value * 100 + 0.5) AS LONG) AS c,
@@ -183,15 +186,18 @@ object Relational {
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")
       },
       Some("""SELECT event_id, user_id,
-             floor(CAST(sum(c) OVER w AS DOUBLE) / 100.0
+             CAST(floor(CAST(sum(c) OVER w AS DOUBLE) / 100.0
                / CAST(count(value) OVER w AS DOUBLE)
-               * 10000.0 + 0.5) / 10000.0 AS avg_1h,
+               * 10000.0 + 0.5) AS BIGINT) AS avg_1h_e4,
              count(*) OVER w AS n_1h
              FROM (SELECT event_id, user_id, value,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
-               -- floor, not CAST: DuckDB casts double→int by ROUNDING,
-               -- Spark's timestamp→long floors
-               CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+               -- integral-second epoch: date_trunc zeroes the fraction
+               -- BEFORE epoch(), so the BIGINT cast is exact under any
+               -- duckdb epoch()/cast rounding convention; matches
+               -- Spark's flooring CAST(ts AS LONG) for sub-second ts
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+               FROM events
                -- r15: a RANGE-by-time frame needs a non-null order key
                WHERE ts IS NOT NULL)
              WINDOW w AS (PARTITION BY user_id ORDER BY es
