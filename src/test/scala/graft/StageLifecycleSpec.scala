@@ -56,6 +56,22 @@ class StageLifecycleSpec extends SparkFunSuite {
     assert(after === before)
   }
 
+  test("sim_ann_incr: purge clears the persisted ANN index and the next probe refits") {
+    // the incremental-probe contract (r17): the IVF-PQ index persists
+    // across probes within a session (fit-once), but a purge deletes
+    // its staged (vec_id, cell, code) table — the cache listener must
+    // drop the model so the next batch probe refits instead of
+    // scanning a deleted directory, and the refit must reproduce the
+    // identical (seeded) result
+    val q = SparkEntry.queries("sim_ann_incr")
+    val before = q(spark, sfDir).collect().map(_.toString).sorted
+    assert(before.nonEmpty)
+    Stage.purge(spark)
+    val after = q(spark, sfDir).collect().map(_.toString).sorted
+    assert(after === before,
+      "post-purge refit must reproduce the seeded index's probe output")
+  }
+
   test("purge drains caller-tracked local scratch dirs too") {
     Stage.purge(spark)
     val d = Files.createTempDirectory("graft_stage_probe")
