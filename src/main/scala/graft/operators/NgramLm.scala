@@ -100,6 +100,90 @@ object NgramLm {
       .select(col("w1"), col("w2"), col("c12"), col("n1fwd"),
         col("n1rev"), col("prob"))
 
+  /** The trigram probability formula (r17) — the same single-source
+    * discipline as [[probExpr]]: interpolated into the Spark plan AND
+    * the DuckDB oracle with an identical operation order. Chen-Goodman
+    * interpolated KN one order up, recursing to continuation counts:
+    *
+    *   P(w3|w1,w2) = (c(w1w2w3) − D)/c(w1w2·)
+    *               + D·N1+(w1w2,·)/c(w1w2·) · P_mid(w3|w2)
+    *   P_mid(w3|w2) = (N1+(·w2w3) − D)/N1+(·w2·)
+    *               + D·N1+cont(w2,·)/N1+(·w2·) · Pcont(w3)
+    *   Pcont(w3) = N1+mid(·,w3) / |mid types|
+    *
+    * where EVERY middle/low count derives from the trigram TYPE table
+    * (the Chen-Goodman continuation-count convention — the middle
+    * level's "counts" are N1+(·,w2,w3), not raw bigram counts):
+    * c123, c12 = Σ_w3 c123, n1mid = N1+(w1w2,·) distinct w3 after
+    * (w1,w2); nc23 = N1+(·w2w3) distinct w1 before (w2,w3); nc2dot =
+    * Σ_w3 nc23 = N1+(·w2·); n1fwd2 = distinct w3 in the mid table for
+    * w2; n1rev3 = distinct w2 in the mid table before w3; ntot =
+    * mid-table type count. All exact integers ≥ 1, so neither
+    * discounted numerator clips.
+    */
+  def probExpr3(cast: String => String): String = {
+    val (c123, c12, n1mid, nc23, nc2, n1f2, n1r3, nt) =
+      (cast("c123"), cast("c12"), cast("n1mid"), cast("nc23"),
+        cast("nc2dot"), cast("n1fwd2"), cast("n1rev3"), cast("ntot"))
+    s"floor((($c123 - ${D}e0) / $c12 + ${D}e0 / $c12 * $n1mid * " +
+      s"(($nc23 - ${D}e0) / $nc2 + ${D}e0 / $nc2 * $n1f2 * " +
+      s"($n1r3 / $nt))) * 1e8 + 0.5e0) / 1e8"
+  }
+
+  /** Spark-dialect cast for [[probExpr3]]. */
+  private def sparkProb3: String = probExpr3(c => s"cast($c as double)")
+
+  /** Full trigram model table: one row per trigram TYPE with every
+    * smoothing input and the snapped probability — (w1, w2, w3, c123,
+    * c12, n1mid, nc23, nc2dot, n1fwd2, n1rev3, ntot, prob).
+    *
+    * Scale shape: identical to [[knBigramTable]] one order up — the
+    * token array fans out to narrow (w1, w2, w3) scalar rows (three
+    * words per row, never the array); the trigram type table stages
+    * once and every higher/middle/low aggregate is a
+    * map-side-combinable groupBy over it; the mid table (w2, w3,
+    * nc23) stages once and feeds three bounded rollups; the single
+    * type-total row broadcasts.
+    */
+  def knTrigramTable(docs: DataFrame, textCol: String): DataFrame = {
+    val trips = docs.select(expr(
+      s"filter(split(lower($textCol), '[^a-z0-9]+'), x -> x != '')").as("t"))
+      .select(explode(expr(
+        """CASE WHEN size(t) < 3 THEN array()
+          |ELSE transform(sequence(1, size(t) - 2),
+          |  j -> struct(element_at(t, j) AS w1,
+          |    element_at(t, j + 1) AS w2,
+          |    element_at(t, j + 2) AS w3))
+          |END""".stripMargin)).as("tr"))
+      .select(col("tr.w1").as("w1"), col("tr.w2").as("w2"),
+        col("tr.w3").as("w3"))
+    val tg = Stage.materialize(
+      trips.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
+      "kn3_trigrams")
+    val h12 = tg.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n1mid"))
+    val mid = Stage.materialize(
+      tg.groupBy("w2", "w3").agg(count(lit(1)).as("nc23")), "kn3_mid")
+    val m2 = mid.groupBy("w2")
+      .agg(sum("nc23").as("nc2dot"), count(lit(1)).as("n1fwd2"))
+    val lo = mid.groupBy("w3").agg(count(lit(1)).as("n1rev3"))
+    val n = mid.agg(count(lit(1)).as("ntot"))
+    tg.join(h12, Seq("w1", "w2")).join(mid, Seq("w2", "w3"))
+      .join(m2, "w2").join(lo, "w3").crossJoin(broadcast(n))
+      .withColumn("prob", expr(sparkProb3))
+  }
+
+  /** Train and emit the top-`topK` trigrams by (c123 DESC, w1, w2,
+    * w3) — counts pin the smoothing inputs, prob pins the recursive
+    * formula.
+    */
+  def trainKnTrigram(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    knTrigramTable(docs, textCol)
+      .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("w3"), col("c123"),
+        col("n1mid"), col("nc23"), col("prob"))
+
   /** Score a corpus under a model trained on (a slice of) it: per
     * document, how many bigrams it has, how many the model knows, and
     * how many score below `lowProb` — the integer surprise profile a

@@ -1145,6 +1145,50 @@ object CorpusQ {
              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
         .stripMargin)),
 
+    // lm_kn3 [EXT, new r17]: trigram interpolated Kneser-Ney — the
+    // production perplexity-filter order (CCNet/KenLM train 5-gram KN;
+    // the trigram completes the recursive-interpolation machinery one
+    // order up from lm_kn, and higher orders repeat this exact shape).
+    // Middle/low levels use CONTINUATION counts derived from the
+    // trigram TYPE table per Chen-Goodman (NgramLm.probExpr3 scaladoc);
+    // the recursion bottoms out in the mid-table Pcont. Rational
+    // smoothing, no transcendentals: one fixed IEEE expression over
+    // exact integer counts, shared VERBATIM with the oracle via
+    // probExpr3, floor-snapped to 8 decimals. The oracle recomputes
+    // the whole model — token split, trigram stream (two j+1/j+2
+    // self-joins on the narrow token frame, the text_colloc fat-sweep
+    // discipline), all six count rollups, and the identical formula.
+    Q("lm_kn3",
+      (s, d) => graft.operators.NgramLm.trainKnTrigram(
+        t(s, d, "documents").select(col("text")), "text", topK = 300),
+      Some(s"""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text),
+             |    '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+             |tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS w,
+             |    generate_subscripts(t, 1) AS j FROM tk),
+             |tg AS MATERIALIZED (SELECT a.w AS w1, b.w AS w2, c.w AS w3,
+             |    count(*)::BIGINT AS c123
+             |  FROM tok a JOIN tok b
+             |    ON a.doc_id = b.doc_id AND b.j = a.j + 1
+             |  JOIN tok c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+             |  GROUP BY 1, 2, 3),
+             |h AS (SELECT w1, w2, sum(c123)::BIGINT AS c12,
+             |    count(*)::BIGINT AS n1mid FROM tg GROUP BY 1, 2),
+             |m AS MATERIALIZED (SELECT w2, w3, count(*)::BIGINT AS nc23
+             |  FROM tg GROUP BY 1, 2),
+             |m2 AS (SELECT w2, sum(nc23)::BIGINT AS nc2dot,
+             |    count(*)::BIGINT AS n1fwd2 FROM m GROUP BY 1),
+             |lo AS (SELECT w3, count(*)::BIGINT AS n1rev3
+             |  FROM m GROUP BY 1),
+             |n AS (SELECT count(*)::BIGINT AS ntot FROM m),
+             |p AS (SELECT w1, w2, w3, c123, n1mid, nc23,
+             |    ${graft.operators.NgramLm.probExpr3(c => s"$c::DOUBLE")}
+             |      AS prob
+             |  FROM tg JOIN h USING (w1, w2) JOIN m USING (w2, w3)
+             |    JOIN m2 USING (w2) JOIN lo USING (w3), n)
+             |SELECT w1, w2, w3, c123, n1mid, nc23, prob FROM p
+             |ORDER BY c123 DESC, w1, w2, w3 LIMIT 300""".stripMargin)),
+
     // text_colloc [EXT]: PMI collocations — top-20 adjacent word pairs
     // by ln(p(ab)/(p(a)p(b))) among pairs occurring >= 5 times. Integer
     // counts on both engines; the PMI formula is written with the same
