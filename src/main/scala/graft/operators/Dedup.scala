@@ -911,13 +911,28 @@ object Dedup {
       .withColumn("g", gramCol)
       .withColumn("nn", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .filter(col("p") <= col("nn") - (n - 1))
-      .select(col(idCol), col("p"), col("g"), xxhash64(col("g")).as("h"))
-    // stage 1: 8-byte hash prefilter (the corpus-sized shuffle)
+      .select(col(idCol), col("p"), xxhash64(col("g")).as("h"))
+    // stage 1: 8-byte hash prefilter — g is hashed and DROPPED before
+    // any exchange, so the corpus-sized shuffles carry (h, id) and
+    // (h, id, p) scalars only. r17 (r16 verdict watch item): the old
+    // grams⋈candH join carried the materialized n-token gram STRING
+    // per position (~n× corpus bytes); on a high-duplication corpus
+    // candH outgrows the broadcast threshold and those strings would
+    // have shuffled. Surviving positions regenerate their grams below.
     val candH = grams.select(col("h"), col(idCol)).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("h")
-    val cand = grams.join(candH, "h")
-    // stage 2: exact string confirmation on the surviving positions
+    val candPos = grams.join(candH, "h").select(col(idCol), col("p"))
+    // stage 2: regenerate gram strings for ONLY the hash-surviving
+    // positions from the narrow token stream (the same per-doc lead()
+    // windows as stage 1 — never by re-slicing a token array), then
+    // exact-string confirmation; string bytes now scale with the
+    // candidate set, not the corpus
+    val cand = tokn
+      .join(candPos.withColumn("cd", lit(1)), Seq(idCol, "p"), "left")
+      .withColumn("g", gramCol)
+      .filter(col("cd") === 1)
+      .select(col(idCol), col("p"), col("g"))
     val dupG = cand.select(col("g"), col(idCol)).distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("g")

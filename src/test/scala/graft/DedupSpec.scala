@@ -327,4 +327,43 @@ class DedupSpec extends SparkFunSuite {
         (3L, 11L, 7L, 1L, "w x y z")), s"parts=$parts\n" + got.mkString("\n"))
     }
   }
+
+  test("scrubSubstrings high-duplication parity: narrow stage 1 + " +
+      "regenerated grams equal a brute-force reference") {
+    // r17 (stage-1 hardening): nearly EVERY position is a candidate —
+    // 40 docs all sharing one hot passage plus a unique tail — so the
+    // hash prefilter keeps most of the corpus and the regenerated-gram
+    // path (not a broadcast fast path) does the exact confirmation.
+    // Parity oracle: a driver-side brute-force recomputation of the
+    // removal set from first principles (every n-gram occurring in
+    // >= 2 distinct docs, cover = union of its windows).
+    val n = 4
+    val hot = (1 to 10).map(i => s"hot$i").mkString(" ")
+    val docsSeq = (1L to 40L).map(i => (i, s"$hot u${i}a u${i}b u${i}c"))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .scrubSubstrings(docs, "doc_id", "text", n = n, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // brute-force reference
+    val toks = docsSeq.map { case (id, t) => id -> t.split(" ").toSeq }
+    val gramDocs = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+    toks.foreach { case (id, tk) =>
+      tk.sliding(n).foreach(g =>
+        if (g.length == n) gramDocs(g) = gramDocs.getOrElse(g, Set()) + id)
+    }
+    val expect = toks.map { case (id, tk) =>
+      val starts = tk.sliding(n).zipWithIndex.collect {
+        case (g, i) if g.length == n && gramDocs(g).size >= 2 => i
+      }.toSet
+      val covered = starts.flatMap(s => s until (s + n))
+      val kept = tk.zipWithIndex.collect {
+        case (w, i) if !covered.contains(i) => w }
+      val spans = covered.toSeq.sorted.foldLeft((0L, -10)) {
+        case ((cnt, prev), p) =>
+          (if (p == prev + 1) cnt else cnt + 1, p) }._1
+      (id, tk.length.toLong, covered.size.toLong, spans, kept.mkString(" "))
+    }
+    assert(got == expect, got.take(3).mkString("\n"))
+  }
 }
