@@ -210,36 +210,41 @@ object Bpe {
       |              element_at(split(syms, ' '), j + 1))) END"""
       .stripMargin
 
-  /** Distributed loop with INCREMENTAL pair counts (r16, VERDICT r15
-    * #8): the full pair aggregate runs ONCE; each merge round then
-    * (1) takes the argmax from the maintained count table, (2) rewrites
-    * ONLY the words that actually contain the merged pair (exact
-    * boundary test `' '||syms||' '` contains `' a b '` — tokens are
-    * alnum, so the test equals adjacency), and (3) delta-updates the
-    * counts from just those words (−freq over their old pairs, +freq
-    * over their new pairs; integer sums, so the table stays bit-equal
-    * to a full recount and the learned merges — and the oracle replay —
-    * are unchanged, BpeSpec-asserted). The old loop re-exploded every
-    * word's pairs and re-folded every word per round; on the fat
-    * corpus's ~4M-word generated vocabulary the per-round work now
-    * shrinks with the match set instead of staying corpus-vocabulary-
-    * sized. The greedy scan semantics are [[mergeOnce]]'s, unchanged.
+  /** Distributed loop: per-round pair aggregate → TakeOrdered(1)
+    * argmax → HOF rewrite, vocabulary staged per round. The greedy
+    * scan folds the token array with a space-joined string
+    * accumulator; a just-merged symbol differs textually from its
+    * parts, so it can never re-merge within the round — identical
+    * semantics to [[mergeOnce]].
+    *
+    * r17: this RE-INSTATES the full-recount loop, reverting r16's
+    * incremental pair-count trainer on measured evidence
+    * (reports/BPE_FAT_r17.md): on the fat corpus (~4M-word generated
+    * vocabulary) the recount loop is STABLE at 128-146 s across four
+    * quiet samples while the incremental loop was bimodal — ~95 s
+    * when its per-round delta materialization behaved, ~350 s (2.6×
+    * WORSE than recount) when it didn't, with the variance localized
+    * to the bpe_counts stage writes by the bench's stage ledger. The
+    * full pair aggregate it re-runs per round map-side-combines to a
+    * few thousand distinct symbol pairs before the shuffle, so
+    * "recount everything" costs one cheap scan — the incremental
+    * bookkeeping (two extra full scans + three staged frames per
+    * round) was priced higher than the recount it avoided.
     */
   private def distributedTrain(words0: DataFrame, numMerges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // `w` rides along so the apply path can map word → final symbols
-    var cur = Stage.materialize(words0.select(col("w"),
+    var cur = words0.select(col("w"),
       expr("trim(regexp_replace(w, '(.)', '$1 '))").as("syms"),
-      col("freq")), "bpe_round")
-    var counts = Stage.materialize(
-      cur.select(explode(expr(pairListExpr)).as("pair"), col("freq"))
-        .groupBy("pair").agg(sum("freq").as("f")),
-      "bpe_counts")
+      col("freq"))
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
-      val best = counts.filter(col("f") > 0)
+      val staged = Stage.materialize(cur, "bpe_round")
+      val best = staged
+        .select(explode(expr(pairListExpr)).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("f"))
         .orderBy(col("f").desc, col("pair"))
         .limit(1)
         .collect()
@@ -249,23 +254,8 @@ object Bpe {
         val f = best(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         val m = a + b
-        val hitCond = concat(lit(" "), col("syms"), lit(" "))
-          .contains(s" $a $b ")
-        val hitNew = Stage.materialize(cur.filter(hitCond)
-          .select(col("w"), expr(mergeExpr(a, b, m)).as("syms"),
-            col("freq")), "bpe_hit")
-        val delta = cur.filter(hitCond)
-          .select(explode(expr(pairListExpr)).as("pair"),
-            (-col("freq")).as("freq"))
-          .unionByName(hitNew
-            .select(explode(expr(pairListExpr)).as("pair"), col("freq")))
-        counts = Stage.materialize(
-          counts.unionByName(delta.groupBy("pair").agg(sum("freq").as("f")))
-            .groupBy("pair").agg(sum("f").as("f"))
-            .filter(col("f") =!= 0),
-          "bpe_counts")
-        cur = Stage.materialize(
-          cur.filter(!hitCond).unionByName(hitNew), "bpe_round")
+        cur = staged.select(col("w"),
+          expr(mergeExpr(a, b, m)).as("syms"), col("freq"))
         out += ((step, a, b, m, f))
         step += 1
       }
