@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, Dedup}
+
+/** Same-session alternating A/B harness for optimization-round
+  * candidates (the host is bursty, so cross-run medians are not
+  * comparable; alternating in ONE session gives both variants the same
+  * window). Not part of the driver contract — local iteration only.
+  */
+object AbScratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.lift(0).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def planted(): DataFrame = {
+      val docs = queries.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      docs.unionByName(
+        docs.filter(col("doc_id") % 50 === 0).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+    }
+
+    // OLD r12-r16 path: CC over rep pairs + corpus-sized star edges,
+    // label join-back keyed on doc id.
+    def oldClusters(df: DataFrame): DataFrame = {
+      val (membership, reps) = Dedup.textGroups(df, "doc_id", "text")
+      val repPairs = Dedup.minhashPairs(reps, "rep", "text",
+        threshold = 0.35).select("id_a", "id_b")
+      val star = membership.filter(col("id") =!= col("rep"))
+        .select(col("id").as("id_a"), col("rep").as("id_b"))
+      val labels = ConnectedComponents.labels(
+        repPairs.unionByName(star), "id_a", "id_b")
+      membership.select(col("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    }
+
+    def newClusters(df: DataFrame): DataFrame =
+      Dedup.minhashClusters(df, "doc_id", "text", threshold = 0.35)
+
+    // OLD pagerank rounds (stage every 4th even in the broadcast
+    // regime — quadratic chain replay through per-round broadcasts)
+    def oldRanks(edgesIn: DataFrame, iters: Int = 5,
+                 damping: Double = 0.85): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Stage
+      val base = edgesIn.select(col("src"), col("dst"))
+      val dir = base.unionByName(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      val ew = Stage.materialize(
+        dir.repartition(col("src")).distinct()
+          .withColumn("outdeg",
+            count(lit(1)).over(Window.partitionBy("src")).cast("long")),
+        "ab_pr_edges")
+      val n = ew.agg(countDistinct("src")).head().getLong(0)
+      val teleport = lit(1.0 - damping) / lit(n.toDouble)
+      val r0term = lit(1.0) / lit(n.toDouble)
+      def contract(ranked: DataFrame): DataFrame =
+        ranked.groupBy(col("dst").as("id2"))
+          .agg((teleport +
+            lit(damping) * sum(col("r") / col("outdeg"))).as("r2"))
+          .select(col("id2").as("id"), col("r2").as("r"))
+      var r: DataFrame = contract(ew.withColumn("r", r0term))
+      var i = 1
+      while (i < iters) {
+        val next = contract(ew.join(broadcast(r), ew("src") === r("id")))
+        r = if ((i + 1) % 4 == 0 && i + 1 < iters)
+          Stage.materialize(next, s"ab_pr_r$i")
+        else next
+        i += 1
+      }
+      r.select(col("id"), round(col("r") * lit(n.toDouble), 4).as("rank"))
+    }
+
+    def time(tag: String, f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[ab] $tag $s%.3f")
+      s
+    }
+    val _ = (oldClusters _, newClusters _) // minhash A/B retired (kept above)
+
+    def prEdges(): DataFrame =
+      queries.t(spark, sfDir, "lineitem")
+        .join(queries.t(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+
+    def newRanks(e: DataFrame): DataFrame =
+      graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
+
+    // warmup both
+    time("warm_old", () => oldRanks(prEdges()))
+    time("warm_new", () => newRanks(prEdges()))
+    val olds = Seq.newBuilder[Double]
+    val news = Seq.newBuilder[Double]
+    (1 to reps).foreach { _ =>
+      olds += time("old", () => oldRanks(prEdges()))
+      news += time("new", () => newRanks(prEdges()))
+    }
+    val (o, n) = (olds.result(), news.result())
+    println(f"[ab] OLD min=${o.min}%.3f med=${o.sorted.apply(o.size / 2)}%.3f")
+    println(f"[ab] NEW min=${n.min}%.3f med=${n.sorted.apply(n.size / 2)}%.3f")
+    spark.stop()
+  }
+}

@@ -249,13 +249,25 @@ object Dedup {
     val (membership, reps) = textGroups(df, idCol, textCol)
     val repPairs = minhashPairs(reps, "rep", "text", bands, rowsPerBand,
       n, threshold, seed, maxBucketSize).select("id_a", "id_b")
-    val star = membership.filter(col("id") =!= col("rep"))
-      .select(col("id").as("id_a"), col("rep").as("id_b"))
-    val labels = ConnectedComponents.labels(
-      repPairs.unionByName(star), "id_a", "id_b")
-    membership.select(col("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    // r17 (optimization): CC over the REP-PAIR graph only — the r12-r16
+    // form unioned in one star edge per non-representative document, so
+    // CC's canonicalize/distinct/materialize/fingerprint (and, above the
+    // local edge limit, every large-star/small-star round) ran over a
+    // CORPUS-sized edge list. The star edges are redundant for the
+    // label: rep = min id of its clone group (textGroups), so the
+    // component minimum over doc ids equals the component minimum over
+    // the member groups' reps — labeling the rep graph and mapping
+    // members through (id, rep) gives the identical (id, cluster) set.
+    // CC input drops from O(corpus) to O(pair graph); the member
+    // expansion is one equi-join of membership against the (tiny,
+    // pair-bounded) rep labels — broadcast under AQE — instead of a
+    // corpus×corpus id join. Reps outside the pair graph keep
+    // cluster = rep via the left-join coalesce (their component is
+    // exactly their clone group, whose minimum is the rep itself).
+    val labels = ConnectedComponents.labels(repPairs, "id_a", "id_b")
+    membership
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("rep")).as("cluster"))
   }
 
   /** SimHash near-duplicate pairs: block on 8 8-bit chunks — by pigeonhole

@@ -100,10 +100,37 @@ object PageRank {
     // round 1 off the uniform start: every vertex holds exactly 1/N,
     // so the rank join is unnecessary — aggregate (1/N)/outdeg
     // straight from the staged edges
+    // Round pinning in the broadcast regime (r17 optimization, guide
+    // §1.2/§5): broadcast exchanges are NOT reused across queries, and
+    // each round's `broadcast(r)` is its own query — so a lazily-
+    // chained round i replayed every round since the last stage point
+    // to build its broadcast input (quadratic edge-scan replay: rounds
+    // 1-3 between stage points cost 1+2+3 extra staged-edge scans, and
+    // at 100 TB each replay is a full pass over the edge stage). The
+    // broadcast side already travels through the driver by definition
+    // (a broadcast exchange collects to the driver, then ships), so
+    // pin each round by doing that collect EXPLICITLY into a
+    // LocalRelation — bounded by the same `broadcastVertLimit` rows
+    // the broadcast regime itself guarantees — and hand the next round
+    // a local frame whose broadcast build is driver-side and free.
+    // Each round is then exactly ONE staged-edge scan, with no parquet
+    // round-trip per round (collected doubles are exact — no value
+    // changes). The shuffle-join regime (> 2M vertices) has no
+    // per-round action, so rounds still chain lazily into one job with
+    // the every-4th-round lineage cut.
+    def pinLocal(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.collectAsList(), df.schema)
+    def pin(next: DataFrame, lastOfRound: Int): DataFrame =
+      if (lastOfRound >= iters) next
+      else if (bcast) pinLocal(next)
+      else if (lastOfRound % 4 == 0) Stage.materialize(next,
+        s"pagerank_r${lastOfRound - 1}")
+      else next
+
     var r: DataFrame = null
     var i = 0
     if (undirected) {
-      r = contract(ew.withColumn("r", r0term))
+      r = pin(contract(ew.withColumn("r", r0term)), 1)
       i = 1
     } else {
       // directed: vertices with no in-edges must be backfilled with
@@ -121,18 +148,14 @@ object PageRank {
         val rSide = if (bcast) broadcast(r) else r
         val next = backfill(contract(
           ew.join(rSide, ew("src") === rSide("id"))))
-        r = if ((i + 1) % 4 == 0 && i + 1 < iters)
-          Stage.materialize(next, s"pagerank_r$i")
-        else next
+        r = pin(next, i + 1)
         i += 1
       }
     }
     while (i < iters) {
       val rSide = if (bcast) broadcast(r) else r
       val next = contract(ew.join(rSide, ew("src") === rSide("id")))
-      r = if ((i + 1) % 4 == 0 && i + 1 < iters)
-        Stage.materialize(next, s"pagerank_r$i")
-      else next
+      r = pin(next, i + 1)
       i += 1
     }
     r.select(col("id"), round(col("r") * lit(n.toDouble), 4).as("rank"))
