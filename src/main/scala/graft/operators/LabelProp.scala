@@ -45,12 +45,28 @@ object LabelProp {
         .unionByName(edges.select(col(bCol).cast("long").as("src"),
           col(aCol).cast("long").as("dst"))),
       "lp_edges")
-    var lab = Stage.materialize(
-      e.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")),
-      "lp_round")
+    // r17 optimization (the PageRank posture, guide §2.4/§3.1): the
+    // per-round label frame is |V| rows of two longs. Below
+    // PageRank.broadcastVertLimit (count-then-choose, one cheap
+    // aggregate over the staged edges) each round BROADCASTS the label
+    // frame into the edge join — the staged edges are never shuffled —
+    // and the round's result is pinned as a driver LocalRelation
+    // (exactly the collect a broadcast exchange performs anyway, under
+    // the same 2M-row bound) instead of a parquet stage round-trip,
+    // so a round is ONE job over one edge scan. Every aggregate here
+    // is exact integer counts + integer struct-max argmax, so the
+    // restructure cannot move any value. Above the bound the r16
+    // stage-per-round shuffle-join loop runs unchanged.
+    val n = e.agg(countDistinct("src")).head().getLong(0)
+    val bcast = n <= PageRank.broadcastVertLimit
+    def pinLocal(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.collectAsList(), df.schema)
+    val lab0 = e.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    var lab = if (bcast) pinLocal(lab0) else Stage.materialize(lab0, "lp_round")
     for (_ <- 1 to rounds) {
-      val votes = e.join(lab.withColumnRenamed("node", "src"), "src")
+      val labSide = if (bcast) broadcast(lab) else lab
+      val votes = e.join(labSide.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
       // argmax by (cnt DESC, lab ASC) as a plain aggregate: max of the
@@ -60,11 +76,14 @@ object LabelProp {
         .select(col("node"), (-col("m.nl")).as("newlab"))
       // every node has >= 1 neighbor (it came from an edge), so pick
       // covers all nodes; the left join is belt-and-braces
-      lab = Stage.materialize(
-        lab.join(pick, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("newlab"), col("lab")).as("lab")),
-        "lp_round")
+      // left-outer build side must be the RIGHT: broadcast pick (also
+      // |V|-bounded) so the backfill join shuffles nothing in the
+      // bounded regime
+      val next = lab
+        .join(if (bcast) broadcast(pick) else pick, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("newlab"), col("lab")).as("lab"))
+      lab = if (bcast) pinLocal(next) else Stage.materialize(next, "lp_round")
     }
     lab.groupBy(col("lab").as("community")).agg(count(lit(1)).as("size"))
   }
