@@ -92,6 +92,27 @@ object AbScratch {
     }
     val _ = (oldClusters _, newClusters _) // minhash A/B retired (kept above)
 
+    // tokenization micro-A/B: regex split vs native NormalizeAlnum
+    def tokRegex(): DataFrame = {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => t =!= "")
+      queries.t(spark, sfDir, "documents")
+        .select(size(toks).as("n"),
+          size(filter(toks, t => t === "the" || t === "a")).as("s"))
+        .agg(sum("n").as("a"), sum("s").as("b"))
+    }
+    def tokNative(): DataFrame = {
+      val toks = filter(
+        split(graft.functions.TextFns.normalizedBytes(col("text"))
+          .cast("string"), " "), t => t =!= "")
+      queries.t(spark, sfDir, "documents")
+        .select(size(toks).as("n"),
+          size(filter(toks, t => t === "the" || t === "a")).as("s"))
+        .agg(sum("n").as("a"), sum("s").as("b"))
+    }
+    println("[ab] parity: " + tokRegex().collect().toSeq + " vs " +
+      tokNative().collect().toSeq)
+
     def prEdges(): DataFrame =
       queries.t(spark, sfDir, "lineitem")
         .join(queries.t(spark, sfDir, "orders"),
@@ -102,14 +123,15 @@ object AbScratch {
     def newRanks(e: DataFrame): DataFrame =
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
 
+    val __ = (oldRanks _, newRanks _) // pagerank A/B retired (kept above)
     // warmup both
-    time("warm_old", () => oldRanks(prEdges()))
-    time("warm_new", () => newRanks(prEdges()))
+    time("warm_old", () => tokRegex())
+    time("warm_new", () => tokNative())
     val olds = Seq.newBuilder[Double]
     val news = Seq.newBuilder[Double]
     (1 to reps).foreach { _ =>
-      olds += time("old", () => oldRanks(prEdges()))
-      news += time("new", () => newRanks(prEdges()))
+      olds += time("old", () => tokRegex())
+      news += time("new", () => tokNative())
     }
     val (o, n) = (olds.result(), news.result())
     println(f"[ab] OLD min=${o.min}%.3f med=${o.sorted.apply(o.size / 2)}%.3f")
