@@ -113,6 +113,77 @@ object AbScratch {
     println("[ab] parity: " + tokRegex().collect().toSeq + " vs " +
       tokNative().collect().toSeq)
 
+    // layout_zorder step isolation: where does the bucketed GlobalRank
+    // spend its time — boundary quantile, counts pass, or main query?
+    def zbase(): DataFrame = queries.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1992-01-01"))).cast("long").as("d"))
+      .withColumn("zval",
+        graft.operators.ZOrder.zvalue(Seq(col("o_custkey"), col("d")), 16))
+    def zsteps(): Unit = {
+      var t0 = System.nanoTime()
+      val bs = zbase().select(col("zval").cast("double").as("q"))
+        .where(col("q").isNotNull)
+        .stat.approxQuantile("q", (1 until 32).map(_ / 32.0).toArray,
+          1.0 / 1000)
+      println(f"[ab] z_quantile ${(System.nanoTime() - t0) / 1e9}%.3f (k=${bs.distinct.length})")
+      t0 = System.nanoTime()
+      val bs2 = zbase().select(col("zval").cast("double").as("q"))
+        .where(col("q").isNotNull && !isnan(col("q")))
+        .stat.approxQuantile("q", (1 until 32).map(_ / 32.0).toArray,
+          1.0 / 1000)
+      println(f"[ab] z_quantile_nan ${(System.nanoTime() - t0) / 1e9}%.3f (k=${bs2.distinct.length})")
+      t0 = System.nanoTime()
+      val bs3 = zbase().select(col("zval").cast("double").as("q"))
+        .where(col("q").isNotNull)
+        .stat.approxQuantile("q", (1 until 32).map(_ / 32.0).toArray,
+          1.0 / 128)
+      println(f"[ab] z_quantile_err ${(System.nanoTime() - t0) / 1e9}%.3f (k=${bs3.distinct.length})")
+      t0 = System.nanoTime()
+      val c = zbase().groupBy((col("zval") / lit(1L << 27)).cast("int")
+        .as("b")).count().collect().length
+      println(f"[ab] z_counts ${(System.nanoTime() - t0) / 1e9}%.3f (rows=$c)")
+      // counts pass with the REAL binary-search tree over the sampled
+      // boundaries (vs the cheap div bucket above)
+      def tr(lo: Int, hi: Int): org.apache.spark.sql.Column =
+        if (lo == hi) lit(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(col("__d") > lit(bs(mid)), tr(mid + 1, hi))
+            .otherwise(tr(lo, mid))
+        }
+      t0 = System.nanoTime()
+      val ctree = zbase().withColumn("__d", col("zval").cast("double"))
+        .withColumn("__b",
+          when(col("__d").isNull, lit(0))
+            .when(isnan(col("__d")), lit(bs.length))
+            .otherwise(tr(0, bs.length)))
+        .groupBy("__b").count().collect().length
+      println(f"[ab] z_counts_tree ${(System.nanoTime() - t0) / 1e9}%.3f (rows=$ctree)")
+      t0 = System.nanoTime()
+      val rdf = graft.operators.GlobalRank.withNtile(zbase(),
+        Seq(col("zval").asc_nulls_first, col("o_orderkey")), 32,
+        "bucket")
+      println(f"[ab] z_build ${(System.nanoTime() - t0) / 1e9}%.3f")
+      t0 = System.nanoTime()
+      val r = rdf.count()
+      println(f"[ab] z_main ${(System.nanoTime() - t0) / 1e9}%.3f (rows=$r)")
+      t0 = System.nanoTime()
+      val r2 = rdf.groupBy("bucket").agg(count(lit(1)).as("n"),
+        min("o_custkey"), max("o_custkey"), min("d"), max("d")).count()
+      println(f"[ab] z_agg ${(System.nanoTime() - t0) / 1e9}%.3f (rows=$r2)")
+      t0 = System.nanoTime()
+      val wdf = graft.operators.GlobalRank.withGlobalRank(
+        queries.t(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), "rnk")
+      println(f"[ab] w_build ${(System.nanoTime() - t0) / 1e9}%.3f")
+      t0 = System.nanoTime()
+      val w = wdf.count()
+      println(f"[ab] w_main ${(System.nanoTime() - t0) / 1e9}%.3f (rows=$w)")
+    }
+
     def prEdges(): DataFrame =
       queries.t(spark, sfDir, "lineitem")
         .join(queries.t(spark, sfDir, "orders"),
@@ -123,19 +194,8 @@ object AbScratch {
     def newRanks(e: DataFrame): DataFrame =
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
 
-    val __ = (oldRanks _, newRanks _) // pagerank A/B retired (kept above)
-    // warmup both
-    time("warm_old", () => tokRegex())
-    time("warm_new", () => tokNative())
-    val olds = Seq.newBuilder[Double]
-    val news = Seq.newBuilder[Double]
-    (1 to reps).foreach { _ =>
-      olds += time("old", () => tokRegex())
-      news += time("new", () => tokNative())
-    }
-    val (o, n) = (olds.result(), news.result())
-    println(f"[ab] OLD min=${o.min}%.3f med=${o.sorted.apply(o.size / 2)}%.3f")
-    println(f"[ab] NEW min=${n.min}%.3f med=${n.sorted.apply(n.size / 2)}%.3f")
+    val __ = (oldRanks _, newRanks _, tokRegex _, tokNative _, time _)
+    (1 to reps).foreach(_ => zsteps())
     spark.stop()
   }
 }

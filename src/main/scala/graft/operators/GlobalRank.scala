@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
+  TimestampNTZType, TimestampType}
 
 /** Exact global rank / ntile WITHOUT a global window.
   *
@@ -11,45 +14,81 @@ import org.apache.spark.sql.functions._
   * input, which is the canonical 100 TB scale-killer (and the warning
   * Spark prints as "No Partition Defined ... serious performance
   * degradation"). But exact global ranking doesn't need a global sort
-  * in one task; the classic two-phase shape distributes it:
+  * in one task. The distributed shape here is VALUE-DETERMINISTIC
+  * range bucketing:
   *
-  *  1. `repartitionByRange(p, sortCols)` — each partition holds one
-  *     contiguous key range (a sampled-boundary range shuffle, the
-  *     same machinery as a distributed ORDER BY);
-  *  2. freeze each row's range-partition id AS DATA
-  *     (`spark_partition_id()` + [[Stage.materialize]] — boundaries
-  *     come from sampling, so the id must be pinned before two
-  *     downstream jobs read the frame);
-  *  3. per-partition row counts → driver (p rows — metadata-scale,
-  *     bounded by the shuffle partition count, the same posture as
-  *     AQE's per-partition stats) → prefix-sum offsets, broadcast
-  *     back;
-  *  4. `row_number()` over a window PARTITIONED by the frozen id
-  *     (parallel, one range per task) + the partition's offset
+  *  1. sample B-1 quantile boundaries of the LEADING sort key (one
+  *     bounded `approxQuantile` pass over that single column) and
+  *     freeze them as literals;
+  *  2. assign each row a bucket by binary-searching the literal
+  *     boundaries (a log₂B-deep codegen'd `when` tree) — the bucket is
+  *     a pure function of the ROW VALUES, so every plan branch and
+  *     every re-evaluation agrees on it by construction (no partition
+  *     ids pinned as data, no staged copy of the frame);
+  *  3. per-bucket row counts → driver (≤ B rows — metadata-scale, the
+  *     same posture as AQE's per-partition stats) → prefix-sum
+  *     offsets, broadcast back;
+  *  4. `row_number()` over a window PARTITIONED by the bucket
+  *     (parallel, one key range per bucket) + the bucket's offset
   *     = the exact global rank.
   *
   * The result is identical to the global-window answer for any TOTAL
   * ordering (pass a tiebreak column — ranks among exact duplicates are
-  * otherwise tie-broken by partition placement), but every stage is
-  * parallel: the only single-point work is the p-row offset scan.
+  * otherwise tie-broken by bucket placement), but the only full-width
+  * data movement is the ONE hash exchange the bucketed window needs:
+  * no range shuffle, no materialized staged copy of the frame, and the
+  * only single-point work is the ≤B-row offset scan. Boundary QUALITY
+  * affects only balance, never correctness — the offsets and in-bucket
+  * ranks are exact whatever the sample said.
   *
-  * Callers should project to the scalar columns they need before
-  * calling — step 2 stages the full frame to parquet.
+  * Applicability: the fast path needs a leading sort key with a
+  * monotone embedding into DOUBLE (numeric, date, timestamp, boolean).
+  * Anything else (string/binary/struct leads) falls back to the
+  * pinned-partition-id form: range-shuffle, stage the frame once
+  * ([[Stage.materialize]] — boundaries come from sampling, so ids must
+  * be pinned before two downstream jobs read them), offsets from the
+  * staged counts. Same output, heavier I/O.
+  *
+  * Balance caveat: buckets split on the leading key only, so a single
+  * key value carrying a large fraction of all rows funnels that
+  * fraction through one bucket's sort (the staged form spreads exact
+  * ties by the tiebreak column instead). Every registered caller leads
+  * with a high-cardinality numeric (hash, price, length, z-value,
+  * per-source rank); a degenerate lead key should pre-aggregate or
+  * accept the straggler.
+  *
+  * Lineage caveat: the fast path evaluates the input lineage up to
+  * three times (boundary sample over the lead column, per-bucket
+  * counts, final ranking) instead of staging it — column pruning makes
+  * the first two narrow. A caller whose input is EXPENSIVE to
+  * recompute (a corpus-wide join/aggregate) should stage it once
+  * itself ([[Stage.materialize]]) and rank the staged scan, which is
+  * still strictly cheaper than the old always-staged form (that staged
+  * the frame AFTER a full range shuffle).
   */
 object GlobalRank {
+
+  /** Cap on the sampled bucket count (and so on the ranking stage's
+    * parallelism). The bucket expression is a binary-search `when`
+    * tree — log₂B comparisons evaluated per row, B literal nodes in
+    * the plan — so the cap keeps codegen method sizes sane when a
+    * deployment runs tens of thousands of shuffle partitions.
+    */
+  val MaxBucketsKey = "spark.graft.globalrank.maxBuckets"
+  val DefaultMaxBuckets = 1024
 
   /** `df` plus a `rankCol` (1-based, long) giving each row's exact
     * global rank under `sortCols`. See object doc for the plan shape.
     *
     * @param sortCols total ordering (include a tiebreak column);
     *                 `.desc` columns are honored
-    * @param numPartitions range partitions; <= 0 uses
+    * @param numPartitions range buckets; <= 0 uses
     *                      `spark.sql.shuffle.partitions`
     */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String = "rank",
                      numPartitions: Int = 0): DataFrame =
-    rankedWithTotal(df, sortCols, rankCol, numPartitions)._1
+    ranked(df, sortCols, rankCol, numPartitions, None, "__gr_unused")._1
 
   /** `df` plus a `bucketCol` (1-based, long) replaying EXACT
     * `ntile(buckets)` semantics over the global `sortCols` order: with
@@ -65,7 +104,8 @@ object GlobalRank {
     require(buckets >= 1, s"ntile needs >= 1 bucket, got $buckets")
     require(!df.columns.contains(bucketCol),
       s"input already has a '$bucketCol' column")
-    val (ranked, n) = rankedWithTotal(df, sortCols, "__gr_rank", numPartitions)
+    val (rankedDf, n) =
+      ranked(df, sortCols, "__gr_rank", numPartitions, None, "__gr_unused")
     val q = n / buckets
     val rem = n % buckets
     val cut = rem * (q + 1) // ranks 1..cut land in the q+1-sized buckets
@@ -73,7 +113,7 @@ object GlobalRank {
         expr(s"(__gr_rank - 1) div ${q + 1} + 1"))
       .otherwise( // q = 0 only when n < buckets, where every rank <= cut
         expr(s"$rem + (__gr_rank - 1 - $cut) div ${math.max(q, 1L)} + 1"))
-    ranked.withColumn(bucketCol, bucket.cast("long")).drop("__gr_rank")
+    rankedDf.withColumn(bucketCol, bucket.cast("long")).drop("__gr_rank")
   }
 
   /** EXACT top-fraction selection — the "keep the best p% by score"
@@ -89,8 +129,9 @@ object GlobalRank {
                   rankCol: String = "rank",
                   numPartitions: Int = 0): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"need 0 < frac <= 1, got $frac")
-    val (ranked, n) = rankedWithTotal(df, sortCols, rankCol, numPartitions)
-    ranked.filter(col(rankCol) <= math.round(frac * n))
+    val (rankedDf, n) =
+      ranked(df, sortCols, rankCol, numPartitions, None, "__gr_unused")
+    rankedDf.filter(col(rankCol) <= math.round(frac * n))
   }
 
   /** Deterministic epoch shuffle — the training-order permutation of a
@@ -101,10 +142,6 @@ object GlobalRank {
     * engines — a `rand()` shuffle is none of those. A new seed per
     * epoch gives independent permutations without materializing any
     * shuffle state.
-    *
-    * The hash is evaluated as a sort EXPRESSION (twice: range shuffle +
-    * in-partition window) rather than a materialized column — fine
-    * because it is deterministic per row, which is the whole point.
     */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long,
                    posCol: String = "pos", portable: Boolean = false,
@@ -117,9 +154,9 @@ object GlobalRank {
     * TOTAL of `valueCol` under `sortCols` (inclusive prefix sum in
     * rank order) — the primitive behind budgeted selection ("take
     * documents by descending quality until the token budget is
-    * spent"). Same two-phase shape as [[withGlobalRank]]: the range
-    * stage adds a per-partition SUM next to the count, the driver
-    * prefix-sums both (p rows), and the in-partition window carries
+    * spent"). Same bucketed shape as [[withGlobalRank]]: the counts
+    * pass carries a per-bucket SUM next to the count, the driver
+    * prefix-sums both (≤ B rows), and the in-bucket window carries
     * the value sum alongside row_number — still no global window, one
     * extra long per offset row.
     *
@@ -128,84 +165,204 @@ object GlobalRank {
     * accumulation order would not be.
     *
     * Null contract: a null `valueCol` counts as 0 toward the running
-    * total (it is coalesced at ingestion, so the per-partition sums,
-    * the driver prefix-sum, and the in-partition window all see the
-    * same non-null longs — a partition of all-null values can no
+    * total (it is coalesced at ingestion, so the per-bucket sums,
+    * the driver prefix-sum, and the in-bucket window all see the
+    * same non-null longs — a bucket of all-null values can no
     * longer NPE the driver's `getLong`, and rank/total cannot
     * desynchronize on null-skipping window sums).
     */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
                        valueCol: Column, rankCol: String = "rank",
                        totalCol: String = "running_total",
-                       numPartitions: Int = 0): DataFrame = {
+                       numPartitions: Int = 0): DataFrame =
+    ranked(df, sortCols, rankCol, numPartitions, Some(valueCol), totalCol)._1
+
+  // ---- shared machinery --------------------------------------------
+
+  /** Rank (and optionally running-total) `df`; returns the augmented
+    * frame and the exact total row count (already known from the
+    * offsets pass — `withNtile`/`topFraction` need it on the driver).
+    */
+  private def ranked(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                     numPartitions: Int, value: Option[Column],
+                     totalCol: String): (DataFrame, Long) = {
+    // withColumn REPLACES silently — a caller column named like the
+    // rank output or the internal bucket/offset scratch would corrupt
+    // the result without a trace
     val taken = df.columns.toSet
     require(!taken(rankCol), s"input already has a '$rankCol' column")
-    require(!taken(totalCol), s"input already has a '$totalCol' column")
-    require(!taken("__gr_pid") && !taken("__gr_off") && !taken("__gr_voff")
-      && !taken("__gr_v"),
+    require(value.isEmpty || !taken(totalCol),
+      s"input already has a '$totalCol' column")
+    require(Seq("__gr_pid", "__gr_off", "__gr_voff", "__gr_v", "__gr_d",
+        "__gr_b").forall(!taken(_)),
       "input uses GlobalRank's reserved __gr_* names")
     val spark = df.sparkSession
-    import spark.implicits._
     val p =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    leadKey(df, sortCols.head) match {
+      case Some(key) =>
+        rankedBucketed(df, sortCols, key, rankCol, p, value, totalCol)
+      case None =>
+        rankedStaged(df, sortCols, rankCol, p, value, totalCol)
+    }
+  }
+
+  /** Monotone DOUBLE embedding of the leading sort key, pre-negated
+    * for descending order so downstream bucketing is always
+    * "ascending": (embedded key, nulls-first?, descending?). None when
+    * the key's type has no monotone numeric embedding (string/binary/
+    * complex) — those take the staged fallback. Non-strict
+    * monotonicity (e.g. distinct longs past 2^53 collapsing to one
+    * double) is fine: equal embedded values share a bucket, and the
+    * in-bucket window re-sorts by the ORIGINAL columns.
+    */
+  private def leadKey(df: DataFrame,
+                      c: Column): Option[(Column, Boolean, Boolean)] = {
+    val (child, desc, nullsFirst) = Shim.sortOrder(c)
+    // schema triggers analysis only (no job); the sort key must already
+    // resolve against df for the ranking itself to be well-formed
+    val dt = df.select(child.as("__gr_d")).schema.head.dataType
+    val embedded: Option[Column] = dt match {
+      case _: NumericType => Some(child.cast("double"))
+      case TimestampType | TimestampNTZType => Some(child.cast("double"))
+      case DateType => Some(child.cast("timestamp").cast("double"))
+      case BooleanType => Some(child.cast("int").cast("double"))
+      case _ => None
+    }
+    embedded.map(d => (if (desc) negate(d) else d, nullsFirst, desc))
+  }
+
+  /** The sampled-boundary bucket path — see the object doc. */
+  private def rankedBucketed(df: DataFrame, sortCols: Seq[Column],
+                             key: (Column, Boolean, Boolean),
+                             rankCol: String, p: Int, value: Option[Column],
+                             totalCol: String): (DataFrame, Long) = {
+    val (keyed, nullsFirst, desc) = key
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxB =
+      spark.conf.get(MaxBucketsKey, DefaultMaxBuckets.toString).toInt
+    val b = math.max(1, math.min(p, maxB))
+    val withV = value match {
+      case Some(v) =>
+        df.withColumn("__gr_v", coalesce(v.cast("long"), lit(0L)))
+      case None => df
+    }
+    val keyedDf = withV.withColumn("__gr_d", keyed)
+    // bounded action 1: sample the boundaries (narrow, column-pruned
+    // scan of the lead key; nulls and NaNs bucket by rule, not sample)
+    // approxQuantile drops null and NaN itself — no pre-filter (a
+    // Filter here measurably breaks codegen fusion with the summary
+    // aggregate); nulls and NaNs bucket by the explicit rules below
+    val bs: Array[Double] =
+      if (b <= 1) Array.empty
+      else keyedDf.select(col("__gr_d"))
+        .stat.approxQuantile("__gr_d",
+          (1 until b).map(_.toDouble / b).toArray,
+          1.0 / math.max(1000, 4 * b))
+        .distinct.sorted
+    val k = bs.length // buckets 0..k: bucket(d) = #[ boundaries < d ]
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(col("__gr_d") > lit(bs(mid)), tree(mid + 1, hi))
+          .otherwise(tree(lo, mid))
+      }
+    // null placement per the sort order's null ordering; NaN sorts
+    // LARGEST in Spark, so it lands last ascending / first descending
+    // (the embedding negates for desc but NaN survives negation)
+    val bucket = when(col("__gr_d").isNull, lit(if (nullsFirst) 0 else k))
+      .when(isnan(col("__gr_d")), lit(if (desc) 0 else k))
+      .otherwise(tree(0, k))
+    val bdf = keyedDf.withColumn("__gr_b", bucket).drop("__gr_d")
+    // bounded action 2: per-bucket counts (and value sums) -> driver
+    // (≤ b rows — metadata-scale, the AQE-stats posture)
+    val counts = (value match {
+      case Some(_) => bdf.groupBy("__gr_b")
+        .agg(count(lit(1)).as("c"), sum("__gr_v").as("s"))
+      case None => bdf.groupBy("__gr_b").agg(count(lit(1)).as("c"))
+    }).collect()
+    val cs = Array.fill(k + 1)(0L)
+    val ss = Array.fill(k + 1)(0L)
+    counts.foreach { r =>
+      cs(r.getInt(0)) = r.getLong(1)
+      if (value.isDefined) ss(r.getInt(0)) = r.getLong(2)
+    }
+    var accC = 0L
+    var accS = 0L
+    val offsets = (0 to k).map { i =>
+      val o = (i, accC, accS); accC += cs(i); accS += ss(i); o
+    }
+    val offDf = offsets.toDF("__gr_b", "__gr_off", "__gr_voff")
+    val wr = Window.partitionBy("__gr_b").orderBy(sortCols: _*)
+    val inBucket = value match {
+      case Some(_) =>
+        bdf.withColumn(rankCol, row_number().over(wr).cast("long"))
+          .withColumn(totalCol, sum("__gr_v")
+            .over(wr.rowsBetween(Window.unboundedPreceding, 0)))
+      case None =>
+        bdf.withColumn(rankCol, row_number().over(wr).cast("long"))
+    }
+    // offsets join AFTER the window: the bucketed exchange moves only
+    // the caller's columns + one int, not the offset longs
+    val joined = inBucket.join(broadcast(offDf), "__gr_b")
+      .withColumn(rankCol, col(rankCol) + col("__gr_off"))
+    val out = value match {
+      case Some(_) =>
+        joined.withColumn(totalCol, col(totalCol) + col("__gr_voff"))
+      case None => joined
+    }
+    (out.drop("__gr_b", "__gr_off", "__gr_voff", "__gr_v"), accC)
+  }
+
+  /** Pinned-partition-id fallback for lead keys with no monotone
+    * numeric embedding: range-shuffle on the full sort tuple, freeze
+    * each row's range-partition id AS DATA (`spark_partition_id()` +
+    * [[Stage.materialize]] — boundaries come from sampling, so the id
+    * must be pinned before two downstream jobs read the frame), then
+    * the same offsets + partitioned-window arithmetic over the pid.
+    */
+  private def rankedStaged(df: DataFrame, sortCols: Seq[Column],
+                           rankCol: String, p: Int, value: Option[Column],
+                           totalCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = value match {
+      case Some(v) =>
+        df.withColumn("__gr_v", coalesce(v.cast("long"), lit(0L)))
+      case None => df
+    }
     val ranged = Stage.materialize(
-      df.withColumn("__gr_v", coalesce(valueCol.cast("long"), lit(0L)))
-        .repartitionByRange(p, sortCols: _*)
+      base.repartitionByRange(p, sortCols: _*)
         .withColumn("__gr_pid", spark_partition_id()),
-      "global_running_total")
-    val parts = ranged.groupBy("__gr_pid")
-      .agg(count(lit(1)).as("c"), sum("__gr_v").as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      if (value.isDefined) "global_running_total" else "global_rank")
+    val parts = (value match {
+      case Some(_) => ranged.groupBy("__gr_pid")
+        .agg(count(lit(1)).as("c"), sum("__gr_v").as("s"))
+      case None => ranged.groupBy("__gr_pid").agg(count(lit(1)).as("c"))
+    }).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (value.isDefined) r.getLong(2) else 0L))
       .sortBy(_._1)
-    var accC = 0L; var accS = 0L
+    var accC = 0L
+    var accS = 0L
     val offsets = parts.map { case (pid, c, s) =>
       val o = (pid, accC, accS); accC += c; accS += s; o
     }.toSeq
     val offDf = offsets.toDF("__gr_pid", "__gr_off", "__gr_voff")
-    val w = Window.partitionBy("__gr_pid").orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
     val wr = Window.partitionBy("__gr_pid").orderBy(sortCols: _*)
-    ranged
-      .join(broadcast(offDf), "__gr_pid")
+    val withRank = ranged.join(broadcast(offDf), "__gr_pid")
       .withColumn(rankCol,
-        (row_number().over(wr).cast("long") + col("__gr_off")))
-      .withColumn(totalCol, (sum("__gr_v").over(w) + col("__gr_voff")))
-      .drop("__gr_pid", "__gr_off", "__gr_voff", "__gr_v")
-  }
-
-  private def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
-                              rankCol: String,
-                              numPartitions: Int): (DataFrame, Long) = {
-    // withColumn REPLACES silently — a caller column named like the
-    // rank output or the internal pid/offset scratch would corrupt the
-    // result without a trace
-    val taken = df.columns.toSet
-    require(!taken(rankCol), s"input already has a '$rankCol' column")
-    require(!taken("__gr_pid") && !taken("__gr_off"),
-      "input uses GlobalRank's reserved __gr_pid/__gr_off names")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p =
-      if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = Stage.materialize(
-      df.repartitionByRange(p, sortCols: _*)
-        .withColumn("__gr_pid", spark_partition_id()),
-      "global_rank")
-    val counts = ranged.groupBy("__gr_pid").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, cnt) =>
-      val o = (pid, acc); acc += cnt; o
-    }.toSeq
-    val offDf = offsets.toDF("__gr_pid", "__gr_off")
-    val w = Window.partitionBy("__gr_pid").orderBy(sortCols: _*)
-    val ranked = ranged
-      .join(broadcast(offDf), "__gr_pid")
-      .withColumn(rankCol,
-        (row_number().over(w).cast("long") + col("__gr_off")))
-      .drop("__gr_pid", "__gr_off")
-    (ranked, acc)
+        row_number().over(wr).cast("long") + col("__gr_off"))
+    val out = value match {
+      case Some(_) =>
+        withRank.withColumn(totalCol, sum("__gr_v")
+          .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+          + col("__gr_voff"))
+      case None => withRank
+    }
+    (out.drop("__gr_pid", "__gr_off", "__gr_voff", "__gr_v"), accC)
   }
 }

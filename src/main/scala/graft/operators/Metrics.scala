@@ -26,9 +26,15 @@ object Metrics {
     *         class is empty
     */
   def exactAuc(scored: DataFrame): DataFrame = {
-    val g = scored.groupBy("score")
-      .agg(sum(col("pos")).as("p"),
-        sum(lit(1L) - col("pos")).as("ng"))
+    // stage the grouped counts once: GlobalRank's bucketed ranking
+    // re-evaluates its input lineage for the boundary/counts passes,
+    // and this input is a full-corpus aggregate — stage the (tiny,
+    // |distinct scores|-row) result so each pass is a cheap scan
+    val g = Stage.materialize(
+      scored.groupBy("score")
+        .agg(sum(col("pos")).as("p"),
+          sum(lit(1L) - col("pos")).as("ng")),
+      "auc_groups")
     GlobalRank
       .withRunningTotal(g, Seq(col("score")), col("ng"),
         rankCol = "r", totalCol = "cum_ng")

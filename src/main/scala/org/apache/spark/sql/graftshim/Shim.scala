@@ -15,6 +15,24 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Decompose a (possibly sort-ordered) Column into (value column,
+    * descending?, nulls-first?). `Column.node` and the node-level
+    * `internal.SortOrder` are `private[sql]` in Spark 4 (the catalyst
+    * expression is built lazily at analysis, so the Expression
+    * converter only yields an opaque deferred wrapper for sort
+    * columns). A bare column reads as ascending nulls-first — the
+    * `Column.asc` default.
+    */
+  def sortOrder(c: Column): (Column, Boolean, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (new Column(so.child),
+        so.sortDirection ==
+          org.apache.spark.sql.internal.SortOrder.Descending,
+        so.nullOrdering ==
+          org.apache.spark.sql.internal.SortOrder.NullsFirst)
+    case _ => (c, false, true)
+  }
+
   /** Register a temp SQL function on an EXISTING session (the
     * config-driven `spark.sql.extensions` path only applies at session
     * construction; `sessionState` is likewise `private[sql]`).

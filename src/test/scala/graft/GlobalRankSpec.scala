@@ -142,6 +142,53 @@ class GlobalRankSpec extends SparkFunSuite {
     assert(bad.isEmpty, "withRunningTotal leaked a single-partition window")
   }
 
+  test("nullable + NaN lead key: bucket placement matches the window") {
+    // doubles with nulls and NaNs — the bucket rule must agree with the
+    // window's ordering (nulls per null-ordering, NaN sorts largest)
+    val df = spark.range(500).select(col("id"),
+      when(pmod(col("id"), lit(11)) === 0, lit(null).cast("double"))
+        .when(pmod(col("id"), lit(13)) === 0,
+          lit(Double.NaN))
+        .otherwise(pmod(xxhash64(col("id")), lit(97)).cast("double"))
+        .as("v"))
+    val gotA = GlobalRank.withGlobalRank(df,
+      Seq(col("v").asc_nulls_first, col("id")), "r", numPartitions = 6)
+    val wantA = df.withColumn("r",
+      row_number().over(W.orderBy(col("v").asc_nulls_first, col("id")))
+        .cast("long"))
+    sameRows(gotA, wantA)
+    val gotD = GlobalRank.withGlobalRank(df,
+      Seq(col("v").desc_nulls_last, col("id")), "r", numPartitions = 6)
+    val wantD = df.withColumn("r",
+      row_number().over(W.orderBy(col("v").desc_nulls_last, col("id")))
+        .cast("long"))
+    sameRows(gotD, wantD)
+  }
+
+  test("string lead key takes the staged fallback and stays exact") {
+    val df = data(400).select(
+      concat(lit("k"), pmod(col("k"), lit(5)).cast("string")).as("s"),
+      col("id"))
+    val got = GlobalRank.withGlobalRank(df,
+      Seq(col("s"), col("id")), "r", numPartitions = 5)
+    val want = df.withColumn("r",
+      row_number().over(W.orderBy(col("s"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("numeric lead key plans no range shuffle and no staged scan") {
+    // the bucketed fast path's only full-width movement is the hash
+    // exchange under the bucket-partitioned window — a range exchange
+    // or a graft_stage parquet scan means the staged fallback leaked in
+    val got = GlobalRank.withGlobalRank(data(100),
+      Seq(col("k"), col("id")), "r", numPartitions = 4)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"bucketed path planned a range exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("graft_stage"),
+      s"bucketed path materialized a stage:\n$plan")
+  }
+
   test("withRunningTotal rejects reserved/colliding column names") {
     val df = data(10).withColumn("v", lit(1L))
     intercept[IllegalArgumentException] {
