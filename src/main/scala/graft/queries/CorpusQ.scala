@@ -555,16 +555,21 @@ object CorpusQ {
         // r15 null contract (classifier family, same as class_nb /
         // cluster_kmeans): null label = unlabeled (no training row,
         // no confusion-matrix row), null embedding = unscorable
-        val q = graft.operators.Stage.materialize(
-          t(s, d, "embeddings")
-            .filter(col("label").isNotNull && col("embedding").isNotNull)
-            .select(col("vec_id"), col("label"), explode(expr(
-              "transform(sequence(1, 64), i -> struct(i AS i, " +
-                "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
-                "* 2097152.0) AS BIGINT) AS qv))")).as("e"))
-            .select(col("vec_id"), col("label"),
-              col("e.i").as("i"), col("e.qv").as("qv")),
-          "centroid_coords")
+        // r17: NOT staged — the exploded frame feeds exactly two
+        // passes (centroid aggregate, scoring join), and re-running
+        // the cheap scan+quantize+explode twice beats writing a
+        // 64x-corpus staged copy and reading it back twice (the
+        // centroid_coords stage write was the query's largest stage
+        // cost; the quantized values are integers, so both passes
+        // agree bit-for-bit by value, not by pinning)
+        val q = t(s, d, "embeddings")
+          .filter(col("label").isNotNull && col("embedding").isNotNull)
+          .select(col("vec_id"), col("label"), explode(expr(
+            "transform(sequence(1, 64), i -> struct(i AS i, " +
+              "CAST(round(CAST(element_at(embedding, i) AS DOUBLE) " +
+              "* 2097152.0) AS BIGINT) AS qv))")).as("e"))
+          .select(col("vec_id"), col("label"),
+            col("e.i").as("i"), col("e.qv").as("qv"))
         val tr = q.filter(col("vec_id") % 2 === 0)
           .groupBy(col("label").as("cand"), col("i"))
           .agg(expr("CAST(round(CAST(sum(qv) AS DOUBLE) " +
