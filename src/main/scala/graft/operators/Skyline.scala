@@ -92,8 +92,14 @@ object Skyline {
       else spark.sessionState.conf.numShufflePartitions
     val nullMax = df.filter(col(maxCol).isNull)
     val swept = df.filter(col(maxCol).isNotNull)
-    val grp = swept.groupBy(col(maxCol).as("__sk_max"))
-      .agg(min(col(minCol)).as("__sk_gmin"))
+    // r17: stage the level table BEFORE the range shuffle — the range
+    // partitioner's sampling pass and the shuffle itself would each
+    // recompute the full-scan aggregate otherwise (two extra corpus
+    // scans); staged, they read |levels| rows
+    val grp = Stage.materialize(
+      swept.groupBy(col(maxCol).as("__sk_max"))
+        .agg(min(col(minCol)).as("__sk_gmin")),
+      "skyline_levels")
     val ranged = Stage.materialize(
       grp.repartitionByRange(p, col("__sk_max").desc)
         .withColumn("__sk_pid", spark_partition_id()),
