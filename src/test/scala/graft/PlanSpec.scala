@@ -339,8 +339,16 @@ class PlanSpec extends SparkFunSuite {
     assert(graft.plans.ScaleGuard.validate(df).isEmpty,
       "AUC degraded to a global-sort ranking: " +
         graft.plans.ScaleGuard.validate(df).mkString("; "))
-    assert(plan("class_auc").contains("graft_stage_global_running_total"),
-      "GlobalRank's range-partitioned stage missing")
+    // r17: the rank is value-bucketed (sampled-boundary when-tree, no
+    // staged range shuffle); the one stage left is the grouped score
+    // counts, so GlobalRank's boundary/counts passes scan a tiny file
+    // instead of re-running the corpus aggregate
+    val p = plan("class_auc")
+    assert(p.contains("graft_stage_auc_groups"),
+      "grouped-score-counts stage missing — the rank passes would " +
+        "re-run the corpus aggregate")
+    assert(!p.contains("graft_stage_global_running_total"),
+      "staged range-partitioned ranking leaked back in")
   }
 
   test("join_asof_tol: same single-exchange carry plan as join_asof, no extra join") {
