@@ -25,9 +25,14 @@ import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
   *     a pure function of the ROW VALUES, so every plan branch and
   *     every re-evaluation agrees on it by construction (no partition
   *     ids pinned as data, no staged copy of the frame);
-  *  3. per-bucket row counts → driver (≤ B rows — metadata-scale, the
-  *     same posture as AQE's per-partition stats) → prefix-sum
-  *     offsets, broadcast back;
+  *  3. per-bucket row counts → prefix-sum offsets → broadcast back.
+  *     Callers that need n on the driver (ntile/topFraction) collect
+  *     the ≤ B count rows (metadata-scale, the same posture as AQE's
+  *     per-partition stats); the rank/running-total callers keep the
+  *     offsets IN-PLAN (bucket b's counts explode to every bucket
+  *     after it — ≤ B²/2 metadata rows — and a grouped sum is the
+  *     prefix), so those calls run zero driver actions beyond the
+  *     boundary sample;
   *  4. `row_number()` over a window PARTITIONED by the bucket
   *     (parallel, one key range per bucket) + the bucket's offset
   *     = the exact global rank.
@@ -42,7 +47,12 @@ import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
   * ranks are exact whatever the sample said.
   *
   * Applicability: the fast path needs a leading sort key with a
-  * monotone embedding into DOUBLE (numeric, date, timestamp, boolean).
+  * monotone embedding into DOUBLE (numeric, date, timestamp, boolean)
+  * AND a deterministic input lineage — the fast path re-evaluates the
+  * input per pass, so a non-deterministic source (rand()-derived
+  * columns, samples, monotonically_increasing_id) could disagree
+  * between passes; such lineages are detected and routed to the staged
+  * fallback, which pins the frame once and is immune.
   * Anything else (string/binary/struct leads) falls back to the
   * pinned-partition-id form: range-shuffle, stage the frame once
   * ([[Stage.materialize]] — boundaries come from sampling, so ids must
@@ -105,7 +115,8 @@ object GlobalRank {
     require(!df.columns.contains(bucketCol),
       s"input already has a '$bucketCol' column")
     val (rankedDf, n) =
-      ranked(df, sortCols, "__gr_rank", numPartitions, None, "__gr_unused")
+      ranked(df, sortCols, "__gr_rank", numPartitions, None, "__gr_unused",
+        needCount = true)
     val q = n / buckets
     val rem = n % buckets
     val cut = rem * (q + 1) // ranks 1..cut land in the q+1-sized buckets
@@ -130,7 +141,8 @@ object GlobalRank {
                   numPartitions: Int = 0): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"need 0 < frac <= 1, got $frac")
     val (rankedDf, n) =
-      ranked(df, sortCols, rankCol, numPartitions, None, "__gr_unused")
+      ranked(df, sortCols, rankCol, numPartitions, None, "__gr_unused",
+        needCount = true)
     rankedDf.filter(col(rankCol) <= math.round(frac * n))
   }
 
@@ -180,12 +192,15 @@ object GlobalRank {
   // ---- shared machinery --------------------------------------------
 
   /** Rank (and optionally running-total) `df`; returns the augmented
-    * frame and the exact total row count (already known from the
-    * offsets pass — `withNtile`/`topFraction` need it on the driver).
+    * frame and the exact total row count when `needCount` (known from
+    * the offsets pass — `withNtile`/`topFraction` need it on the
+    * driver; -1 otherwise, where the offsets stay in-plan and no
+    * driver action runs at build time).
     */
   private def ranked(df: DataFrame, sortCols: Seq[Column], rankCol: String,
                      numPartitions: Int, value: Option[Column],
-                     totalCol: String): (DataFrame, Long) = {
+                     totalCol: String,
+                     needCount: Boolean = false): (DataFrame, Long) = {
     // withColumn REPLACES silently — a caller column named like the
     // rank output or the internal bucket/offset scratch would corrupt
     // the result without a trace
@@ -194,19 +209,38 @@ object GlobalRank {
     require(value.isEmpty || !taken(totalCol),
       s"input already has a '$totalCol' column")
     require(Seq("__gr_pid", "__gr_off", "__gr_voff", "__gr_v", "__gr_d",
-        "__gr_b").forall(!taken(_)),
+        "__gr_b", "__gr_c", "__gr_s").forall(!taken(_)),
       "input uses GlobalRank's reserved __gr_* names")
     val spark = df.sparkSession
     val p =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     leadKey(df, sortCols.head) match {
-      case Some(key) =>
-        rankedBucketed(df, sortCols, key, rankCol, p, value, totalCol)
-      case None =>
+      // determinism gate (r18, advisor item): the bucketed fast path
+      // evaluates the input lineage up to three times (boundary sample,
+      // counts, ranking) — a non-deterministic input (rand(), sample,
+      // monotonically_increasing_id, order-dependent first()) could
+      // disagree across those passes and silently duplicate/skip ranks.
+      // The staged fallback pins the frame once and is immune, so
+      // non-deterministic lineage routes there. Every registered caller
+      // is deterministic (PlanGuardSpec bans the rand() family
+      // repo-wide), so this is a latent-hazard gate, not a plan change.
+      case Some(key) if deterministicLineage(df) =>
+        rankedBucketed(df, sortCols, key, rankCol, p, value, totalCol,
+          needCount)
+      case _ =>
         rankedStaged(df, sortCols, rankCol, p, value, totalCol)
     }
   }
+
+  /** Does every expression in `df`'s analyzed plan claim determinism?
+    * (Catalyst's `Expression.deterministic` already folds children, so
+    * a single sweep over node expressions suffices.)
+    */
+  private def deterministicLineage(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .find(p => p.expressions.exists(e => !e.deterministic))
+      .isEmpty
 
   /** Monotone DOUBLE embedding of the leading sort key, pre-negated
     * for descending order so downstream bucketing is always
@@ -237,12 +271,18 @@ object GlobalRank {
   private def rankedBucketed(df: DataFrame, sortCols: Seq[Column],
                              key: (Column, Boolean, Boolean),
                              rankCol: String, p: Int, value: Option[Column],
-                             totalCol: String): (DataFrame, Long) = {
+                             totalCol: String,
+                             needCount: Boolean): (DataFrame, Long) = {
     val (keyed, nullsFirst, desc) = key
     val spark = df.sparkSession
     import spark.implicits._
+    val maxBRaw = spark.conf.get(MaxBucketsKey, DefaultMaxBuckets.toString)
     val maxB =
-      spark.conf.get(MaxBucketsKey, DefaultMaxBuckets.toString).toInt
+      try maxBRaw.toInt
+      catch { case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$MaxBucketsKey must be an integer, got '$maxBRaw'", e)
+      }
     val b = math.max(1, math.min(p, maxB))
     val withV = value match {
       case Some(v) =>
@@ -277,25 +317,6 @@ object GlobalRank {
       .when(isnan(col("__gr_d")), lit(if (desc) 0 else k))
       .otherwise(tree(0, k))
     val bdf = keyedDf.withColumn("__gr_b", bucket).drop("__gr_d")
-    // bounded action 2: per-bucket counts (and value sums) -> driver
-    // (≤ b rows — metadata-scale, the AQE-stats posture)
-    val counts = (value match {
-      case Some(_) => bdf.groupBy("__gr_b")
-        .agg(count(lit(1)).as("c"), sum("__gr_v").as("s"))
-      case None => bdf.groupBy("__gr_b").agg(count(lit(1)).as("c"))
-    }).collect()
-    val cs = Array.fill(k + 1)(0L)
-    val ss = Array.fill(k + 1)(0L)
-    counts.foreach { r =>
-      cs(r.getInt(0)) = r.getLong(1)
-      if (value.isDefined) ss(r.getInt(0)) = r.getLong(2)
-    }
-    var accC = 0L
-    var accS = 0L
-    val offsets = (0 to k).map { i =>
-      val o = (i, accC, accS); accC += cs(i); accS += ss(i); o
-    }
-    val offDf = offsets.toDF("__gr_b", "__gr_off", "__gr_voff")
     val wr = Window.partitionBy("__gr_b").orderBy(sortCols: _*)
     val inBucket = value match {
       case Some(_) =>
@@ -305,16 +326,68 @@ object GlobalRank {
       case None =>
         bdf.withColumn(rankCol, row_number().over(wr).cast("long"))
     }
-    // offsets join AFTER the window: the bucketed exchange moves only
-    // the caller's columns + one int, not the offset longs
-    val joined = inBucket.join(broadcast(offDf), "__gr_b")
-      .withColumn(rankCol, col(rankCol) + col("__gr_off"))
-    val out = value match {
-      case Some(_) =>
-        joined.withColumn(totalCol, col(totalCol) + col("__gr_voff"))
-      case None => joined
+    if (needCount) {
+      // bounded action 2: per-bucket counts (and value sums) -> driver
+      // (≤ b rows — metadata-scale, the AQE-stats posture). Only for
+      // callers that need n on the driver (ntile/topFraction).
+      val counts = (value match {
+        case Some(_) => bdf.groupBy("__gr_b")
+          .agg(count(lit(1)).as("c"), sum("__gr_v").as("s"))
+        case None => bdf.groupBy("__gr_b").agg(count(lit(1)).as("c"))
+      }).collect()
+      val cs = Array.fill(k + 1)(0L)
+      val ss = Array.fill(k + 1)(0L)
+      counts.foreach { r =>
+        cs(r.getInt(0)) = r.getLong(1)
+        if (value.isDefined) ss(r.getInt(0)) = r.getLong(2)
+      }
+      var accC = 0L
+      var accS = 0L
+      val offsets = (0 to k).map { i =>
+        val o = (i, accC, accS); accC += cs(i); accS += ss(i); o
+      }
+      val offDf = offsets.toDF("__gr_b", "__gr_off", "__gr_voff")
+      // offsets join AFTER the window: the bucketed exchange moves only
+      // the caller's columns + one int, not the offset longs
+      val joined = inBucket.join(broadcast(offDf), "__gr_b")
+        .withColumn(rankCol, col(rankCol) + col("__gr_off"))
+      val out = value match {
+        case Some(_) =>
+          joined.withColumn(totalCol, col(totalCol) + col("__gr_voff"))
+        case None => joined
+      }
+      (out.drop("__gr_b", "__gr_off", "__gr_voff", "__gr_v"), accC)
+    } else {
+      // offsets folded INTO the main query (r18, VERDICT item 6): when
+      // the caller does not need n on the driver, the per-bucket
+      // aggregate stays a plan subtree — each non-empty bucket b
+      // contributes its (count, sum) to every bucket AFTER it via a
+      // bounded explode(sequence(b+1, k)) (≤ B²/2 metadata rows), and
+      // one tiny grouped sum yields exactly the prefix offsets the
+      // collect computed. The broadcast LEFT join coalesces missing
+      // offsets (no non-empty predecessor) to 0. One driver round-trip
+      // fewer per call; the input-lineage pass count is unchanged.
+      val counts = value match {
+        case Some(_) => bdf.groupBy("__gr_b")
+          .agg(count(lit(1)).as("__gr_c"), sum("__gr_v").as("__gr_s"))
+        case None => bdf.groupBy("__gr_b")
+          .agg(count(lit(1)).as("__gr_c"), lit(0L).as("__gr_s"))
+      }
+      val offDf = counts.filter(col("__gr_b") < lit(k))
+        .select(explode(sequence(col("__gr_b") + lit(1), lit(k)))
+          .as("__gr_b"), col("__gr_c"), col("__gr_s"))
+        .groupBy("__gr_b")
+        .agg(sum("__gr_c").as("__gr_off"), sum("__gr_s").as("__gr_voff"))
+      val joined = inBucket.join(broadcast(offDf), Seq("__gr_b"), "left")
+        .withColumn(rankCol,
+          col(rankCol) + coalesce(col("__gr_off"), lit(0L)))
+      val out = value match {
+        case Some(_) => joined.withColumn(totalCol,
+          col(totalCol) + coalesce(col("__gr_voff"), lit(0L)))
+        case None => joined
+      }
+      (out.drop("__gr_b", "__gr_off", "__gr_voff", "__gr_v"), -1L)
     }
-    (out.drop("__gr_b", "__gr_off", "__gr_voff", "__gr_v"), accC)
   }
 
   /** Pinned-partition-id fallback for lead keys with no monotone
