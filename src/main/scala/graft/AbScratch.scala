@@ -194,8 +194,37 @@ object AbScratch {
     def newRanks(e: DataFrame): DataFrame =
       graft.operators.PageRank.ranks(e, "src", "dst", iters = 5)
 
-    val __ = (oldRanks _, newRanks _, tokRegex _, tokNative _, time _)
-    (1 to reps).foreach(_ => zsteps())
+    val __ = (oldRanks _, newRanks _, tokRegex _, tokNative _, zsteps _)
+
+    // r18: theilSen windowed-vs-histogram A/B — the registered input
+    // (typeHourly-shaped: 5 keys x ~720 h) and a FAT series (2 keys x
+    // 6000 points = 18M pairs/key) where the window form must exchange
+    // and sort 36M pair rows and the histogram form shuffles only
+    // keys x 2048 partials per pass.
+    def tsSeries(): DataFrame =
+      queries.t(spark, sfDir, "events")
+        .select(expr("unix_micros(ts) div 3600000000").as("hb"),
+          col("event_type"))
+        .groupBy("event_type", "hb").agg(count(lit(1)).as("v"))
+        .select(col("event_type").as("key"), col("hb").as("x"),
+          col("v").as("y"))
+    def fatSeries(n: Int): DataFrame = {
+      import spark.implicits._
+      (0 until 2).flatMap { k =>
+        (0 until n).map(x =>
+          (k.toLong, x.toLong, 3L * x + (x * 2654435761L % 13) - 6))
+      }.toDF("key", "x", "y")
+    }
+    val fat = graft.operators.Stage.materialize(fatSeries(6000), "ab_fat_series")
+    val sf = graft.operators.Stage.materialize(tsSeries(), "ab_sf_series")
+    (1 to reps).foreach { _ =>
+      Seq(("sf", sf), ("fat", fat)).foreach { case (tag, s) =>
+        val _ = time(s"theil_windowed_$tag",
+          () => graft.operators.Metrics.theilSenWindowed(s))
+        val __ = time(s"theil_histogram_$tag",
+          () => graft.operators.Metrics.theilSen(s))
+      }
+    }
     spark.stop()
   }
 }

@@ -48,16 +48,41 @@ object Metrics {
           .as("auc"))
   }
 
+  /** Key-cardinality bound for [[theilSen]]'s aggregate-only median
+    * path (count-then-choose, the PageRank/CC convention): the
+    * vectorized iterative-histogram selection collects
+    * activeKeys × 2048 constant-size partials per pass, so the driver
+    * cost is bounded by this limit × a few hundred bytes. Above it the
+    * windowed form runs instead — its per-key exchange is spread
+    * across keys, which is exactly the regime where many keys exist.
+    */
+  val groupedKeyLimit: Long = 256L
+
   /** Theil-Sen robust slope per series — the median of all pairwise
     * slopes with distinct x (29% breakdown point). Pairs are bounded
     * by series LENGTH², not row count; for series beyond ~10⁴ points
     * use [[theilSenSampled]] (same shape, deterministic pair cap).
-    * Median = explicit two-middle-rank selection inside a
-    * key-partitioned window, averaging the middle slope VALUES, so
-    * rank-tie ordering cannot change the result; each slope is one
-    * integer-diff IEEE division, and the rank + count ride the SAME
-    * key exchange (a separate count aggregate would re-evaluate the
-    * O(len²) join in a second plan branch).
+    *
+    * Median = the aggregate-only iterative-histogram selection
+    * ([[RobustStats.groupedMedianExact]], vectorized across keys):
+    * pair ENUMERATION stays O(len²) codegen'd compute per pass
+    * (2-4 passes), but no pair row ever shuffles or sorts — each pass
+    * feeds a map-side partial aggregate and only keys × 2048
+    * constant-size partials cross the wire, where the previous form
+    * exchanged and sorted the full O(len²) pair stream under a
+    * key-partitioned window. Selection is by rank over the slope
+    * VALUES (two-middle-rank average), so the result is bit-identical
+    * to the windowed form regardless of rank-tie ordering; each slope
+    * is one integer-diff IEEE division and the two-middle mean is the
+    * same (a + b) / 2 either way. Key cardinality is gated at
+    * [[groupedKeyLimit]] (count-then-choose — one countDistinct over
+    * the series); above it the windowed form runs unchanged.
+    *
+    * Lineage caveat (the GlobalRank convention): the selection
+    * re-enumerates the pair stream per pass, so `series` should be
+    * cheap to recompute — a staged scan (the registered caller feeds
+    * the staged type_hourly_dense frame) or a raw scan. Stage
+    * expensive lineages first ([[Stage.materialize]]).
     *
     * Duplicate-x contract: pairs with EQUAL x are excluded (the
     * `x2 > x1` pair condition — a vertical slope is undefined), and
@@ -66,13 +91,55 @@ object Metrics {
     * series with repeated x values gets the median over its
     * distinct-x pairs only — callers whose series carry duplicate
     * timestamps should pre-aggregate per x (e.g. per-x mean) if they
-    * want every observation weighted.
+    * want every observation weighted. Pairs whose y is null are
+    * excluded on both paths' defined inputs (integral non-null y by
+    * contract).
     *
     * @param series frame with `key`, integral `x`, integral `y`
     * @return (key, n_pairs, slope); series with < 2 distinct x yield
     *         no row
     */
   def theilSen(series: DataFrame): DataFrame = {
+    val nKeys = series.agg(
+      org.apache.spark.sql.functions.countDistinct(col("key")))
+      .head().getLong(0)
+    if (nKeys > groupedKeyLimit) theilSenWindowed(series)
+    else {
+      val spark = series.sparkSession
+      val keyField = series.schema.apply(
+        series.schema.fieldIndex("key"))
+      val pairs = series.select(col("key"), col("x").as("x1"),
+          col("y").as("y1"))
+        .join(series.select(col("key"), col("x").as("x2"),
+          col("y").as("y2")), Seq("key"))
+        .filter(col("x2") > col("x1"))
+        .select(col("key").as("__rs_k"),
+          ((col("y2") - col("y1")).cast("double") /
+            (col("x2") - col("x1")).cast("double")).as("__rs_x"))
+        .filter(col("__rs_x").isNotNull)
+      val med = RobustStats.groupedMedianExact(pairs)
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        med.map { case (ky, n, m) =>
+          org.apache.spark.sql.Row(ky, n, m)
+        }.asJava
+      spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          keyField.copy(name = "key"),
+          org.apache.spark.sql.types.StructField("n_pairs",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("slope",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    }
+  }
+
+  /** The key-partitioned-window form of [[theilSen]] — the fallback
+    * past [[groupedKeyLimit]] keys, where the O(len²) pair exchange
+    * spreads across many keys and the driver must not hold
+    * keys × 2048 histogram partials. Bit-identical output (the
+    * two-middle-rank selection averages VALUES).
+    */
+  private[graft] def theilSenWindowed(series: DataFrame): DataFrame = {
     val pairs = series.select(col("key"), col("x").as("x1"),
         col("y").as("y1"))
       .join(series.select(col("key"), col("x").as("x2"),

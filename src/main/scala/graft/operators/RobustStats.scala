@@ -185,6 +185,220 @@ object RobustStats {
     (loVal + second) / 2.0
   }
 
+  /** Per-KEY exact median under the same `percentile_cont(0.5)`
+    * convention as [[medianExact]], vectorized across keys with the
+    * identical aggregate-only iterative-histogram selection — one
+    * histogram pass narrows EVERY active key's candidate interval at
+    * once, so K keys cost the same 2-4 full-scan aggregate passes one
+    * key does, and NO row ever shuffles or sorts (the input feeds a
+    * map-side partial aggregate; only activeKeys × B constant-size
+    * partials cross the wire per pass).
+    *
+    * The input frame is RE-EVALUATED once per pass (head + 1-3
+    * histogram passes + the final slice/value collect), so callers
+    * pass a cheap-to-recompute lineage — a staged scan, or a
+    * generated stream whose enumeration is map-side compute (the
+    * Theil-Sen pair stream). Driver memory is O(activeKeys × B) per
+    * pass plus the final per-key slices (batched under `hardCap` rows
+    * per collect) — callers must bound the KEY cardinality
+    * (count-then-choose; [[Metrics.theilSen]] gates on
+    * [[Metrics.groupedKeyLimit]]).
+    *
+    * @param gen frame with columns `__rs_k` (any type, the key) and
+    *            `__rs_x` (double, non-null)
+    * @return per key: (n, median); keys with no rows yield no entry
+    */
+  private[operators] def groupedMedianExact(gen: DataFrame,
+      sliceMax: Long = DriverSliceMax,
+      hardCap: Long = SliceHardCap): Seq[(Any, Long, Double)] = {
+    val spark = gen.sparkSession
+    val keyType = gen.schema.apply("__rs_k").dataType
+    val keyNullable = gen.schema.apply("__rs_k").nullable
+
+    final class St(var lo: Double, var hi: Double, var cnt: Long,
+                   var k: Long, var hiVal: Option[Double], val n: Long,
+                   var byValue: Boolean = false, var done: Boolean = false,
+                   var med: Double = 0.0)
+    val st = scala.collection.mutable.LinkedHashMap.empty[Any, St]
+    gen.groupBy("__rs_k")
+      .agg(count(lit(1)).as("n"), min("__rs_x").as("mn"),
+        max("__rs_x").as("mx"))
+      .collect()
+      .foreach { r =>
+        val n = r.getLong(1)
+        val (kLo, kHi) = ((n + 1) / 2, (n + 2) / 2)
+        st(r.get(0)) = new St(r.getDouble(2), r.getDouble(3), n, kLo,
+          if (kHi == kLo) Some(Double.NaN) else None, n)
+      }
+
+    def boundsDf(keys: Seq[Any]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        keys.map { ky =>
+          org.apache.spark.sql.Row(ky, st(ky).lo, st(ky).hi)
+        }.asJava
+      broadcast(spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__rs_k", keyType,
+            keyNullable),
+          org.apache.spark.sql.types.StructField("__rs_lo",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("__rs_hi",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))))
+    }
+    def inRange = col("__rs_x") >= col("__rs_lo") &&
+      col("__rs_x") <= col("__rs_hi")
+
+    var active = st.collect {
+      case (ky, s) if s.cnt > sliceMax && s.lo < s.hi => ky
+    }.toSeq
+    var guard = 0
+    while (active.nonEmpty && guard < 64) {
+      guard += 1
+      val w = (col("__rs_hi") - col("__rs_lo")) / lit(Buckets.toDouble)
+      val bucket = least(greatest(
+        floor((col("__rs_x") - col("__rs_lo")) / w), lit(0.0)),
+        lit((Buckets - 1).toDouble)).cast("int")
+      val stats = gen.join(boundsDf(active), "__rs_k")
+        .filter(inRange)
+        .groupBy(col("__rs_k"), bucket.as("__rs_b"))
+        .agg(count(lit(1)).as("c"), min("__rs_x").as("mn"),
+          max("__rs_x").as("mx"))
+        .collect()
+        .groupBy(_.get(0))
+      val next = Seq.newBuilder[Any]
+      active.foreach { ky =>
+        val s = st(ky)
+        stats.get(ky) match {
+          case None =>
+            // a deterministic source always re-yields the counted rows;
+            // an empty pass means it changed between jobs — fall back
+            // to value-group selection rather than trusting stale state
+            s.byValue = true
+          case Some(rs) =>
+            val rows = rs.map(r => (r.getInt(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+            var acc = 0L; var idx = -1; var below = 0L
+            rows.indices.foreach { i =>
+              if (idx < 0) {
+                if (acc + rows(i)._2 >= s.k) { idx = i; below = acc }
+                acc += rows(i)._2
+              }
+            }
+            if (idx < 0) { s.byValue = true }
+            else {
+              val (_, c, mn, mx) = rows(idx)
+              if (s.hiVal.isEmpty && s.k + 1 > below + c)
+                s.hiVal = Some(rows(idx + 1)._3)
+              if (mn == s.lo && mx == s.hi && c == s.cnt) s.byValue = true
+              else {
+                s.lo = mn; s.hi = mx; s.k -= below; s.cnt = c
+                if (s.cnt > sliceMax && s.lo < s.hi) next += ky
+              }
+            }
+        }
+      }
+      active = next.result()
+    }
+
+    def resolve(loVal: Double, s: St, second: => Double): Double = {
+      val hi2 = s.hiVal match {
+        case Some(v) if v.isNaN => loVal
+        case Some(v) => v
+        case None => second
+      }
+      (loVal + hi2) / 2.0
+    }
+
+    // collapsed intervals: one value holds both target ranks
+    st.values.foreach { s =>
+      if (!s.done && !s.byValue && s.lo >= s.hi) {
+        s.med = resolve(s.lo, s, s.lo); s.done = true
+      }
+    }
+
+    // slice finish, batched so one collect never materializes more
+    // than hardCap rows (the medianExact limit(cap + 1) discipline —
+    // a source mutating between jobs overflows the limit and falls
+    // back to value groups instead of flooding the driver)
+    val sliceKeys = st.collect {
+      case (ky, s) if !s.done && !s.byValue => ky
+    }.toSeq
+    val batches = Seq.newBuilder[Seq[Any]]
+    var cur = Seq.newBuilder[Any]; var curRows = 0L
+    sliceKeys.foreach { ky =>
+      val c = st(ky).cnt
+      if (c > hardCap) st(ky).byValue = true
+      else {
+        if (curRows + c > hardCap) {
+          batches += cur.result(); cur = Seq.newBuilder[Any]; curRows = 0L
+        }
+        cur += ky; curRows += c
+      }
+    }
+    val lastB = cur.result(); if (lastB.nonEmpty) batches += lastB
+    batches.result().foreach { batch =>
+      val expect = batch.map(st(_).cnt).sum
+      val lim = math.min(expect + 1, Int.MaxValue.toLong).toInt
+      val capped = gen.join(boundsDf(batch), "__rs_k").filter(inRange)
+        .select(col("__rs_k"), col("__rs_x"))
+        .limit(lim).collect()
+      if (capped.length >= lim) batch.foreach(st(_).byValue = true)
+      else {
+        val byKey = capped.groupBy(_.get(0))
+        batch.foreach { ky =>
+          val s = st(ky)
+          byKey.get(ky) match {
+            case None => s.byValue = true
+            case Some(rs) =>
+              val slice = rs.map(_.getDouble(1))
+              java.util.Arrays.sort(slice)
+              if (s.k > slice.length) s.byValue = true
+              else {
+                val loVal = slice((s.k - 1).toInt)
+                s.med = resolve(loVal, s,
+                  if (s.k < slice.length) slice(s.k.toInt) else loVal)
+                s.done = true
+              }
+          }
+        }
+      }
+    }
+
+    // value-group finish (ULP-degenerate intervals + every fallback):
+    // bounded by the DISTINCT count inside each key's interval
+    val bvKeys = st.collect {
+      case (ky, s) if !s.done && s.byValue => ky
+    }.toSeq
+    if (bvKeys.nonEmpty) {
+      val grouped = gen.join(boundsDf(bvKeys), "__rs_k").filter(inRange)
+        .groupBy(col("__rs_k"), col("__rs_x"))
+        .agg(count(lit(1)).as("c"))
+      val ng = grouped.count()
+      require(ng <= 16L * 1024 * 1024,
+        s"grouped median selection degenerate: $ng distinct (key, value) " +
+          "groups — non-deterministic input changed between passes?")
+      val byKey = grouped.collect().groupBy(_.get(0))
+      bvKeys.foreach { ky =>
+        val s = st(ky)
+        val groups = byKey(ky).map(r => (r.getDouble(1), r.getLong(2)))
+          .sortBy(_._1)
+        def rankValue(r: Long): Double = {
+          var acc = 0L
+          groups.foreach { case (v, c) =>
+            acc += c
+            if (acc >= r) return v
+          }
+          groups.last._1
+        }
+        val loVal = rankValue(s.k)
+        s.med = resolve(loVal, s, rankValue(s.k + 1))
+        s.done = true
+      }
+    }
+    st.toSeq.map { case (ky, s) => (ky, s.n, s.med) }
+  }
+
   /** EXACT lower weighted median: the smallest value v whose
     * cumulative weight (in value order) reaches ⌈W/2⌉, W = Σweights.
     * Same iterative-histogram selection as [[medianExact]] — the rank

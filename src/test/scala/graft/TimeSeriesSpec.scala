@@ -119,6 +119,40 @@ class TimeSeriesSpec extends SparkFunSuite {
     assert(sampled === exact)
   }
 
+  test("theilSen: histogram selection is bit-identical to the windowed form") {
+    import spark.implicits._
+    // r18: theilSen's median moved from a key-partitioned window sort
+    // over the O(len²) pair stream to the aggregate-only iterative-
+    // histogram selection (RobustStats.groupedMedianExact). Pin exact
+    // parity on shapes that stress every branch: even and odd pair
+    // counts, heavy slope ties (constant + step series), duplicate x
+    // values (excluded-pair contract), a key with a single distinct x
+    // (no row), and a long series that needs real narrowing passes.
+    val series = (
+      // k=0: 41 points, linear + perturbation (odd/even rank mix)
+      (0 until 41).map(x => (0L, x.toLong, 5L * x + (x % 3))) ++
+      // k=1: constant y — every slope 0.0, maximal ties
+      (0 until 30).map(x => (1L, x.toLong, 7L)) ++
+      // k=2: two-level step — slope ties at 0 and a few jumps
+      (0 until 24).map(x => (2L, x.toLong, if (x < 12) 1L else 9L)) ++
+      // k=3: duplicate x values (3 rows per x) — equal-x pairs excluded
+      (0 until 12).flatMap(x => Seq((3L, x.toLong, 2L * x),
+        (3L, x.toLong, 2L * x + 1), (3L, x.toLong, 2L * x + 2))) ++
+      // k=4: single distinct x — no pairs, no output row
+      Seq((4L, 1L, 10L), (4L, 1L, 20L)) ++
+      // k=5: 600 points = 179,700 pairs > the 65,536 slice bound —
+      // forces at least one histogram narrowing pass
+      (0 until 600).map(x =>
+        (5L, x.toLong, 3L * x + (x * 2654435761L % 13) - 6))
+    ).toDF("key", "x", "y")
+    val got = graft.operators.Metrics.theilSen(series)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = graft.operators.Metrics.theilSenWindowed(series)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L, 5L)) // k=4 absent
+  }
+
   test("theilSenSampled: long-series slope converges to the exact slope") {
     import spark.implicits._
     // 3000 points/key = ~4.5M exact pairs; slope 2 plus a bounded
