@@ -1924,13 +1924,17 @@ object CorpusQ {
     // window, fully replayable (portable md5 hash, seed 11).
     Q("corpus_interleave",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val h = t(s, d, "documents").select(col("doc_id"), col("source"),
           graft.operators.Sampling.contentHash(col("doc_id"), 11L,
             portable = true).as("hk"))
-        val ranked = h.withColumn("src_rank",
-            row_number().over(Window.partitionBy("source")
-              .orderBy(col("hk"), col("doc_id"))).cast("long"))
+        // r18: the plain source-partitioned window co-located every row
+        // of a source in ONE task's sort (the skew sweep measured a
+        // 90%-hot source at 3.7× the uniform cost). withGroupedRank
+        // buckets on global hk quantiles and windows by (source,
+        // bucket) — a hot source splits across all buckets; per-source
+        // in-plan offsets keep src_rank bit-identical to the window.
+        val ranked = graft.operators.GlobalRank.withGroupedRank(
+            h, Seq("source"), Seq(col("hk"), col("doc_id")), "src_rank")
           .select(col("doc_id"), col("source"), col("src_rank"))
         // r15: the interleave ORDER crosses a NULLABLE key (source) —
         // null placement must be PINNED (Spark defaults nulls-first,

@@ -75,6 +75,101 @@ class GlobalRankSpec extends SparkFunSuite {
     sameRows(got, want)
   }
 
+  test("hot lead value (80% of rows) splits two-level and stays exact") {
+    // r18 skew sweep: a lead value sampled for >=2 quantile cuts gets
+    // second-key sub-buckets; ranks must match the window bit-for-bit
+    val df = spark.range(2000).select(col("id"),
+      when(pmod(col("id"), lit(5)) < 4, lit(100L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000L))).as("k"))
+    val got = GlobalRank.withGlobalRank(df,
+      Seq(col("k"), col("id")), "r", numPartitions = 16)
+    val want = df.withColumn("r",
+      row_number().over(W.orderBy(col("k"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("hot lead desc with a running total stays exact") {
+    val df = spark.range(1500).select(col("id"),
+      when(pmod(col("id"), lit(4)) < 3, lit(7L))
+        .otherwise(pmod(xxhash64(col("id")), lit(500L))).as("k"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(97L)) + 1L).as("v"))
+    val got = GlobalRank.withRunningTotal(df,
+      Seq(col("k").desc, col("id")), col("v"), "r", "cum",
+      numPartitions = 12)
+    val w = W.orderBy(col("k").desc, col("id"))
+    val want = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("v")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sameRows(got, want)
+  }
+
+  test("hot lead with nulls in the second sort key stays exact") {
+    val df = spark.range(1200).select(col("id"),
+      when(pmod(col("id"), lit(3)) < 2, lit(50L)).otherwise(col("id")).as("k"),
+      when(pmod(col("id"), lit(11)) === 0, lit(null).cast("long"))
+        .otherwise(pmod(xxhash64(col("id")), lit(200L))).as("t"))
+    val got = GlobalRank.withGlobalRank(df,
+      Seq(col("k"), col("t").asc_nulls_last, col("id")), "r",
+      numPartitions = 10)
+    val want = df.withColumn("r", row_number()
+      .over(W.orderBy(col("k"), col("t").asc_nulls_last, col("id")))
+      .cast("long"))
+    sameRows(got, want)
+  }
+
+  test("hot lead past 2^53 (hash-like long) skips the split, stays exact") {
+    // double equality is not exact for such longs — the split must NOT
+    // fire (order safety) and the single-bucket answer must still match
+    val big = 4611686018427387905L // ~2^62, not representable exactly
+    val df = spark.range(800).select(col("id"),
+      when(pmod(col("id"), lit(2)) === 0, lit(big))
+        .otherwise(xxhash64(col("id"))).as("k"))
+    val got = GlobalRank.withGlobalRank(df,
+      Seq(col("k"), col("id")), "r", numPartitions = 8)
+    val want = df.withColumn("r",
+      row_number().over(W.orderBy(col("k"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("hot lead with a string second key skips the split, stays exact") {
+    val df = spark.range(900).select(col("id"),
+      when(pmod(col("id"), lit(3)) < 2, lit(5L)).otherwise(col("id")).as("k"),
+      concat(lit("s"), pmod(xxhash64(col("id")), lit(50L))).as("s"))
+    val got = GlobalRank.withGlobalRank(df,
+      Seq(col("k"), col("s"), col("id")), "r", numPartitions = 8)
+    val want = df.withColumn("r", row_number()
+      .over(W.orderBy(col("k"), col("s"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("withGroupedRank == per-group row_number window, hot+null groups") {
+    // r18: a 90%-hot group must not change values — only the plan. The
+    // fixture plants a dominant group, a null group, and hash ties.
+    val df = spark.range(3000).select(col("id"),
+      when(pmod(col("id"), lit(10)) < 8, lit("hot"))
+        .when(pmod(col("id"), lit(10)) === 8, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), pmod(xxhash64(col("id")), lit(4))))
+        .as("g"),
+      pmod(xxhash64(col("id"), lit(5)), lit(100L)).as("hk"))
+    val got = GlobalRank.withGroupedRank(df, Seq("g"),
+      Seq(col("hk"), col("id")), "r", numPartitions = 8)
+    val want = df.withColumn("r", row_number()
+      .over(W.partitionBy("g").orderBy(col("hk"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
+  test("withGroupedRank with a string lead key falls back to the window") {
+    val df = spark.range(400).select(col("id"),
+      pmod(col("id"), lit(3)).cast("string").as("g"),
+      concat(lit("v"), pmod(xxhash64(col("id")), lit(20L))).as("s"))
+    val got = GlobalRank.withGroupedRank(df, Seq("g"),
+      Seq(col("s"), col("id")), "r", numPartitions = 4)
+    val want = df.withColumn("r", row_number()
+      .over(W.partitionBy("g").orderBy(col("s"), col("id"))).cast("long"))
+    sameRows(got, want)
+  }
+
   test("epochShuffle is a deterministic permutation; seeds differ") {
     val df = spark.range(400).toDF("id")
     val a = GlobalRank.epochShuffle(df, "id", seed = 7L, "pos",

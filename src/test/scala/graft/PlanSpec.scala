@@ -313,16 +313,21 @@ class PlanSpec extends SparkFunSuite {
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
-  test("ts_theilsen: rank and count share one type exchange; staged grid") {
+  test("ts_theilsen: no pair exchange — histogram selection off-plan") {
+    // r18: the O(len²) pair stream no longer shuffles or sorts under a
+    // window; the median is selected by bounded aggregate-only passes
+    // at build time (RobustStats.groupedMedianExact over the staged
+    // hourly grid) and the final plan is the driver-composed result
+    // relation. Any Exchange or Window here means the pair pipeline
+    // leaked back into the plan.
     val p = plan("ts_theilsen")
-    assert(p.contains("graft_stage_type_hourly_dense"),
-      "shared hourly grid stage lost — both join sides would rebuild it")
-    // rank window + count window + final agg over ONE event_type
-    // hash exchange each side of the pair join (2 scans of the stage)
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 4,
-      s"pair/median pipeline re-shuffling ($exchanges exchanges):\n" +
+    assert(exchanges == 0,
+      s"pair/median pipeline re-materialized in-plan ($exchanges " +
+        s"exchanges):\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Window"),
+      "pair-sort window leaked back into the ts_theilsen plan")
   }
 
   test("embed_covar: quantized coords staged once; self-join not a rescan") {
