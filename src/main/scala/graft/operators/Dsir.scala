@@ -31,10 +31,13 @@ import org.apache.spark.sql.functions._
   *    deterministic top-k by (avg points per token DESC, doc_id) —
   *    the reproducible-curation convention every corpus_* op follows.
   *
-  * Scale shape (100 TB): one token pass → (doc, bucket) scalars; the
-  * bucket table aggregates map-side to ≤ numBuckets rows and
-  * BROADCASTS back onto the token stream (a 4096-row dimension); the
-  * totals are one broadcast row; per-doc rollups are integer sums and
+  * Scale shape (100 TB): ONE token pass → a staged (doc, bucket,
+  * count) partial aggregate (narrow scalars, ≤ numBuckets rows per doc
+  * however fat the doc — r18, the fat-corpus A/B in
+  * reports/DSIRFAT_r18.md retired the second tokenize+md5 pass); the
+  * bucket table aggregates from the stage to ≤ numBuckets rows and
+  * BROADCASTS back onto it (a 4096-row dimension); the totals are one
+  * broadcast row; per-doc rollups are integer sums over the stage and
   * the cut is a TakeOrdered — no window, no driver collect.
   */
 object Dsir {
@@ -58,9 +61,19 @@ object Dsir {
     val bt = tok.select(col(idCol), col("is_t"),
       (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long")
         % numBuckets).as("b"))
-    val bc = Stage.materialize(
-      bt.groupBy("b").agg(count(lit(1)).as("cr"), sum("is_t").as("ct")),
-      "dsir_buckets")
+    // r18 (fat-corpus A/B, reports/DSIRFAT_r18.md): tokenize+md5 ONCE.
+    // The (doc, bucket) partial aggregate is staged — O(docs × distinct
+    // buckets per doc) narrow scalars, ≤ numBuckets rows per doc
+    // however fat the doc — and BOTH rollups (bucket table, per-doc
+    // points) read it, where the previous shape re-ran the full
+    // tokenize+md5+explode pass for the per-doc rollup (2-3× slower on
+    // the 64 MB-giant corpus: 46-80 s vs 23-25 s).
+    val bt2 = Stage.materialize(
+      bt.groupBy(col(idCol), col("is_t"), col("b"))
+        .agg(count(lit(1)).as("c")),
+      "dsir_doc_buckets")
+    val bc = bt2.groupBy("b")
+      .agg(sum("c").as("cr"), sum(col("is_t") * col("c")).as("ct"))
     val n = bc.agg(sum("cr").as("nr"), sum("ct").as("nt"))
     // r16 advice: cast each factor to double BEFORE multiplying — the
     // int64 products (ct+1)(nr+B) / (cr+1)(nt+B) overflow once the
@@ -75,9 +88,9 @@ object Dsir {
           ((col("cr") + 1).cast("double") *
             (col("nt") + numBuckets).cast("double")) *
           lit(10000.0) + lit(0.5)).as("p"))
-    val ds = bt.join(broadcast(pts), "b")
+    val ds = bt2.join(broadcast(pts), "b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum("p").as("pts"))
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("p")).as("pts"))
       .withColumn("avg_pts", expr("pts div n_tokens"))
     ds.orderBy(col("avg_pts").desc, col(idCol))
       .limit(topK)

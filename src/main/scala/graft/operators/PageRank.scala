@@ -55,6 +55,18 @@ object PageRank {
     */
   val broadcastVertLimit: Long = 2000000L
 
+  /** Shuffle-regime lineage-cut cadence: every `stageEvery`-th round's
+    * rank frame is staged to parquet so the lazily-chained round plans
+    * stay bounded (a 100 TB round replay is a full edge pass). Default
+    * 4 was validated by the r18 fat-graph A/B
+    * (reports/PRCADENCE_r18.md): staging MORE often (2) pays parquet
+    * round-trips that buy nothing, staging less often (6/8 ≈ never at
+    * 5 iters) is a wash at 5 rounds but unbounds the plan for deeper
+    * runs. Scale deployments with slow stage storage can raise it.
+    */
+  val StageEveryKey = "spark.graft.pagerank.stageEvery"
+  val DefaultStageEvery = 4
+
   def ranks(edgesIn: DataFrame, srcCol: String, dstCol: String,
             iters: Int = 5, damping: Double = 0.85,
             undirected: Boolean = true): DataFrame = {
@@ -118,12 +130,38 @@ object PageRank {
     // changes). The shuffle-join regime (> 2M vertices) has no
     // per-round action, so rounds still chain lazily into one job with
     // the every-4th-round lineage cut.
+    // Driver-memory note (ADVICE r17): pinLocal materializes up to
+    // broadcastVertLimit (2M) rows as boxed GenericRows on the driver —
+    // transiently heavier than the compact internal-row collect a
+    // broadcast exchange performs (~hundreds of MB near the bound).
+    // The broadcast regime already requires the driver to hold the
+    // built relation, but deployments running near the 2M bound on a
+    // small driver heap should lower broadcastVertLimit rather than
+    // raise driver memory for this collect.
     def pinLocal(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.collectAsList(), df.schema)
+    val stageEvery = {
+      val raw = edgesIn.sparkSession.conf
+        .get(StageEveryKey, DefaultStageEvery.toString)
+      val v = try raw.toInt catch { case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$StageEveryKey must be an integer, got '$raw'", e)
+      }
+      require(v >= 1, s"$StageEveryKey must be >= 1, got $v")
+      v
+    }
+    // r18 (fat-graph cadence A/B, reports/PRCADENCE_r18.md): in the
+    // shuffle regime the lazily-chained rounds evaluate ONCE in the
+    // final job — a stage cut buys bounded plan depth, never fewer
+    // passes — so a cut whose remaining segment is shorter than the
+    // cadence is a pure parquet round-trip (measured ~20% of the
+    // 5-iter fat run). Stage only when >= stageEvery rounds follow;
+    // the tail segment is then at most 2·stageEvery − 1 rounds deep.
     def pin(next: DataFrame, lastOfRound: Int): DataFrame =
       if (lastOfRound >= iters) next
       else if (bcast) pinLocal(next)
-      else if (lastOfRound % 4 == 0) Stage.materialize(next,
+      else if (lastOfRound % stageEvery == 0 &&
+          lastOfRound + stageEvery <= iters) Stage.materialize(next,
         s"pagerank_r${lastOfRound - 1}")
       else next
 
