@@ -79,8 +79,17 @@ object PageRank {
     // string ids still work unchanged.
     val base = edgesIn.select(col(srcCol).as("src"),
       col(dstCol).as("dst"))
+    // r18: mirror by EXPLODE, not union — a union references `base`
+    // twice, so the caller's edge lineage (typically a fact join:
+    // lineitem ⋈ orders in the registered query) evaluated TWICE in
+    // the edge-prep job's two plan branches. One explode emits both
+    // directions from a single pass; the directed-edge multiset is
+    // identical, so every downstream dedup/degree/round value is too.
     val dir = if (undirected)
-      base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      base.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("__pr_e"))
+        .select(col("__pr_e.src").as("src"), col("__pr_e.dst").as("dst"))
     else base
     // ONE exchange prepares the edges: hash-partition by src, dedup
     // (grouping on (src, dst) is clustered by the src partitioning —
